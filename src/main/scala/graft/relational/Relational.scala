@@ -1,0 +1,131 @@
+package graft.relational
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core (SURVEY §2g): the engine must be a complete analytics
+  * substrate under the event/rule operators. Shapes follow TPC-H Q1/Q3.
+  *
+  * Double aggregates are rounded at the granularity of the underlying data
+  * (money = 2dp, price*(1-disc) = 4dp, *(1+tax) = 6dp) so that summation
+  * order — which differs between Spark partial aggregation and DuckDB — can
+  * never flip the rounded value (fp error ≪ half-ulp of the rounding grid).
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: scan-heavy grouped aggregation with partial (map-side)
+    * aggregation; no join, single shuffle on the 4-ish distinct keys. */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir).lineitem
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 6).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 6) AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shape: selective dim (customer) broadcast into the
+    * orders⨝lineitem shuffle join; top-10 with deterministic tie-break. */
+  def q3Join(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+    val ord = t.orders.filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+    val li = t.lineitem.filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .select(col("l_orderkey"), graft.epochUs(col("o_orderdate")).as("o_orderdate_us"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3JoinSql: String =
+    """SELECT l_orderkey,
+      |  epoch_us(o_orderdate) AS o_orderdate_us,
+      |  o_orderpriority,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** Window ranking: latest 3 shipments per supplier (deterministic total
+    * order inside each partition). Single shuffle on l_suppkey. */
+  def qWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir).lineitem
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"),
+        graft.epochUs(col("l_shipdate")).as("ship_us"))
+  }
+
+  val qWindowSql: String =
+    """SELECT l_suppkey, rn, l_orderkey, l_linenumber, epoch_us(l_shipdate) AS ship_us
+      |FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+      |    row_number() OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_shipdate DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+      |  FROM lineitem) t
+      |WHERE rn <= 3""".stripMargin
+
+  /** Rollup over region→nation customer account balances (grouping sets);
+    * nulls from the rollup coalesced to a sentinel for stable comparison. */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val joined = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+    joined.rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("c_acctbal")), 2).as("total_bal"), count(lit(1)).as("n_cust"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("total_bal"), col("n_cust"))
+  }
+
+  val qRollupSql: String =
+    """SELECT coalesce(r_name, 'ALL') AS region_name,
+      |  coalesce(n_name, 'ALL') AS nation_name,
+      |  round(sum(c_acctbal), 2) AS total_bal,
+      |  count(*) AS n_cust
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q3_join" -> (q3Join _),
+    "q_window" -> (qWindow _),
+    "q_rollup" -> (qRollup _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q3_join" -> q3JoinSql,
+    "q_window" -> qWindowSql,
+    "q_rollup" -> qRollupSql)
+}
