@@ -56,7 +56,8 @@ object Signups {
     derive(Tables(spark, sfDir).events)
 
   /** The identical derivation as a DuckDB CTE named `signups`; every rule
-    * oracle starts with this prefix. */
+    * oracle starts with this prefix. [[cte]] is the composable form
+    * (no WITH keyword) for oracles that add further CTEs. */
   val sqlCte: String =
     """WITH signups AS (
       |  SELECT event_id,
@@ -83,4 +84,6 @@ object Signups {
       |  WHERE event_type = 'signup'
       |)
       |""".stripMargin
+
+  val cte: String = sqlCte.stripPrefix("WITH ")
 }

@@ -1,0 +1,238 @@
+package graft.rules
+
+import graft.epochUs
+import graft.events.Signups
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rule-engine queries (SURVEY §2a #4-12). Each criterion kind is exercised
+  * standalone (predicate-pushdown shape) and through the full broadcast-join
+  * engine; lifecycle/expiry/stats/actions reproduce rules.rs semantics.
+  */
+object RuleQueries {
+
+  private def signups(spark: SparkSession, sfDir: String): DataFrame =
+    Signups.derive(spark, sfDir)
+
+  private def withCtes(body: String): String =
+    "WITH " + Signups.cte.stripSuffix("\n") + ",\n" + Rules.valuesSql + "\n" + body
+
+  // ---- single-criterion filters (#4-7) ------------------------------------
+
+  /** Case-insensitive contains (UsernameContains, rules.rs:251-255). */
+  def ruContains(spark: SparkSession, sfDir: String): DataFrame =
+    signups(spark, sfDir)
+      .filter(instr(upper(col("username")), lit("ER_1")) > 0)
+      .select(col("event_id"), col("username"), col("email"))
+
+  val ruContainsSql: String = Signups.sqlCte +
+    """SELECT event_id, username, email FROM signups
+      |WHERE instr(upper(username), 'ER_1') > 0""".stripMargin
+
+  /** Case-insensitive regex (EmailRegex semantics: `(?i)` injected). */
+  def ruRegex(spark: SparkSession, sfDir: String): DataFrame =
+    signups(spark, sfDir)
+      .filter(col("email").rlike("(?i)^USER_[0-9]*@MAIL[02]"))
+      .select(col("event_id"), col("email"))
+
+  val ruRegexSql: String = Signups.sqlCte +
+    """SELECT event_id, email FROM signups
+      |WHERE regexp_matches(email, '(?i)^USER_[0-9]*@MAIL[02]')""".stripMargin
+
+  /** Exact match against a small set (IpMatch/PrintMatch as a semi-join). */
+  def ruExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val prints = Seq(Rules.md5Hex("fp7"), Rules.md5Hex("fp13"), Rules.md5Hex("fp21"))
+    signups(spark, sfDir)
+      .filter(col("fingerprint").isInCollection(prints))
+      .select(col("event_id"), col("username"), col("fingerprint"))
+  }
+
+  val ruExactSql: String = Signups.sqlCte +
+    s"""SELECT event_id, username, fingerprint FROM signups
+       |WHERE fingerprint IN ('${Rules.md5Hex("fp7")}', '${Rules.md5Hex("fp13")}', '${Rules.md5Hex("fp21")}')""".stripMargin
+
+  /** UseragentLengthLte: None UA never matches (rules.rs:260-263). */
+  def ruUaLen(spark: SparkSession, sfDir: String): DataFrame =
+    signups(spark, sfDir)
+      .filter(col("ua").isNotNull && length(col("ua")) <= 12)
+      .select(col("event_id"), col("username"), col("ua"))
+
+  val ruUaLenSql: String = Signups.sqlCte +
+    """SELECT event_id, username, ua FROM signups
+      |WHERE ua IS NOT NULL AND length(ua) <= 12""".stripMargin
+
+  // ---- full engine (#8) ---------------------------------------------------
+
+  def ruEngine(spark: SparkSession, sfDir: String): DataFrame =
+    RuleEngine.matches(signups(spark, sfDir), Rules.df(spark))
+      .select(col("event_id"), col("username"), col("name").as("rule_name"))
+
+  val ruEngineSql: String = withCtes(
+    s"""SELECT s.event_id, s.username, r.name AS rule_name
+       |FROM signups s JOIN rules r ON ${RuleEngine.matchConditionSql()}""".stripMargin)
+
+  // ---- match stats (#9): match_count / latest_match_date / last-3 caught --
+
+  def ruMatchStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = RuleEngine.matches(signups(spark, sfDir), Rules.df(spark))
+      .select(col("name"), col("username"), col("ts_us"))
+    val counts = m.groupBy(col("name"))
+      .agg(count(lit(1)).as("match_count"), max(col("ts_us")).as("latest_us"))
+    val perUser = m.groupBy(col("name"), col("username")).agg(max(col("ts_us")).as("uts"))
+    val w = Window.partitionBy(col("name")).orderBy(col("uts").desc, col("username").asc)
+    val recent = perUser.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .groupBy(col("name"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct((-col("uts")).as("k"), col("username").as("u")))),
+          x => x.getField("u")),
+        ",").as("recent3"))
+    counts.join(recent, Seq("name")).withColumnRenamed("name", "rule_name")
+  }
+
+  val ruMatchStatsSql: String = withCtes(
+    s""", m AS (
+       |  SELECT s.username, s.ts_us, r.name
+       |  FROM signups s JOIN rules r ON ${RuleEngine.matchConditionSql()}
+       |),
+       |pu AS (SELECT name, username, max(ts_us) AS uts FROM m GROUP BY 1, 2),
+       |top3 AS (
+       |  SELECT name, username, uts,
+       |    row_number() OVER (PARTITION BY name ORDER BY uts DESC, username ASC) AS rn
+       |  FROM pu)
+       |SELECT c.name AS rule_name, c.match_count, c.latest_us, r3.recent3
+       |FROM (SELECT name, count(*) AS match_count, max(ts_us) AS latest_us FROM m GROUP BY 1) c
+       |JOIN (SELECT name, string_agg(username, ',' ORDER BY uts DESC, username ASC) AS recent3
+       |      FROM top3 WHERE rn <= 3 GROUP BY 1) r3 USING (name)""".stripMargin)
+
+  // ---- lifecycle (#10): disable-re / enable-re / renew / list -------------
+
+  /** Applies `signup rules disable-re ^r_user`, `enable-re ^r_disabled$`,
+    * `renew r_email_regex 14d` to the corpus and lists the result with the
+    * reference's display convention (disabled names parenthesised,
+    * rules.rs:113-124). */
+  def ruLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val renewedUs = Rules.nowUs + 14L * 86400L * 1000000L
+    Rules.df(spark)
+      .withColumn("enabled_after",
+        when(col("name").rlike("^r_user"), lit(false))
+          .when(col("name").rlike("^r_disabled$"), lit(true))
+          .otherwise(col("enabled")))
+      .withColumn("expiry_us_after",
+        when(col("name") === "r_email_regex", lit(renewedUs)).otherwise(col("expiry_us")))
+      .select(col("name"), col("enabled_after"), col("expiry_us_after"),
+        when(col("enabled_after"), col("name"))
+          .otherwise(concat(lit("("), col("name"), lit(")"))).as("display"))
+  }
+
+  val ruLifecycleSql: String = {
+    val renewedUs = Rules.nowUs + 14L * 86400L * 1000000L
+    s"""WITH ${Rules.valuesSql}
+       |SELECT name,
+       |  CASE WHEN regexp_matches(name, '^r_user') THEN false
+       |       WHEN regexp_matches(name, '^r_disabled$$') THEN true
+       |       ELSE enabled END AS enabled_after,
+       |  CASE WHEN name = 'r_email_regex' THEN $renewedUs ELSE expiry_us END AS expiry_us_after,
+       |  CASE WHEN (CASE WHEN regexp_matches(name, '^r_user') THEN false
+       |       WHEN regexp_matches(name, '^r_disabled$$') THEN true
+       |       ELSE enabled END) THEN name ELSE '(' || name || ')' END AS display
+       |FROM rules""".stripMargin
+  }
+
+  // ---- expiry sweep (#11): eventhandler.rs:418-480 ------------------------
+
+  def ruExpiry(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    Rules.df(spark).select(
+      col("name"),
+      when(col("expiry_us").isNull, "none")
+        .when(col("expiry_us") < Rules.nowUs, "expired")
+        .when(col("expiry_us") < Rules.nowUs + dayUs, "expiring_soon")
+        .otherwise("active").as("status"),
+      (col("expiry_us").isNotNull && lit(Rules.nowUs) > col("expiry_us") + lit(3L * dayUs))
+        .as("auto_remove"))
+  }
+
+  val ruExpirySql: String = {
+    val dayUs = 86400L * 1000000L
+    s"""WITH ${Rules.valuesSql}
+       |SELECT name,
+       |  CASE WHEN expiry_us IS NULL THEN 'none'
+       |       WHEN expiry_us < ${Rules.nowUs} THEN 'expired'
+       |       WHEN expiry_us < ${Rules.nowUs + dayUs} THEN 'expiring_soon'
+       |       ELSE 'active' END AS status,
+       |  coalesce(expiry_us IS NOT NULL AND ${Rules.nowUs} > expiry_us + ${3L * dayUs}, false) AS auto_remove
+       |FROM rules""".stripMargin
+  }
+
+  // ---- action plan (#12): rules.rs:286-331 + delay policy -----------------
+
+  def ruActions(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = RuleEngine.matches(signups(spark, sfDir), Rules.df(spark))
+    m.select(col("event_id"), col("username"), col("name").as("rule_name"),
+        col("no_delay"), explode(split(col("actions"), "\\+")).as("action"))
+      .select(
+        col("event_id"), col("username"), col("rule_name"), col("action"),
+        when(col("action") === "shadowban",
+          concat(lit("https://lichess.org/mod/"), col("username"), lit("/troll/true")))
+          .when(col("action") === "engine",
+            concat(lit("https://lichess.org/mod/"), col("username"), lit("/engine/true")))
+          .when(col("action") === "boost",
+            concat(lit("https://lichess.org/mod/"), col("username"), lit("/booster/true")))
+          .when(col("action") === "ipban",
+            concat(lit("https://lichess.org/mod/"), col("username"), lit("/ban/true")))
+          .when(col("action") === "close",
+            concat(lit("https://lichess.org/mod/"), col("username"), lit("/close")))
+          .when(col("action") === "alt",
+            concat(lit("https://lichess.org/mod/"), col("username"), lit("/alt/true")))
+          .when(col("action") === "panic", lit("https://lichess.org/mod/chat-panic"))
+          .otherwise(lit(null).cast("string")).as("endpoint"),
+        (!col("no_delay") && col("action").isInCollection(Seq("engine", "boost", "ipban", "close")))
+          .as("delayed"),
+        when(!col("no_delay") && col("action") === "close", lit(1500)).otherwise(lit(0))
+          .as("extra_delay_ms"))
+  }
+
+  val ruActionsSql: String = withCtes(
+    s""", m AS (
+       |  SELECT s.event_id, s.username, r.name AS rule_name, r.no_delay,
+       |    unnest(string_split(r.actions, '+')) AS action
+       |  FROM signups s JOIN rules r ON ${RuleEngine.matchConditionSql()}
+       |)
+       |SELECT event_id, username, rule_name, action,
+       |  CASE action
+       |    WHEN 'shadowban' THEN 'https://lichess.org/mod/' || username || '/troll/true'
+       |    WHEN 'engine' THEN 'https://lichess.org/mod/' || username || '/engine/true'
+       |    WHEN 'boost' THEN 'https://lichess.org/mod/' || username || '/booster/true'
+       |    WHEN 'ipban' THEN 'https://lichess.org/mod/' || username || '/ban/true'
+       |    WHEN 'close' THEN 'https://lichess.org/mod/' || username || '/close'
+       |    WHEN 'alt' THEN 'https://lichess.org/mod/' || username || '/alt/true'
+       |    WHEN 'panic' THEN 'https://lichess.org/mod/chat-panic'
+       |    ELSE NULL END AS endpoint,
+       |  (NOT no_delay) AND action IN ('engine', 'boost', 'ipban', 'close') AS delayed,
+       |  CASE WHEN (NOT no_delay) AND action = 'close' THEN 1500 ELSE 0 END AS extra_delay_ms
+       |FROM m""".stripMargin)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ru_contains" -> (ruContains _),
+    "ru_regex" -> (ruRegex _),
+    "ru_exact" -> (ruExact _),
+    "ru_ua_len" -> (ruUaLen _),
+    "ru_engine" -> (ruEngine _),
+    "ru_match_stats" -> (ruMatchStats _),
+    "ru_lifecycle" -> (ruLifecycle _),
+    "ru_expiry" -> (ruExpiry _),
+    "ru_actions" -> (ruActions _))
+
+  def oracleSql: Map[String, String] = Map(
+    "ru_contains" -> ruContainsSql,
+    "ru_regex" -> ruRegexSql,
+    "ru_exact" -> ruExactSql,
+    "ru_ua_len" -> ruUaLenSql,
+    "ru_engine" -> ruEngineSql,
+    "ru_match_stats" -> ruMatchStatsSql,
+    "ru_lifecycle" -> ruLifecycleSql,
+    "ru_expiry" -> ruExpirySql,
+    "ru_actions" -> ruActionsSql)
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTest {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class CoreSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("every query runs at sf0.001 with stable schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, name)
+      df.count() // forces full execution
+    }
+  }
+
+  test("q1_agg aggregates whole lineitem") {
+    val df = relational.Relational.q1Agg(spark, sf)
+    val total = df.agg(org.apache.spark.sql.functions.sum("count_order")).head.getLong(0)
+    val expected = Tables(spark, sf).lineitem
+      .filter("l_shipdate <= timestamp '1998-09-02'").count()
+    assert(total == expected && total > 0, s"expected $expected counted, got $total")
+  }
+
+  test("q3_join returns at most 10 deterministic rows") {
+    val rows = relational.Relational.q3Join(spark, sf).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)), "revenue must be descending")
+  }
+
+  test("ev_parse_json extracts k for every well-formed props") {
+    val df = events.EventOps.parseJson(spark, sf)
+    assert(df.filter("valid").count() == 1000)
+  }
+
+  test("signup view derives deterministic fields") {
+    val s = events.Signups.derive(spark, sf)
+    val row = s.filter("event_id = 1").head
+    assert(row.getAs[String]("username").startsWith("user_"))
+    assert(row.getAs[String]("email").contains("@mail"))
+    assert(row.getAs[String]("ip").split("\\.").length == 4)
+  }
+
+  test("rule engine honors gating: disabled/expired rules never match") {
+    val m = rules.RuleQueries.ruEngine(spark, sf)
+    val names = m.select("rule_name").distinct().collect().map(_.getString(0)).toSet
+    assert(!names.contains("r_disabled"))
+    assert(!names.contains("r_expired"))
+    assert(!names.contains("r_user_contains"), "expired 2024-05-30 rule must not fire")
+  }
+
+  test("susp-only rule matches only susp_ip signups") {
+    val s = events.Signups.derive(spark, sf)
+    val m = rules.RuleEngine.matches(s, rules.Rules.df(spark))
+    val bad = m.filter("name = 'r_susp' AND NOT susp_ip").count()
+    assert(bad == 0)
+  }
+
+  test("ru_expiry classifies the corpus correctly") {
+    val statuses = rules.RuleQueries.ruExpiry(spark, sf).collect()
+      .map(r => r.getAs[String]("name") -> (r.getAs[String]("status"), r.getAs[Boolean]("auto_remove"))).toMap
+    assert(statuses("r_ip") == ("expiring_soon", false))
+    assert(statuses("r_expired") == ("expired", true))
+    assert(statuses("r_user_contains") == ("expired", false))
+    assert(statuses("r_email_contains") == ("none", false))
+    assert(statuses("r_print") == ("active", false))
+  }
+
+  test("ru_actions maps every action to the reference endpoint") {
+    val df = rules.RuleQueries.ruActions(spark, sf)
+    val notify = df.filter("action = 'notify'")
+    assert(notify.filter("endpoint IS NOT NULL").count() == 0, "notify has no endpoint")
+    val closes = df.filter("action = 'close' AND NOT rule_name = 'r_user_regex'")
+    assert(closes.filter("extra_delay_ms <> 1500").count() == 0, "close gets +1500ms")
+  }
+
+  test("sql criterion (Lua analog) composes into the engine") {
+    val s = events.Signups.derive(spark, sf)
+    val pred = rules.RuleEngine.sqlCriterion("susp_ip AND length(username) <= 7")
+    val n = s.filter(pred).count()
+    val manual = s.filter("susp_ip AND length(username) <= 7").count()
+    assert(n == manual)
+  }
+}
