@@ -8,7 +8,9 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
     (relational.Relational.queries, relational.Relational.oracleSql),
     (events.EventOps.queries, events.EventOps.oracleSql),
-    (rules.RuleQueries.queries, rules.RuleQueries.oracleSql))
+    (rules.RuleQueries.queries, rules.RuleQueries.oracleSql),
+    (enrich.EnrichQueries.queries, enrich.EnrichQueries.oracleSql),
+    (commands.CommandQueries.queries, commands.CommandQueries.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

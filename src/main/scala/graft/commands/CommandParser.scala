@@ -1,0 +1,159 @@
+package graft.commands
+
+/** The operator command DSL (SURVEY §2a #17; reference zulip/command.rs).
+  *
+  * Grammar (command.rs:10-19, 52-237):
+  *   status
+  *   namechk <username>
+  *   signup seen <username>
+  *   signup test `<json>`
+  *   signup rules list
+  *   signup rules add <name> if|if_susp_ip|if_ip_susp <field> <check> <value>
+  *     then <action>[+<action>…] [nodelay] [noexpiry]
+  *   signup rules show|remove <name>
+  *   signup rules disable-re|enable-re <pattern>
+  *   signup rules renew <name> <Nd|Nw>
+  *
+  * Lua criteria arrive in backticks; the reference splices the code out and
+  * substitutes a `$ $` placeholder before whitespace-splitting
+  * (command.rs:53-62) — reproduced verbatim so arg positions match.
+  */
+object CommandParser {
+
+  final case class Parsed(
+      ok: Boolean,
+      kind: String,
+      name: Option[String] = None,
+      field: Option[String] = None,
+      check: Option[String] = None,
+      value: Option[String] = None,
+      actions: Option[String] = None,
+      noDelay: Option[Boolean] = None,
+      expiryDays: Option[Int] = None,
+      error: Option[String] = None)
+
+  private val knownActions =
+    Set("shadowban", "engine", "boost", "ipban", "close", "alt", "panic", "notify")
+
+  private def err(msg: String = "Could not parse user command"): Parsed =
+    Parsed(ok = false, kind = "error", error = Some(msg))
+
+  def parse(command: String): Parsed = {
+    val parts = command.split(" ", -1).toSeq
+    parts.headOption match {
+      case Some("status") => Parsed(ok = true, kind = "status")
+      case Some("namechk") =>
+        parts.lift(1).filter(_.nonEmpty) match {
+          case Some(u) => Parsed(ok = true, kind = "namechk", name = Some(u))
+          case None => err("Please provide a username")
+        }
+      case Some("signup") => parseSignup(command)
+      case _ => err()
+    }
+  }
+
+  private def parseSignup(command: String): Parsed = {
+    // Backtick splice (command.rs:53-62).
+    val firstSplit = command.split("`", -1)
+    val (code, joined) =
+      if (firstSplit.length > 2)
+        (firstSplit(1),
+          Seq(firstSplit(0).trim, "$ $", firstSplit(2).trim).mkString(" "))
+      else ("", command)
+    val args = joined.split(" ").toSeq.drop(1)
+
+    args.headOption match {
+      case Some("seen") =>
+        args.lift(1) match {
+          case Some(u) => Parsed(ok = true, kind = "seen", name = Some(u))
+          case None => err()
+        }
+      case Some("rules") => parseRules(args, code)
+      case _ => err()
+    }
+  }
+
+  private def parseRules(args: Seq[String], code: String): Parsed =
+    args.lift(1) match {
+      case Some("list") => Parsed(ok = true, kind = "list")
+      case Some("show") => withName(args, "show")
+      case Some("remove") => withName(args, "remove")
+      case Some("disable-re") => withName(args, "disable_re")
+      case Some("enable-re") => withName(args, "enable_re")
+      case Some("test") =>
+        if (code.nonEmpty) Parsed(ok = true, kind = "test", value = Some(code))
+        else err("Can't (de)serialize")
+      case Some("renew") =>
+        (args.lift(2), args.lift(3)) match {
+          case (Some(name), Some(dur)) =>
+            parseExpiryDuration(dur) match {
+              case Right(days) =>
+                Parsed(ok = true, kind = "renew", name = Some(name), expiryDays = Some(days))
+              case Left(msg) => err(msg)
+            }
+          case (None, _) => err("Please provide a rule name")
+          case (_, None) => err("Please provide a new expiry")
+        }
+      case Some("add") => parseAdd(args, code)
+      case _ => err()
+    }
+
+  private def withName(args: Seq[String], kind: String): Parsed =
+    args.lift(2) match {
+      case Some(n) => Parsed(ok = true, kind = kind, name = Some(n))
+      case None => err()
+    }
+
+  private def parseAdd(args: Seq[String], code: String): Parsed = {
+    val suspIp = args.lift(3).exists(a => a == "if_susp_ip" || a == "if_ip_susp")
+    if (!(args.lift(3).contains("if") || suspIp) || !args.lift(7).contains("then"))
+      return err()
+    val name = args.lift(2).getOrElse(return err())
+    val element = args.lift(4).getOrElse(return err())
+    val check = args.lift(5).getOrElse(return err())
+    val value = args.lift(6).getOrElse(return err())
+
+    // Criterion validation (command.rs:92-118).
+    val criterion: Either[String, (String, String, String)] = element match {
+      case "ip" if check == "equals" => Right(("ip", "equals", value))
+      case "ip" => Left("Could not parse user command")
+      case "print" => Left("Use lichess print ban instead")
+      case "email" if check == "contains" || check == "regex" => Right(("email", check, value))
+      case "email" => Left("Could not parse user command")
+      case "username" if check == "contains" || check == "regex" => Right(("username", check, value))
+      case "username" => Left("Could not parse user command")
+      case "useragent" if check == "length-lte" =>
+        value.toIntOption match {
+          case Some(_) => Right(("useragent", "length-lte", value))
+          case None => Left("Can't parse int")
+        }
+      case "useragent" => Left("Could not parse user command")
+      case "lua" => Right(("lua", "lua", code))
+      case _ => Left("Could not parse user command")
+    }
+    criterion match {
+      case Left(msg) => err(msg)
+      case Right((f, c, v)) =>
+        val actionsTok = args.lift(8).getOrElse(return err())
+        val toks = actionsTok.split("\\+", -1).toSeq
+        if (!toks.forall(knownActions.contains)) return err()
+        val noDelay = args.lift(9).contains("nodelay")
+        val expiryIdx = if (noDelay) 10 else 9
+        val noExpiry = args.lift(expiryIdx).contains("noexpiry")
+        // Default expiry: 182 days (command.rs:146-158).
+        val expiryDays = if (noExpiry) None else Some(182)
+        Parsed(ok = true, kind = "add", name = Some(name), field = Some(f),
+          check = Some(c), value = Some(v), actions = Some(toks.mkString("+")),
+          noDelay = Some(noDelay), expiryDays = expiryDays)
+    }
+  }
+
+  /** `Nd` / `Nw` → days (command.rs:243-263). */
+  def parseExpiryDuration(s: String): Either[String, Int] = {
+    val step = s.lastOption.getOrElse('/')
+    val amount = s.dropRight(1).toIntOption.getOrElse(0)
+    if (amount == 0 || (step != 'd' && step != 'w'))
+      Left("Invalid expiry date format. Example: `14d`. Supported: `d` (day), `w` (week).")
+    else Right(if (step == 'd') amount else amount * 7)
+  }
+}

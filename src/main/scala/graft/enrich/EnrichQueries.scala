@@ -1,0 +1,96 @@
+package graft.enrich
+
+import graft.events.Signups
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Enrichment + bounded-state queries (SURVEY §2a #13-16). */
+object EnrichQueries {
+
+  private def signups(spark: SparkSession, sfDir: String): DataFrame =
+    Signups.derive(spark, sfDir)
+
+  // ---- #13 GeoIP broadcast range join -------------------------------------
+
+  def geoIpRange(spark: SparkSession, sfDir: String): DataFrame =
+    GeoIp.enrich(signups(spark, sfDir), GeoIp.rangesDf(spark))
+      .select(col("event_id"), col("ip"), col("ip_int"), col("country"), col("city"))
+
+  val geoIpRangeSql: String =
+    "WITH " + Signups.cte.stripSuffix("\n") + ",\n" + GeoIp.rangesValuesSql + ",\n" +
+      s"""s2 AS (SELECT event_id, ip, ${GeoIp.ipToIntSql} AS ip_int FROM signups)
+         |SELECT s2.event_id, s2.ip, s2.ip_int, g.country, g.city
+         |FROM s2 LEFT JOIN geo g ON s2.ip_int BETWEEN g.lo AND g.hi""".stripMargin
+
+  // ---- #14 UA regex cascade ----------------------------------------------
+
+  def uaDevice(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = signups(spark, sfDir)
+    val (device, os, client) = UserAgents.parse(col("ua"))
+    s.select(col("event_id"), col("ua"), device.as("device"), os.as("os"), client.as("client"))
+  }
+
+  val uaDeviceSql: String = Signups.sqlCte +
+    s"""SELECT event_id, ua,
+       |${UserAgents.sqlExprs}
+       |FROM signups""".stripMargin
+
+  // ---- #15 last-K ring buffer (recently_checked, eventhandler.rs:90-116) --
+
+  /** Per-user occurrence stats within the most recent K=2000 signups.
+    * Scale shape: the K-th timestamp is found via a partial per-partition
+    * top-K (orderBy+limit on a single narrow column), broadcast back as a
+    * scalar — no global sort of the fact table. */
+  def seenRecent(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = signups(spark, sfDir)
+    val cutoff = s.select(col("ts_us")).orderBy(col("ts_us").desc).limit(2000)
+      .agg(min(col("ts_us")).as("cutoff"))
+    s.join(broadcast(cutoff), col("ts_us") >= col("cutoff"))
+      .groupBy(lower(col("username")).as("user_lc"))
+      .agg(count(lit(1)).as("seen_count"), max(col("ts_us")).as("last_us"))
+  }
+
+  val seenRecentSql: String = Signups.sqlCte +
+    """SELECT lower(username) AS user_lc, count(*) AS seen_count, max(ts_us) AS last_us
+      |FROM signups
+      |WHERE ts_us >= (SELECT min(ts_us) FROM
+      |  (SELECT ts_us FROM signups ORDER BY ts_us DESC LIMIT 2000))
+      |GROUP BY 1""".stripMargin
+
+  // ---- #16 status watermark (status.rs / eventhandler.rs:383-394) ---------
+
+  /** Latest-event watermark per event type + silent-stream detection: a type
+    * is "silent" if it lags the global watermark by >90 s (the reference
+    * restarts the stream connection on that signal). */
+  def statusWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables(spark, sfDir).events
+      .select(col("event_type"), graft.epochUs(col("ts")).as("ts_us"))
+    val global = ev.agg(max(col("ts_us")).as("global_max"))
+    ev.groupBy(col("event_type"))
+      .agg(max(col("ts_us")).as("latest_us"), count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(global))
+      .select(col("event_type"), col("latest_us"), col("n_events"),
+        (col("global_max") - col("latest_us") > 90L * 1000000L).as("silent"))
+  }
+
+  val statusWatermarkSql: String =
+    """SELECT event_type,
+      |  max(epoch_us(CAST(ts AS TIMESTAMP))) AS latest_us,
+      |  count(*) AS n_events,
+      |  (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) FROM events)
+      |    - max(epoch_us(CAST(ts AS TIMESTAMP))) > 90000000 AS silent
+      |FROM events
+      |GROUP BY event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_ip_range" -> (geoIpRange _),
+    "ua_device" -> (uaDevice _),
+    "seen_recent" -> (seenRecent _),
+    "status_watermark" -> (statusWatermark _))
+
+  def oracleSql: Map[String, String] = Map(
+    "geo_ip_range" -> geoIpRangeSql,
+    "ua_device" -> uaDeviceSql,
+    "seen_recent" -> seenRecentSql,
+    "status_watermark" -> statusWatermarkSql)
+}

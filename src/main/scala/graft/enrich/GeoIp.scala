@@ -1,0 +1,62 @@
+package graft.enrich
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GeoIP enrichment (SURVEY §2a #13).
+  *
+  * The reference looks every signup IP up in MaxMind's city db
+  * (eventhandler.rs:74-88, event.rs:64-87). A GeoIP db IS an
+  * (ip_start, ip_end) → location table, so the 100 TB-scale realization is a
+  * broadcast non-equi range join: the events side streams, the range dim
+  * (a few MB even for full MaxMind) broadcasts, and Catalyst plans a
+  * BroadcastNestedLoopJoin with the BETWEEN predicate evaluated in codegen.
+  *
+  * The dim here is a deterministic 16-range table standing in for MaxMind
+  * (same join shape; swap the VALUES for the real db in production).
+  */
+object GeoIp {
+
+  final case class IpRange(lo: Long, hi: Long, country: String, city: String)
+
+  /** 16 ranges tiling first-octet space [0, 224): 14 octets each. */
+  val ranges: Seq[IpRange] = (0 until 16).map { i =>
+    IpRange(i.toLong * 14 * (1L << 24), (i + 1).toLong * 14 * (1L << 24) - 1,
+      f"C$i%02d", f"City$i%02d")
+  }
+
+  def rangesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ranges.map(r => (r.lo, r.hi, r.country, r.city)).toDF("lo", "hi", "country", "city")
+  }
+
+  val rangesValuesSql: String = {
+    val rows = ranges.map(r => s"(${r.lo}, ${r.hi}, '${r.country}', '${r.city}')")
+      .mkString(",\n    ")
+    s"""geo(lo, hi, country, city) AS (
+       |  VALUES
+       |    $rows
+       |)""".stripMargin
+  }
+
+  /** Dotted-quad string → 32-bit integer value. */
+  def ipToInt(ipCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val o = split(ipCol, "\\.")
+    o.getItem(0).cast("long") * 16777216L + o.getItem(1).cast("long") * 65536L +
+      o.getItem(2).cast("long") * 256L + o.getItem(3).cast("long")
+  }
+
+  val ipToIntSql: String =
+    """(CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216 +
+      |   CAST(string_split(ip, '.')[2] AS BIGINT) * 65536 +
+      |   CAST(string_split(ip, '.')[3] AS BIGINT) * 256 +
+      |   CAST(string_split(ip, '.')[4] AS BIGINT))""".stripMargin
+
+  /** Left range join: rows outside every range keep null location (the
+    * reference logs and continues on lookup failure). */
+  def enrich(users: DataFrame, geo: DataFrame): DataFrame = {
+    val withInt = users.withColumn("ip_int", ipToInt(col("ip")))
+    withInt.join(broadcast(geo),
+      col("ip_int") >= col("lo") && col("ip_int") <= col("hi"), "left")
+  }
+}

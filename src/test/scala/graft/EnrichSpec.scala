@@ -1,0 +1,65 @@
+package graft
+
+import graft.commands.CommandParser
+import org.scalatest.funsuite.AnyFunSuite
+
+class EnrichSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("geo range join covers every in-range ip exactly once") {
+    val df = enrich.EnrichQueries.geoIpRange(spark, sf)
+    val total = df.count()
+    val signups = events.Signups.derive(spark, sf).count()
+    assert(total == signups, "left range join must not duplicate (ranges are disjoint)")
+    assert(df.filter("country IS NULL").count() == 0, "all first octets < 224 are covered")
+  }
+
+  test("ua cascade: bot / mobile / trim / fallback / null branches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val uas = Seq(
+      "lichess-bot/1.2.0 rating:2000",
+      "Lichess Mobile/8.3.0 as:anon sri:s12 os:Android/7 dev:Pixel 4",
+      "LM/8.3 iOS/15 iPhone7",
+      "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 Chrome/115.0 Safari/537.36",
+      null,
+      "curl/7.33").toDF("ua")
+    val (d, o, c) = enrich.UserAgents.parse(col("ua"))
+    val rows = uas.select(d.as("d"), o.as("o"), c.as("c")).collect()
+    assert(rows(0).getString(2) == "lichess-bot 1.2.0" && rows(0).getString(1) == "Other")
+    assert(rows(1).getString(0) == "Pixel 4" && rows(1).getString(1) == "Android 7"
+      && rows(1).getString(2) == "Lichess Mobile 8.3.0")
+    assert(rows(2).getString(0) == "iPhone7" && rows(2).getString(1) == "iOS 15")
+    assert(rows(3).getString(2) == "Chrome 115" && rows(3).getString(1) == "Windows 10")
+    assert(rows(4).isNullAt(0) && rows(4).isNullAt(1) && rows(4).isNullAt(2))
+    assert(rows(5).getString(2) == "curl 7")
+  }
+
+  test("seen_recent keeps at most the last 2000 signups") {
+    val df = enrich.EnrichQueries.seenRecent(spark, sf)
+    val total = df.agg(org.apache.spark.sql.functions.sum("seen_count")).head.getLong(0)
+    assert(total <= 2000 + 10, s"ring buffer bound, got $total") // + possible ts ties
+  }
+
+  test("command parser matches reference grammar") {
+    val p = CommandParser.parse("signup rules add x if username regex ^bot then close+alt nodelay")
+    assert(p.ok && p.kind == "add" && p.actions.contains("close+alt") && p.noDelay.contains(true))
+    assert(p.expiryDays.contains(182))
+    val lua = CommandParser.parse("signup rules add lr if lua `regex(user:ua(), \"x\")` then close")
+    assert(lua.ok && lua.field.contains("lua") && lua.value.exists(_.contains("regex(")))
+    assert(!CommandParser.parse("signup rules add b if print equals x then close").ok)
+    assert(CommandParser.parseExpiryDuration("3w") == Right(21))
+    assert(CommandParser.parseExpiryDuration("0d").isLeft)
+    assert(CommandParser.parseExpiryDuration("xd").isLeft)
+  }
+
+  test("status watermark flags types silent for >90s before stream end") {
+    val rows = enrich.EnrichQueries.statusWatermark(spark, sf).collect()
+    assert(rows.length == 5)
+    val maxAll = rows.map(_.getAs[Long]("latest_us")).max
+    rows.foreach { r =>
+      val expected = maxAll - r.getAs[Long]("latest_us") > 90000000L
+      assert(r.getAs[Boolean]("silent") == expected)
+    }
+  }
+}

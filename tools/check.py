@@ -13,14 +13,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(rows):
     def norm(v):
+        if v is None:
+            return (0, "")
         if isinstance(v, float):
             if math.isnan(v):
-                return "NaN"
+                return (1, "NaN")
             # mirror a value-hash: repr at full precision
-            return repr(v)
+            return (1, repr(v))
         if isinstance(v, (list, tuple)):
-            return tuple(norm(x) for x in v)
-        return v
+            return (1, tuple(norm(x) for x in v))
+        return (1, str(v))
     return sorted(tuple(norm(v) for v in r) for r in rows)
 
 def main(sf_dir, out_dir):
