@@ -10,7 +10,10 @@ object SparkEntry {
     (events.EventOps.queries, events.EventOps.oracleSql),
     (rules.RuleQueries.queries, rules.RuleQueries.oracleSql),
     (enrich.EnrichQueries.queries, enrich.EnrichQueries.oracleSql),
-    (commands.CommandQueries.queries, commands.CommandQueries.oracleSql))
+    (commands.CommandQueries.queries, commands.CommandQueries.oracleSql),
+    (dedup.Dedup.queries, dedup.Dedup.oracleSql),
+    (sim.Similarity.queries, sim.Similarity.oracleSql),
+    (text.TextOps.queries, text.TextOps.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

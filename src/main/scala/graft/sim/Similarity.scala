@@ -1,0 +1,147 @@
+package graft.sim
+
+import graft.Tables
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (SURVEY §2d) + embedding near-dup
+  * (§2c #26).
+  *
+  * Cosines are ordered folds over double arrays; outputs are rounded to 6dp
+  * because engine summation order differs at the 1e-16 level. Scale shapes:
+  *  - brute force: query set broadcast against the corpus scan — O(n·q) map
+  *    work, one shuffle for the per-query top-k (partial top-k per
+  *    partition via window over a small rank domain).
+  *  - LSH: 4 anchor hyperplanes → 16 sign buckets; candidates only join
+  *    within a bucket. Anchors are corpus rows (deterministic, portable);
+  *    production swaps in learned/random hyperplanes + multi-probe.
+  */
+object Similarity {
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+
+  private val embCte: String =
+    "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+  val numAnchors = 4
+
+  /** Sign-pattern bucket of `v` against the first 4 corpus vectors. */
+  private def bucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val anchors = e.filter(col("vec_id") < numAnchors)
+      .select(col("vec_id").as("aid"), col("v").as("av"))
+    e.crossJoin(broadcast(anchors))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(when(Portable.dot(col("v"), col("av")) > 0,
+        pow(lit(2.0), col("aid")).cast("long")).otherwise(0L)).as("bucket"))
+  }
+
+  private val bucketedCte: String =
+    s"""anchors AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id < $numAnchors),
+       |buckets AS (
+       |  SELECT e.vec_id, e.label,
+       |    sum(CASE WHEN ${Portable.cosineSql("e.v", "av")} > 0
+       |      THEN CAST(2 ** aid AS BIGINT) ELSE 0 END) AS bucket
+       |  FROM e CROSS JOIN anchors GROUP BY 1, 2)""".stripMargin
+
+  // NB: bucket sign uses cosine (not raw dot) on the SQL side and dot on the
+  // Spark side — identical signs since norms are positive. Kept as cosine in
+  // SQL to reuse the helper.
+
+  // ---- #27 brute-force top-k ----------------------------------------------
+
+  val topK = 5
+  val numQueries = 10
+
+  def bruteTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(Portable.cosine(col("v"), col("qv")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+
+  val bruteTopKSql: String =
+    s"""WITH $embCte,
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $numQueries),
+       |scored AS (
+       |  SELECT qid, e.vec_id AS cand,
+       |    round(${Portable.cosineSql("e.v", "qv")}, 6) AS cos
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> qid)
+       |SELECT qid, cand, cos, rank FROM (
+       |  SELECT qid, cand, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $topK""".stripMargin
+
+  // ---- #28 LSH-bucketed top-k ---------------------------------------------
+
+  def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val b = bucketed(spark, sfDir).select(col("vec_id"), col("bucket"))
+    val eb = e.join(b, "vec_id")
+    val q = eb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qb"))
+    val scored = eb.join(broadcast(q),
+        col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(Portable.cosine(col("v"), col("qv")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+  }
+
+  val lshTopKSql: String =
+    s"""WITH $embCte,
+       |$bucketedCte,
+       |eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b ON e.vec_id = b.vec_id),
+       |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM eb WHERE vec_id < $numQueries),
+       |scored AS (
+       |  SELECT qid, eb.vec_id AS cand,
+       |    round(${Portable.cosineSql("eb.v", "qv")}, 6) AS cos
+       |  FROM eb JOIN q ON eb.bucket = qb AND eb.vec_id <> qid)
+       |SELECT qid, cand, cos, rank FROM (
+       |  SELECT qid, cand, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 3""".stripMargin
+
+  // ---- #26 embedding-cosine near-dup (bucketed self-join) -----------------
+
+  def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val b = bucketed(spark, sfDir).select(col("vec_id"), col("bucket"))
+    val eb = e.join(b, "vec_id").select(col("vec_id"), col("v"), col("bucket"))
+    eb.as("a").join(eb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(Portable.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= 0.3)
+  }
+
+  val embedNearDupSql: String =
+    s"""WITH $embCte,
+       |$bucketedCte,
+       |eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b ON e.vec_id = b.vec_id)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(${Portable.cosineSql("a.v", "b.v")}, 6) AS cos
+       |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE round(${Portable.cosineSql("a.v", "b.v")}, 6) >= 0.3""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute_topk" -> (bruteTopK _),
+    "ann_lsh_topk" -> (lshTopK _),
+    "dd_embed" -> (embedNearDup _))
+
+  def oracleSql: Map[String, String] = Map(
+    "ann_brute_topk" -> bruteTopKSql,
+    "ann_lsh_topk" -> lshTopKSql,
+    "dd_embed" -> embedNearDupSql)
+}

@@ -1,0 +1,169 @@
+package graft.text
+
+import graft.Tables
+import graft.functions.Portable
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text analysis over `documents` (SURVEY §2e): language ID, quality
+  * scoring, token counting, winnowing fingerprints. All pure column math —
+  * whole-stage codegen, zero UDFs; every ratio is a single int/int double
+  * division (bit-identical across engines), so only composite scores carry a
+  * 6dp rounding guard.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).documents
+
+  // ---- #29 language ID (stopword-profile n-gram heuristic) ----------------
+
+  /** Per-language marker-word profiles (the n-gram-profile method with word
+    * unigrams; real deployments load trained profiles as this same dim). */
+  val profiles: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "fast", "en" -> "key", "en" -> "small",
+    "es" -> "data", "es" -> "table", "es" -> "row", "es" -> "order",
+    "de" -> "scan", "de" -> "merge", "de" -> "hash", "de" -> "join",
+    "fr" -> "filter", "fr" -> "group", "fr" -> "sort", "fr" -> "window",
+    "zh" -> "spark", "zh" -> "query", "zh" -> "batch", "zh" -> "stream")
+
+  def profilesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    profiles.toDF("plang", "pword")
+  }
+
+  val profilesValuesSql: String =
+    "profiles(plang, pword) AS (VALUES " +
+      profiles.map { case (l, w) => s"('$l', '$w')" }.mkString(", ") + ")"
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val wordsTable = docs(spark, sfDir)
+      .select(col("doc_id"), explode(array_distinct(Portable.words(col("text")))).as("word"))
+    val scores = wordsTable.join(broadcast(profilesDf(spark)), col("word") === col("pword"))
+      .groupBy(col("doc_id"), col("plang")).agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("plang").asc)
+    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("plang").as("lang_pred"), col("score"))
+  }
+
+  val langIdSql: String =
+    s"""WITH $profilesValuesSql,
+       |wt AS (SELECT doc_id, unnest(list_distinct(${Portable.wordsSql})) AS word FROM documents),
+       |scores AS (
+       |  SELECT doc_id, plang, count(*) AS score
+       |  FROM wt JOIN profiles ON word = pword GROUP BY 1, 2)
+       |SELECT doc_id, plang AS lang_pred, score FROM (
+       |  SELECT doc_id, plang, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
+       |  FROM scores) t
+       |WHERE rn = 1""".stripMargin
+
+  // ---- #30 quality scoring ------------------------------------------------
+
+  val stopwords: Seq[String] = Seq("the", "a", "or", "and", "of")
+
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val w = Portable.words(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val nW = size(w).cast("double")
+    val alphaRatio = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+      .cast("double") / length(col("text"))
+    val stopRatio = size(filter(w, x => array_contains(stopArr, x))).cast("double") / nW
+    val lenScore = least(nW / 200.0, lit(1.0))
+    d.select(col("doc_id"),
+      size(w).as("n_words"),
+      round(alphaRatio, 6).as("alpha_ratio"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(alphaRatio * 0.4 + stopRatio * 0.3 + lenScore * 0.3, 6).as("quality"))
+  }
+
+  val qualitySql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text, ${Portable.wordsSql} AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(w) AS n_words,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+       |    CAST(len(list_filter(w, x -> list_contains([$stopList], x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS stop_ratio,
+       |    least(CAST(len(w) AS DOUBLE) / 200.0, 1.0) AS len_score
+       |  FROM base)
+       |SELECT doc_id, n_words, round(alpha_ratio, 6) AS alpha_ratio,
+       |  round(stop_ratio, 6) AS stop_ratio,
+       |  round(alpha_ratio * 0.4 + stop_ratio * 0.3 + len_score * 0.3, 6) AS quality
+       |FROM m""".stripMargin
+  }
+
+  // ---- #31 token counting -------------------------------------------------
+
+  val bpeRegex = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+  def tokens(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id"),
+      size(Portable.words(col("text"))).as("ws_tokens"),
+      regexp_count(lower(col("text")), lit(bpeRegex)).as("bpe_est"))
+
+  val tokensSql: String =
+    s"""SELECT doc_id,
+       |  len(${Portable.wordsSql}) AS ws_tokens,
+       |  len(regexp_extract_all(lower(text), '$bpeRegex')) AS bpe_est
+       |FROM documents""".stripMargin
+
+  // ---- #32 winnowing fingerprint ------------------------------------------
+
+  val winnowWindow = 4
+
+  /** Classic winnowing: hash every positional word 3-gram, take the min of
+    * each sliding window of 4 hashes, keep the distinct minima as the doc's
+    * fingerprint set. Positional explode + windowed min + distinct agg —
+    * all shuffle-partitioned by doc_id. */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val kgrams = docs(spark, sfDir)
+      .select(col("doc_id"), Portable.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("w")) - 3),
+          i => Portable.hash64(concat_ws(" ",
+            element_at(col("w"), i + 1), element_at(col("w"), i + 2),
+            element_at(col("w"), i + 3)), "fp"))))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "h")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(0, winnowWindow - 1)
+    kgrams.withColumn("fp", min(col("h")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("fp")).as("n_fp"), min(col("fp")).as("min_fp"),
+        max(col("fp")).as("max_fp"))
+  }
+
+  val fingerprintSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${Portable.wordsSql} AS w FROM documents),
+       |kg AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(w) - 1)) AS i
+       |  FROM base WHERE len(w) >= 3),
+       |hashed AS (
+       |  SELECT kg.doc_id, kg.i,
+       |    ${Portable.hash64Sql("w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]", "fp")} AS h
+       |  FROM kg JOIN base ON kg.doc_id = base.doc_id),
+       |fps AS (
+       |  SELECT doc_id,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${winnowWindow - 1} FOLLOWING) AS fp
+       |  FROM hashed)
+       |SELECT doc_id, count(DISTINCT fp) AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp
+       |FROM fps GROUP BY 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_langid" -> (langId _),
+    "tx_quality" -> (quality _),
+    "tx_tokens" -> (tokens _),
+    "tx_fingerprint" -> (fingerprint _))
+
+  def oracleSql: Map[String, String] = Map(
+    "tx_langid" -> langIdSql,
+    "tx_quality" -> qualitySql,
+    "tx_tokens" -> tokensSql,
+    "tx_fingerprint" -> fingerprintSql)
+}
