@@ -13,7 +13,9 @@ object SparkEntry {
     (commands.CommandQueries.queries, commands.CommandQueries.oracleSql),
     (dedup.Dedup.queries, dedup.Dedup.oracleSql),
     (sim.Similarity.queries, sim.Similarity.oracleSql),
-    (text.TextOps.queries, text.TextOps.oracleSql))
+    (text.TextOps.queries, text.TextOps.oracleSql),
+    (streaming.StreamOps.queries, streaming.StreamOps.oracleSql),
+    (multimodal.Multimodal.queries, multimodal.Multimodal.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

