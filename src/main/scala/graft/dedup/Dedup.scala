@@ -36,7 +36,15 @@ object Dedup {
     """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
-  // ---- #23 n-gram Jaccard via inverted index ------------------------------
+  // ---- #23 n-gram Jaccard via df-capped inverted index --------------------
+
+  /** Shingles appearing in more than this many documents carry no near-dup
+    * signal (word-soup stop-shingles) and would blow the inverted-index join
+    * up quadratically — the standard production mitigation is a document-
+    * frequency cap. The informative universe = shingles with df ≤ cap; df=1
+    * shingles stay in the denominators but are pruned from the join (they
+    * cannot intersect). */
+  val maxDf = 50
 
   private def shingled(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
@@ -47,11 +55,21 @@ object Dedup {
        |shd AS (SELECT doc_id, ${Portable.shinglesSql()} AS sh FROM sh0)""".stripMargin
 
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingled(spark, sfDir)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val pairs = inv.as("a").join(inv.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    // int64 shingle hashes: cheaper shuffle keys than 20-char strings.
+    // The inverted index is persisted: it feeds the df aggregation, both
+    // self-join sides, and the size aggregation, and every DataFrame
+    // reference re-executes its subtree otherwise (at 100 TB this is a
+    // checkpoint to staging parquet; at bench scale an in-memory persist).
+    val inv0 = docs(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.plans.ShingleHashes(col("text"), 3, distinct = true)).as("hs"))
+      .persist()
+    val df = inv0.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+    val informative = inv0.join(df.filter(col("df") <= maxDf), "hs").persist()
+    val sizes = informative.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val joinable = informative.filter(col("df") >= 2).select(col("doc_id"), col("hs"))
+    val pairs = joinable.as("a").join(joinable.as("b"),
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
@@ -64,11 +82,14 @@ object Dedup {
 
   val ngramJaccardSql: String =
     s"""WITH $shingledCte,
-       |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shd),
-       |inv AS (SELECT doc_id, unnest(sh) AS s FROM shd),
+       |inv0 AS (SELECT doc_id, ${Portable.hash64Sql("unnest(sh)")} AS hs FROM shd),
+       |df AS (SELECT hs, count(*) AS df FROM inv0 GROUP BY 1),
+       |informative AS (SELECT doc_id, inv0.hs, df FROM inv0 JOIN df ON inv0.hs = df.hs WHERE df <= $maxDf),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM informative GROUP BY 1),
+       |joinable AS (SELECT doc_id, hs FROM informative WHERE df >= 2),
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-       |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM joinable a JOIN joinable b ON a.hs = b.hs AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b, inter, sa.n_sh AS sa, sb.n_sh AS sb,
        |  round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
@@ -82,17 +103,37 @@ object Dedup {
   val numHashes = 16
   val bandSize = 2 // 8 bands of 2 → candidates at jaccard ≳ 0.2
 
+  /** Universal-hash family over one base hash: h_i(x) = (a_i·h32(x) + b_i)
+    * mod p, p = 2^31−1. One MD5 per shingle total (not per hash function) —
+    * the affine derivations are pure int64 arithmetic inside codegen.
+    * Constants from a fixed LCG so the Spark and SQL sides share them. */
+  val mersenneP: Long = 2147483647L
+  val hashAB: Seq[(Long, Long)] = {
+    var s = 1234567L
+    def next(): Long = { s = (s * 1103515245L + 12345L) % mersenneP; s }
+    Seq.fill(numHashes)(((next() | 1L) % mersenneP, next()))
+  }
+
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingled(spark, sfDir).filter(size(col("sh")) > 0)
-    val sigs = sh.select(
-      col("doc_id") +: (0 until numHashes).map(i =>
-        array_min(transform(col("sh"), s => Portable.hash64(s, s"mh$i"))).as(s"mh$i")): _*)
+    // explode → groupBy: each shingle is MD5-hashed exactly once; the 16
+    // affine derivations are codegen'd int ops inside a partial (map-side)
+    // min-aggregation. Signatures stay un-shuffled beyond the doc_id group.
+    val inv = docs(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.plans.ShingleHashes(col("text"), 3, distinct = true)).as("hs"))
+      .select(col("doc_id"), (col("hs") % mersenneP).as("h32"))
+    val sigs = inv.groupBy(col("doc_id")).agg(
+      min((col("h32") * hashAB.head._1 + hashAB.head._2) % mersenneP).as("mh0"),
+      hashAB.zipWithIndex.tail.map { case ((a, b), i) =>
+        min((col("h32") * a + b) % mersenneP).as(s"mh$i")
+      }: _*)
     val bands = sigs.select(col("doc_id"), explode(array(
       (0 until numHashes / bandSize).map { b =>
         struct(lit(b).as("band"),
           concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .persist() // both sides of the candidate self-join
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -101,15 +142,19 @@ object Dedup {
   }
 
   val minhashLshSql: String = {
-    val mhCols = (0 until numHashes).map(i =>
-      s"list_min(list_transform(sh, s -> ${Portable.hash64Sql("s", s"mh$i")})) AS mh$i").mkString(",\n    ")
+    val mhCols = hashAB.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h32 * $a + $b) % $mersenneP) AS mh$i"
+    }.mkString(",\n    ")
     val bandRows = (0 until numHashes / bandSize).map(b =>
       s"($b, mh${2 * b} || '_' || mh${2 * b + 1})").mkString(", ")
     s"""WITH $shingledCte,
+       |inv AS (
+       |  SELECT doc_id, ${Portable.hash64Sql("unnest(sh)")} % $mersenneP AS h32
+       |  FROM shd),
        |sigs AS (
        |  SELECT doc_id,
        |    $mhCols
-       |  FROM shd WHERE len(sh) > 0),
+       |  FROM inv GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id, b.* FROM sigs, LATERAL (VALUES $bandRows) b(band, key))
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -138,7 +183,7 @@ object Dedup {
   }
 
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = simhashSigs(spark, sfDir)
+    val sigs = simhashSigs(spark, sfDir).persist() // both self-join sides
     sigs.as("a").join(sigs.as("b"),
         col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
       .withColumn("hamming",

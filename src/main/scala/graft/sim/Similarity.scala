@@ -87,7 +87,7 @@ object Similarity {
   def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
     val b = bucketed(spark, sfDir).select(col("vec_id"), col("bucket"))
-    val eb = e.join(b, "vec_id")
+    val eb = e.join(b, "vec_id").persist() // feeds query side + candidate side
     val q = eb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qb"))
     val scored = eb.join(broadcast(q),
@@ -119,6 +119,7 @@ object Similarity {
     val e = emb(spark, sfDir)
     val b = bucketed(spark, sfDir).select(col("vec_id"), col("bucket"))
     val eb = e.join(b, "vec_id").select(col("vec_id"), col("v"), col("bucket"))
+      .persist() // both self-join sides
     eb.as("a").join(eb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),

@@ -120,13 +120,8 @@ object TextOps {
     * all shuffle-partitioned by doc_id. */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val kgrams = docs(spark, sfDir)
-      .select(col("doc_id"), Portable.words(col("text")).as("w"))
-      .filter(size(col("w")) >= 3)
       .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), size(col("w")) - 3),
-          i => Portable.hash64(concat_ws(" ",
-            element_at(col("w"), i + 1), element_at(col("w"), i + 2),
-            element_at(col("w"), i + 3)), "fp"))))
+        graft.plans.ShingleHashes(col("text"), 3, distinct = false, salt = "fp")))
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "h")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(0, winnowWindow - 1)

@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.Portable
+import graft.plans.ShingleHashes
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ShingleHashesSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("bit-twiddled hash64 equals hex-string reference") {
+    Seq("", "a", "the quick brown", "mh7|x y z", "ünïcode test").foreach { s =>
+      assert(ShingleHashes.hash64(s) == ShingleHashes.hash64Reference(s), s)
+    }
+  }
+
+  test("expression equals declarative shingles+hash64 formulation") {
+    import spark.implicits._
+    val docs = Tables(spark, sf).documents.limit(50)
+    val viaExpr = docs.select(col("doc_id"),
+      ShingleHashes(col("text"), 3, distinct = true).as("hs"))
+    val viaFns = docs.select(col("doc_id"),
+      transform(Portable.shingles(Portable.words(col("text"))),
+        s => Portable.hash64(s)).as("hs"))
+    val a = viaExpr.as[(Long, Seq[Long])].collect().toMap
+    val b = viaFns.as[(Long, Seq[Long])].collect().toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, hs) => assert(hs.sorted == b(id).sorted, s"doc $id") }
+  }
+
+  test("positional variant preserves order and multiplicity") {
+    import spark.implicits._
+    val r = Seq("a b c a b c a b").toDF("text")
+      .select(ShingleHashes(col("text"), 3, distinct = false).as("hs"))
+      .as[Seq[Long]].head
+    assert(r.length == 6) // 8 words → 6 positional 3-grams
+    assert(r(0) == r(3) && r(1) == r(4)) // repeated kgrams keep positions
+    val d = Seq("a b c a b c a b").toDF("text")
+      .select(ShingleHashes(col("text"), 3, distinct = true).as("hs"))
+      .as[Seq[Long]].head
+    assert(d.length == 3)
+  }
+
+  test("short and null texts") {
+    import spark.implicits._
+    val r = Seq(Some("one two"), Some(""), None).toDF("text")
+      .select(ShingleHashes(col("text"), 3, distinct = true).as("hs"))
+      .collect()
+    assert(r(0).getSeq[Long](0).isEmpty)
+    assert(r(1).getSeq[Long](0).isEmpty)
+    assert(r(2).isNullAt(0))
+  }
+}
