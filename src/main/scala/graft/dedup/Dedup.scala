@@ -169,10 +169,11 @@ object Dedup {
   /** Per-doc 16-bit SimHash: one partial-aggregable sum per bit (majority
     * vote of each word-hash bit), assembled into an int. */
   def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
+    // k=1 shingles = distinct salted word hashes, single-pass per doc
     val wordsTable = docs(spark, sfDir)
       .select(col("doc_id"), col("lang"),
-        explode(array_distinct(Portable.words(col("text")))).as("word"))
-      .withColumn("h", Portable.hash64(col("word"), "sh"))
+        explode(graft.plans.ShingleHashes(col("text"), 1, distinct = true, salt = "sh"))
+          .as("h"))
     val votes = (0 until simBits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j"))
     val sig = (0 until simBits).map(j =>

@@ -1,0 +1,59 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Registers the engine's custom expressions as SQL functions:
+  *
+  *   shingle_hashes(text, k, distinct, salt) → array<bigint>
+  *   vector_dot(a, b)                        → double
+  *
+  * Activate with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`; [[GraftExtensions.install]]
+  * registers the same functions on an already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.shingleHashesFn)
+    ext.injectFunction(GraftExtensions.vectorDotFn)
+  }
+}
+
+object GraftExtensions {
+
+  private def str(e: Expression): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case Literal(null, _) => ""
+    case other => other.toString
+  }
+  private def int(e: Expression): Int =
+    e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
+  private def bool(e: Expression): Boolean =
+    e.asInstanceOf[Literal].value.asInstanceOf[Boolean]
+
+  val shingleHashesFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_hashes"),
+    new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+    { args =>
+      val k = if (args.length > 1) int(args(1)) else 3
+      val distinct = if (args.length > 2) bool(args(2)) else true
+      val salt = if (args.length > 3) str(args(3)) else ""
+      ShingleHashes(args.head, k, distinct, salt)
+    })
+
+  val vectorDotFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vector_dot"),
+    new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+    args => VectorDot(args(0), args(1)))
+
+  /** Register on a live session (the extensions path needs builder-time
+    * configuration; this covers driver-provided sessions). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("shingle_hashes", shingleHashesFn._3, "scala_udf")
+    reg.createOrReplaceTempFunction("vector_dot", vectorDotFn._3, "scala_udf")
+  }
+}

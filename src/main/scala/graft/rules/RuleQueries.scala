@@ -214,7 +214,36 @@ object RuleQueries {
        |  CASE WHEN (NOT no_delay) AND action = 'close' THEN 1500 ELSE 0 END AS extra_delay_ms
        |FROM m""".stripMargin)
 
+  // ---- notify dedup (eventhandler.rs:196-216: recently_notified ring) -----
+
+  /** One Zulip notification per user: the reference suppresses repeat
+    * notifies for users already in its 2000-entry notified ring; the batch
+    * semantics is "first notify wins" per (case-insensitive) user. */
+  def ruNotify(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = RuleEngine.matches(signups(spark, sfDir), Rules.df(spark))
+      .filter(concat(lit("+"), col("actions"), lit("+")).contains("+notify+"))
+    val w = Window.partitionBy(lower(col("username")))
+      .orderBy(col("ts_us").asc, col("event_id").asc, col("name").asc)
+    m.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(lower(col("username")).as("user_lc"), col("event_id"),
+        col("name").as("rule_name"))
+  }
+
+  val ruNotifySql: String = withCtes(
+    s""", m AS (
+       |  SELECT s.username, s.ts_us, s.event_id, r.name
+       |  FROM signups s JOIN rules r ON ${RuleEngine.matchConditionSql()}
+       |  WHERE contains('+' || r.actions || '+', '+notify+')
+       |)
+       |SELECT lower(username) AS user_lc, event_id, name AS rule_name FROM (
+       |  SELECT username, event_id, name,
+       |    row_number() OVER (PARTITION BY lower(username)
+       |      ORDER BY ts_us ASC, event_id ASC, name ASC) AS rn
+       |  FROM m) t
+       |WHERE rn = 1""".stripMargin)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ru_notify" -> (ruNotify _),
     "ru_contains" -> (ruContains _),
     "ru_regex" -> (ruRegex _),
     "ru_exact" -> (ruExact _),
@@ -226,6 +255,7 @@ object RuleQueries {
     "ru_actions" -> (ruActions _))
 
   def oracleSql: Map[String, String] = Map(
+    "ru_notify" -> ruNotifySql,
     "ru_contains" -> ruContainsSql,
     "ru_regex" -> ruRegexSql,
     "ru_exact" -> ruExactSql,

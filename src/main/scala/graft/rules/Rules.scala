@@ -138,6 +138,23 @@ object RuleEngine {
        |    WHEN 'ua_len_lte' THEN s.ua IS NOT NULL AND length(s.ua) <= r.num_arg
        |    ELSE FALSE END""".stripMargin
 
+  /** Hypothetical evaluation (`namechk <user>` / `signup test`,
+    * command.rs:26-50 + eventhandler.rs:67-73): run the rule set against a
+    * synthetic signup without firing actions. The reference fabricates
+    * `{email: qwe@asd.zxc, ip: 127.0.0.1, suspIp: false}` around the
+    * username; same here, as a one-row DataFrame through the identical
+    * broadcast-join path — what would fire, and with which actions. */
+  def namechk(spark: SparkSession, username: String, rules: DataFrame,
+      nowUs: Long = Rules.nowUs): DataFrame = {
+    import spark.implicits._
+    val user = Seq((0L, username, "qwe@asd.zxc", "127.0.0.1",
+        Option.empty[String], Option.empty[String], false, 0L))
+      .toDF("event_id", "username", "email", "ip", "ua", "fingerprint",
+        "susp_ip", "ts_us")
+    matches(user, rules, nowUs)
+      .select(col("name").as("rule_name"), col("actions"))
+  }
+
   /** Lua-criterion analog: an arbitrary SQL predicate over the user fields,
     * compiled straight into the same broadcast-join pipeline. The reference
     * exposes user fields + `regex()`/`isInIpRange()` helpers to Lua

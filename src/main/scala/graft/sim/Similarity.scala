@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def emb(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir).embeddings
+  private def emb(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables(spark, sfDir).embeddings
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    // norms once per row; every cosine is then one VectorDot + one divide
+    base.withColumn("nrm", sqrt(graft.plans.VectorDot(col("v"), col("v"))))
+  }
 
   private val embCte: String =
     "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
@@ -36,7 +39,7 @@ object Similarity {
       .select(col("vec_id").as("aid"), col("v").as("av"))
     e.crossJoin(broadcast(anchors))
       .groupBy(col("vec_id"), col("label"))
-      .agg(sum(when(Portable.dot(col("v"), col("av")) > 0,
+      .agg(sum(when(graft.plans.VectorDot(col("v"), col("av")) > 0,
         pow(lit(2.0), col("aid")).cast("long")).otherwise(0L)).as("bucket"))
   }
 
@@ -60,11 +63,11 @@ object Similarity {
   def bruteTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
     val q = e.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cand"),
-        round(Portable.cosine(col("v"), col("qv")), 6).as("cos"))
+        round(graft.plans.VectorDot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
   }
@@ -89,11 +92,12 @@ object Similarity {
     val b = bucketed(spark, sfDir).select(col("vec_id"), col("bucket"))
     val eb = e.join(b, "vec_id").persist() // feeds query side + candidate side
     val q = eb.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qb"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
+        col("bucket").as("qb"))
     val scored = eb.join(broadcast(q),
         col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cand"),
-        round(Portable.cosine(col("v"), col("qv")), 6).as("cos"))
+        round(graft.plans.VectorDot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
   }
@@ -118,12 +122,13 @@ object Similarity {
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
     val b = bucketed(spark, sfDir).select(col("vec_id"), col("bucket"))
-    val eb = e.join(b, "vec_id").select(col("vec_id"), col("v"), col("bucket"))
+    val eb = e.join(b, "vec_id").select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
       .persist() // both self-join sides
     eb.as("a").join(eb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(Portable.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+        round(graft.plans.VectorDot(col("a.v"), col("b.v"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
       .filter(col("cos") >= 0.3)
   }
 
