@@ -32,7 +32,7 @@ object Signups {
       concat(lit("user_"), uid, lit("@mail"), uid % 5, lit(".example")).as("email"),
       concat_ws(".",
         (eid % 224).cast("string"),
-        ((eid / 224).cast("long") % 256).cast("string"),
+        (expr("event_id DIV 224") % 256).cast("string"),
         ((eid * 7) % 256).cast("string"),
         ((eid * 13) % 256).cast("string")).as("ip"),
       md5(concat(lit("fp"), (uid % 50))).as("fingerprint"),
