@@ -117,15 +117,93 @@ object Relational {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
 
+  /** TPC-H Q5 shape: 6-way star join (3 broadcast dims, one shuffle join),
+    * per-nation revenue inside one region. */
+  def q5Join(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val asia = t.region.filter(col("r_name") === "ASIA")
+    val nat = t.nation.join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey") &&
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q5JoinSql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey AND c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name""".stripMargin
+
+  /** Semi/anti join shapes: per market segment, customers with and without
+    * orders (EXISTS / NOT EXISTS). */
+  def qSemiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val orderKeys = t.orders.select(col("o_custkey"))
+    val active = t.customer.join(orderKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_active"))
+    val inactive = t.customer.join(orderKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_inactive"))
+    active.join(inactive, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
+  }
+
+  val qSemiAntiSql: String =
+    """SELECT c_mktsegment,
+      |  count(*) FILTER (WHERE EXISTS
+      |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_active,
+      |  count(*) FILTER (WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_inactive
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |HAVING count(*) FILTER (WHERE EXISTS
+      |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) > 0
+      |  OR count(*) FILTER (WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) > 0""".stripMargin
+
+  /** Global top-k by activity: partial per-partition top-k merged on the
+    * driver-side single reducer (TakeOrderedAndProject — no full sort). */
+  def evTopkUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("n").desc, col("user_id").asc)
+      .limit(20)
+
+  val evTopkUsersSql: String =
+    """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY user_id
+      |ORDER BY n DESC, user_id ASC LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
+    "q5_join" -> (q5Join _),
     "q_window" -> (qWindow _),
-    "q_rollup" -> (qRollup _))
+    "q_rollup" -> (qRollup _),
+    "q_semi_anti" -> (qSemiAnti _),
+    "ev_topk_users" -> (evTopkUsers _))
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
     "q3_join" -> q3JoinSql,
+    "q5_join" -> q5JoinSql,
     "q_window" -> qWindowSql,
-    "q_rollup" -> qRollupSql)
+    "q_rollup" -> qRollupSql,
+    "q_semi_anti" -> qSemiAntiSql,
+    "ev_topk_users" -> evTopkUsersSql)
 }

@@ -214,6 +214,83 @@ object RuleQueries {
        |  CASE WHEN (NOT no_delay) AND action = 'close' THEN 1500 ELSE 0 END AS extra_delay_ms
        |FROM m""".stripMargin)
 
+  // ---- SQL-expression criteria (the Lua analog, lua.rs) -------------------
+
+  /** The reference lets operators attach arbitrary Lua predicates over the
+    * user fields (+ regex/ip-range helpers). The Spark analog: arbitrary SQL
+    * predicates compiled via [[RuleEngine.sqlCriterion]] into the same
+    * pipeline — codegen'd, not interpreted. Each corpus entry carries its
+    * Spark and DuckDB spelling (dialects differ on regex). */
+  val luaCorpus: Seq[(String, String, String)] = Seq(
+    ("l_susp_short", "susp_ip AND length(username) <= 7",
+      "susp_ip AND length(username) <= 7"),
+    ("l_curl", "ua IS NOT NULL AND ua LIKE 'curl/%'",
+      "ua IS NOT NULL AND ua LIKE 'curl/%'"),
+    ("l_mail_or_ip", "email LIKE '%@mail2%' OR ip LIKE '1.%'",
+      "email LIKE '%@mail2%' OR ip LIKE '1.%'"),
+    ("l_regex", "username RLIKE '^user_1[0-9]$'",
+      "regexp_matches(username, '^user_1[0-9]$')"))
+
+  def ruLua(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = signups(spark, sfDir)
+    luaCorpus.map { case (name, sparkPred, _) =>
+      s.filter(RuleEngine.sqlCriterion(sparkPred))
+        .select(lit(name).as("rule_name"), col("event_id"), col("username"))
+    }.reduce(_ unionAll _)
+  }
+
+  val ruLuaSql: String = Signups.sqlCte +
+    luaCorpus.map { case (name, _, duckPred) =>
+      s"SELECT '$name' AS rule_name, event_id, username FROM signups WHERE $duckPred"
+    }.mkString("\nUNION ALL\n")
+
+  // ---- `signup rules show` formatting (eventhandler.rs:300-330) -----------
+
+  /** Human-readable rule display: criterion friendly-text
+    * (rules.rs:274-284), actions, delay + expiry suffixes. */
+  def ruShow(spark: SparkSession, sfDir: String): DataFrame = {
+    val friendly =
+      when(col("kind") === "ip_match", concat(lit("IP equals `"), col("pattern"), lit("`")))
+        .when(col("kind") === "print_match",
+          concat(lit("Fingerprint hash equals `"), col("pattern"), lit("`")))
+        .when(col("kind") === "email_contains",
+          concat(lit("Email address contains `"), col("pattern"), lit("`")))
+        .when(col("kind") === "email_regex",
+          concat(lit("Email address matches regular expression `"), col("pattern"), lit("`")))
+        .when(col("kind") === "username_contains",
+          concat(lit("Username contains (case-insensitive) `"), col("pattern"), lit("`")))
+        .when(col("kind") === "username_regex",
+          concat(lit("Username matches regular expression `"), col("pattern"), lit("`")))
+        .otherwise(concat(lit("User agent length is less than or equal to "),
+          col("num_arg").cast("string")))
+    Rules.df(spark).select(col("name"),
+      concat(
+        lit("Criterion: "), friendly,
+        lit(". Actions: ["), col("actions"), lit("]"),
+        when(col("no_delay"), lit(". No delay")).otherwise(lit("")),
+        when(col("expiry_us").isNotNull,
+          concat(lit(". Expires: "), col("expiry_us").cast("string"))).otherwise(lit("")))
+        .as("display"))
+  }
+
+  val ruShowSql: String =
+    s"""WITH ${Rules.valuesSql}
+       |SELECT name,
+       |  'Criterion: ' ||
+       |  CASE kind
+       |    WHEN 'ip_match' THEN 'IP equals `' || pattern || '`'
+       |    WHEN 'print_match' THEN 'Fingerprint hash equals `' || pattern || '`'
+       |    WHEN 'email_contains' THEN 'Email address contains `' || pattern || '`'
+       |    WHEN 'email_regex' THEN 'Email address matches regular expression `' || pattern || '`'
+       |    WHEN 'username_contains' THEN 'Username contains (case-insensitive) `' || pattern || '`'
+       |    WHEN 'username_regex' THEN 'Username matches regular expression `' || pattern || '`'
+       |    ELSE 'User agent length is less than or equal to ' || num_arg END ||
+       |  '. Actions: [' || actions || ']' ||
+       |  CASE WHEN no_delay THEN '. No delay' ELSE '' END ||
+       |  CASE WHEN expiry_us IS NOT NULL THEN '. Expires: ' || expiry_us ELSE '' END
+       |  AS display
+       |FROM rules""".stripMargin
+
   // ---- notify dedup (eventhandler.rs:196-216: recently_notified ring) -----
 
   /** One Zulip notification per user: the reference suppresses repeat
@@ -244,6 +321,8 @@ object RuleQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ru_notify" -> (ruNotify _),
+    "ru_lua" -> (ruLua _),
+    "ru_show" -> (ruShow _),
     "ru_contains" -> (ruContains _),
     "ru_regex" -> (ruRegex _),
     "ru_exact" -> (ruExact _),
@@ -256,6 +335,8 @@ object RuleQueries {
 
   def oracleSql: Map[String, String] = Map(
     "ru_notify" -> ruNotifySql,
+    "ru_lua" -> ruLuaSql,
+    "ru_show" -> ruShowSql,
     "ru_contains" -> ruContainsSql,
     "ru_regex" -> ruRegexSql,
     "ru_exact" -> ruExactSql,

@@ -141,13 +141,82 @@ object Similarity {
        |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE round(${Portable.cosineSql("a.v", "b.v")}, 6) >= 0.3""".stripMargin
 
+  // ---- IVF-style ANN: coarse quantize to centroids, probe nearest lists ---
+
+  val nprobe = 2
+
+  /** IVF without the training step: every 50th corpus vector serves as a
+    * centroid ("trained" centroids drop in identically). Vectors are
+    * assigned to their max-cosine centroid (one shuffle on cluster_id);
+    * queries probe the `nprobe` nearest centroid lists only — the candidate
+    * set shrinks by ~n_clusters/nprobe vs brute force, the classic
+    * recall/throughput dial. */
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val simToCent = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        round(graft.plans.VectorDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+          .as("ccos"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = simToCent.withColumn("crn", row_number().over(wAssign))
+    val lists = assigned.filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid")).persist()
+    val probes = assigned.filter(col("vec_id") < numQueries && col("crn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cid").as("pcid"))
+    val q = lists.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .join(probes, "qid")
+    val scored = lists.join(broadcast(q),
+        col("cid") === col("pcid") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(graft.plans.VectorDot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6)
+          .as("cos"))
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand").asc)
+    scored.withColumn("rank", row_number().over(wRank)).filter(col("rank") <= 3)
+  }
+
+  val ivfTopKSql: String =
+    s"""WITH $embCte,
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+       |sims AS (
+       |  SELECT e.vec_id, cid,
+       |    round(${Portable.cosineSql("e.v", "cv")}, 6) AS ccos
+       |  FROM e CROSS JOIN cents),
+       |assigned AS (
+       |  SELECT vec_id, cid, ccos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crn
+       |  FROM sims),
+       |lists AS (
+       |  SELECT a.vec_id, e.v, a.cid FROM assigned a JOIN e ON a.vec_id = e.vec_id
+       |  WHERE a.crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid AS pcid FROM assigned
+       |  WHERE vec_id < $numQueries AND crn <= $nprobe),
+       |q AS (
+       |  SELECT l.vec_id AS qid, l.v AS qv, p.pcid
+       |  FROM lists l JOIN probes p ON l.vec_id = p.qid
+       |  WHERE l.vec_id < $numQueries),
+       |scored AS (
+       |  SELECT q.qid, l.vec_id AS cand,
+       |    round(${Portable.cosineSql("l.v", "qv")}, 6) AS cos
+       |  FROM lists l JOIN q ON l.cid = q.pcid AND l.vec_id <> q.qid)
+       |SELECT qid, cand, cos, rank FROM (
+       |  SELECT qid, cand, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> (bruteTopK _),
     "ann_lsh_topk" -> (lshTopK _),
+    "ann_ivf_topk" -> (ivfTopK _),
     "dd_embed" -> (embedNearDup _))
 
   def oracleSql: Map[String, String] = Map(
     "ann_brute_topk" -> bruteTopKSql,
     "ann_lsh_topk" -> lshTopKSql,
+    "ann_ivf_topk" -> ivfTopKSql,
     "dd_embed" -> embedNearDupSql)
 }

@@ -59,6 +59,26 @@ object StreamOps {
       |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Sliding windows (2 h length, 1 h slide): each event lands in two
+    * overlapping windows — the reporting shape for moving rates. */
+  def windowSliding(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(spark, sfDir, OutputMode.Complete()) { src =>
+      src.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(graft.epochUs(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n"))
+    }
+
+  val windowSlidingSql: String =
+    """SELECT ws AS window_start_us, event_type, count(*) AS n
+      |FROM (
+      |  SELECT event_type,
+      |    unnest([epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))),
+      |            epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) - 3600000000]) AS ws
+      |  FROM events) t
+      |GROUP BY 1, 2""".stripMargin
+
   // ---- #19 session windows via flatMapGroupsWithState ---------------------
 
   final case class SessEvent(user_id: Long, ts_us: Long)
@@ -160,12 +180,14 @@ object StreamOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_counts" -> (windowCounts _),
+    "st_window_sliding" -> (windowSliding _),
     "st_sessionize" -> (sessionize _),
     "st_dedup" -> (streamDedup _),
     "st_seen_state" -> (seenState _))
 
   def oracleSql: Map[String, String] = Map(
     "st_window_counts" -> windowCountsSql,
+    "st_window_sliding" -> windowSlidingSql,
     "st_sessionize" -> sessionizeSql,
     "st_dedup" -> streamDedupSql,
     "st_seen_state" -> seenStateSql)

@@ -90,3 +90,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 }
+class WideningSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SparkTest._
+
+  test("q5_join covers only ASIA nations") {
+    val rows = relational.Relational.q5Join(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nations = rows.map(_.getAs[String]("n_name")).toSet
+    assert(nations.forall(Set("NATION_2", "NATION_7", "NATION_12", "NATION_17", "NATION_22")))
+  }
+
+  test("q_semi_anti partitions customers exactly") {
+    val rows = relational.Relational.qSemiAnti(spark, sf).collect()
+    val total = rows.map(r => r.getAs[Long]("n_active") + r.getAs[Long]("n_inactive")).sum
+    assert(total == Tables(spark, sf).customer.count())
+  }
+
+  test("ru_lua evaluates every corpus predicate") {
+    val names = rules.RuleQueries.ruLua(spark, sf)
+      .select("rule_name").distinct().collect().map(_.getString(0)).toSet
+    assert(names.contains("l_curl"))
+  }
+
+  test("ann_ivf_topk returns ranked neighbors per query") {
+    val rows = sim.Similarity.ivfTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    byQ.values.foreach { rs =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length))
+    }
+  }
+
+  test("sliding windows double-count each event") {
+    val st = streaming.StreamOps.windowSliding(spark, sf)
+    val n = st.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    assert(n == 2000L, s"each of 1000 events in exactly 2 windows, got $n")
+  }
+}
