@@ -178,7 +178,31 @@ object StreamOps {
       |  max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
       |FROM events GROUP BY user_id""".stripMargin
 
+  // ---- the reference program end-to-end as ONE streaming job --------------
+
+  /** eventstream.rs → eventhandler.rs in a single Structured Streaming
+    * pipeline: tagged-event filter → signup derivation → broadcast
+    * rule-match (stream-static join) → matched actions. The rule dim is
+    * broadcast per the engine's scale contract: the event stream never
+    * shuffles. */
+  def pipeline(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(spark, sfDir, OutputMode.Append()) { src =>
+      val signups = graft.events.Signups.derive(src)
+      graft.rules.RuleEngine.matches(signups, graft.rules.Rules.df(spark))
+        .select(col("event_id"), col("username"), col("name").as("rule_name"),
+          col("actions"))
+    }
+
+  val pipelineSql: String = {
+    import graft.events.Signups
+    import graft.rules.{RuleEngine, Rules}
+    "WITH " + Signups.cte.stripSuffix("\n") + ",\n" + Rules.valuesSql + "\n" +
+      s"""SELECT s.event_id, s.username, r.name AS rule_name, r.actions
+         |FROM signups s JOIN rules r ON ${RuleEngine.matchConditionSql()}""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_pipeline" -> (pipeline _),
     "st_window_counts" -> (windowCounts _),
     "st_window_sliding" -> (windowSliding _),
     "st_sessionize" -> (sessionize _),
@@ -186,6 +210,7 @@ object StreamOps {
     "st_seen_state" -> (seenState _))
 
   def oracleSql: Map[String, String] = Map(
+    "st_pipeline" -> pipelineSql,
     "st_window_counts" -> windowCountsSql,
     "st_window_sliding" -> windowSlidingSql,
     "st_sessionize" -> sessionizeSql,

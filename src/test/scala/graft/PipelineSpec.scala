@@ -122,6 +122,12 @@ class WideningSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("st_pipeline streaming matches equal batch rule engine") {
+    val st = streaming.StreamOps.pipeline(spark, sf)
+    val batch = rules.RuleQueries.ruEngine(spark, sf)
+    assert(st.count() == batch.count())
+  }
+
   test("sliding windows double-count each event") {
     val st = streaming.StreamOps.windowSliding(spark, sf)
     val n = st.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
