@@ -141,13 +141,14 @@ object Dedup {
       .distinct()
   }
 
-  val minhashLshSql: String = {
+  /** CTE chain shared by the minhash query and the cluster oracle. */
+  val minhashCtes: String = {
     val mhCols = hashAB.zipWithIndex.map { case ((a, b), i) =>
       s"min((h32 * $a + $b) % $mersenneP) AS mh$i"
     }.mkString(",\n    ")
     val bandRows = (0 until numHashes / bandSize).map(b =>
       s"($b, mh${2 * b} || '_' || mh${2 * b + 1})").mkString(", ")
-    s"""WITH $shingledCte,
+    s"""$shingledCte,
        |inv AS (
        |  SELECT doc_id, ${Portable.hash64Sql("unnest(sh)")} % $mersenneP AS h32
        |  FROM shd),
@@ -156,11 +157,60 @@ object Dedup {
        |    $mhCols
        |  FROM inv GROUP BY doc_id),
        |bands AS (
-       |  SELECT doc_id, b.* FROM sigs, LATERAL (VALUES $bandRows) b(band, key))
+       |  SELECT doc_id, b.* FROM sigs, LATERAL (VALUES $bandRows) b(band, key))""".stripMargin
+  }
+
+  val minhashLshSql: String =
+    s"""WITH $minhashCtes
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
+
+  // ---- near-dup clusters: connected components over candidate pairs -------
+
+  /** Label propagation to fixpoint over the MinHash candidate graph — the
+    * step that turns pairs into dedup groups (keep one doc per cluster).
+    * Iterative DataFrame algorithm (min-label flood, ≤ log₂(diameter)
+    * rounds, each one shuffle); the oracle replays it as a recursive CTE. */
+  def clusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir).persist()
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist()
+    var labels = edges.select(col("id_a").as("node")).distinct()
+      .withColumn("lbl", col("node")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = edges.join(labels, col("id_b") === col("node"))
+        .groupBy(col("id_a")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(prop, col("node") === col("id_a"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
+
+  val clustersSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT DISTINCT id_a, id_a FROM edges
+       |  UNION
+       |  SELECT e.id_a, r.lbl FROM edges e JOIN reach r ON e.id_b = r.node)
+       |SELECT node AS doc_id, min(lbl) AS cluster_id
+       |FROM reach GROUP BY node""".stripMargin
 
   // ---- #25 SimHash + hamming ----------------------------------------------
 
@@ -220,11 +270,13 @@ object Dedup {
     "dd_exact" -> (exact _),
     "dd_ngram_jacc" -> (ngramJaccard _),
     "dd_minhash" -> (minhashLsh _),
+    "dd_clusters" -> (clusters _),
     "dd_simhash" -> (simhash _))
 
   def oracleSql: Map[String, String] = Map(
     "dd_exact" -> exactSql,
     "dd_ngram_jacc" -> ngramJaccardSql,
     "dd_minhash" -> minhashLshSql,
+    "dd_clusters" -> clustersSql,
     "dd_simhash" -> simhashSql)
 }

@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale patterns for the 1000-executor deployment (SURVEY §4).
+  *
+  * Bucketing: repeated joins/aggregations on the same key (user_id, doc_id,
+  * rule matches by event) should read from bucketed staging tables —
+  * co-located by bucket hash, so the sort-merge join needs no Exchange.
+  * `bucketize` writes such a staging table; the spec asserts the resulting
+  * join plan is exchange-free.
+  *
+  * Salting: a skewed hot key (one user generating 10% of events, one
+  * stop-shingle) overloads a single reducer. `saltedJoin` spreads the hot
+  * side over `factor` sub-keys and replicates the dim side accordingly —
+  * semantics identical to the plain equi-join. AQE's skew-join split handles
+  * moderate skew automatically; salting is the explicit control for extreme
+  * keys.
+  */
+object Staging {
+
+  /** Write `df` as a bucketed+sorted staging table in the session catalog.
+    * Idempotent: drops any previous table AND its managed location (a stale
+    * location with no catalog entry — e.g. after a fresh session — would
+    * otherwise fail the CREATE). */
+  def bucketize(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new java.net.URI(warehouse + "/" + table.toLowerCase)
+    val fs = org.apache.hadoop.fs.FileSystem.get(loc, spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(loc), true)
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Equi-join with the left (large, skewed) side salted `factor` ways. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String, factor: Int): DataFrame = {
+    val salted = large.withColumn("_salt", pmod(hash(col(key), monotonically_increasing_id()), lit(factor)))
+    val replicated = small.crossJoin(
+      small.sparkSession.range(factor).select(col("id").cast("int").as("_salt")))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("bucketed staging tables join without an exchange") {
+    val t = Tables(spark, sf)
+    sources.Staging.bucketize(t.orders, "orders_b", "o_custkey", 8)
+    sources.Staging.bucketize(
+      t.customer.withColumnRenamed("c_custkey", "o_custkey"), "customer_b", "o_custkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path (tiny test tables would broadcast and
+      // bypass bucketing entirely)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must be shuffle-free:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join equals plain join") {
+    val t = Tables(spark, sf)
+    val plain = t.orders.join(t.nation, col("o_custkey") % 25 === col("n_nationkey"))
+      .count()
+    val salted = sources.Staging.saltedJoin(
+      t.orders.withColumn("k", col("o_custkey") % 25),
+      t.nation.withColumnRenamed("n_nationkey", "k"), "k", 4)
+    assert(salted.count() == plain)
+  }
+
+  test("dd_clusters: every pair endpoint shares its cluster") {
+    val pairs = dedup.Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = dedup.Dedup.clusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster representative is the min member
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+    }
+  }
+}
