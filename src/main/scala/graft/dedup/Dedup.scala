@@ -177,17 +177,27 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist()
+    // localCheckpoint (eager) per round: an iterative self-joining loop
+    // otherwise DOUBLES the logical plan every iteration — data is cached by
+    // persist() but the plan is not, and Catalyst analysis goes exponential.
     var labels = edges.select(col("id_a").as("node")).distinct()
-      .withColumn("lbl", col("node")).persist()
+      .withColumn("lbl", col("node")).localCheckpoint(true)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < 12) {
+      // neighbor propagation (min over adjacent labels) …
       val prop = edges.join(labels, col("id_b") === col("node"))
         .groupBy(col("id_a")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(prop, col("node") === col("id_a"), "left")
+      val stepped = labels.join(prop, col("node") === col("id_a"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist()
+      // … then pointer doubling (label := label's label) halves the
+      // remaining path length — O(log diameter) rounds instead of
+      // O(diameter) on chain-shaped candidate graphs
+      val byNode = stepped.select(col("node").as("n2"), col("lbl").as("l2"))
+      val next = stepped.join(byNode, col("lbl") === col("n2"), "left")
+        .select(col("node"), coalesce(col("l2"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
         .filter(col("lbl") =!= col("prev")).count()
       labels = next
