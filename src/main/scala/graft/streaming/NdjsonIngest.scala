@@ -44,4 +44,18 @@ object NdjsonIngest {
       .option("host", host).option("port", port).load())
       .filter(!col("malformed") && col("t") === "signup")
       .drop("malformed", "raw", "t")
+
+  /** Signup events straight off the HTTP chunked NDJSON feed — the exact
+    * shape of the reference's ingest (eventstream.rs:14-73), via the custom
+    * `http-ndjson` DataSourceV2 source (graft.sources.HttpNdjsonSourceProvider)
+    * with the reference's 7 s reconnect backoff as the default. */
+  def fromHttp(spark: SparkSession, url: String,
+      reconnectDelayMs: Long = 7000L, sse: Boolean = false): DataFrame =
+    parse(spark.readStream.format("http-ndjson")
+      .option("url", url)
+      .option("mode", if (sse) "sse" else "ndjson")
+      .option("reconnectDelayMs", reconnectDelayMs)
+      .load())
+      .filter(!col("malformed") && col("t") === "signup")
+      .drop("malformed", "raw", "t")
 }

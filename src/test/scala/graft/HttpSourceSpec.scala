@@ -1,0 +1,106 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exercises the custom `http-ndjson` DataSourceV2 streaming source against
+  * a real chunked-HTTP server, including the drop-and-reconnect path the
+  * reference handles (eventstream.rs:62-72). */
+class HttpSourceSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def serve(path: String)(handler: (Int, HttpExchange) => Unit): (HttpServer, String) = {
+    val server = HttpServer.create(new InetSocketAddress("localhost", 0), 0)
+    val hits = new AtomicInteger(0)
+    server.createContext(path, (ex: HttpExchange) => {
+      try handler(hits.incrementAndGet(), ex) finally ex.close()
+    })
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.start()
+    (server, s"http://localhost:${server.getAddress.getPort}$path")
+  }
+
+  private def chunked(ex: HttpExchange, lines: Seq[String]): Unit = {
+    ex.sendResponseHeaders(200, 0) // length 0 => chunked transfer
+    val os = ex.getResponseBody
+    lines.foreach { l => os.write((l + "\n").getBytes(StandardCharsets.UTF_8)); os.flush() }
+    os.close() // server drops the stream; client must reconnect
+  }
+
+  private def collectUntil(queryName: String, n: Int,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Array[Row] = {
+    val deadline = System.currentTimeMillis() + 30000
+    var rows = Array.empty[Row]
+    while (rows.length < n && System.currentTimeMillis() < deadline) {
+      q.processAllAvailable()
+      rows = spark.table(queryName).collect()
+      if (rows.length < n) Thread.sleep(100)
+    }
+    rows
+  }
+
+  test("http-ndjson: chunked lines stream in and survive a server drop") {
+    val batch1 = Seq("""{"t":"signup","username":"u1"}""", """{"t":"signup","username":"u2"}""")
+    val batch2 = Seq("""{"t":"signup","username":"u3"}""")
+    val (server, url) = serve("/feed") { (hit, ex) =>
+      hit match {
+        case 1 => chunked(ex, batch1)
+        case 2 => chunked(ex, batch2)
+        case _ => chunked(ex, Nil) // drained: empty stream, client keeps retrying
+      }
+    }
+    val q = spark.readStream.format("http-ndjson")
+      .option("url", url).option("reconnectDelayMs", 100).load()
+      .writeStream.format("memory").queryName("http_feed").outputMode("append").start()
+    try {
+      val rows = collectUntil("http_feed", 3, q)
+      assert(rows.map(_.getAs[String]("value")).toSet == (batch1 ++ batch2).toSet,
+        "all lines across both connections arrive exactly once")
+      assert(rows.forall(_.getAs[java.sql.Timestamp]("recv_ts") != null))
+    } finally { q.stop(); server.stop(0) }
+  }
+
+  test("http-ndjson sse mode: data: framing, multi-line events, comments skipped") {
+    val sse = Seq(
+      ": keepalive comment",
+      "event: signup",
+      "data: {\"part\":1,",
+      "data: \"part2\":2}",
+      "",
+      "data: single",
+      "")
+    val (server, url) = serve("/sse") { (hit, ex) =>
+      if (hit == 1) chunked(ex, sse) else chunked(ex, Nil)
+    }
+    val q = spark.readStream.format("http-ndjson")
+      .option("url", url).option("mode", "sse").option("reconnectDelayMs", 100).load()
+      .writeStream.format("memory").queryName("http_sse").outputMode("append").start()
+    try {
+      val rows = collectUntil("http_sse", 2, q)
+      val vals = rows.map(_.getAs[String]("value")).toSet
+      assert(vals == Set("{\"part\":1,\n\"part2\":2}", "single"), s"got $vals")
+    } finally { q.stop(); server.stop(0) }
+  }
+
+  test("NdjsonIngest.fromHttp: end-to-end signup pipeline off the HTTP tap") {
+    val lines = Seq(
+      """{"t":"signup","username":"alice","email":"a@x.io","ip":"1.2.3.4","userAgent":"curl/7.1","suspIp":true}""",
+      """garbage line""",
+      """{"t":"other","username":"bob"}""",
+      """{"t":"signup","username":"carol","email":"c@y.io","ip":"5.6.7.8"}""")
+    val (server, url) = serve("/events") { (hit, ex) =>
+      if (hit == 1) chunked(ex, lines) else chunked(ex, Nil)
+    }
+    val q = graft.streaming.NdjsonIngest.fromHttp(spark, url, reconnectDelayMs = 100)
+      .writeStream.format("memory").queryName("http_signups").outputMode("append").start()
+    try {
+      val rows = collectUntil("http_signups", 2, q)
+      assert(rows.map(_.getAs[String]("username")).toSet == Set("alice", "carol"))
+    } finally { q.stop(); server.stop(0) }
+  }
+}
