@@ -52,9 +52,124 @@ object Multimodal {
       |    ELSE 'video' END AS fmt
       |FROM documents""".stripMargin
 
+  // ---- frame sampling ------------------------------------------------------
+
+  final case class Frame(doc_id: Long, frame_idx: Long, frame_md5: String)
+
+  val frameBytes = 16
+  val frameStride = 4
+
+  /** Video-style frame sampling: treat the payload as fixed-size frames and
+    * keep every `frameStride`-th one, emitting a content hash per kept frame.
+    * Same batched per-partition shape as [[mmMeta]]; a real pipeline swaps
+    * the byte-slice for a codec's keyframe extraction — the partitioning,
+    * batch iteration, and output schema are what carry to 100 TB (frames
+    * explode row counts ~n/64×, so this runs AFTER pushdown/pruning, never
+    * before a filter). */
+  def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[Payload]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.grouped(64).flatMap(_.flatMap { p =>
+          val nFrames = (p.payload.length + frameBytes - 1) / frameBytes
+          (0 until nFrames by frameStride).map { fi =>
+            val from = fi * frameBytes
+            val slice = java.util.Arrays.copyOfRange(
+              p.payload, from, math.min(from + frameBytes, p.payload.length))
+            md.reset()
+            Frame(p.doc_id, fi.toLong,
+              md.digest(slice).map("%02x".format(_)).mkString)
+          }
+        })
+      }
+      .toDF()
+  }
+
+  val mmFrameSampleSql: String =
+    s"""SELECT doc_id, fi AS frame_idx,
+       |  md5(substr(text, CAST(fi * $frameBytes + 1 AS INTEGER), $frameBytes)) AS frame_md5
+       |FROM documents,
+       |  LATERAL unnest(range(0, (length(text) + ${frameBytes - 1}) // $frameBytes)) t(fi)
+       |WHERE fi % $frameStride = 0""".stripMargin
+
+  // ---- resize planning -----------------------------------------------------
+
+  val resizeMax = 64
+
+  /** Resize stage: fit the (stub-decoded) dimensions into a `resizeMax` box
+    * preserving aspect ratio. All-integer math ((d·max) DIV longest side) so
+    * the plan is exact on both engines — the actual pixel resample is the
+    * codec stub's job; this op is the dimension planning every image
+    * pipeline runs before batching GPU work. */
+  def mmResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mmMeta(spark, sfDir)
+      .withColumn("longest", greatest(col("width"), col("height")))
+      .select(col("doc_id"), col("width"), col("height"),
+        when(col("longest") <= resizeMax, col("width"))
+          .otherwise(greatest(lit(1),
+            expr(s"CAST(width * $resizeMax DIV longest AS INT)"))).as("out_w"),
+        when(col("longest") <= resizeMax, col("height"))
+          .otherwise(greatest(lit(1),
+            expr(s"CAST(height * $resizeMax DIV longest AS INT)"))).as("out_h"))
+  }
+
+  val mmResizeSql: String =
+    s"""WITH meta AS ($mmMetaSql),
+       |m AS (SELECT *, greatest(width, height) AS longest FROM meta)
+       |SELECT doc_id, width, height,
+       |  CASE WHEN longest <= $resizeMax THEN width
+       |       ELSE greatest(1, CAST(width * $resizeMax // longest AS INTEGER)) END AS out_w,
+       |  CASE WHEN longest <= $resizeMax THEN height
+       |       ELSE greatest(1, CAST(height * $resizeMax // longest AS INTEGER)) END AS out_h
+       |FROM m""".stripMargin
+
+  // ---- feature extraction --------------------------------------------------
+
+  final case class Feature(doc_id: Long, hist: Array[Long])
+
+  val featBins = 8
+
+  /** Feature-extract stage: a fixed-length vector per payload (here an
+    * 8-bin byte histogram, bin = byte >> 5 — a real pipeline emits CNN/CLIP
+    * embeddings from the decoded media). One output row per input row,
+    * vector column typed `array<bigint>`; single pass over the bytes per
+    * payload inside the same batched loop. */
+  def mmFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[Payload]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap(_.map { p =>
+          val h = new Array[Long](featBins)
+          p.payload.foreach(b => h((b & 0xff) >> 5) += 1L)
+          Feature(p.doc_id, h)
+        })
+      }
+      .toDF()
+  }
+
+  val mmFeaturesSql: String = {
+    val bins = (0 until featBins)
+      .map(j => s"sum(CASE WHEN ascii(ch) >> 5 = $j THEN 1 ELSE 0 END)").mkString(", ")
+    s"""SELECT doc_id, [$bins] AS hist
+       |FROM (SELECT doc_id, unnest(split(text, '')) AS ch FROM documents)
+       |GROUP BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_meta" -> (mmMeta _))
+    "mm_meta" -> (mmMeta _),
+    "mm_framesample" -> (mmFrameSample _),
+    "mm_resize" -> (mmResize _),
+    "mm_features" -> (mmFeatures _))
 
   def oracleSql: Map[String, String] = Map(
-    "mm_meta" -> mmMetaSql)
+    "mm_meta" -> mmMetaSql,
+    "mm_framesample" -> mmFrameSampleSql,
+    "mm_resize" -> mmResizeSql,
+    "mm_features" -> mmFeaturesSql)
 }

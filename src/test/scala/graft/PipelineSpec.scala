@@ -89,6 +89,34 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getAs[Int]("width") > 0)
     }
   }
+
+  test("mm_framesample keeps every 4th frame with a content hash") {
+    val rows = multimodal.Multimodal.mmFrameSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("frame_idx") % 4 == 0))
+    assert(rows.forall(_.getAs[String]("frame_md5").length == 32))
+  }
+
+  test("mm_resize fits into the 64-box preserving aspect order") {
+    val rows = multimodal.Multimodal.mmResize(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(w >= 1 && h >= 1 && w <= 64 && h <= 64)
+      // aspect preserved up to integer truncation
+      assert((r.getAs[Int]("width") >= r.getAs[Int]("height")) == (w >= h))
+    }
+  }
+
+  test("mm_features: histogram bins sum to payload length") {
+    val rows = multimodal.Multimodal.mmFeatures(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val hist: Seq[Long] = r.getAs[scala.collection.Seq[Long]]("hist").toSeq
+      assert(hist.length == 8)
+      assert(hist.sum > 0)
+    }
+  }
 }
 class WideningSpec extends org.scalatest.funsuite.AnyFunSuite {
   import SparkTest._
