@@ -168,15 +168,46 @@ object Dedup {
 
   // ---- near-dup clusters: connected components over candidate pairs -------
 
-  /** Label propagation to fixpoint over the MinHash candidate graph — the
-    * step that turns pairs into dedup groups (keep one doc per cluster).
-    * Iterative DataFrame algorithm (min-label flood, ≤ log₂(diameter)
-    * rounds, each one shuffle); the oracle replays it as a recursive CTE. */
-  def clusters(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Edge-count threshold for the driver union-find fast path. The collect
+    * ships only the candidate EDGE LIST (two longs per near-dup pair), never
+    * the corpus — the same size-based strategy pick Spark itself makes for
+    * broadcast joins. Above it, distributed label propagation. */
+  val smallGraphMaxEdges = 5000000L
+
+  /** Connected components over the MinHash candidate graph — the step that
+    * turns pairs into dedup groups (keep one doc per cluster). Adaptive:
+    * union-find on the driver when the pair list is tiny relative to the
+    * corpus (the common case — near-dup pairs are sparse), else iterative
+    * min-label propagation with pointer doubling (≤ log₂(diameter) rounds).
+    * The oracle replays it as a recursive CTE. */
+  def clusters(spark: SparkSession, sfDir: String): DataFrame =
+    clustersImpl(spark, sfDir, smallGraphMaxEdges)
+
+  def clustersImpl(spark: SparkSession, sfDir: String, smallMax: Long): DataFrame = {
     val pairs = minhashLsh(spark, sfDir).persist()
+    if (pairs.count() <= smallMax) {
+      // driver union-find with path compression, union-by-min-root
+      val es = pairs.select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      import spark.implicits._
+      return parent.keys.toSeq.map(n => (n, find(n))).toDF("doc_id", "cluster_id")
+    }
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .persist()
+      .repartition(col("id_b")).persist() // join-key partitioning paid ONCE, reused every round
     // localCheckpoint (eager) per round: an iterative self-joining loop
     // otherwise DOUBLES the logical plan every iteration — data is cached by
     // persist() but the plan is not, and Catalyst analysis goes exponential.
@@ -189,18 +220,18 @@ object Dedup {
       val prop = edges.join(labels, col("id_b") === col("node"))
         .groupBy(col("id_a")).agg(min(col("lbl")).as("nlbl"))
       val stepped = labels.join(prop, col("node") === col("id_a"), "left")
-        .select(col("node"),
+        .select(col("node"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       // … then pointer doubling (label := label's label) halves the
       // remaining path length — O(log diameter) rounds instead of
       // O(diameter) on chain-shaped candidate graphs
       val byNode = stepped.select(col("node").as("n2"), col("lbl").as("l2"))
       val next = stepped.join(byNode, col("lbl") === col("n2"), "left")
-        .select(col("node"), coalesce(col("l2"), col("lbl")).as("lbl"))
+        .select(col("node"), col("prev"), coalesce(col("l2"), col("lbl")).as("lbl"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
-        .filter(col("lbl") =!= col("prev")).count()
-      labels = next
+      // convergence check reads the just-materialized checkpoint — no join
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      labels = next.select(col("node"), col("lbl"))
       iter += 1
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
@@ -243,13 +274,33 @@ object Dedup {
       .select(col("doc_id"), col("lang"), sig.as("simhash"))
   }
 
+  /** Hamming ≤ 3 over 16 bits ⇒ at least one of 4 disjoint 4-bit bands is
+    * identical (pigeonhole), so candidate pairs come from an equi-join on
+    * (lang, band index, band value) — O(n·4) exploded rows and a hash
+    * shuffle instead of the O(n²/lang) blocked cross join. A pair sharing
+    * several bands would surface once per band; crediting it only to its
+    * FIRST matching band keeps the pipeline distinct-free (no second
+    * shuffle) and exactly-once. */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = simhashSigs(spark, sfDir).persist() // both self-join sides
-    sigs.as("a").join(sigs.as("b"),
-        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+    val sigs = simhashSigs(spark, sfDir)
+    val banded = sigs.select(col("doc_id"), col("lang"), col("simhash"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), 4 * b).bitwiseAND(0xf).as("bv"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("lang"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+      .persist() // both self-join sides
+    val firstShared = coalesce((0 until 4).map { b =>
+      when((shiftright(expr("a.simhash"), 4 * b).bitwiseAND(0xf) ===
+            shiftright(expr("b.simhash"), 4 * b).bitwiseAND(0xf)), lit(b))
+    }: _*)
+    banded.as("a").join(banded.as("b"),
+        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+          col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
       .withColumn("hamming",
         bit_count(expr("a.simhash").bitwiseXOR(expr("b.simhash"))))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= 3 && col("a.band") === firstShared)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.lang").as("lang"), col("hamming"))
   }

@@ -46,4 +46,12 @@ class ScaleSpec extends AnyFunSuite {
       assert(members.keys.min == cid)
     }
   }
+
+  test("dd_clusters: distributed label propagation agrees with driver union-find") {
+    val fast = dedup.Dedup.clusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val dist = dedup.Dedup.clustersImpl(spark, sf, smallMax = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(fast.sameElements(dist), "both component algorithms must agree exactly")
+  }
 }
