@@ -60,12 +60,16 @@ object Dedup {
     // self-join sides, and the size aggregation, and every DataFrame
     // reference re-executes its subtree otherwise (at 100 TB this is a
     // checkpoint to staging parquet; at bench scale an in-memory persist).
-    val inv0 = docs(spark, sfDir)
+    // document frequency as a window count over the hs partition: ONE hash
+    // shuffle by hs (vs aggregate + re-join), and the persisted result keeps
+    // HashPartitioning(hs) — the candidate self-join below reuses it with no
+    // further exchange on either side
+    val informative = docs(spark, sfDir)
       .select(col("doc_id"),
         explode(graft.plans.ShingleHashes(col("text"), 3, distinct = true)).as("hs"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("hs"))))
+      .filter(col("df") <= maxDf)
       .persist()
-    val df = inv0.groupBy(col("hs")).agg(count(lit(1)).as("df"))
-    val informative = inv0.join(df.filter(col("df") <= maxDf), "hs").persist()
     val sizes = informative.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val joinable = informative.filter(col("df") >= 2).select(col("doc_id"), col("hs"))
     val pairs = joinable.as("a").join(joinable.as("b"),

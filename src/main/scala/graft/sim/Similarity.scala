@@ -160,10 +160,18 @@ object Similarity {
         round(graft.plans.VectorDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
           .as("ccos"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
-    val assigned = simToCent.withColumn("crn", row_number().over(wAssign))
-    val lists = assigned.filter(col("crn") === 1)
+    val lists = simToCent.withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid")).persist()
-    val probes = assigned.filter(col("vec_id") < numQueries && col("crn") <= nprobe)
+    // probe assignment depends only on the query row itself — recompute it
+    // on just the `numQueries` rows instead of re-running the corpus-wide
+    // assignment window a second time
+    val probes = e.filter(col("vec_id") < numQueries).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        round(graft.plans.VectorDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+          .as("ccos"))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") <= nprobe)
       .select(col("vec_id").as("qid"), col("cid").as("pcid"))
     val q = lists.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
