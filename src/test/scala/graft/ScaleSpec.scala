@@ -47,6 +47,43 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  // ---- plan-shape audit: pin the properties that carry to 100 TB ----------
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("ev_signups: filter + projection pushed to the parquet scan") {
+    val p = planOf("ev_signups")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,signup)]"), p.take(800))
+    assert(!p.contains("value:double") || p.contains("ReadSchema"), "scan must prune columns")
+    assert(p.contains("Exchange") == false, "pure scan+project must not shuffle")
+  }
+
+  test("ru_engine: rules are a broadcast dim; event side never shuffles") {
+    val p = planOf("ru_engine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "rule match must not sort-merge the event stream")
+    assert(!p.contains("Exchange hashpartitioning"), "zero shuffle on the match path")
+  }
+
+  test("geo_ip_range: broadcast non-equi range join, left outer") {
+    val p = planOf("geo_ip_range")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, LeftOuter"), p.take(800))
+  }
+
+  test("q3_join: dims broadcast, top-n via TakeOrderedAndProject") {
+    val p = planOf("q3_join")
+    assert(p.contains("TakeOrderedAndProject"), "top-n must not globally sort")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q1_agg: partial aggregation with exactly one exchange") {
+    val p = planOf("q1_agg")
+    assert(p.contains("partial_sum"), "map-side combine required")
+    assert("Exchange ".r.findAllIn(p).size == 1, p.take(800))
+  }
+
   test("dd_clusters: distributed label propagation agrees with driver union-find") {
     val fast = dedup.Dedup.clusters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted
