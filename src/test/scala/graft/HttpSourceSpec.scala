@@ -87,6 +87,33 @@ class HttpSourceSpec extends AnyFunSuite {
     } finally { q.stop(); server.stop(0) }
   }
 
+  test("full reference program live: HTTP tap -> rule engine -> matched actions") {
+    // r_email_contains ('@MAIL3', ci, no expiry) must fire for the first
+    // signup; the second matches no standing rule
+    val lines = Seq(
+      """{"t":"signup","username":"baddie","email":"bad@mail3.example","ip":"9.9.9.9","userAgent":"Mozilla/5.0 something long enough"}""",
+      """{"t":"signup","username":"innocent","email":"b@y.io","ip":"8.8.8.8","userAgent":"Mozilla/5.0 something long enough"}""")
+    val (server, url) = serve("/live") { (hit, ex) =>
+      if (hit == 1) chunked(ex, lines) else chunked(ex, Nil)
+    }
+    val signups = graft.streaming.NdjsonIngest.fromHttp(spark, url, reconnectDelayMs = 100)
+      .withColumn("fingerprint", org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.col("fingerprint"),
+        org.apache.spark.sql.functions.lit("")))
+    val matched = graft.rules.RuleEngine
+      .matches(signups, graft.rules.Rules.df(spark))
+      .select("username", "name", "actions")
+    val q = matched.writeStream.format("memory").queryName("http_live")
+      .outputMode("append").start()
+    try {
+      val rows = collectUntil("http_live", 1, q)
+      assert(rows.exists(r => r.getAs[String]("username") == "baddie" &&
+        r.getAs[String]("name") == "r_email_contains"),
+        s"email rule must fire, got ${rows.mkString(",")}")
+      assert(!rows.exists(_.getAs[String]("username") == "innocent"))
+    } finally { q.stop(); server.stop(0) }
+  }
+
   test("NdjsonIngest.fromHttp: end-to-end signup pipeline off the HTTP tap") {
     val lines = Seq(
       """{"t":"signup","username":"alice","email":"a@x.io","ip":"1.2.3.4","userAgent":"curl/7.1","suspIp":true}""",
