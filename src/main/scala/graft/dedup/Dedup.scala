@@ -257,6 +257,50 @@ object Dedup {
        |SELECT node AS doc_id, min(lbl) AS cluster_id
        |FROM reach GROUP BY node""".stripMargin
 
+  // ---- cross-document chunk (paragraph) dedup -----------------------------
+
+  val chunkWords = 8
+
+  /** Paragraph-level exact dedup across the corpus (the CCNet/RefinedWeb
+    * pass that strips boilerplate chunks repeated across documents): split
+    * each doc into fixed `chunkWords`-word chunks, hash, and report every
+    * chunk that occurs 2+ times with its canonical (first) occurrence.
+    * Chunking is pure codegen'd HOFs (sequence/slice/array_join — no
+    * explode until the chunk list exists); one hash shuffle total. The
+    * (doc, chunk-index) keep-winner rides the aggregation as a packed int
+    * (doc_id·4096+cid — docs are ≤4096 chunks by construction), so
+    * arg-min needs no second pass. */
+  def chunkDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = docs(spark, sfDir)
+      .select(col("doc_id"), Portable.words(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+    val chunks = w.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ((size(col("w")) - 1) / chunkWords).cast("int")),
+          i => array_join(slice(col("w"), i * chunkWords + 1, lit(chunkWords)), " "))))
+      .select(col("doc_id"), col("pos").as("cid"), col("col").as("chunk"))
+    chunks
+      .groupBy(md5(col("chunk")).as("chunk_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id") * 4096 + col("cid")).as("keep_key"))
+      .filter(col("n_copies") >= 2)
+      .select(col("chunk_md5"), col("n_copies"),
+        expr("keep_key DIV 4096").as("keep_doc"),
+        (col("keep_key") % 4096).as("keep_cid"))
+  }
+
+  val chunkDupsSql: String =
+    s"""WITH w AS (SELECT doc_id, ${Portable.wordsSql} AS w FROM documents),
+       |c AS (
+       |  SELECT doc_id, i AS cid,
+       |    array_to_string(w[i * $chunkWords + 1 : i * $chunkWords + $chunkWords], ' ') AS chunk
+       |  FROM w, LATERAL unnest(range(0, (len(w) + ${chunkWords - 1}) // $chunkWords)) t(i)
+       |  WHERE len(w) > 0)
+       |SELECT md5(chunk) AS chunk_md5, count(*) AS n_copies,
+       |  min(doc_id * 4096 + cid) // 4096 AS keep_doc,
+       |  min(doc_id * 4096 + cid) % 4096 AS keep_cid
+       |FROM c GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+
   // ---- #25 SimHash + hamming ----------------------------------------------
 
   val simBits = 16
@@ -336,12 +380,14 @@ object Dedup {
     "dd_ngram_jacc" -> (ngramJaccard _),
     "dd_minhash" -> (minhashLsh _),
     "dd_clusters" -> (clusters _),
-    "dd_simhash" -> (simhash _))
+    "dd_simhash" -> (simhash _),
+    "dd_chunks" -> (chunkDups _))
 
   def oracleSql: Map[String, String] = Map(
     "dd_exact" -> exactSql,
     "dd_ngram_jacc" -> ngramJaccardSql,
     "dd_minhash" -> minhashLshSql,
     "dd_clusters" -> clustersSql,
-    "dd_simhash" -> simhashSql)
+    "dd_simhash" -> simhashSql,
+    "dd_chunks" -> chunkDupsSql)
 }

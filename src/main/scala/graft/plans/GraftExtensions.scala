@@ -18,6 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.shingleHashesFn)
+    ext.injectFunction(GraftExtensions.shingleStringsFn)
     ext.injectFunction(GraftExtensions.vectorDotFn)
   }
 }
@@ -44,6 +45,15 @@ object GraftExtensions {
       ShingleHashes(args.head, k, distinct, salt)
     })
 
+  val shingleStringsFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_strings"),
+    new ExpressionInfo(classOf[ShingleStrings].getName, "shingle_strings"),
+    { args =>
+      val k = if (args.length > 1) int(args(1)) else 3
+      val distinct = if (args.length > 2) bool(args(2)) else true
+      ShingleStrings(args.head, k, distinct)
+    })
+
   val vectorDotFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("vector_dot"),
     new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
@@ -54,6 +64,7 @@ object GraftExtensions {
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("shingle_hashes", shingleHashesFn._3, "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_strings", shingleStringsFn._3, "scala_udf")
     reg.createOrReplaceTempFunction("vector_dot", vectorDotFn._3, "scala_udf")
   }
 }

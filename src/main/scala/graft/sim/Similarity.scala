@@ -216,15 +216,54 @@ object Similarity {
        |  FROM scored) t
        |WHERE rank <= 3""".stripMargin
 
+  // ---- kNN join: every vector → its top-3 bucket neighbors ----------------
+
+  /** Full kNN self-join (the "link every training example to its nearest
+    * neighbors" pass used for near-dup audit and hard-negative mining):
+    * candidates bounded per LSH bucket, so work is O(Σ bucket²), never
+    * O(n²); the per-key top-k is a window over the bucket-join output.
+    * At planet scale the bucket key is the shuffle key and AQE absorbs
+    * bucket skew — same contract as dd_embed. */
+  def knnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val b = bucketed(spark, sfDir).select(col("vec_id"), col("bucket"))
+    val eb = e.join(b, "vec_id").select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+      .persist() // both self-join sides
+    val w = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("nbr").asc)
+    eb.as("a").join(eb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("id"), col("b.vec_id").as("nbr"),
+        round(graft.plans.VectorDot(col("a.v"), col("b.v"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+  }
+
+  val knnJoinSql: String =
+    s"""WITH $embCte,
+       |$bucketedCte,
+       |eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b ON e.vec_id = b.vec_id),
+       |scored AS (
+       |  SELECT a.vec_id AS id, b.vec_id AS nbr,
+       |    round(${Portable.cosineSql("a.v", "b.v")}, 6) AS cos
+       |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |SELECT id, nbr, cos, rank FROM (
+       |  SELECT id, nbr, cos,
+       |    row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> (bruteTopK _),
     "ann_lsh_topk" -> (lshTopK _),
     "ann_ivf_topk" -> (ivfTopK _),
+    "ann_knn_join" -> (knnJoin _),
     "dd_embed" -> (embedNearDup _))
 
   def oracleSql: Map[String, String] = Map(
     "ann_brute_topk" -> bruteTopKSql,
     "ann_lsh_topk" -> lshTopKSql,
     "ann_ivf_topk" -> ivfTopKSql,
+    "ann_knn_join" -> knnJoinSql,
     "dd_embed" -> embedNearDupSql)
 }

@@ -150,15 +150,40 @@ object TextOps {
        |SELECT doc_id, count(DISTINCT fp) AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp
        |FROM fps GROUP BY 1""".stripMargin
 
+  // ---- corpus-level top-k n-grams -----------------------------------------
+
+  val topNgrams = 20
+
+  /** Global top-k word-3-grams by document frequency (per-doc distinct
+    * shingles, so a gram spamming one doc doesn't dominate) — the
+    * vocabulary/contamination report every corpus build runs. Partial-agg
+    * counts then `TakeOrderedAndProject` partial top-k: no global sort at
+    * any scale. Deterministic total order via (df desc, gram asc). */
+  def topKNgrams(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(explode(graft.plans.ShingleStrings(col("text"), 3, distinct = true)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram").asc)
+      .limit(topNgrams)
+
+  val topKNgramsSql: String =
+    s"""WITH w AS (SELECT doc_id, ${Portable.wordsSql} AS w FROM documents),
+       |shd AS (SELECT doc_id, ${Portable.shinglesSql()} AS sh FROM w)
+       |SELECT sh AS gram, count(*) AS df
+       |FROM (SELECT doc_id, unnest(sh) AS sh FROM shd)
+       |GROUP BY 1 ORDER BY df DESC, gram ASC LIMIT $topNgrams""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_langid" -> (langId _),
     "tx_quality" -> (quality _),
     "tx_tokens" -> (tokens _),
-    "tx_fingerprint" -> (fingerprint _))
+    "tx_fingerprint" -> (fingerprint _),
+    "tx_top_ngrams" -> (topKNgrams _))
 
   def oracleSql: Map[String, String] = Map(
     "tx_langid" -> langIdSql,
     "tx_quality" -> qualitySql,
     "tx_tokens" -> tokensSql,
-    "tx_fingerprint" -> fingerprintSql)
+    "tx_fingerprint" -> fingerprintSql,
+    "tx_top_ngrams" -> topKNgramsSql)
 }

@@ -51,3 +51,34 @@ class ShingleHashesSpec extends AnyFunSuite {
     assert(r(2).isNullAt(0))
   }
 }
+
+class ShingleStringsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SparkTest._
+  import graft.plans.ShingleStrings
+  import graft.functions.Portable
+  import org.apache.spark.sql.functions._
+
+  test("matches the declarative shingles() on real documents") {
+    import spark.implicits._
+    val docs = Tables(spark, sf).documents.limit(100)
+    val viaExpr = docs.select($"doc_id",
+      ShingleStrings(col("text"), 3, distinct = true).as("sh"))
+    val viaFns = docs.select($"doc_id",
+      Portable.shingles(Portable.words(col("text"))).as("sh"))
+    val a = viaExpr.as[(Long, Seq[String])].collect().toMap
+    val b = viaFns.as[(Long, Seq[String])].collect().toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, sh) => assert(sh.sorted == b(id).sorted, s"doc $id") }
+  }
+
+  test("short/null text and SQL registration") {
+    import spark.implicits._
+    val r = Seq(Some("one two"), None).toDF("text")
+      .select(ShingleStrings(col("text"), 3, distinct = true).as("sh")).collect()
+    assert(r(0).getSeq[String](0).isEmpty)
+    assert(r(1).isNullAt(0))
+    graft.plans.GraftExtensions.install(spark)
+    val s = spark.sql("SELECT shingle_strings('a b c d', 3, true)").head.getSeq[String](0)
+    assert(s == Seq("a b c", "b c d"))
+  }
+}
