@@ -271,13 +271,9 @@ object Dedup {
     * (doc_id·4096+cid — docs are ≤4096 chunks by construction), so
     * arg-min needs no second pass. */
   def chunkDups(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = docs(spark, sfDir)
-      .select(col("doc_id"), Portable.words(col("text")).as("w"))
-      .filter(size(col("w")) > 0)
-    val chunks = w.select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), ((size(col("w")) - 1) / chunkWords).cast("int")),
-          i => array_join(slice(col("w"), i * chunkWords + 1, lit(chunkWords)), " "))))
+    val chunks = docs(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(graft.plans.ShingleStrings.chunks(col("text"), chunkWords)))
       .select(col("doc_id"), col("pos").as("cid"), col("col").as("chunk"))
     chunks
       .groupBy(md5(col("chunk")).as("chunk_md5"))

@@ -8,12 +8,18 @@ import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Single-pass word-shingle extraction (the string twin of
-  * [[ShingleHashes]]): `text → array<string>` of the document's distinct
-  * word k-grams. Same loop, no hashing — for the operators that need the
-  * gram itself (corpus n-gram stats) rather than a sketch key. ~10× over
-  * the interpreted `transform(sequence(...), concat_ws(...))` chain. */
-case class ShingleStrings(child: Expression, k: Int, distinct: Boolean)
+/** Single-pass word-shingle / word-chunk extraction (the string twin of
+  * [[ShingleHashes]]): `text → array<string>` of the document's word
+  * k-grams. Same loop, no hashing — for the operators that need the gram
+  * itself (corpus n-gram stats, paragraph chunking) rather than a sketch
+  * key. ~10× over the interpreted `transform(sequence(...),
+  * concat_ws(...))` chain.
+  *
+  * `stride = 1` gives overlapping shingles; `stride = k` non-overlapping
+  * chunks. `partial = true` also emits the trailing sub-k chunk (paragraph
+  * semantics); `false` drops it (shingle semantics). */
+case class ShingleStrings(child: Expression, k: Int, distinct: Boolean,
+    stride: Int = 1, partial: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -22,23 +28,24 @@ case class ShingleStrings(child: Expression, k: Int, distinct: Boolean)
 
   override def nullSafeEval(input: Any): Any = {
     val words = ShingleHashes.splitWords(input.asInstanceOf[UTF8String].toString)
-    if (words.length < k) return new GenericArrayData(Array.empty[Any])
-    val n = words.length - k + 1
-    val out = new Array[Any](n)
+    val last = if (partial) words.length - 1 else words.length - k
+    if (last < 0) return new GenericArrayData(Array.empty[Any])
+    val out = Array.newBuilder[Any]
     val sb = new java.lang.StringBuilder(64)
     var i = 0
-    while (i < n) {
+    while (i <= last) {
       sb.setLength(0)
       var j = 0
-      while (j < k) {
+      while (j < k && i + j < words.length) {
         if (j > 0) sb.append(' ')
         sb.append(words(i + j))
         j += 1
       }
-      out(i) = UTF8String.fromString(sb.toString)
-      i += 1
+      out += UTF8String.fromString(sb.toString)
+      i += stride
     }
-    new GenericArrayData(if (distinct) out.distinct else out)
+    val arr = out.result()
+    new GenericArrayData(if (distinct) arr.distinct else arr)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -48,4 +55,9 @@ case class ShingleStrings(child: Expression, k: Int, distinct: Boolean)
 object ShingleStrings {
   def apply(c: Column, k: Int, distinct: Boolean): Column =
     GraftBridge.column(ShingleStrings(GraftBridge.expression(c), k, distinct))
+
+  /** Non-overlapping `k`-word chunks incl. the trailing partial one. */
+  def chunks(c: Column, k: Int): Column =
+    GraftBridge.column(ShingleStrings(GraftBridge.expression(c), k,
+      distinct = false, stride = k, partial = true))
 }
