@@ -14,12 +14,13 @@ object EnrichQueries {
 
   def geoIpRange(spark: SparkSession, sfDir: String): DataFrame =
     GeoIp.enrich(signups(spark, sfDir), GeoIp.rangesDf(spark))
-      .select(col("event_id"), col("ip"), col("ip_int"), col("country"), col("city"))
+      .select(col("event_id"), col("ip"), col("ip_int"), col("country"), col("city"),
+        col("subdivisions"))
 
   val geoIpRangeSql: String =
     "WITH " + Signups.cte.stripSuffix("\n") + ",\n" + GeoIp.rangesValuesSql + ",\n" +
       s"""s2 AS (SELECT event_id, ip, ${GeoIp.ipToIntSql} AS ip_int FROM signups)
-         |SELECT s2.event_id, s2.ip, s2.ip_int, g.country, g.city
+         |SELECT s2.event_id, s2.ip, s2.ip_int, g.country, g.city, g.subdivisions
          |FROM s2 LEFT JOIN geo g ON s2.ip_int BETWEEN g.lo AND g.hi""".stripMargin
 
   // ---- #14 UA regex cascade ----------------------------------------------

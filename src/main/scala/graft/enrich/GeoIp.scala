@@ -17,23 +17,31 @@ import org.apache.spark.sql.functions._
   */
 object GeoIp {
 
-  final case class IpRange(lo: Long, hi: Long, country: String, city: String)
+  final case class IpRange(lo: Long, hi: Long, country: String, city: String,
+      subdivisions: Seq[String])
 
-  /** 16 ranges tiling first-octet space [0, 224): 14 octets each. */
+  /** 16 ranges tiling first-octet space [0, 224): 14 octets each. The
+    * subdivision list mirrors GeoipInfo.subdivisions (event.rs:68) —
+    * 0/1/2 entries depending on the range, since MaxMind rows carry a
+    * variable-length region path. */
   val ranges: Seq[IpRange] = (0 until 16).map { i =>
     IpRange(i.toLong * 14 * (1L << 24), (i + 1).toLong * 14 * (1L << 24) - 1,
-      f"C$i%02d", f"City$i%02d")
+      f"C$i%02d", f"City$i%02d",
+      (0 until i % 3).map(j => f"S$i%02d${('A' + j).toChar}"))
   }
 
   def rangesDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    ranges.map(r => (r.lo, r.hi, r.country, r.city)).toDF("lo", "hi", "country", "city")
+    ranges.map(r => (r.lo, r.hi, r.country, r.city, r.subdivisions))
+      .toDF("lo", "hi", "country", "city", "subdivisions")
   }
 
   val rangesValuesSql: String = {
-    val rows = ranges.map(r => s"(${r.lo}, ${r.hi}, '${r.country}', '${r.city}')")
-      .mkString(",\n    ")
-    s"""geo(lo, hi, country, city) AS (
+    val rows = ranges.map { r =>
+      val subs = r.subdivisions.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"(${r.lo}, ${r.hi}, '${r.country}', '${r.city}', $subs::VARCHAR[])"
+    }.mkString(",\n    ")
+    s"""geo(lo, hi, country, city, subdivisions) AS (
        |  VALUES
        |    $rows
        |)""".stripMargin
