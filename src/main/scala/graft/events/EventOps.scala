@@ -68,13 +68,58 @@ object EventOps {
       |FROM events
       |WHERE event_type = 'signup'""".stripMargin
 
+  // ---- conversion funnel ---------------------------------------------------
+
+  /** Ordered view→click→purchase funnel per user: each stage's first
+    * timestamp must follow the previous stage's. Three partial-agg passes
+    * all keyed on user_id — the shuffles share one partitioning, so at
+    * scale the exchanges after the first are reused, and each stage's
+    * input shrinks (click events × users-who-viewed, then purchase ×
+    * users-who-clicked). */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_view_us"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts_us") > col("first_view_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_click_us"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts_us") > col("first_click_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_purchase_us"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_view_us"), col("first_click_us"),
+        col("first_purchase_us"),
+        (lit(1) + when(col("first_click_us").isNotNull, 1).otherwise(0)
+          + when(col("first_purchase_us").isNotNull, 1).otherwise(0)).as("stage"))
+  }
+
+  val funnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |v AS (SELECT user_id, min(ts_us) AS first_view_us FROM ev
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT ev.user_id, min(ts_us) AS first_click_us
+      |      FROM ev JOIN v ON ev.user_id = v.user_id
+      |      WHERE event_type = 'click' AND ts_us > first_view_us GROUP BY 1),
+      |p AS (SELECT ev.user_id, min(ts_us) AS first_purchase_us
+      |      FROM ev JOIN c ON ev.user_id = c.user_id
+      |      WHERE event_type = 'purchase' AND ts_us > first_click_us GROUP BY 1)
+      |SELECT v.user_id, first_view_us, first_click_us, first_purchase_us,
+      |  1 + CASE WHEN first_click_us IS NOT NULL THEN 1 ELSE 0 END
+      |    + CASE WHEN first_purchase_us IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_parse_json" -> (parseJson _),
     "ev_throughput" -> (throughput _),
-    "ev_signups" -> (signups _))
+    "ev_signups" -> (signups _),
+    "ev_funnel" -> (funnel _))
 
   def oracleSql: Map[String, String] = Map(
     "ev_parse_json" -> parseJsonSql,
     "ev_throughput" -> throughputSql,
-    "ev_signups" -> signupsSql)
+    "ev_signups" -> signupsSql,
+    "ev_funnel" -> funnelSql)
 }

@@ -173,17 +173,49 @@ object TextOps {
        |FROM (SELECT doc_id, unnest(sh) AS sh FROM shd)
        |GROUP BY 1 ORDER BY df DESC, gram ASC LIMIT $topNgrams""".stripMargin
 
+  // ---- retention filter (the C4-style keep/drop pass) ---------------------
+
+  /** The composed corpus filter every web-scale dataset build runs: language
+    * agreement, quality floor, length floor — first failing gate recorded as
+    * the drop verdict. Pure composition of the langid/quality operators (one
+    * broadcast profile join + column math); at scale this is the map-side
+    * pass that decides what the expensive downstream (dedup, embedding)
+    * ever sees. */
+  def filterPass(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"), col("lang"))
+    val q = quality(spark, sfDir).select(col("doc_id"), col("n_words"), col("quality"))
+    val l = langId(spark, sfDir).select(col("doc_id"), col("lang_pred"))
+    d.join(q, "doc_id").join(l, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("lang_pred"), col("n_words"), col("quality"),
+        when(col("lang_pred").isNull || col("lang_pred") =!= col("lang"), "lang")
+          .when(col("quality") < 0.5, "quality")
+          .when(col("n_words") < 20, "short")
+          .otherwise("keep").as("verdict"))
+  }
+
+  val filterPassSql: String =
+    s"""SELECT d.doc_id, d.lang, l.lang_pred, q.n_words, q.quality,
+       |  CASE WHEN l.lang_pred IS NULL OR l.lang_pred <> d.lang THEN 'lang'
+       |       WHEN q.quality < 0.5 THEN 'quality'
+       |       WHEN q.n_words < 20 THEN 'short'
+       |       ELSE 'keep' END AS verdict
+       |FROM documents d
+       |JOIN ($qualitySql) q ON q.doc_id = d.doc_id
+       |LEFT JOIN ($langIdSql) l ON l.doc_id = d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_langid" -> (langId _),
     "tx_quality" -> (quality _),
     "tx_tokens" -> (tokens _),
     "tx_fingerprint" -> (fingerprint _),
-    "tx_top_ngrams" -> (topKNgrams _))
+    "tx_top_ngrams" -> (topKNgrams _),
+    "tx_filter" -> (filterPass _))
 
   def oracleSql: Map[String, String] = Map(
     "tx_langid" -> langIdSql,
     "tx_quality" -> qualitySql,
     "tx_tokens" -> tokensSql,
     "tx_fingerprint" -> fingerprintSql,
-    "tx_top_ngrams" -> topKNgramsSql)
+    "tx_top_ngrams" -> topKNgramsSql,
+    "tx_filter" -> filterPassSql)
 }
