@@ -13,7 +13,7 @@ object EnrichQueries {
   // ---- #13 GeoIP broadcast range join -------------------------------------
 
   def geoIpRange(spark: SparkSession, sfDir: String): DataFrame =
-    GeoIp.enrich(signups(spark, sfDir), GeoIp.rangesDf(spark))
+    GeoIp.enrichFast(signups(spark, sfDir))
       .select(col("event_id"), col("ip"), col("ip_int"), col("country"), col("city"),
         col("subdivisions"))
 

@@ -67,4 +67,27 @@ object GeoIp {
     withInt.join(broadcast(geo),
       col("ip_int") >= col("lo") && col("ip_int") <= col("hi"), "left")
   }
+
+  /** Same result as [[enrich]] with no join node at all: binary-search the
+    * sorted range bounds per row (graft.plans.RangeLookup, O(log R) vs the
+    * BroadcastNestedLoopJoin's O(R) per row) and fetch the location
+    * attributes by index from literal arrays. Valid whenever the dim is
+    * broadcast-small and intervals are disjoint — exactly the GeoIP case;
+    * at 1000 executors this removes the NLJ probe loop from every scanned
+    * event row. */
+  def enrichFast(users: DataFrame): DataFrame = {
+    val sorted = ranges.sortBy(_.lo).toArray
+    val idx = graft.plans.RangeLookup(ipToInt(col("ip")),
+      sorted.map(_.lo), sorted.map(_.hi))
+    val countries = typedLit(sorted.map(_.country).toSeq)
+    val cities = typedLit(sorted.map(_.city).toSeq)
+    val subs = typedLit(sorted.map(_.subdivisions.toSeq).toSeq)
+    users
+      .withColumn("ip_int", ipToInt(col("ip")))
+      .withColumn("gidx", idx)
+      .withColumn("country", element_at(countries, col("gidx")))
+      .withColumn("city", element_at(cities, col("gidx")))
+      .withColumn("subdivisions", element_at(subs, col("gidx")))
+      .drop("gidx")
+  }
 }

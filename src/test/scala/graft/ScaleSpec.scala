@@ -66,9 +66,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), "zero shuffle on the match path")
   }
 
-  test("geo_ip_range: broadcast non-equi range join, left outer") {
+  test("geo_ip_range: binary-search lookup leaves NO join in the plan") {
     val p = planOf("geo_ip_range")
-    assert(p.contains("BroadcastNestedLoopJoin BuildRight, LeftOuter"), p.take(800))
+    assert(p.contains("range_lookup"), p.take(800))
+    assert(!p.contains("Join"), "range enrichment must not plan a join node")
+    assert(!p.contains("Exchange"), "and never shuffles the event side")
+  }
+
+  test("geo enrichFast equals the BroadcastNestedLoopJoin range join") {
+    import spark.implicits._
+    // ips spanning in-range, range-boundary, and above-all-ranges (224+) cases
+    val base = (0L until 300L).map(i =>
+      (i, s"${i % 256}.${(i * 7) % 256}.${(i * 13) % 256}.${i % 256}"))
+      .toDF("event_id", "ip")
+    val viaJoin = graft.enrich.GeoIp.enrich(base, graft.enrich.GeoIp.rangesDf(spark))
+      .select("event_id", "country", "city").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    val viaLookup = graft.enrich.GeoIp.enrichFast(base)
+      .select("event_id", "country", "city").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(viaJoin.sameElements(viaLookup))
   }
 
   test("q3_join: dims broadcast, top-n via TakeOrderedAndProject") {
