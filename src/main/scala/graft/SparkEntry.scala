@@ -17,9 +17,11 @@ object SparkEntry {
     (streaming.StreamOps.queries, streaming.StreamOps.oracleSql),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracleSql))
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's identity in one plan: signups × broadcast rule dim →
+    * matched (event, rule) pairs. */
   def entry(spark: SparkSession): DataFrame =
-    relational.Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    rules.RuleQueries.queries("ru_engine")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
