@@ -111,15 +111,56 @@ object EventOps {
       |FROM v LEFT JOIN c ON v.user_id = c.user_id
       |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
 
+  // ---- HLL distinct sketch -------------------------------------------------
+
+  /** Approximate distinct users per event type via the portable HLL
+    * register sketch (graft.plans.HllSketch, a TypedImperativeAggregate:
+    * 16-byte mergeable buffer, partial-agg friendly — only the registers
+    * cross the shuffle). The estimate derives from the registers with
+    * integer-exact arithmetic, so DuckDB replaying the same algorithm
+    * hash-matches the "approximate" number exactly; the exact distinct
+    * count rides along to show the sketch error. */
+  def hllUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).events
+      .groupBy(col("event_type"))
+      .agg(graft.plans.HllSketch.registers(col("user_id").cast("string")).as("regs"),
+        countDistinct(col("user_id")).as("exact"))
+      .withColumn("inv_scaled", expr(
+        "aggregate(transform(regs, r -> shiftleft(CAST(1 AS BIGINT), 57 - r)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .select(col("event_type"), col("exact"),
+        expr("round(CAST(0.673 AS DOUBLE) * 256 * power(2.0, 57) / inv_scaled, 4)").as("est"))
+
+  val hllUsersSql: String =
+    """WITH h AS (
+      |  SELECT event_type, user_id,
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM events),
+      |r AS (SELECT event_type, CAST(h % 16 AS INT) AS b, h // 16 AS w FROM h),
+      |regs AS (
+      |  SELECT event_type, b,
+      |    max(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END) AS reg
+      |  FROM r GROUP BY 1, 2),
+      |inv AS (
+      |  SELECT event_type,
+      |    sum(1::BIGINT << (57 - reg)) + (16 - count(*)) * (1::BIGINT << 57) AS inv_scaled
+      |  FROM regs GROUP BY 1),
+      |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact FROM events GROUP BY 1)
+      |SELECT inv.event_type, ex.exact,
+      |  round(CAST(0.673 AS DOUBLE) * 256 * power(2.0, 57) / inv_scaled, 4) AS est
+      |FROM inv JOIN ex ON inv.event_type = ex.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_parse_json" -> (parseJson _),
     "ev_throughput" -> (throughput _),
     "ev_signups" -> (signups _),
-    "ev_funnel" -> (funnel _))
+    "ev_funnel" -> (funnel _),
+    "ev_hll_users" -> (hllUsers _))
 
   def oracleSql: Map[String, String] = Map(
     "ev_parse_json" -> parseJsonSql,
     "ev_throughput" -> throughputSql,
     "ev_signups" -> signupsSql,
-    "ev_funnel" -> funnelSql)
+    "ev_funnel" -> funnelSql,
+    "ev_hll_users" -> hllUsersSql)
 }
