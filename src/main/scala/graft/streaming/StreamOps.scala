@@ -201,7 +201,50 @@ object StreamOps {
          |FROM signups s JOIN rules r ON ${RuleEngine.matchConditionSql()}""".stripMargin
   }
 
+  // ---- streaming similarity search ----------------------------------------
+
+  /** Streaming ANN: the embedding corpus streams, the query set broadcasts,
+    * per-query top-3 maintained in complete mode — the stream-static-join
+    * shape of distributed streaming similarity search (new vectors score
+    * against the standing query set as they arrive; no window functions
+    * needed: the top-k is a bounded sorted-list aggregate, so state is
+    * O(queries·k), not O(corpus)). */
+  def annTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.plans.VectorDot(col("v"), col("v"))))
+    val q = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
+      .filter(col("qid") < graft.sim.Similarity.numQueries)
+      .withColumn("qnrm", sqrt(graft.plans.VectorDot(col("qv"), col("qv"))))
+    val scored = src.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(graft.plans.VectorDot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6)
+          .as("cos"))
+    val topk = scored.groupBy(col("qid"))
+      .agg(slice(array_sort(collect_list(struct((-col("cos")).as("neg"), col("cand")))),
+        1, graft.sim.Similarity.topK).as("top"))
+    val name = "st_" + UUID.randomUUID().toString.replace("-", "")
+    val query = topk.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    query.processAllAvailable()
+    query.stop()
+    spark.table(name)
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.cand").as("cand"),
+        (-col("col.neg")).as("cos"), (col("pos") + 1).as("rank"))
+  }
+
+  val annTopKSql: String = graft.sim.Similarity.bruteTopKSql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_ann_topk" -> (annTopK _),
     "st_pipeline" -> (pipeline _),
     "st_window_counts" -> (windowCounts _),
     "st_window_sliding" -> (windowSliding _),
@@ -210,6 +253,7 @@ object StreamOps {
     "st_seen_state" -> (seenState _))
 
   def oracleSql: Map[String, String] = Map(
+    "st_ann_topk" -> annTopKSql,
     "st_pipeline" -> pipelineSql,
     "st_window_counts" -> windowCountsSql,
     "st_window_sliding" -> windowSlidingSql,
