@@ -150,17 +150,39 @@ object EventOps {
       |  round(CAST(0.673 AS DOUBLE) * 256 * power(2.0, 57) / inv_scaled, 4) AS est
       |FROM inv JOIN ex ON inv.event_type = ex.event_type""".stripMargin
 
+  // ---- latency/value quantiles --------------------------------------------
+
+  /** Per-type value quantiles. Exact `percentile` (per-group sort) matches
+    * DuckDB's `quantile_cont` interpolation bit-for-bit at 6dp; at 100 TB
+    * swap in `approx_percentile` (t-digest, partial-agg mergeable) — the
+    * query shape is identical, only the agg function changes. */
+  def quantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).events
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+
+  val quantilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90,
+      |  round(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_parse_json" -> (parseJson _),
     "ev_throughput" -> (throughput _),
     "ev_signups" -> (signups _),
     "ev_funnel" -> (funnel _),
-    "ev_hll_users" -> (hllUsers _))
+    "ev_hll_users" -> (hllUsers _),
+    "ev_quantiles" -> (quantiles _))
 
   def oracleSql: Map[String, String] = Map(
     "ev_parse_json" -> parseJsonSql,
     "ev_throughput" -> throughputSql,
     "ev_signups" -> signupsSql,
     "ev_funnel" -> funnelSql,
-    "ev_hll_users" -> hllUsersSql)
+    "ev_hll_users" -> hllUsersSql,
+    "ev_quantiles" -> quantilesSql)
 }
