@@ -29,6 +29,7 @@ object CommandParser {
       value: Option[String] = None,
       actions: Option[String] = None,
       noDelay: Option[Boolean] = None,
+      suspOnly: Option[Boolean] = None,
       expiryDays: Option[Int] = None,
       error: Option[String] = None)
 
@@ -144,8 +145,34 @@ object CommandParser {
         val expiryDays = if (noExpiry) None else Some(182)
         Parsed(ok = true, kind = "add", name = Some(name), field = Some(f),
           check = Some(c), value = Some(v), actions = Some(toks.mkString("+")),
-          noDelay = Some(noDelay), expiryDays = expiryDays)
+          noDelay = Some(noDelay), suspOnly = Some(suspIp), expiryDays = expiryDays)
     }
+  }
+
+  /** A successful `add` → the engine's rule row (the reference constructs a
+    * `Rule` from the parsed command, command.rs:119-166). Lua criteria go
+    * through `RuleEngine.sqlCriterion` instead, so they return None here. */
+  def toRuleRow(p: Parsed, nowUs: Long): Option[graft.rules.RuleRow] = {
+    if (!p.ok || p.kind != "add" || p.field.contains("lua")) return None
+    val kind = (p.field.get, p.check.get) match {
+      case ("ip", "equals") => "ip_match"
+      case ("email", "contains") => "email_contains"
+      case ("email", "regex") => "email_regex"
+      case ("username", "contains") => "username_contains"
+      case ("username", "regex") => "username_regex"
+      case ("useragent", "length-lte") => "ua_len_lte"
+      case _ => return None
+    }
+    Some(graft.rules.RuleRow(
+      name = p.name.get,
+      kind = kind,
+      pattern = if (kind == "ua_len_lte") "" else p.value.get,
+      numArg = if (kind == "ua_len_lte") p.value.get.toInt else 0,
+      enabled = true,
+      suspOnly = p.suspOnly.getOrElse(false),
+      noDelay = p.noDelay.getOrElse(false),
+      expiryUs = p.expiryDays.map(d => nowUs + d.toLong * 86400L * 1000000L),
+      actions = p.actions.get))
   }
 
   /** `Nd` / `Nw` → days (command.rs:243-263). */

@@ -34,9 +34,9 @@ object CommandQueries {
     corpus.zipWithIndex.map { case (cmd, i) =>
       val p = CommandParser.parse(cmd)
       (i.toLong, p.ok, p.kind, p.name, p.field, p.check, p.value, p.actions,
-        p.noDelay, p.expiryDays, p.error)
+        p.noDelay, p.suspOnly, p.expiryDays, p.error)
     }.toDF("cmd_id", "ok", "kind", "name", "field", "check", "value", "actions",
-      "no_delay", "expiry_days", "error")
+      "no_delay", "susp_only", "expiry_days", "error")
   }
 
   /** Expected outputs, derived by hand from command.rs semantics. */
@@ -45,32 +45,32 @@ object CommandQueries {
     val N = "NULL"
     val parseErr = s("Could not parse user command")
     val rows = Seq(
-      // (id, ok, kind, name, field, check, value, actions, no_delay, expiry_days, error)
-      s"(0, true, 'status', $N, $N, $N, $N, $N, $N, $N, $N)",
-      s"(1, true, 'namechk', 'bob', $N, $N, $N, $N, $N, $N, $N)",
-      s"(2, true, 'seen', 'SomeUser', $N, $N, $N, $N, $N, $N, $N)",
-      s"(3, true, 'list', $N, $N, $N, $N, $N, $N, $N, $N)",
-      s"(4, true, 'add', 'myrule', 'username', 'contains', 'foo', 'close+notify', false, 182, $N)",
-      s"(5, true, 'add', 'r2', 'email', 'regex', '^a.*@x', 'shadowban', true, 182, $N)",
-      s"(6, true, 'add', 'r3', 'ip', 'equals', '1.2.3.4', 'ipban', false, $N, $N)",
-      s"(7, true, 'add', 'r4', 'useragent', 'length-lte', '20', 'close', true, $N, $N)",
-      s"(8, false, 'error', $N, $N, $N, $N, $N, $N, $N, 'Use lichess print ban instead')",
-      s"(9, false, 'error', $N, $N, $N, $N, $N, $N, $N, $parseErr)",
-      s"(10, false, 'error', $N, $N, $N, $N, $N, $N, $N, $parseErr)",
-      s"""(11, true, 'add', 'lr', 'lua', 'lua', 'user:name() == "x"', 'close', false, 182, $N)""",
-      s"(12, true, 'show', 'r2', $N, $N, $N, $N, $N, $N, $N)",
-      s"(13, true, 'remove', 'r2', $N, $N, $N, $N, $N, $N, $N)",
-      s"(14, true, 'disable_re', '^tmp', $N, $N, $N, $N, $N, $N, $N)",
-      s"(15, true, 'enable_re', '^tmp', $N, $N, $N, $N, $N, $N, $N)",
-      s"(16, true, 'renew', 'r3', $N, $N, $N, $N, $N, 14, $N)",
-      s"(17, false, 'error', $N, $N, $N, $N, $N, $N, $N, 'Invalid expiry date format. Example: `14d`. Supported: `d` (day), `w` (week).')",
-      s"(18, true, 'renew', 'r3', $N, $N, $N, $N, $N, 21, $N)",
-      s"(19, false, 'error', $N, $N, $N, $N, $N, $N, $N, $parseErr)")
+      // (id, ok, kind, name, field, check, value, actions, no_delay, susp_only, expiry_days, error)
+      s"(0, true, 'status', $N, $N, $N, $N, $N, $N, $N, $N, $N)",
+      s"(1, true, 'namechk', 'bob', $N, $N, $N, $N, $N, $N, $N, $N)",
+      s"(2, true, 'seen', 'SomeUser', $N, $N, $N, $N, $N, $N, $N, $N)",
+      s"(3, true, 'list', $N, $N, $N, $N, $N, $N, $N, $N, $N)",
+      s"(4, true, 'add', 'myrule', 'username', 'contains', 'foo', 'close+notify', false, false, 182, $N)",
+      s"(5, true, 'add', 'r2', 'email', 'regex', '^a.*@x', 'shadowban', true, false, 182, $N)",
+      s"(6, true, 'add', 'r3', 'ip', 'equals', '1.2.3.4', 'ipban', false, true, $N, $N)",
+      s"(7, true, 'add', 'r4', 'useragent', 'length-lte', '20', 'close', true, false, $N, $N)",
+      s"(8, false, 'error', $N, $N, $N, $N, $N, $N, $N, $N, 'Use lichess print ban instead')",
+      s"(9, false, 'error', $N, $N, $N, $N, $N, $N, $N, $N, $parseErr)",
+      s"(10, false, 'error', $N, $N, $N, $N, $N, $N, $N, $N, $parseErr)",
+      s"""(11, true, 'add', 'lr', 'lua', 'lua', 'user:name() == "x"', 'close', false, false, 182, $N)""",
+      s"(12, true, 'show', 'r2', $N, $N, $N, $N, $N, $N, $N, $N)",
+      s"(13, true, 'remove', 'r2', $N, $N, $N, $N, $N, $N, $N, $N)",
+      s"(14, true, 'disable_re', '^tmp', $N, $N, $N, $N, $N, $N, $N, $N)",
+      s"(15, true, 'enable_re', '^tmp', $N, $N, $N, $N, $N, $N, $N, $N)",
+      s"(16, true, 'renew', 'r3', $N, $N, $N, $N, $N, $N, 14, $N)",
+      s"(17, false, 'error', $N, $N, $N, $N, $N, $N, $N, $N, 'Invalid expiry date format. Example: `14d`. Supported: `d` (day), `w` (week).')",
+      s"(18, true, 'renew', 'r3', $N, $N, $N, $N, $N, $N, 21, $N)",
+      s"(19, false, 'error', $N, $N, $N, $N, $N, $N, $N, $N, $parseErr)")
     s"""SELECT CAST(cmd_id AS BIGINT) AS cmd_id, ok, kind, name, field, "check", value, actions,
-       |  no_delay, CAST(expiry_days AS INTEGER) AS expiry_days, error
+       |  no_delay, susp_only, CAST(expiry_days AS INTEGER) AS expiry_days, error
        |FROM (VALUES
        |  ${rows.mkString(",\n  ")}
-       |) t(cmd_id, ok, kind, name, field, "check", value, actions, no_delay, expiry_days, error)""".stripMargin
+       |) t(cmd_id, ok, kind, name, field, "check", value, actions, no_delay, susp_only, expiry_days, error)""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

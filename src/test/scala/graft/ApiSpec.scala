@@ -89,3 +89,45 @@ class ApiSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class CommandToEngineSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SparkTest._
+  import org.apache.spark.sql.functions._
+
+  test("operator command -> parsed rule -> live engine match, end to end") {
+    import spark.implicits._
+    val parsed = graft.commands.CommandParser.parse(
+      "signup rules add catch_mailx if email contains @MAILX then close+notify nodelay")
+    val row = graft.commands.CommandParser.toRuleRow(parsed, graft.rules.Rules.nowUs).get
+    assert(row.kind == "email_contains" && row.noDelay && !row.suspOnly)
+    assert(row.expiryUs.contains(graft.rules.Rules.nowUs + 182L * 86400L * 1000000L),
+      "default expiry is 182 days out")
+
+    val rules = graft.rules.RuleStore.add(graft.rules.Rules.df(spark), row, spark)
+    val signups = Seq(
+      ("hit", "someone@mailx.org", "9.9.9.9", "Mozilla/5.0 long enough ua", "fpfpfp", false),
+      ("miss", "someone@mailz.org", "9.9.9.8", "Mozilla/5.0 long enough ua", "fpfpfp", false))
+      .toDF("username", "email", "ip", "ua", "fingerprint", "susp_ip")
+    val matched = graft.rules.RuleEngine.matches(signups, rules)
+      .filter(col("name") === "catch_mailx")
+      .select("username").as[String].collect().toSet
+    assert(matched == Set("hit"), s"got $matched")
+  }
+
+  test("if_susp_ip command produces a susp-gated rule the engine respects") {
+    import spark.implicits._
+    val p = graft.commands.CommandParser.parse(
+      "signup rules add susp_ua if_susp_ip useragent length-lte 8 then ipban noexpiry")
+    val row = graft.commands.CommandParser.toRuleRow(p, graft.rules.Rules.nowUs).get
+    assert(row.kind == "ua_len_lte" && row.numArg == 8 && row.suspOnly && row.expiryUs.isEmpty)
+    val rules = graft.rules.RuleStore.add(graft.rules.Rules.df(spark), row, spark)
+    val signups = Seq(
+      ("short_susp", "a@b.c", "1.1.1.1", "curl", "f", true),
+      ("short_clean", "a@b.c", "1.1.1.2", "curl", "f", false))
+      .toDF("username", "email", "ip", "ua", "fingerprint", "susp_ip")
+    val matched = graft.rules.RuleEngine.matches(signups, rules)
+      .filter(col("name") === "susp_ua")
+      .select("username").as[String].collect().toSet
+    assert(matched == Set("short_susp"), "susp_only rule must skip non-susp signups")
+  }
+}
