@@ -189,7 +189,81 @@ object Relational {
       |FROM events GROUP BY user_id
       |ORDER BY n DESC, user_id ASC LIMIT 20""".stripMargin
 
+  // ---- as-of join (composed, no custom operator needed) -------------------
+
+  /** As-of join: each signup event picks up the value of the same user's
+    * most recent STRICTLY EARLIER event of any other type. Composed from
+    * built-ins — union the tagged sides, one window sorted by (user, ts),
+    * running last_value over the quote side, keep the probe side. One
+    * shuffle on user_id, no range-join blowup; the standard Spark encoding
+    * of the operator (custom SparkPlan unnecessary: semantics compose). */
+  def qAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+    val probe = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_us"), col("event_id"), lit(1).as("side"),
+        lit(null).cast("double").as("qval"))
+    val quotes = ev.filter(col("event_type") =!= "signup")
+      .select(col("user_id"), col("ts_us"), lit(null).cast("long").as("event_id"),
+        lit(0).as("side"), col("value").as("qval"))
+    // order by (ts, side) so a quote at the same instant is NOT visible to
+    // the probe (strictly-earlier semantics); rows-between excludes self
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    probe.unionAll(quotes)
+      .withColumn("asof_value", round(last(col("qval"), ignoreNulls = true).over(w), 2))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("asof_value"))
+  }
+
+  val qAsofSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    event_id, event_type, value
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id, ts_us, event_id, 1 AS side, NULL::DOUBLE AS qval
+      |  FROM ev WHERE event_type = 'signup'
+      |  UNION ALL
+      |  SELECT user_id, ts_us, NULL::BIGINT, 0, value
+      |  FROM ev WHERE event_type <> 'signup')
+      |SELECT event_id, user_id, ts_us, asof_value FROM (
+      |  SELECT event_id, user_id, ts_us, side,
+      |    round(last_value(qval IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts_us ASC, side ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 2) AS asof_value
+      |  FROM u) t
+      |WHERE side = 1""".stripMargin
+
+  // ---- correlated scalar subquery (Q17 shape) -----------------------------
+
+  /** TPC-H Q17 shape: lineitems under 40% of their part's average quantity.
+    * Catalyst decorrelates the scalar subquery into an aggregate + join —
+    * the plan to check is one extra shuffle on l_partkey, not a per-row
+    * subquery execution. */
+  def qCorrSubq(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir).lineitem
+    val avgQty = li.groupBy(col("l_partkey").as("p_key"))
+      .agg((avg(col("l_quantity")) * 0.4).as("threshold"))
+    li.join(avgQty, col("l_partkey") === col("p_key"))
+      .filter(col("l_quantity") < col("threshold"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_small"), round(sum(col("l_extendedprice")), 2).as("small_rev"))
+      .filter(col("n_small") >= 2)
+  }
+
+  val qCorrSubqSql: String =
+    """SELECT l_partkey, count(*) AS n_small, round(sum(l_extendedprice), 2) AS small_rev
+      |FROM lineitem l1
+      |WHERE l_quantity < (
+      |  SELECT 0.4 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+      |GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof" -> (qAsof _),
+    "q_corr_subq" -> (qCorrSubq _),
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
     "q5_join" -> (q5Join _),
@@ -199,6 +273,8 @@ object Relational {
     "ev_topk_users" -> (evTopkUsers _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_asof" -> qAsofSql,
+    "q_corr_subq" -> qCorrSubqSql,
     "q1_agg" -> q1AggSql,
     "q3_join" -> q3JoinSql,
     "q5_join" -> q5JoinSql,
