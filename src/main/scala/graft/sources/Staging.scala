@@ -37,6 +37,14 @@ object Staging {
       .saveAsTable(table)
   }
 
+  /** Write `df` hive-partitioned by `partCol` — the lake layout that turns a
+    * predicate on the partition column into directory pruning (zero I/O for
+    * unselected partitions; the scan's `PartitionFilters` carries the
+    * predicate instead of `PushedFilters`). Standard layout for event lakes
+    * partitioned by date/type at 100 TB. */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
   /** Equi-join with the left (large, skewed) side salted `factor` ways. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String, factor: Int): DataFrame = {
     val salted = large.withColumn("_salt", pmod(hash(col(key), monotonically_increasing_id()), lit(factor)))

@@ -23,6 +23,17 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned staging: partition predicate prunes directories, not rows") {
+    val dir = java.nio.file.Files.createTempDirectory("part_events").toString
+    sources.Staging.writePartitioned(Tables(spark, sf).events, dir, "event_type")
+    val q = spark.read.parquet(dir).filter(col("event_type") === "signup")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"), scan.take(600))
+    // the partition predicate must NOT degrade to a data filter
+    assert(!scan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,signup)]"))
+    assert(q.count() == Tables(spark, sf).events.filter(col("event_type") === "signup").count())
+  }
+
   test("salted join equals plain join") {
     val t = Tables(spark, sf)
     val plain = t.orders.join(t.nation, col("o_custkey") % 25 === col("n_nationkey"))
