@@ -261,7 +261,30 @@ object Relational {
       |  SELECT 0.4 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
       |GROUP BY 1 HAVING count(*) >= 2""".stripMargin
 
+  // ---- pivot ---------------------------------------------------------------
+
+  /** Per-user event-type pivot (wide activity profile). `pivot` with an
+    * explicit value list compiles to one pass of partial-aggregated CASE
+    * counts — no second shuffle, no value-discovery scan; always pass the
+    * list at 100 TB. */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).events
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("signup", "view", "click", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  val qPivotSql: String =
+    """SELECT user_id,
+      |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+      |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+      |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+      |FROM events GROUP BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> (qPivot _),
     "q_asof" -> (qAsof _),
     "q_corr_subq" -> (qCorrSubq _),
     "q1_agg" -> (q1Agg _),
@@ -273,6 +296,7 @@ object Relational {
     "ev_topk_users" -> (evTopkUsers _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_pivot" -> qPivotSql,
     "q_asof" -> qAsofSql,
     "q_corr_subq" -> qCorrSubqSql,
     "q1_agg" -> q1AggSql,
