@@ -257,6 +257,32 @@ object Dedup {
        |SELECT node AS doc_id, min(lbl) AS cluster_id
        |FROM reach GROUP BY node""".stripMargin
 
+  // ---- sketch quality audit ------------------------------------------------
+
+  /** LSH recall audit: of the truly-similar pairs (n-gram Jaccard ≥ 0.2),
+    * what fraction did the MinHash band join surface as candidates? The
+    * tuning loop for (numHashes, bandSize) runs exactly this query on a
+    * sample before committing band parameters at full scale — ground truth
+    * is only computable on samples, candidates are cheap everywhere. */
+  def lshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = ngramJaccard(spark, sfDir).filter(col("jaccard") >= 0.2)
+      .select(col("id_a"), col("id_b"))
+    val cand = minhashLsh(spark, sfDir)
+      .select(col("id_a").as("ca"), col("id_b").as("cb"))
+    truth.join(cand, col("id_a") === col("ca") && col("id_b") === col("cb"), "left")
+      .agg(count(lit(1)).as("n_truth"), count(col("ca")).as("n_hit"))
+      .select(col("n_truth"), col("n_hit"),
+        round(col("n_hit") / col("n_truth"), 4).as("recall"))
+  }
+
+  val lshRecallSql: String =
+    s"""WITH truth AS (
+       |  SELECT id_a, id_b FROM ($ngramJaccardSql) WHERE jaccard >= 0.2),
+       |cand AS (SELECT id_a AS ca, id_b AS cb FROM ($minhashLshSql))
+       |SELECT count(*) AS n_truth, count(ca) AS n_hit,
+       |  round(count(ca) / count(*), 4) AS recall
+       |FROM truth LEFT JOIN cand ON id_a = ca AND id_b = cb""".stripMargin
+
   // ---- cross-document chunk (paragraph) dedup -----------------------------
 
   val chunkWords = 8
@@ -377,7 +403,8 @@ object Dedup {
     "dd_minhash" -> (minhashLsh _),
     "dd_clusters" -> (clusters _),
     "dd_simhash" -> (simhash _),
-    "dd_chunks" -> (chunkDups _))
+    "dd_chunks" -> (chunkDups _),
+    "dd_lsh_recall" -> (lshRecall _))
 
   def oracleSql: Map[String, String] = Map(
     "dd_exact" -> exactSql,
@@ -385,5 +412,6 @@ object Dedup {
     "dd_minhash" -> minhashLshSql,
     "dd_clusters" -> clustersSql,
     "dd_simhash" -> simhashSql,
-    "dd_chunks" -> chunkDupsSql)
+    "dd_chunks" -> chunkDupsSql,
+    "dd_lsh_recall" -> lshRecallSql)
 }
