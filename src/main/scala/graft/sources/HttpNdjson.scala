@@ -70,7 +70,11 @@ class HttpNdjsonTable(options: CaseInsensitiveStringMap) extends Table with Supp
               throw new IllegalArgumentException("http-ndjson requires option 'url'")),
             sse = options.getOrDefault("mode", "ndjson").equalsIgnoreCase("sse"),
             reconnectDelayMs = options.getLong("reconnectDelayMs", 7000L),
-            readTimeoutMs = options.getLong("readTimeoutMs", 0L).toInt,
+            // silent-stream watchdog (status.rs: restart if no event for
+            // 90 s): a read blocked longer than this times out and the
+            // reader reconnects. 0 = wait forever.
+            readTimeoutMs = options.getLong("silenceTimeoutMs",
+              options.getLong("readTimeoutMs", 0L)).toInt,
             numPartitions = options.getInt("numPartitions", 2),
             maxLinesPerTrigger = options.getLong("maxLinesPerTrigger", Long.MaxValue))
       }

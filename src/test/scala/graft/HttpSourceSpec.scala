@@ -87,6 +87,28 @@ class HttpSourceSpec extends AnyFunSuite {
     } finally { q.stop(); server.stop(0) }
   }
 
+  test("silent-stream watchdog: a stalled connection times out and reconnects") {
+    val (server, url) = serve("/stall") { (hit, ex) =>
+      if (hit == 1) {
+        // one line, then stall without closing — only the watchdog can save us
+        ex.sendResponseHeaders(200, 0)
+        val os = ex.getResponseBody
+        os.write("{\"a\":1}\n".getBytes(StandardCharsets.UTF_8)); os.flush()
+        Thread.sleep(5000)
+        os.close()
+      } else chunked(ex, Seq("{\"a\":2}"))
+    }
+    val q = spark.readStream.format("http-ndjson")
+      .option("url", url).option("reconnectDelayMs", 100)
+      .option("silenceTimeoutMs", 300).load()
+      .writeStream.format("memory").queryName("http_stall").outputMode("append").start()
+    try {
+      val rows = collectUntil("http_stall", 2, q)
+      assert(rows.map(_.getAs[String]("value")).toSet == Set("{\"a\":1}", "{\"a\":2}"),
+        "watchdog must abandon the stalled connection and pick up the fresh stream")
+    } finally { q.stop(); server.stop(0) }
+  }
+
   test("full reference program live: HTTP tap -> rule engine -> matched actions") {
     // r_email_contains ('@MAIL3', ci, no expiry) must fire for the first
     // signup; the second matches no standing rule
