@@ -54,19 +54,25 @@ object Dedup {
     s"""sh0 AS (SELECT doc_id, ${Portable.wordsSql} AS w FROM documents),
        |shd AS (SELECT doc_id, ${Portable.shinglesSql()} AS sh FROM sh0)""".stripMargin
 
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    // int64 shingle hashes: cheaper shuffle keys than 20-char strings.
-    // The inverted index is persisted: it feeds the df aggregation, both
-    // self-join sides, and the size aggregation, and every DataFrame
-    // reference re-executes its subtree otherwise (at 100 TB this is a
-    // checkpoint to staging parquet; at bench scale an in-memory persist).
+  /** The (doc_id, shingle-hash) inverted index both near-dup pipelines
+    * start from — int64 keys (cheaper shuffle keys than 20-char strings),
+    * one MD5 per shingle. Callers that run several sketches (e.g. the
+    * recall audit) persist ONE of these and feed it to both. */
+  def invIndex(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.plans.ShingleHashes(col("text"), 3, distinct = true)).as("hs"))
+
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardFrom(invIndex(spark, sfDir))
+
+  def ngramJaccardFrom(inv: DataFrame): DataFrame = {
     // document frequency as a window count over the hs partition: ONE hash
     // shuffle by hs (vs aggregate + re-join), and the persisted result keeps
     // HashPartitioning(hs) — the candidate self-join below reuses it with no
-    // further exchange on either side
-    val informative = docs(spark, sfDir)
-      .select(col("doc_id"),
-        explode(graft.plans.ShingleHashes(col("text"), 3, distinct = true)).as("hs"))
+    // further exchange on either side (at 100 TB the persist is a checkpoint
+    // to staging parquet; at bench scale in-memory)
+    val informative = inv
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("hs"))))
       .filter(col("df") <= maxDf)
       .persist()
@@ -118,14 +124,14 @@ object Dedup {
     Seq.fill(numHashes)(((next() | 1L) % mersenneP, next()))
   }
 
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    minhashLshFrom(invIndex(spark, sfDir))
+
+  def minhashLshFrom(rawInv: DataFrame): DataFrame = {
     // explode → groupBy: each shingle is MD5-hashed exactly once; the 16
     // affine derivations are codegen'd int ops inside a partial (map-side)
     // min-aggregation. Signatures stay un-shuffled beyond the doc_id group.
-    val inv = docs(spark, sfDir)
-      .select(col("doc_id"),
-        explode(graft.plans.ShingleHashes(col("text"), 3, distinct = true)).as("hs"))
-      .select(col("doc_id"), (col("hs") % mersenneP).as("h32"))
+    val inv = rawInv.select(col("doc_id"), (col("hs") % mersenneP).as("h32"))
     val sigs = inv.groupBy(col("doc_id")).agg(
       min((col("h32") * hashAB.head._1 + hashAB.head._2) % mersenneP).as("mh0"),
       hashAB.zipWithIndex.tail.map { case ((a, b), i) =>
@@ -265,9 +271,11 @@ object Dedup {
     * sample before committing band parameters at full scale — ground truth
     * is only computable on samples, candidates are cheap everywhere. */
   def lshRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val truth = ngramJaccard(spark, sfDir).filter(col("jaccard") >= 0.2)
+    // ONE corpus scan + shingle-hash pass feeds both pipelines
+    val inv = invIndex(spark, sfDir).persist()
+    val truth = ngramJaccardFrom(inv).filter(col("jaccard") >= 0.2)
       .select(col("id_a"), col("id_b"))
-    val cand = minhashLsh(spark, sfDir)
+    val cand = minhashLshFrom(inv)
       .select(col("id_a").as("ca"), col("id_b").as("cb"))
     truth.join(cand, col("id_a") === col("ca") && col("id_b") === col("cb"), "left")
       .agg(count(lit(1)).as("n_truth"), count(col("ca")).as("n_hit"))
