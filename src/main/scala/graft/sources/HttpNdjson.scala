@@ -98,6 +98,10 @@ class HttpNdjsonMicroBatchStream(
   // lines [baseOffset, baseOffset + buffer.size); commit(n) trims below n
   @GuardedBy("lock") private val buffer = new ListBuffer[(String, Long)]
   @GuardedBy("lock") private var baseOffset = 0L
+  // rate-limit window tracks the last PLANNED end, not the committed base:
+  // Spark commits batch N only after planning N+1, so capping against the
+  // committed offset would freeze the stream after one micro-batch
+  @GuardedBy("lock") private var plannedEnd = 0L
   @GuardedBy("lock") private var connects = 0
   @volatile private var stopped = false
   @volatile private var lastError: Throwable = _
@@ -158,7 +162,9 @@ class HttpNdjsonMicroBatchStream(
 
   override def latestOffset(): Offset = lock.synchronized {
     val avail = baseOffset + buffer.size
-    HttpLineOffset(math.min(avail, baseOffset + maxLinesPerTrigger))
+    val window = math.max(plannedEnd, baseOffset) + maxLinesPerTrigger
+    plannedEnd = math.max(plannedEnd, math.min(avail, if (window < 0) Long.MaxValue else window))
+    HttpLineOffset(math.max(plannedEnd, baseOffset))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -87,6 +87,24 @@ class HttpSourceSpec extends AnyFunSuite {
     } finally { q.stop(); server.stop(0) }
   }
 
+  test("maxLinesPerTrigger bounds each micro-batch without losing lines") {
+    val lines = (1 to 7).map(i => s"""{"n":$i}""")
+    val (server, url) = serve("/paced") { (hit, ex) =>
+      if (hit == 1) chunked(ex, lines) else chunked(ex, Nil)
+    }
+    val q = spark.readStream.format("http-ndjson")
+      .option("url", url).option("reconnectDelayMs", 100)
+      .option("maxLinesPerTrigger", 2).load()
+      .writeStream.format("memory").queryName("http_paced").outputMode("append").start()
+    try {
+      val rows = collectUntil("http_paced", 7, q)
+      assert(rows.map(_.getAs[String]("value")).toSet == lines.toSet,
+        "rate-limited triggers must still deliver every line exactly once")
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+        "7 lines at <=2/trigger need at least 4 non-empty batches")
+    } finally { q.stop(); server.stop(0) }
+  }
+
   test("silent-stream watchdog: a stalled connection times out and reconnects") {
     val (server, url) = serve("/stall") { (hit, ex) =>
       if (hit == 1) {
