@@ -40,7 +40,14 @@ object Bench {
     val headline = Set("q1_agg", "q3_join", "dd_minhash", "ann_brute_topk", "st_window_counts")
     val headlineTotal = results.filter(r => headline(r._1)).map(_._2).sum
     val total = results.map(_._2).sum
-    println(s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","queries":$qs,"all_total":$total,"n_queries":${results.size},"sf":"$sfDir"}""")
+    val metricJson =
+      s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","queries":$qs,"all_total":$total,"n_queries":${results.size},"sf":"$sfDir"}"""
+    println(metricJson)
+    // file copy of the metric line: survives any stdout decoration/buffering
+    // between the forked JVM and whatever harness launched sbt
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_metric.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (metricJson + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -12,15 +12,20 @@ object EnrichQueries {
 
   // ---- #13 GeoIP broadcast range join -------------------------------------
 
+  // `subdivisions` stays array-typed in the GeoIp API; the QUERY output
+  // serializes it ('|'-joined) because the driver's pandas compare cannot
+  // hash array cells.
   def geoIpRange(spark: SparkSession, sfDir: String): DataFrame =
     GeoIp.enrichFast(signups(spark, sfDir))
       .select(col("event_id"), col("ip"), col("ip_int"), col("country"), col("city"),
-        col("subdivisions"))
+        array_join(col("subdivisions"), "|").as("subdivisions"))
 
   val geoIpRangeSql: String =
     "WITH " + Signups.cte.stripSuffix("\n") + ",\n" + GeoIp.rangesValuesSql + ",\n" +
       s"""s2 AS (SELECT event_id, ip, ${GeoIp.ipToIntSql} AS ip_int FROM signups)
-         |SELECT s2.event_id, s2.ip, s2.ip_int, g.country, g.city, g.subdivisions
+         |SELECT s2.event_id, s2.ip, s2.ip_int, g.country, g.city,
+         |  CASE WHEN g.lo IS NOT NULL
+         |    THEN coalesce(array_to_string(g.subdivisions, '|'), '') END AS subdivisions
          |FROM s2 LEFT JOIN geo g ON s2.ip_int BETWEEN g.lo AND g.hi""".stripMargin
 
   // ---- #14 UA regex cascade ----------------------------------------------

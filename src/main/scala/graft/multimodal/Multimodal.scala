@@ -138,7 +138,8 @@ object Multimodal {
     * embeddings from the decoded media). One output row per input row,
     * vector column typed `array<bigint>`; single pass over the bytes per
     * payload inside the same batched loop. */
-  def mmFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Library API: histogram kept array-typed. */
+  def mmFeaturesVec(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, sfDir).documents
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -153,10 +154,19 @@ object Multimodal {
       .toDF()
   }
 
+  /** Query output serializes the vector ('|'-joined) — the driver's pandas
+    * compare cannot hash array cells; callers wanting vectors use
+    * [[mmFeaturesVec]]. */
+  def mmFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    mmFeaturesVec(spark, sfDir)
+      .select(col("doc_id"),
+        array_join(col("hist").cast("array<string>"), "|").as("hist"))
+
   val mmFeaturesSql: String = {
     val bins = (0 until featBins)
-      .map(j => s"sum(CASE WHEN ascii(ch) >> 5 = $j THEN 1 ELSE 0 END)").mkString(", ")
-    s"""SELECT doc_id, [$bins] AS hist
+      .map(j => s"CAST(sum(CASE WHEN ascii(ch) >> 5 = $j THEN 1 ELSE 0 END) AS BIGINT)")
+      .mkString(", ")
+    s"""SELECT doc_id, array_to_string([$bins], '|') AS hist
        |FROM (SELECT doc_id, unnest(split(text, '')) AS ch FROM documents)
        |GROUP BY doc_id""".stripMargin
   }

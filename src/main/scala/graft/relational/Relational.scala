@@ -274,13 +274,15 @@ object Relational {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  // DuckDB sum() returns HUGEINT, which the comparison harness renders as a
+  // float — CAST each pivot column back to BIGINT to match Spark's long.
   val qPivotSql: String =
     """SELECT user_id,
-      |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-      |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-      |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
       |FROM events GROUP BY user_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -109,12 +109,20 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("mm_features: histogram bins sum to payload length") {
-    val rows = multimodal.Multimodal.mmFeatures(spark, sf).collect()
+    val rows = multimodal.Multimodal.mmFeaturesVec(spark, sf).collect()
     assert(rows.length == 500)
     rows.foreach { r =>
       val hist: Seq[Long] = r.getAs[scala.collection.Seq[Long]]("hist").toSeq
       assert(hist.length == 8)
       assert(hist.sum > 0)
+    }
+  }
+
+  test("mm_features query output serializes the vector for the compare harness") {
+    val rows = multimodal.Multimodal.mmFeatures(spark, sf).limit(5).collect()
+    rows.foreach { r =>
+      val s = r.getAs[String]("hist")
+      assert(s.split("\\|").length == 8)
     }
   }
 }
