@@ -40,15 +40,20 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
-  /** TPC-H Q3 shape: selective dim (customer) broadcast into the
-    * orders⨝lineitem shuffle join; top-10 with deterministic tie-break. */
+  /** TPC-H Q3 shape: selective dim (customer) joined into the
+    * orders⨝lineitem shuffle join; top-10 with deterministic tie-break.
+    * NO forced broadcast on customer — it grows linearly with scale factor,
+    * so a broadcast hint that fits at sf0.1 would OOM the build side at
+    * 100×; size thresholds + AQE pick broadcast whenever the filtered dim
+    * actually fits (they do at bench scale), and degrade to shuffle join
+    * when it doesn't. Hints are reserved for bounded dims (nation/region). */
   def q3Join(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tables(spark, sfDir)
     val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
     val ord = t.orders.filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
     val li = t.lineitem.filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
       .select(col("l_orderkey"), graft.epochUs(col("o_orderdate")).as("o_orderdate_us"),
@@ -117,16 +122,19 @@ object Relational {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
 
-  /** TPC-H Q5 shape: 6-way star join (3 broadcast dims, one shuffle join),
-    * per-nation revenue inside one region. */
+  /** TPC-H Q5 shape: 6-way star join, per-nation revenue inside one region.
+    * Broadcast hints ONLY on the bounded dims (region: 5 rows, nation: 25
+    * rows — fixed at every scale factor); customer and supplier grow with
+    * the fact tables, so they join via size thresholds + AQE, which
+    * broadcast them while they fit and shuffle them when they don't. */
   def q5Join(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tables(spark, sfDir)
     val asia = t.region.filter(col("r_name") === "ASIA")
     val nat = t.nation.join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
     t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey") &&
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))

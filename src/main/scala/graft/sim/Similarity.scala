@@ -145,15 +145,22 @@ object Similarity {
 
   val nprobe = 2
 
-  /** IVF without the training step: every 50th corpus vector serves as a
-    * centroid ("trained" centroids drop in identically). Vectors are
-    * assigned to their max-cosine centroid (one shuffle on cluster_id);
+  /** IVF coarse-quantizer size: a CONSTANT independent of corpus size, so
+    * centroid assignment stays O(n·K) — real IVF trains K=Θ(√n_target)
+    * centroids once and holds them fixed as the corpus grows; deriving
+    * centroid count from the corpus (e.g. every 50th row) would make
+    * assignment O(n²/50), asymptotically worse than brute force. */
+  val numCentroids = 32
+
+  /** IVF without the training step: the first `numCentroids` corpus vectors
+    * serve as centroids ("trained" centroids drop in identically). Vectors
+    * are assigned to their max-cosine centroid (one shuffle on cluster_id);
     * queries probe the `nprobe` nearest centroid lists only — the candidate
     * set shrinks by ~n_clusters/nprobe vs brute force, the classic
     * recall/throughput dial. */
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
-    val cents = e.filter(col("vec_id") % 50 === 0)
+    val cents = e.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val simToCent = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
@@ -187,7 +194,7 @@ object Similarity {
 
   val ivfTopKSql: String =
     s"""WITH $embCte,
-       |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $numCentroids),
        |sims AS (
        |  SELECT e.vec_id, cid,
        |    round(${Portable.cosineSql("e.v", "cv")}, 6) AS ccos

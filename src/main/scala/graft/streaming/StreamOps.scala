@@ -227,9 +227,11 @@ object StreamOps {
       .select(col("qid"), col("vec_id").as("cand"),
         round(graft.plans.VectorDot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6)
           .as("cos"))
+    // bounded top-k aggregate: per-query state is k entries (TopKByScore),
+    // never the scored corpus — the O(q·k) state contract claimed in SURVEY
     val topk = scored.groupBy(col("qid"))
-      .agg(slice(array_sort(collect_list(struct((-col("cos")).as("neg"), col("cand")))),
-        1, graft.sim.Similarity.topK).as("top"))
+      .agg(graft.plans.TopKAgg.topK(col("cos"), col("cand"), graft.sim.Similarity.topK)
+        .as("top"))
     val name = "st_" + UUID.randomUUID().toString.replace("-", "")
     val query = topk.writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete()).start()
@@ -238,7 +240,7 @@ object StreamOps {
     spark.table(name)
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), col("col.cand").as("cand"),
-        (-col("col.neg")).as("cos"), (col("pos") + 1).as("rank"))
+        col("col.score").as("cos"), (col("pos") + 1).as("rank"))
   }
 
   val annTopKSql: String = graft.sim.Similarity.bruteTopKSql
