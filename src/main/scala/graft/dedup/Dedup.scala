@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   *  - MinHash+LSH: signatures are per-row column math (no shuffle); only the
   *    8 band keys are exploded and joined — candidate generation cost is
   *    O(n·bands), never O(n²).
-  *  - SimHash: 16 partial-agg bit votes per doc; pairing blocked by `lang`
-  *    (swap in band-buckets of the simhash itself for planet-scale corpora).
+  *  - SimHash: 64 partial-agg bit votes per doc; candidate pairing by
+  *    (lang, 16-bit signature band) equi-join — 65536 key values per band
+  *    keep per-bucket work bounded at planet scale.
   */
 object Dedup {
 
@@ -333,10 +334,18 @@ object Dedup {
 
   // ---- #25 SimHash + hamming ----------------------------------------------
 
-  val simBits = 16
+  val simBits = 64
+  val simBandBits = 16
+  val simBands = 4 // 64 bits / 16-bit bands; hamming ≤ 3 ⇒ ≥1 band clean
 
-  /** Per-doc 16-bit SimHash: one partial-aggregable sum per bit (majority
-    * vote of each word-hash bit), assembled into an int. */
+  /** Per-doc 64-bit SimHash: one partial-aggregable sum per bit (majority
+    * vote of each word-hash bit), assembled into a long. 64 bits (not 16)
+    * because the BAND VALUE is the candidate-join key: 16-bit bands give
+    * 65536 key values per band, so per-bucket self-join work stays bounded
+    * as the corpus grows — a 16-bit signature with 4-bit bands has only 16
+    * key values per band and degrades toward O(n²/64) at scale. (The word
+    * hash is the engine's 60-bit md5-prefix, so the top 4 signature bits
+    * are constant-0 on both engines — harmless.) */
   def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     // k=1 shingles = distinct salted word hashes, single-pass per doc
     val wordsTable = docs(spark, sfDir)
@@ -352,7 +361,7 @@ object Dedup {
       .select(col("doc_id"), col("lang"), sig.as("simhash"))
   }
 
-  /** Hamming ≤ 3 over 16 bits ⇒ at least one of 4 disjoint 4-bit bands is
+  /** Hamming ≤ 3 over 64 bits ⇒ at least one of 4 disjoint 16-bit bands is
     * identical (pigeonhole), so candidate pairs come from an equi-join on
     * (lang, band index, band value) — O(n·4) exploded rows and a hash
     * shuffle instead of the O(n²/lang) blocked cross join. A pair sharing
@@ -362,16 +371,16 @@ object Dedup {
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     val sigs = simhashSigs(spark, sfDir)
     val banded = sigs.select(col("doc_id"), col("lang"), col("simhash"),
-        explode(array((0 until 4).map { b =>
+        explode(array((0 until simBands).map { b =>
           struct(lit(b).as("band"),
-            shiftright(col("simhash"), 4 * b).bitwiseAND(0xf).as("bv"))
+            shiftright(col("simhash"), simBandBits * b).bitwiseAND(0xffffL).as("bv"))
         }: _*)).as("bk"))
       .select(col("doc_id"), col("lang"), col("simhash"),
         col("bk.band").as("band"), col("bk.bv").as("bv"))
       .persist() // both self-join sides
-    val firstShared = coalesce((0 until 4).map { b =>
-      when((shiftright(expr("a.simhash"), 4 * b).bitwiseAND(0xf) ===
-            shiftright(expr("b.simhash"), 4 * b).bitwiseAND(0xf)), lit(b))
+    val firstShared = coalesce((0 until simBands).map { b =>
+      when((shiftright(expr("a.simhash"), simBandBits * b).bitwiseAND(0xffffL) ===
+            shiftright(expr("b.simhash"), simBandBits * b).bitwiseAND(0xffffL)), lit(b))
     }: _*)
     banded.as("a").join(banded.as("b"),
         col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&

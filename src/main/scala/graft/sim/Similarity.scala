@@ -117,28 +117,100 @@ object Similarity {
        |  FROM scored) t
        |WHERE rank <= 3""".stripMargin
 
-  // ---- #26 embedding-cosine near-dup (bucketed self-join) -----------------
+  // ---- multi-table quantized-projection LSH (self-join candidate gen) -----
+
+  /** Self-join candidate generation for near-dup / kNN over the whole
+    * corpus. Sign buckets from a constant anchor count don't scale: 4
+    * anchors is 16 buckets forever, so per-bucket self-join work degrades
+    * toward O(n²/16). Instead:
+    *  - `numTables` OR-ed hash tables, each keyed by `projPerTable`
+    *    QUANTIZED cosine projections (floor(cos/quantW)) against its own
+    *    anchors — ~(2/quantW)^projPerTable ≈ 1600 key values per table,
+    *    two orders beyond sign-bucketing, and occupied-bucket count grows
+    *    with the corpus's spread;
+    *  - a per-bucket membership cap (`bucketCap`, the `maxDf` pattern from
+    *    n-gram dedup): buckets keep their first `bucketCap` members by
+    *    vec_id, so candidate work is bounded O(n·tables·cap) under ANY key
+    *    distribution — skew cannot reintroduce the quadratic blowup.
+    * Pairs found by several tables dedupe through one `distinct` (the
+    * dd_minhash contract). */
+  val numTables = 4
+  val projPerTable = 2
+  val quantW = 0.05
+  val bucketCap = 512
+
+  /** (vec_id, tbl, bkey) rows after the cap: ≤ numTables rows per vector,
+    * ≤ bucketCap rows per (tbl, bkey). */
+  private[graft] def quantKeyed(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val anchors = e.filter(col("vec_id") < numTables * projPerTable)
+      .select(col("vec_id").as("aid"), col("v").as("av"), col("nrm").as("anrm"))
+    // per (vector, table): pack the table's quantized projections into one
+    // int key — slot i multiplier 4096^i, +32 offset keeps slots positive
+    val keyed = e.crossJoin(broadcast(anchors))
+      .select(col("vec_id"),
+        expr(s"CAST(aid DIV $projPerTable AS INT)").as("tbl"),
+        ((floor(round(graft.plans.VectorDot(col("v"), col("av"))
+            / (col("nrm") * col("anrm")), 6) / quantW) + 32L)
+          * when(pmod(col("aid"), lit(projPerTable)) === 0, 1L).otherwise(4096L))
+          .as("slot"))
+      .groupBy(col("vec_id"), col("tbl"))
+      .agg(sum(col("slot")).as("bkey"))
+    val wCap = Window.partitionBy(col("tbl"), col("bkey")).orderBy(col("vec_id"))
+    keyed.withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= bucketCap)
+      .select(col("vec_id"), col("tbl"), col("bkey"))
+  }
+
+  private val quantKeyedCte: String =
+    s"""anchors AS (SELECT vec_id AS aid, v AS av FROM e
+       |  WHERE vec_id < ${numTables * projPerTable}),
+       |keyed AS (
+       |  SELECT e.vec_id, CAST(aid // $projPerTable AS INT) AS tbl,
+       |    sum((floor(round(${Portable.cosineSql("e.v", "av")}, 6) / $quantW) + 32)
+       |        * CASE WHEN aid % $projPerTable = 0 THEN 1 ELSE 4096 END) AS bkey
+       |  FROM e CROSS JOIN anchors GROUP BY 1, 2),
+       |capped AS (
+       |  SELECT vec_id, tbl, bkey FROM keyed
+       |  QUALIFY row_number() OVER (PARTITION BY tbl, bkey ORDER BY vec_id)
+       |    <= $bucketCap)""".stripMargin
+
+  /** Undirected candidate pairs (id_a < id_b) from any shared (tbl, bkey). */
+  def selfJoinCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = quantKeyed(spark, sfDir)
+    k.as("a").join(k.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+  }
+
+  private val candidatesCte: String =
+    s"""$quantKeyedCte,
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM capped a JOIN capped b
+       |    ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.vec_id < b.vec_id)""".stripMargin
+
+  // ---- #26 embedding-cosine near-dup (capped multi-table LSH) -------------
 
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = emb(spark, sfDir)
-    val b = bucketed(spark, sfDir).select(col("vec_id"), col("bucket"))
-    val eb = e.join(b, "vec_id").select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
-      .persist() // both self-join sides
-    eb.as("a").join(eb.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(graft.plans.VectorDot(col("a.v"), col("b.v"))
-          / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+    val e = emb(spark, sfDir).select(col("vec_id"), col("v"), col("nrm")).persist()
+    selfJoinCandidates(spark, sfDir)
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(graft.plans.VectorDot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos"))
       .filter(col("cos") >= 0.3)
   }
 
   val embedNearDupSql: String =
     s"""WITH $embCte,
-       |$bucketedCte,
-       |eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b ON e.vec_id = b.vec_id)
-       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |$candidatesCte
+       |SELECT id_a, id_b,
        |  round(${Portable.cosineSql("a.v", "b.v")}, 6) AS cos
-       |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b
        |WHERE round(${Portable.cosineSql("a.v", "b.v")}, 6) >= 0.3""".stripMargin
 
   // ---- IVF-style ANN: coarse quantize to centroids, probe nearest lists ---
@@ -227,37 +299,39 @@ object Similarity {
 
   /** Full kNN self-join (the "link every training example to its nearest
     * neighbors" pass used for near-dup audit and hard-negative mining):
-    * candidates bounded per LSH bucket, so work is O(Σ bucket²), never
-    * O(n²); the per-key top-k is a window over the bucket-join output.
-    * At planet scale the bucket key is the shuffle key and AQE absorbs
-    * bucket skew — same contract as dd_embed. */
+    * the same capped multi-table candidate generation as [[embedNearDup]]
+    * (candidate work O(n·tables·cap), never O(n²)); each undirected pair is
+    * scored once, mirrored to both directions, and the per-vector top-3 is
+    * a window over the candidate scores only. */
   def knnJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = emb(spark, sfDir)
-    val b = bucketed(spark, sfDir).select(col("vec_id"), col("bucket"))
-    val eb = e.join(b, "vec_id").select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
-      .persist() // both self-join sides
+    val e = emb(spark, sfDir).select(col("vec_id"), col("v"), col("nrm")).persist()
+    val scored = selfJoinCandidates(spark, sfDir)
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(graft.plans.VectorDot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos"))
+    val directed = scored.select(col("id_a").as("id"), col("id_b").as("nbr"), col("cos"))
+      .unionAll(scored.select(col("id_b").as("id"), col("id_a").as("nbr"), col("cos")))
     val w = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("nbr").asc)
-    eb.as("a").join(eb.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("id"), col("b.vec_id").as("nbr"),
-        round(graft.plans.VectorDot(col("a.v"), col("b.v"))
-          / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
-      .withColumn("rank", row_number().over(w))
+    directed.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
   }
 
   val knnJoinSql: String =
     s"""WITH $embCte,
-       |$bucketedCte,
-       |eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b ON e.vec_id = b.vec_id),
+       |$candidatesCte,
        |scored AS (
-       |  SELECT a.vec_id AS id, b.vec_id AS nbr,
+       |  SELECT id_a, id_b,
        |    round(${Portable.cosineSql("a.v", "b.v")}, 6) AS cos
-       |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |  FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b),
+       |directed AS (
+       |  SELECT id_a AS id, id_b AS nbr, cos FROM scored
+       |  UNION ALL SELECT id_b, id_a, cos FROM scored)
        |SELECT id, nbr, cos, rank FROM (
        |  SELECT id, nbr, cos,
        |    row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr ASC) AS rank
-       |  FROM scored) t
+       |  FROM directed) t
        |WHERE rank <= 3""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

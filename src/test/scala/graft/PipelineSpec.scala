@@ -25,10 +25,20 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("simhash signature fits in 16 bits") {
+  test("simhash signature uses the 60 effective hash bits") {
     val sigs = dedup.Dedup.simhashSigs(spark, sf).collect()
     assert(sigs.nonEmpty)
-    sigs.foreach(r => assert((r.getAs[Long]("simhash") >> 16) == 0L))
+    // the word hash is a 60-bit md5 prefix, so signature bits 60-63 are 0
+    sigs.foreach(r => assert((r.getAs[Long]("simhash") >>> 60) == 0L))
+    // signatures actually populate the widened range (not stuck in 16 bits)
+    assert(sigs.exists(r => (r.getAs[Long]("simhash") >>> 16) != 0L))
+  }
+
+  test("simhash band-join candidates credit each pair exactly once") {
+    val rows = dedup.Dedup.simhash(spark, sf).collect()
+    val pairs = rows.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.length == pairs.distinct.length, "pair surfaced by more than one band")
+    rows.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
   }
 
   test("brute topk returns k ranked neighbors per query") {
