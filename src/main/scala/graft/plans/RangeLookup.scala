@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.types.{DataType, IntegerType}
 
@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * validates at build time.
   */
 case class RangeLookup(child: Expression, los: Array[Long], his: Array[Long])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
@@ -36,6 +36,32 @@ case class RangeLookup(child: Expression, los: Array[Long], his: Array[Long])
       else return mid + 1 // 1-based for element_at
     }
     null
+  }
+
+  /** Inline binary search in generated code; the sorted bound arrays ride
+    * as expression references. A miss sets the result null (the generated
+    * block owns null-out, not just child-null propagation). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val losRef = ctx.addReferenceObj("rangeLos", los, "long[]")
+    val hisRef = ctx.addReferenceObj("rangeHis", his, "long[]")
+    nullSafeCodeGen(ctx, ev, key => {
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      val found = ctx.freshName("found")
+      s"""
+         |int $lo = 0;
+         |int $hi = $losRef.length - 1;
+         |boolean $found = false;
+         |while ($lo <= $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  if ($key < $losRef[$mid]) { $hi = $mid - 1; }
+         |  else if ($key > $hisRef[$mid]) { $lo = $mid + 1; }
+         |  else { ${ev.value} = $mid + 1; $found = true; break; }
+         |}
+         |if (!$found) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

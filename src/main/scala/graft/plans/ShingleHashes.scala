@@ -5,7 +5,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -25,32 +25,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * `false` keeps positional order (winnowing needs positions).
   */
 case class ShingleHashes(child: Expression, k: Int, distinct: Boolean, salt: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "shingle_hashes"
 
-  override def nullSafeEval(input: Any): Any = {
-    val words = ShingleHashes.splitWords(input.asInstanceOf[UTF8String].toString)
-    if (words.length < k) return new GenericArrayData(Array.empty[Long])
-    val n = words.length - k + 1
-    val out = new Array[Long](n)
-    val sb = new java.lang.StringBuilder(64)
-    var i = 0
-    while (i < n) {
-      sb.setLength(0)
-      var j = 0
-      while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(i + j))
-        j += 1
-      }
-      out(i) = ShingleHashes.hash64(if (salt.isEmpty) sb.toString else salt + sb)
-      i += 1
-    }
-    new GenericArrayData(if (distinct) out.distinct else out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.evalText(input.asInstanceOf[UTF8String], k, distinct, salt)
+
+  /** Generated code calls the static hashing loop directly — the expression
+    * stays inside the WholeStageCodegen span (no interpreted-eval boundary,
+    * no per-row InternalRow boxing the CodegenFallback path pays). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val saltLit = salt.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""${ev.value} = graft.plans.ShingleHashes.evalText($c, $k, $distinct, "$saltLit");"""
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -81,6 +72,28 @@ object ShingleHashes {
   /** Mirrors `split(lower(text), "\\s+")` + drop empties. */
   def splitWords(text: String): Array[String] =
     text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  /** The single-pass shingle-hash loop, callable from generated code. */
+  def evalText(input: UTF8String, k: Int, distinct: Boolean, salt: String): GenericArrayData = {
+    val words = splitWords(input.toString)
+    if (words.length < k) return new GenericArrayData(Array.empty[Long])
+    val n = words.length - k + 1
+    val out = new Array[Long](n)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = hash64(if (salt.isEmpty) sb.toString else salt + sb)
+      i += 1
+    }
+    new GenericArrayData(if (distinct) out.distinct else out)
+  }
 
   def apply(c: Column, k: Int, distinct: Boolean, salt: String = ""): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(c), k, distinct, salt))

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -20,14 +20,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * semantics); `false` drops it (shingle semantics). */
 case class ShingleStrings(child: Expression, k: Int, distinct: Boolean,
     stride: Int = 1, partial: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "shingle_strings"
 
-  override def nullSafeEval(input: Any): Any = {
-    val words = ShingleHashes.splitWords(input.asInstanceOf[UTF8String].toString)
+  override def nullSafeEval(input: Any): Any =
+    ShingleStrings.evalText(input.asInstanceOf[UTF8String], k, distinct, stride, partial)
+
+  /** Generated code calls the static loop — stays in WholeStageCodegen. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.plans.ShingleStrings.evalText($c, $k, $distinct, $stride, $partial);""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleStrings {
+
+  /** The single-pass chunk/shingle loop, callable from generated code. */
+  def evalText(input: UTF8String, k: Int, distinct: Boolean,
+      stride: Int, partial: Boolean): GenericArrayData = {
+    val words = ShingleHashes.splitWords(input.toString)
     val last = if (partial) words.length - 1 else words.length - k
     if (last < 0) return new GenericArrayData(Array.empty[Any])
     val out = Array.newBuilder[Any]
@@ -47,12 +63,6 @@ case class ShingleStrings(child: Expression, k: Int, distinct: Boolean,
     val arr = out.result()
     new GenericArrayData(if (distinct) arr.distinct else arr)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object ShingleStrings {
   def apply(c: Column, k: Int, distinct: Boolean): Column =
     GraftBridge.column(ShingleStrings(GraftBridge.expression(c), k, distinct))
 
