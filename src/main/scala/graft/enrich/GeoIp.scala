@@ -54,6 +54,10 @@ object GeoIp {
       o.getItem(2).cast("long") * 256L + o.getItem(3).cast("long")
   }
 
+  /** Driver-side dotted-quad → long (for building literals/oracle SQL). */
+  def ipToLong(ip: String): Long =
+    ip.split("\\.").map(_.toLong).foldLeft(0L)((a, o) => a * 256 + o)
+
   val ipToIntSql: String =
     """(CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216 +
       |   CAST(string_split(ip, '.')[2] AS BIGINT) * 65536 +
@@ -74,9 +78,10 @@ object GeoIp {
     * attributes by index from literal arrays. Valid whenever the dim is
     * broadcast-small and intervals are disjoint — exactly the GeoIP case;
     * at 1000 executors this removes the NLJ probe loop from every scanned
-    * event row. */
-  def enrichFast(users: DataFrame): DataFrame = {
-    val sorted = ranges.sortBy(_.lo).toArray
+    * event row. Pass a dim loaded from a real MaxMind CSV export via
+    * [[MaxMindCsv.loadRanges]]; defaults to the built-in stand-in. */
+  def enrichFast(users: DataFrame, dim: Seq[IpRange] = ranges): DataFrame = {
+    val sorted = dim.sortBy(_.lo).toArray
     val idx = graft.plans.RangeLookup(ipToInt(col("ip")),
       sorted.map(_.lo), sorted.map(_.hi))
     val countries = typedLit(sorted.map(_.country).toSeq)

@@ -1,0 +1,105 @@
+package graft.enrich
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** uap-core `regexes.yaml` loader (SURVEY §2a #14; reference
+  * event.rs:148-176 falls back to the full UserAgentParser database for
+  * non-lichess UAs).
+  *
+  * Parses the published uap-core file format — three parser lists
+  * (`user_agent_parsers`, `os_parsers`, `device_parsers`), each item a
+  * `regex` plus optional `*_replacement` templates — and compiles each list
+  * into a first-match-wins `when()` cascade over `rlike`/`regexp_extract`:
+  * the same pluggable-pattern shape as [[UserAgents]], but driven by the
+  * real database instead of the built-in subset. Pure column logic —
+  * whole-stage codegen, no UDFs, no shuffle; the dim is compiled into the
+  * plan, so the event side scans exactly as before.
+  *
+  * The YAML subset implemented is what regexes.yaml actually uses: a
+  * top-level `key:` per section, `- key: value` items, single- or
+  * double-quoted scalars. (No anchors, no nesting beyond one level.)
+  */
+object UapCore {
+
+  final case class Pattern(regex: String, replacement: Option[String])
+  final case class Db(clients: Seq[Pattern], os: Seq[Pattern], devices: Seq[Pattern])
+
+  private val sectionKeys = Map(
+    "user_agent_parsers" -> "family_replacement",
+    "os_parsers" -> "os_replacement",
+    "device_parsers" -> "device_replacement")
+
+  /** Parse regexes.yaml content (pass `scala.io.Source.fromFile(...).mkString`
+    * or any string of the same format — the dim file is driver-side config,
+    * like the reference's parser database). */
+  def parse(yaml: String): Db = {
+    val sections = mutable.Map.empty[String, mutable.ListBuffer[mutable.Map[String, String]]]
+    var current: String = ""
+    var item: mutable.Map[String, String] = null
+    yaml.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#') // uap-core uses full-line comments only
+      val trimmed = line.trim
+      if (trimmed.nonEmpty) {
+        if (!line.startsWith(" ") && trimmed.endsWith(":")) {
+          current = trimmed.dropRight(1)
+          sections.getOrElseUpdate(current, mutable.ListBuffer.empty)
+          item = null
+        } else if (trimmed.startsWith("- ")) {
+          item = mutable.Map.empty
+          sections.getOrElseUpdate(current, mutable.ListBuffer.empty) += item
+          putKv(item, trimmed.drop(2))
+        } else if (item != null) {
+          putKv(item, trimmed)
+        }
+      }
+    }
+    def patterns(section: String): Seq[Pattern] = {
+      val replKey = sectionKeys(section)
+      sections.getOrElse(section, mutable.ListBuffer.empty).toSeq
+        .flatMap(m => m.get("regex").map(r => Pattern(r, m.get(replKey))))
+    }
+    Db(patterns("user_agent_parsers"), patterns("os_parsers"), patterns("device_parsers"))
+  }
+
+  private def putKv(item: mutable.Map[String, String], kv: String): Unit = {
+    val i = kv.indexOf(':')
+    if (i > 0) {
+      val k = kv.substring(0, i).trim
+      item(k) = unquote(kv.substring(i + 1).trim)
+    }
+  }
+
+  private def unquote(v: String): String =
+    if (v.length >= 2 && v.head == '\'' && v.last == '\'')
+      v.substring(1, v.length - 1).replace("''", "'")
+    else if (v.length >= 2 && v.head == '"' && v.last == '"')
+      v.substring(1, v.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
+    else v
+
+  /** First-match-wins family cascade: `replacement` template with `$1`
+    * substituted by the first capture group, else the raw replacement, else
+    * group 1 — uap-core's documented resolution rule. */
+  def family(ua: Column, patterns: Seq[Pattern], default: String = "Other"): Column =
+    patterns.foldRight(lit(default)) { (p, els) =>
+      when(ua.rlike(p.regex), familyExpr(ua, p)).otherwise(els)
+    }
+
+  private def familyExpr(ua: Column, p: Pattern): Column = p.replacement match {
+    case Some(t) if t.contains("$1") =>
+      val parts = t.split("\\$1", -1)
+      val g1 = regexp_extract(ua, p.regex, 1)
+      concat(parts.zipWithIndex.flatMap { case (s, i) =>
+        (if (i == 0) Seq.empty else Seq(g1)) ++ (if (s.isEmpty) Seq.empty else Seq(lit(s)))
+      }: _*)
+    case Some(t) => lit(t)
+    case None => regexp_extract(ua, p.regex, 1)
+  }
+
+  /** (device, os, client) columns from a loaded db — the dim-driven analog
+    * of [[UserAgents.parse]]'s built-in fallback stage. */
+  def parseColumns(ua: Column, db: Db): (Column, Column, Column) =
+    (family(ua, db.devices), family(ua, db.os), family(ua, db.clients))
+}

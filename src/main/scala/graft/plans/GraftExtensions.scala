@@ -9,6 +9,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *   shingle_hashes(text, k, distinct, salt) → array<bigint>
   *   vector_dot(a, b)                        → double
+  *   is_in_ip_range(ip, lo, hi)              → boolean
   *
   * Activate with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -20,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shingleHashesFn)
     ext.injectFunction(GraftExtensions.shingleStringsFn)
     ext.injectFunction(GraftExtensions.vectorDotFn)
+    ext.injectFunction(GraftExtensions.isInIpRangeFn)
   }
 }
 
@@ -59,6 +61,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
     args => VectorDot(args(0), args(1)))
 
+  val isInIpRangeFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("is_in_ip_range"),
+    new ExpressionInfo(classOf[IsInIpRange].getName, "is_in_ip_range"),
+    args => IsInIpRange(args(0), args(1), args(2)))
+
   /** Register on a live session (the extensions path needs builder-time
     * configuration; this covers driver-provided sessions). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -66,5 +73,6 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("shingle_hashes", shingleHashesFn._3, "scala_udf")
     reg.createOrReplaceTempFunction("shingle_strings", shingleStringsFn._3, "scala_udf")
     reg.createOrReplaceTempFunction("vector_dot", vectorDotFn._3, "scala_udf")
+    reg.createOrReplaceTempFunction("is_in_ip_range", isInIpRangeFn._3, "scala_udf")
   }
 }

@@ -229,9 +229,15 @@ object RuleQueries {
     ("l_mail_or_ip", "email LIKE '%@mail2%' OR ip LIKE '1.%'",
       "email LIKE '%@mail2%' OR ip LIKE '1.%'"),
     ("l_regex", "username RLIKE '^user_1[0-9]$'",
-      "regexp_matches(username, '^user_1[0-9]$')"))
+      "regexp_matches(username, '^user_1[0-9]$')"),
+    // the reference's isInIpRange Lua helper (lua.rs:85-100), exposed to SQL
+    // criteria via GraftExtensions; oracle spells the same octet math inline
+    ("l_ip_range", "is_in_ip_range(ip, '64.0.0.0', '127.255.255.255')",
+      s"${graft.enrich.GeoIp.ipToIntSql} BETWEEN ${graft.enrich.GeoIp.ipToLong("64.0.0.0")} " +
+        s"AND ${graft.enrich.GeoIp.ipToLong("127.255.255.255")}"))
 
   def ruLua(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(spark) // is_in_ip_range for sqlCriterion
     val s = signups(spark, sfDir)
     luaCorpus.map { case (name, sparkPred, _) =>
       s.filter(RuleEngine.sqlCriterion(sparkPred))

@@ -17,6 +17,15 @@ class ApiSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 11.0)
   }
 
+  test("is_in_ip_range: the Lua ip-range criterion helper in SQL") {
+    graft.plans.GraftExtensions.install(spark)
+    val r = spark.sql(
+      """SELECT is_in_ip_range('10.0.0.5', '10.0.0.0', '10.255.255.255'),
+        |  is_in_ip_range('11.0.0.0', '10.0.0.0', '10.255.255.255'),
+        |  is_in_ip_range('10.0.0.0', '10.0.0.0', '10.0.0.0')""".stripMargin).head
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2))
+  }
+
   test("rule store: save/load/add/remove/sweep roundtrip") {
     val dir = java.nio.file.Files.createTempDirectory("rules").toString + "/rules.json"
     val rules = graft.rules.Rules.df(spark)

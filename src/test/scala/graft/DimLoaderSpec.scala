@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-format dim loaders: MaxMind CSV export → geo dim; uap-core
+  * regexes.yaml → UA parse cascade. */
+class DimLoaderSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def write(dir: java.nio.file.Path, name: String, content: String): String = {
+    val p = dir.resolve(name)
+    Files.write(p, content.getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("MaxMind CSV blocks+locations load into the geo dim with correct CIDR math") {
+    val dir = Files.createTempDirectory("mmcsv")
+    val blocks = write(dir, "blocks.csv",
+      """network,geoname_id,registered_country_geoname_id,represented_country_geoname_id,is_anonymous_proxy,is_satellite_provider,postal_code,latitude,longitude,accuracy_radius
+        |1.0.0.0/24,2077456,2077456,,0,0,,-33.4940,143.2104,1000
+        |1.0.4.0/22,2158177,2077456,,0,0,3000,-37.8349,144.9631,20
+        |8.8.8.0/24,5375480,6252001,,0,0,94035,37.3860,-122.0838,1000
+        |""".stripMargin)
+    val locs = write(dir, "locations.csv",
+      """geoname_id,locale_code,continent_code,continent_name,country_iso_code,country_name,subdivision_1_iso_code,subdivision_1_name,subdivision_2_iso_code,subdivision_2_name,city_name,metro_code,time_zone,is_in_european_union
+        |2077456,en,OC,Oceania,AU,Australia,,,,,,,Australia/Sydney,0
+        |2158177,en,OC,Oceania,AU,Australia,VIC,Victoria,,,Melbourne,,Australia/Melbourne,0
+        |5375480,en,NA,"North America",US,United States,CA,California,,,"Mountain View",807,America/Los_Angeles,0
+        |""".stripMargin)
+
+    val dim = enrich.MaxMindCsv.loadDim(spark, blocks, locs).orderBy(col("lo")).collect()
+    assert(dim.length == 3)
+    // 1.0.0.0/24 → [16777216, 16777471]
+    assert(dim(0).getLong(0) == 16777216L && dim(0).getLong(1) == 16777471L)
+    assert(dim(0).getString(2) == "Australia" && dim(0).getString(3) == "")
+    // 1.0.4.0/22 spans 1024 addresses
+    assert(dim(1).getLong(1) - dim(1).getLong(0) == 1023L)
+    assert(dim(1).getString(3) == "Melbourne")
+    assert(dim(1).getSeq[String](4) == Seq("Victoria"))
+    // quoted city with comma handled by the CSV reader
+    assert(dim(2).getString(3) == "Mountain View")
+
+    // ranges feed both enrichment paths and agree
+    val ranges = enrich.MaxMindCsv.loadRanges(spark, blocks, locs)
+    assert(ranges.map(_.city) == Seq("", "Melbourne", "Mountain View"))
+    import spark.implicits._
+    val users = Seq((1L, "1.0.4.77"), (2L, "8.8.8.8"), (3L, "9.9.9.9"))
+      .toDF("event_id", "ip")
+    val fast = enrich.GeoIp.enrichFast(users, ranges)
+      .select("event_id", "city").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(fast(1L).contains("Melbourne"))
+    assert(fast(2L).contains("Mountain View"))
+    assert(fast(3L).isEmpty)
+    val viaJoin = enrich.GeoIp.enrich(users, enrich.MaxMindCsv.loadDim(spark, blocks, locs))
+      .select("event_id", "city").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(viaJoin == fast)
+  }
+
+  test("uap-core regexes.yaml compiles to the regexp cascade") {
+    val yaml =
+      """user_agent_parsers:
+        |  - regex: '(ESPN)[%20| ]+Radio/(\d+)'
+        |    family_replacement: 'ESPN'
+        |  - regex: 'Firefox/(\d+)\.(\d+)'
+        |    family_replacement: 'Firefox'
+        |  - regex: '(Chrome)/(\d+)'
+        |  - regex: 'PyAmf/(\d+)'
+        |    family_replacement: 'PyAmf $1'
+        |
+        |os_parsers:
+        |  - regex: 'Windows NT 10\.0'
+        |    os_replacement: 'Windows'
+        |  - regex: '(CentOS)'
+        |
+        |device_parsers:
+        |  - regex: 'iPhone'
+        |    device_replacement: 'iPhone'
+        |""".stripMargin
+    val db = enrich.UapCore.parse(yaml)
+    assert(db.clients.length == 4)
+    assert(db.clients(0).replacement.contains("ESPN"))
+    assert(db.clients(2).replacement.isEmpty)
+    assert(db.os.length == 2 && db.devices.length == 1)
+
+    import spark.implicits._
+    val uas = Seq(
+      "Mozilla/5.0 (Windows NT 10.0) Chrome/120.0 Safari/537.36",
+      "Mozilla/5.0 (X11; CentOS) Firefox/115.0",
+      "PyAmf/3.2 (iPhone)",
+      "weird-client/0.1").toDF("ua")
+    val (dev, os, client) = enrich.UapCore.parseColumns(col("ua"), db)
+    val rows = uas.select(client.as("c"), os.as("o"), dev.as("d")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows(0) == (("Chrome", "Windows", "Other")))
+    assert(rows(1) == (("Firefox", "CentOS", "Other")))
+    assert(rows(2) == (("PyAmf 3", "Other", "iPhone")))
+    assert(rows(3) == (("Other", "Other", "Other")))
+  }
+}
