@@ -252,23 +252,37 @@ object RuleQueries {
 
   // ---- `signup rules show` formatting (eventhandler.rs:300-330) -----------
 
+  /** Criterion friendly-text (rules.rs:274-284), shared by the rule display
+    * and the Zulip log message. */
+  val criterionFriendly: org.apache.spark.sql.Column =
+    when(col("kind") === "ip_match", concat(lit("IP equals `"), col("pattern"), lit("`")))
+      .when(col("kind") === "print_match",
+        concat(lit("Fingerprint hash equals `"), col("pattern"), lit("`")))
+      .when(col("kind") === "email_contains",
+        concat(lit("Email address contains `"), col("pattern"), lit("`")))
+      .when(col("kind") === "email_regex",
+        concat(lit("Email address matches regular expression `"), col("pattern"), lit("`")))
+      .when(col("kind") === "username_contains",
+        concat(lit("Username contains (case-insensitive) `"), col("pattern"), lit("`")))
+      .when(col("kind") === "username_regex",
+        concat(lit("Username matches regular expression `"), col("pattern"), lit("`")))
+      .otherwise(concat(lit("User agent length is less than or equal to "),
+        col("num_arg").cast("string")))
+
+  val criterionFriendlySql: String =
+    """CASE kind
+      |    WHEN 'ip_match' THEN 'IP equals `' || pattern || '`'
+      |    WHEN 'print_match' THEN 'Fingerprint hash equals `' || pattern || '`'
+      |    WHEN 'email_contains' THEN 'Email address contains `' || pattern || '`'
+      |    WHEN 'email_regex' THEN 'Email address matches regular expression `' || pattern || '`'
+      |    WHEN 'username_contains' THEN 'Username contains (case-insensitive) `' || pattern || '`'
+      |    WHEN 'username_regex' THEN 'Username matches regular expression `' || pattern || '`'
+      |    ELSE 'User agent length is less than or equal to ' || num_arg END""".stripMargin
+
   /** Human-readable rule display: criterion friendly-text
     * (rules.rs:274-284), actions, delay + expiry suffixes. */
   def ruShow(spark: SparkSession, sfDir: String): DataFrame = {
-    val friendly =
-      when(col("kind") === "ip_match", concat(lit("IP equals `"), col("pattern"), lit("`")))
-        .when(col("kind") === "print_match",
-          concat(lit("Fingerprint hash equals `"), col("pattern"), lit("`")))
-        .when(col("kind") === "email_contains",
-          concat(lit("Email address contains `"), col("pattern"), lit("`")))
-        .when(col("kind") === "email_regex",
-          concat(lit("Email address matches regular expression `"), col("pattern"), lit("`")))
-        .when(col("kind") === "username_contains",
-          concat(lit("Username contains (case-insensitive) `"), col("pattern"), lit("`")))
-        .when(col("kind") === "username_regex",
-          concat(lit("Username matches regular expression `"), col("pattern"), lit("`")))
-        .otherwise(concat(lit("User agent length is less than or equal to "),
-          col("num_arg").cast("string")))
+    val friendly = criterionFriendly
     Rules.df(spark).select(col("name"),
       concat(
         lit("Criterion: "), friendly,
@@ -325,7 +339,75 @@ object RuleQueries {
        |  FROM m) t
        |WHERE rn = 1""".stripMargin)
 
+  // ---- Zulip notification text assembly (eventhandler.rs:196-253) ---------
+
+  /** The two Zulip message bodies the reference posts on a rule match:
+    *
+    *  - `notify_text` (the NotifyZulip action, eventhandler.rs:199-205):
+    *    `Rule {name} match: [{username}](https://lichess.org/@/{user_id}?mod)`
+    *    with `user_id` = lowercased username (eventhandler.rs:91);
+    *  - `log_text` (the log-stream message, eventhandler.rs:222-253):
+    *    `Rule {name} match: {criterion friendly} on [{username}](…?mod).
+    *    {match_count} previous matches. Recent matches: {links | None}` —
+    *    `match_count`/`most_recent_caught` reproduce rules.rs:147-158: one
+    *    count per distinct caught username, last 3 kept as markdown links.
+    *
+    * The reference's 3-entry ring can RE-count a username after eviction
+    * (rules.rs:147 checks only the current ring); batch semantics dedupe per
+    * (rule, username) globally — the one sequential-state artifact not
+    * reproduced, noted here. Everything is window + string assembly; the
+    * Zulip TRANSPORT (rtm.rs/web.rs) is I/O, not query capability. */
+  def ruNotifyText(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = RuleEngine.matches(signups(spark, sfDir), Rules.df(spark))
+    // first match per (rule, username) — rules.rs:147-151's dedup-before-count
+    val wFirst = Window.partitionBy(col("name"), col("username"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val caught = m.withColumn("dup", row_number().over(wFirst)).filter(col("dup") === 1)
+    val wSeq = Window.partitionBy(col("name")).orderBy(col("ts_us").asc, col("event_id").asc)
+    val wRecent = wSeq.rowsBetween(-3, -1)
+    val link = (u: org.apache.spark.sql.Column) =>
+      concat(lit("["), u, lit("](https://lichess.org/@/"), u, lit("?mod)"))
+    val recentArr = collect_list(col("username")).over(wRecent)
+    caught.select(
+      col("event_id"), col("name").as("rule_name"),
+      concat(lit("Rule "), col("name"), lit(" match: ["), col("username"),
+        lit("](https://lichess.org/@/"), lower(col("username")), lit("?mod)"))
+        .as("notify_text"),
+      concat(lit("Rule "), col("name"), lit(" match: "), criterionFriendly,
+        lit(" on "), link(col("username")), lit(". "),
+        (row_number().over(wSeq) - 1).cast("string"), lit(" previous matches. "),
+        lit("Recent matches: "),
+        when(size(recentArr) === 0, lit("None"))
+          .otherwise(array_join(transform(recentArr, link), ", ")))
+        .as("log_text"))
+  }
+
+  val ruNotifyTextSql: String = withCtes(
+    s""", m AS (
+       |  SELECT s.username, s.ts_us, s.event_id, r.name, r.kind, r.pattern, r.num_arg
+       |  FROM signups s JOIN rules r ON ${RuleEngine.matchConditionSql()}
+       |),
+       |caught AS (
+       |  SELECT * FROM m
+       |  QUALIFY row_number() OVER (PARTITION BY name, username
+       |    ORDER BY ts_us ASC, event_id ASC) = 1)
+       |SELECT event_id, name AS rule_name,
+       |  'Rule ' || name || ' match: [' || username || '](https://lichess.org/@/'
+       |    || lower(username) || '?mod)' AS notify_text,
+       |  'Rule ' || name || ' match: ' || $criterionFriendlySql
+       |    || ' on [' || username || '](https://lichess.org/@/' || username || '?mod). '
+       |    || CAST(row_number() OVER w - 1 AS VARCHAR) || ' previous matches. '
+       |    || 'Recent matches: '
+       |    || coalesce(string_agg('[' || username || '](https://lichess.org/@/'
+       |         || username || '?mod)', ', ')
+       |         OVER (PARTITION BY name ORDER BY ts_us ASC, event_id ASC
+       |               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 'None')
+       |  AS log_text
+       |FROM caught
+       |WINDOW w AS (PARTITION BY name ORDER BY ts_us ASC, event_id ASC)""".stripMargin)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ru_notify_text" -> (ruNotifyText _),
     "ru_notify" -> (ruNotify _),
     "ru_lua" -> (ruLua _),
     "ru_show" -> (ruShow _),
@@ -340,6 +422,7 @@ object RuleQueries {
     "ru_actions" -> (ruActions _))
 
   def oracleSql: Map[String, String] = Map(
+    "ru_notify_text" -> ruNotifyTextSql,
     "ru_notify" -> ruNotifySql,
     "ru_lua" -> ruLuaSql,
     "ru_show" -> ruShowSql,
