@@ -14,6 +14,7 @@ object SparkEntry {
     (dedup.Dedup.queries, dedup.Dedup.oracleSql),
     (sim.Similarity.queries, sim.Similarity.oracleSql),
     (text.TextOps.queries, text.TextOps.oracleSql),
+    (sample.Sampling.queries, sample.Sampling.oracleSql),
     (streaming.StreamOps.queries, streaming.StreamOps.oracleSql),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracleSql))
 

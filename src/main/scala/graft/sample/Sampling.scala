@@ -1,0 +1,98 @@
+package graft.sample
+
+import graft.Tables
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators (SURVEY §2e addendum) — the
+  * class-balancing passes a training-data pipeline runs over a mixed corpus.
+  *
+  * Both are HASH-deterministic, not RNG-based: the keep decision is a pure
+  * function of the row key, so (a) the sample is reproducible across runs,
+  * engines, and cluster sizes — no seed plumbing, no partition-order
+  * dependence; (b) it needs no shuffle for the rate filter (the hash is
+  * map-side column math) and exactly one for the per-stratum top-K.
+  * This is the production idiom (hash-mod sampling) rather than
+  * `DataFrame.sample`, whose output depends on partitioning.
+  */
+object Sampling {
+
+  /** Per-language keep-rates (percent) — downsample the dominant class,
+    * keep the tails: the class-rebalancing dial. Rates are a dim table;
+    * production swaps in computed rates (target_count / class_count). */
+  val rates: Seq[(String, Int)] = Seq(
+    "en" -> 10, "es" -> 50, "de" -> 50, "fr" -> 25, "zh" -> 20)
+
+  def ratesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    rates.toDF("rlang", "rate")
+  }
+
+  val ratesValuesSql: String =
+    "rates(rlang, rate) AS (VALUES " +
+      rates.map { case (l, r) => s"('$l', $r)" }.mkString(", ") + ")"
+
+  /** Hash bucket in [0, 100): the engine's portable 60-bit hash of the
+    * salted doc_id, mod 100 — identical on both engines. */
+  private def bucket = pmod(
+    Portable.hash64(col("doc_id").cast("string"), salt = "samp"), lit(100L))
+
+  private val bucketSql =
+    s"""${Portable.hash64Sql("CAST(doc_id AS VARCHAR)", "samp")} % 100"""
+
+  // ---- stratified rate sampling -------------------------------------------
+
+  /** Keep a per-stratum fraction: bucket < rate[lang]. Zero shuffles — the
+    * rate dim broadcasts and the filter is map-side; at 100 TB this is a
+    * pushdown-friendly scan transform, not a sampling JOB. */
+  def stratified(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).documents
+      .join(broadcast(ratesDf(spark)), col("lang") === col("rlang"))
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+
+  val stratifiedSql: String =
+    s"""WITH $ratesValuesSql
+       |SELECT doc_id, lang, $bucketSql AS bucket
+       |FROM documents JOIN rates ON lang = rlang
+       |WHERE $bucketSql < rate""".stripMargin
+
+  // ---- per-stratum reservoir (exact-K) ------------------------------------
+
+  val reservoirK = 20
+
+  /** Exactly K rows per stratum, chosen by hash order — the batch-
+    * deterministic analog of per-class reservoir sampling (same marginal:
+    * every row equally likely under the hash's uniformity, but stable).
+    * One shuffle on lang; per-partition partial top-K feeds the window. */
+  def reservoir(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("bucket").asc, col("hash_tb").asc)
+    Tables(spark, sfDir).documents
+      .withColumn("bucket", bucket)
+      .withColumn("hash_tb", Portable.hash64(col("doc_id").cast("string"), salt = "tb"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= reservoirK)
+      .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+  }
+
+  val reservoirSql: String =
+    s"""SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY $bucketSql ASC,
+       |        ${Portable.hash64Sql("CAST(doc_id AS VARCHAR)", "tb")} ASC) AS rn
+       |  FROM documents) t
+       |WHERE rn <= $reservoirK""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "samp_stratified" -> (stratified _),
+    "samp_reservoir" -> (reservoir _))
+
+  def oracleSql: Map[String, String] = Map(
+    "samp_stratified" -> stratifiedSql,
+    "samp_reservoir" -> reservoirSql)
+}

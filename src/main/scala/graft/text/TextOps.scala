@@ -203,13 +203,49 @@ object TextOps {
        |JOIN ($qualitySql) q ON q.doc_id = d.doc_id
        |LEFT JOIN ($langIdSql) l ON l.doc_id = d.doc_id""".stripMargin
 
+  // ---- PII scrub (the pre-training redaction pass) ------------------------
+
+  /** PII detection + redaction — the scrub every corpus runs before
+    * training: find email addresses and dotted-quad IPs in free text,
+    * count them, and replace with placeholder tokens. Patterns are
+    * RE2-safe (no lookaround/backtracking) so Spark's Java regex and the
+    * oracle's RE2 agree; both `regexp_replace`s are global. The text under
+    * scrub is the signup contact blob (the synthetic corpus has no embedded
+    * PII; signups carry the real shapes). Pure codegen'd column ops. */
+  def pii(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = graft.events.Signups.derive(spark, sfDir)
+    val blob = concat_ws(" ", lit("user"), col("username"), lit("wrote: contact"),
+      col("email"), lit("or visit"), col("ip"))
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    s.select(col("event_id"),
+      regexp_count(blob, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(blob, lit(ipRe)).cast("long").as("n_ips"),
+      regexp_replace(regexp_replace(blob, lit(emailRe), lit("<EMAIL>")),
+        lit(ipRe), lit("<IP>")).as("redacted"))
+  }
+
+  val piiSql: String = {
+    val blob = "'user ' || username || ' wrote: contact ' || email || ' or visit ' || ip"
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    graft.events.Signups.sqlCte +
+      s"""SELECT event_id,
+         |  CAST(len(regexp_extract_all($blob, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all($blob, '$ipRe')) AS BIGINT) AS n_ips,
+         |  regexp_replace(regexp_replace($blob, '$emailRe', '<EMAIL>', 'g'),
+         |    '$ipRe', '<IP>', 'g') AS redacted
+         |FROM signups""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_langid" -> (langId _),
     "tx_quality" -> (quality _),
     "tx_tokens" -> (tokens _),
     "tx_fingerprint" -> (fingerprint _),
     "tx_top_ngrams" -> (topKNgrams _),
-    "tx_filter" -> (filterPass _))
+    "tx_filter" -> (filterPass _),
+    "tx_pii" -> (pii _))
 
   def oracleSql: Map[String, String] = Map(
     "tx_langid" -> langIdSql,
@@ -217,5 +253,6 @@ object TextOps {
     "tx_tokens" -> tokensSql,
     "tx_fingerprint" -> fingerprintSql,
     "tx_top_ngrams" -> topKNgramsSql,
-    "tx_filter" -> filterPassSql)
+    "tx_filter" -> filterPassSql,
+    "tx_pii" -> piiSql)
 }
