@@ -55,14 +55,23 @@ object Dedup {
     s"""sh0 AS (SELECT doc_id, ${Portable.wordsSql} AS w FROM documents),
        |shd AS (SELECT doc_id, ${Portable.shinglesSql()} AS sh FROM sh0)""".stripMargin
 
-  /** The (doc_id, shingle-hash) inverted index both near-dup pipelines
-    * start from — int64 keys (cheaper shuffle keys than 20-char strings),
-    * one MD5 per shingle. Callers that run several sketches (e.g. the
-    * recall audit) persist ONE of these and feed it to both. */
-  def invIndex(spark: SparkSession, sfDir: String): DataFrame =
+  /** Per-doc shingle-hash ARRAYS — the shared base of both near-dup
+    * pipelines (one MD5 per shingle, single pass). The Jaccard path
+    * explodes it into the inverted index; the MinHash path folds it into
+    * signatures WITHOUT exploding. Callers that run several sketches (the
+    * recall audit) persist ONE of these and feed both. */
+  def shingleArrays(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
       .select(col("doc_id"),
-        explode(graft.plans.ShingleHashes(col("text"), 3, distinct = true)).as("hs"))
+        graft.plans.ShingleHashes(col("text"), 3, distinct = true).as("hs_arr"))
+
+  /** The exploded (doc_id, shingle-hash) inverted index — int64 keys
+    * (cheaper shuffle keys than 20-char strings). */
+  def invIndex(spark: SparkSession, sfDir: String): DataFrame =
+    invIndexFrom(shingleArrays(spark, sfDir))
+
+  def invIndexFrom(arrs: DataFrame): DataFrame =
+    arrs.select(col("doc_id"), explode(col("hs_arr")).as("hs"))
 
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     ngramJaccardFrom(invIndex(spark, sfDir))
@@ -126,22 +135,23 @@ object Dedup {
   }
 
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
-    minhashLshFrom(invIndex(spark, sfDir))
+    minhashLshFromArrays(shingleArrays(spark, sfDir))
 
-  def minhashLshFrom(rawInv: DataFrame): DataFrame = {
-    // explode → groupBy: each shingle is MD5-hashed exactly once; the 16
-    // affine derivations are codegen'd int ops inside a partial (map-side)
-    // min-aggregation. Signatures stay un-shuffled beyond the doc_id group.
-    val inv = rawInv.select(col("doc_id"), (col("hs") % mersenneP).as("h32"))
-    val sigs = inv.groupBy(col("doc_id")).agg(
-      min((col("h32") * hashAB.head._1 + hashAB.head._2) % mersenneP).as("mh0"),
-      hashAB.zipWithIndex.tail.map { case ((a, b), i) =>
-        min((col("h32") * a + b) % mersenneP).as(s"mh$i")
-      }: _*)
+  def minhashLshFromArrays(arrs: DataFrame): DataFrame = {
+    // signatures via the fused MinHashSigs expression: per-row column math,
+    // NO explode and NO aggregation shuffle — the first exchange in the
+    // whole pipeline is the band-bucket self-join below. Zero-shingle docs
+    // are filtered (the aggregation form produced no group for them).
+    val sigs = arrs.filter(size(col("hs_arr")) > 0)
+      .select(col("doc_id"),
+        graft.plans.MinHashSigs(col("hs_arr"), hashAB, mersenneP).as("mh"))
+    // packed int64 band key (band minima < 2^31): long equi-join keys beat
+    // the "mh0_mh1" string concat the oracle uses — pair OUTPUT is identical
     val bands = sigs.select(col("doc_id"), explode(array(
       (0 until numHashes / bandSize).map { b =>
         struct(lit(b).as("band"),
-          concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))
+          (col("mh").getItem(2 * b) * 2147483648L + col("mh").getItem(2 * b + 1))
+            .as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
       .persist() // both sides of the candidate self-join
@@ -272,11 +282,12 @@ object Dedup {
     * sample before committing band parameters at full scale — ground truth
     * is only computable on samples, candidates are cheap everywhere. */
   def lshRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    // ONE corpus scan + shingle-hash pass feeds both pipelines
-    val inv = invIndex(spark, sfDir).persist()
-    val truth = ngramJaccardFrom(inv).filter(col("jaccard") >= 0.2)
+    // ONE corpus scan + shingle-hash pass feeds both pipelines (arrays
+    // persist; Jaccard explodes them, MinHash folds them shuffle-free)
+    val arrs = shingleArrays(spark, sfDir).persist()
+    val truth = ngramJaccardFrom(invIndexFrom(arrs)).filter(col("jaccard") >= 0.2)
       .select(col("id_a"), col("id_b"))
-    val cand = minhashLshFrom(inv)
+    val cand = minhashLshFromArrays(arrs)
       .select(col("id_a").as("ca"), col("id_b").as("cb"))
     truth.join(cand, col("id_a") === col("ca") && col("id_b") === col("cb"), "left")
       .agg(count(lit(1)).as("n_truth"), count(col("ca")).as("n_hit"))
