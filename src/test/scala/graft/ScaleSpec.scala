@@ -112,6 +112,26 @@ class ScaleSpec extends AnyFunSuite {
     assert("Exchange ".r.findAllIn(p).size == 1, p.take(800))
   }
 
+  test("minhash signatures are shuffle-free per-row column math") {
+    val sigs = dedup.Dedup.shingleArrays(spark, sf)
+      .filter(size(col("hs_arr")) > 0)
+      .select(col("doc_id"),
+        plans.MinHashSigs(col("hs_arr"), dedup.Dedup.hashAB, dedup.Dedup.mersenneP)
+          .as("mh"))
+    val p = sigs.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"signature stage must not shuffle:\n${p.take(800)}")
+    // and the fused loop agrees with the aggregation form it replaced
+    val viaAgg = dedup.Dedup.invIndex(spark, sf)
+      .select(col("doc_id"), (col("hs") % dedup.Dedup.mersenneP).as("h32"))
+      .groupBy(col("doc_id"))
+      .agg(min((col("h32") * dedup.Dedup.hashAB.head._1 + dedup.Dedup.hashAB.head._2)
+        % dedup.Dedup.mersenneP).as("mh0"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sigs.collect().foreach { r =>
+      assert(r.getSeq[Long](1).head == viaAgg(r.getLong(0)))
+    }
+  }
+
   test("dd_clusters: distributed label propagation agrees with driver union-find") {
     val fast = dedup.Dedup.clusters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted
