@@ -137,23 +137,28 @@ object Dedup {
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     minhashLshFromArrays(shingleArrays(spark, sfDir))
 
-  def minhashLshFromArrays(arrs: DataFrame): DataFrame = {
-    // signatures via the fused MinHashSigs expression: per-row column math,
-    // NO explode and NO aggregation shuffle — the first exchange in the
-    // whole pipeline is the band-bucket self-join below. Zero-shingle docs
-    // are filtered (the aggregation form produced no group for them).
+  /** (doc_id, band, key) LSH band rows — signatures via the fused
+    * MinHashSigs expression: per-row column math, NO explode of shingles
+    * and NO aggregation shuffle. Packed int64 band key (band minima <
+    * 2^31): long equi-join keys beat the "mh0_mh1" string concat the
+    * oracle uses — downstream outputs are identical. Zero-shingle docs are
+    * filtered (the aggregation form produced no group for them). */
+  def bandRows(arrs: DataFrame): DataFrame = {
     val sigs = arrs.filter(size(col("hs_arr")) > 0)
       .select(col("doc_id"),
         graft.plans.MinHashSigs(col("hs_arr"), hashAB, mersenneP).as("mh"))
-    // packed int64 band key (band minima < 2^31): long equi-join keys beat
-    // the "mh0_mh1" string concat the oracle uses — pair OUTPUT is identical
-    val bands = sigs.select(col("doc_id"), explode(array(
+    sigs.select(col("doc_id"), explode(array(
       (0 until numHashes / bandSize).map { b =>
         struct(lit(b).as("band"),
           (col("mh").getItem(2 * b) * 2147483648L + col("mh").getItem(2 * b + 1))
             .as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  def minhashLshFromArrays(arrs: DataFrame): DataFrame = {
+    // the first exchange in the whole pipeline is the band self-join below
+    val bands = bandRows(arrs)
       .persist() // both sides of the candidate self-join
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

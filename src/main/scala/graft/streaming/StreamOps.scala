@@ -201,6 +201,44 @@ object StreamOps {
          |FROM signups s JOIN rules r ON ${RuleEngine.matchConditionSql()}""".stripMargin
   }
 
+  // ---- streaming near-dup (MinHash dedup-on-ingest) -----------------------
+
+  /** Dedup-on-ingest: documents stream through the fused MinHash signature
+    * (per-row column math, no shuffle), explode into LSH band rows, and the
+    * streaming state keeps min(doc_id) per (band, bucket) — bucket
+    * OWNERSHIP. A document survives ingest iff it owns at least one of its
+    * buckets (no earlier document claimed all of them) — the streaming
+    * analog of dd_minhash for filter-while-ingesting pipelines.
+    *
+    * State is one long per occupied (band, bucket) — O(corpus·bands) keys;
+    * production bounds it with a watermark/TTL on the bucket registry (stale
+    * buckets age out), the standard contract for streaming dedup state.
+    * min(doc_id) (not arrival order) keeps the batch replay deterministic. */
+  def minhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val src = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val arrs = src.select(col("doc_id"),
+      graft.plans.ShingleHashes(col("text"), 3, distinct = true).as("hs_arr"))
+    val owners = graft.dedup.Dedup.bandRows(arrs)
+      .groupBy(col("band"), col("key"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val name = "st_" + UUID.randomUUID().toString.replace("-", "")
+    val q = owners.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).select(col("keeper").as("doc_id")).distinct()
+  }
+
+  val minhashDedupSql: String =
+    s"""WITH ${graft.dedup.Dedup.minhashCtes}
+       |SELECT DISTINCT keeper AS doc_id FROM (
+       |  SELECT band, key, min(doc_id) AS keeper FROM bands GROUP BY 1, 2)""".stripMargin
+
   // ---- streaming similarity search ----------------------------------------
 
   /** Streaming ANN: the embedding corpus streams, the query set broadcasts,
@@ -246,6 +284,7 @@ object StreamOps {
   val annTopKSql: String = graft.sim.Similarity.bruteTopKSql
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_minhash_dedup" -> (minhashDedup _),
     "st_ann_topk" -> (annTopK _),
     "st_pipeline" -> (pipeline _),
     "st_window_counts" -> (windowCounts _),
@@ -255,6 +294,7 @@ object StreamOps {
     "st_seen_state" -> (seenState _))
 
   def oracleSql: Map[String, String] = Map(
+    "st_minhash_dedup" -> minhashDedupSql,
     "st_ann_topk" -> annTopKSql,
     "st_pipeline" -> pipelineSql,
     "st_window_counts" -> windowCountsSql,
