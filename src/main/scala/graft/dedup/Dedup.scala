@@ -362,20 +362,17 @@ object Dedup {
     * key values per band and degrades toward O(n²/64) at scale. (The word
     * hash is the engine's 60-bit md5-prefix, so the top 4 signature bits
     * are constant-0 on both engines — harmless.) */
-  def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
-    // k=1 shingles = distinct salted word hashes, single-pass per doc
-    val wordsTable = docs(spark, sfDir)
+  def simhashSigs(spark: SparkSession, sfDir: String): DataFrame =
+    // k=1 shingles = distinct salted word hashes, single pass per doc; the
+    // fused SimHashSig vote loop replaces explode + 64 conditional-sum
+    // aggregates — per-row column math, no shuffle (zero-word docs filtered,
+    // mirroring the aggregation form's absent groups)
+    docs(spark, sfDir)
       .select(col("doc_id"), col("lang"),
-        explode(graft.plans.ShingleHashes(col("text"), 1, distinct = true, salt = "sh"))
-          .as("h"))
-    val votes = (0 until simBits).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j"))
-    val sig = (0 until simBits).map(j =>
-      when(col(s"v$j") > 0, 1L << j).otherwise(0L)).reduce(_ + _)
-    wordsTable.groupBy(col("doc_id"), col("lang"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), col("lang"), sig.as("simhash"))
-  }
+        graft.plans.ShingleHashes(col("text"), 1, distinct = true, salt = "sh").as("ha"))
+      .filter(size(col("ha")) > 0)
+      .select(col("doc_id"), col("lang"),
+        graft.plans.SimHashSig(col("ha"), simBits).as("simhash"))
 
   /** Hamming ≤ 3 over 64 bits ⇒ at least one of 4 disjoint 16-bit bands is
     * identical (pigeonhole), so candidate pairs come from an equi-join on

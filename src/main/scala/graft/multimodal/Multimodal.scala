@@ -73,6 +73,7 @@ object Multimodal {
       .as[Payload]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
         it.grouped(64).flatMap(_.flatMap { p =>
           val nFrames = (p.payload.length + frameBytes - 1) / frameBytes
           (0 until nFrames by frameStride).map { fi =>
@@ -80,8 +81,15 @@ object Multimodal {
             val slice = java.util.Arrays.copyOfRange(
               p.payload, from, math.min(from + frameBytes, p.payload.length))
             md.reset()
-            Frame(p.doc_id, fi.toLong,
-              md.digest(slice).map("%02x".format(_)).mkString)
+            val digest = md.digest(slice)
+            val chars = new Array[Char](32)
+            var i = 0
+            while (i < 16) {
+              chars(2 * i) = hex((digest(i) & 0xf0) >> 4)
+              chars(2 * i + 1) = hex(digest(i) & 0x0f)
+              i += 1
+            }
+            Frame(p.doc_id, fi.toLong, new String(chars))
           }
         })
       }
