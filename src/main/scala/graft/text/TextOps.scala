@@ -203,6 +203,70 @@ object TextOps {
        |JOIN ($qualitySql) q ON q.doc_id = d.doc_id
        |LEFT JOIN ($langIdSql) l ON l.doc_id = d.doc_id""".stripMargin
 
+  // ---- LM quality gate (CCNet-style, corpus-trained bigram model) ---------
+
+  /** Smoothed bigram-LM document scoring — the CCNet/KenLM quality gate
+    * reshaped for engine parity: per-doc score = avg over bigrams of the
+    * Laplace-smoothed conditional likelihood `(c(w1 w2)+1)/(c(w1)+V)`.
+    * RATIONAL likelihoods instead of log-probs on purpose: `ln` is libm-
+    * dependent (Spark JVM vs oracle's libm can differ in the last ulp), a
+    * sum of exact-operand divisions is not. The "LM" is trained on the
+    * corpus itself (the dim tables are aggregations); production swaps in
+    * externally trained count tables through the same joins. Shapes: two
+    * count aggregations + one shuffle join on the bigram key — the count
+    * dims are Zipf-small relative to the corpus at any scale. */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val grams = d.select(col("doc_id"),
+      explode(graft.plans.ShingleStrings(col("text"), 2, distinct = false)).as("gram"))
+    val uni = d.select(explode(Portable.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bi = grams.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+    val v = uni.agg(count(lit(1)).as("vocab"))
+    grams
+      .join(bi, "gram")
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .join(uni, col("w1") === col("w"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg((col("c2") + 1.0) / (col("c1") + col("vocab"))), 6).as("lm_score"))
+  }
+
+  val lmScoreSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${Portable.wordsSql} AS w FROM documents),
+       |grams AS (
+       |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram
+       |  FROM base, LATERAL unnest(range(1, greatest(len(w) - 1, 0) + 1)) t(i)),
+       |uni AS (
+       |  SELECT word AS w, count(*) AS c1
+       |  FROM (SELECT unnest(w) AS word FROM base) GROUP BY 1),
+       |bi AS (SELECT gram, count(*) AS c2 FROM grams GROUP BY 1),
+       |v AS (SELECT count(*) AS vocab FROM uni)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  round(avg((c2 + 1.0) / (c1 + vocab)), 6) AS lm_score
+       |FROM grams
+       |JOIN bi USING (gram)
+       |JOIN uni ON string_split(gram, ' ')[1] = uni.w
+       |CROSS JOIN v
+       |GROUP BY doc_id""".stripMargin
+
+  // ---- corpus length statistics -------------------------------------------
+
+  /** Log2-bucketed document-length histogram — the corpus-shape report every
+    * pipeline runs before setting filter thresholds. One partial-agg pass. */
+  def lenHist(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select((floor(log2(greatest(col("n_chars"), lit(1)))).cast("long")).as("log2_len"))
+      .groupBy(col("log2_len"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  val lenHistSql: String =
+    """SELECT CAST(floor(log2(greatest(n_chars, 1))) AS BIGINT) AS log2_len,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY 1""".stripMargin
+
   // ---- PII scrub (the pre-training redaction pass) ------------------------
 
   /** PII detection + redaction — the scrub every corpus runs before
@@ -245,7 +309,9 @@ object TextOps {
     "tx_fingerprint" -> (fingerprint _),
     "tx_top_ngrams" -> (topKNgrams _),
     "tx_filter" -> (filterPass _),
-    "tx_pii" -> (pii _))
+    "tx_pii" -> (pii _),
+    "tx_lm_score" -> (lmScore _),
+    "tx_len_hist" -> (lenHist _))
 
   def oracleSql: Map[String, String] = Map(
     "tx_langid" -> langIdSql,
@@ -254,5 +320,7 @@ object TextOps {
     "tx_fingerprint" -> fingerprintSql,
     "tx_top_ngrams" -> topKNgramsSql,
     "tx_filter" -> filterPassSql,
-    "tx_pii" -> piiSql)
+    "tx_pii" -> piiSql,
+    "tx_lm_score" -> lmScoreSql,
+    "tx_len_hist" -> lenHistSql)
 }
