@@ -339,6 +339,39 @@ object RuleQueries {
        |  FROM m) t
        |WHERE rn = 1""".stripMargin)
 
+  // ---- Bloom-filter blocklist pre-filter ----------------------------------
+
+  /** The join-pruning pattern for blocklist checks at 100 TB: a portable
+    * Bloom filter built over the suspicious-IP dim rides the probe side as
+    * a LITERAL (no join node, pure codegen'd hash math per row); only
+    * maybe-members need the exact join. This query emits BOTH verdicts —
+    * `maybe` (bloom) and `actual` (exact) — so the false-positive contract
+    * (`maybe` ⊇ `actual`, never misses) is oracle-checked; production
+    * filters on `maybe` BEFORE the exact join and lets the FP rate trade
+    * filter size against pruned shuffle volume. */
+  def ruBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = signups(spark, sfDir)
+    val block = s.filter(col("susp_ip")).select(col("ip")).distinct()
+    val filter = graft.functions.BloomFilter.build(block, col("ip"))
+    s.select(col("event_id"), col("ip"))
+      .withColumn("maybe", graft.functions.BloomFilter.mayContain(col("ip"), filter))
+      .join(block.withColumnRenamed("ip", "bip"),
+        col("ip") === col("bip"), "left")
+      .select(col("event_id"), col("ip"), col("maybe"),
+        col("bip").isNotNull.as("actual"))
+  }
+
+  val ruBloomSql: String = {
+    import graft.functions.BloomFilter
+    Signups.sqlCte.stripSuffix("\n") + ",\n" +
+      "block AS (SELECT DISTINCT ip FROM signups WHERE susp_ip),\n" +
+      BloomFilter.buildSql("block", "block.ip") + "\n" +
+      s"""SELECT s.event_id, s.ip,
+         |  ${BloomFilter.mayContainSql("s.ip")} AS maybe,
+         |  (b.ip IS NOT NULL) AS actual
+         |FROM signups s LEFT JOIN block b ON s.ip = b.ip""".stripMargin
+  }
+
   // ---- Zulip notification text assembly (eventhandler.rs:196-253) ---------
 
   /** The two Zulip message bodies the reference posts on a rule match:
@@ -407,6 +440,7 @@ object RuleQueries {
        |WINDOW w AS (PARTITION BY name ORDER BY ts_us ASC, event_id ASC)""".stripMargin)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ru_bloom" -> (ruBloom _),
     "ru_notify_text" -> (ruNotifyText _),
     "ru_notify" -> (ruNotify _),
     "ru_lua" -> (ruLua _),
@@ -422,6 +456,7 @@ object RuleQueries {
     "ru_actions" -> (ruActions _))
 
   def oracleSql: Map[String, String] = Map(
+    "ru_bloom" -> ruBloomSql,
     "ru_notify_text" -> ruNotifyTextSql,
     "ru_notify" -> ruNotifySql,
     "ru_lua" -> ruLuaSql,
