@@ -112,6 +112,21 @@ class ScaleSpec extends AnyFunSuite {
     assert("Exchange ".r.findAllIn(p).size == 1, p.take(800))
   }
 
+  test("samp_stratified: zero shuffles — the keep decision is map-side math") {
+    val p = planOf("samp_stratified")
+    // broadcast exchanges are fine (the rate dim); shuffle exchanges are not
+    Seq("Exchange hashpartitioning", "Exchange rangepartitioning", "Exchange SinglePartition")
+      .foreach(sh => assert(!p.contains(sh),
+        s"rate sampling must not shuffle the corpus:\n${p.take(800)}"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "rate dim must broadcast")
+  }
+
+  test("simhash signature stage is shuffle-free per-row column math") {
+    val p = dedup.Dedup.simhashSigs(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"signature stage must not shuffle:\n${p.take(800)}")
+  }
+
   test("minhash signatures are shuffle-free per-row column math") {
     val sigs = dedup.Dedup.shingleArrays(spark, sf)
       .filter(size(col("hs_arr")) > 0)
