@@ -334,7 +334,63 @@ object Similarity {
        |  FROM directed) t
        |WHERE rank <= 3""".stripMargin
 
+  // ---- int8-quantized ANN (the storage/bandwidth path) --------------------
+
+  /** Brute-force top-k over INT8-QUANTIZED vectors — the memory-bandwidth
+    * optimization of every at-scale embedding store (4× smaller vectors,
+    * integer dot products): per-vector symmetric quantization
+    * `q_i = round(127·v_i / max|v|)`. Cosine over quantized vectors cancels
+    * the scales, so the score is integer sums (ORDER-INDEPENDENT — exact on
+    * both engines, products ≤ 127² and sums ≪ 2^53 in doubles) with one
+    * final sqrt division. Reuses the VectorDot primitive on the quantized
+    * arrays. */
+  def quantTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val amax = greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30))
+    val e = base
+      .withColumn("q", transform(col("v"), x => round(x / amax * 127.0).cast("double")))
+      .withColumn("qnrm", sqrt(graft.plans.VectorDot(col("q"), col("q"))))
+      .filter(col("qnrm") > 0)
+      .select(col("vec_id"), col("q"), col("qnrm"))
+    val qs = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("qnrm").as("qqnrm"))
+    val scored = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(graft.plans.VectorDot(col("q"), col("qq")) / (col("qnrm") * col("qqnrm")), 6)
+          .as("qcos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cand").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+  }
+
+  val quantTopKSql: String = {
+    val qDef = "list_transform(v, x -> CAST(round(x / amax * 127.0) AS DOUBLE))"
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 1e-30) AS amax
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, q, qnrm FROM (
+       |    SELECT vec_id, $qDef AS q,
+       |      sqrt(list_sum(list_transform($qDef, x -> x * x))) AS qnrm
+       |    FROM base) t0
+       |  WHERE qnrm > 0),
+       |qs AS (SELECT vec_id AS qid, q AS qq, qnrm AS qqnrm FROM e WHERE vec_id < $numQueries),
+       |scored AS (
+       |  SELECT qid, e.vec_id AS cand,
+       |    round(list_sum(list_transform(list_zip(e.q, qq), p -> p[1] * p[2]))
+       |      / (e.qnrm * qqnrm), 6) AS qcos
+       |  FROM e CROSS JOIN qs WHERE e.vec_id <> qid)
+       |SELECT qid, cand, qcos, rank FROM (
+       |  SELECT qid, cand, qcos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cand ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 3""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_quant_topk" -> (quantTopK _),
     "ann_brute_topk" -> (bruteTopK _),
     "ann_lsh_topk" -> (lshTopK _),
     "ann_ivf_topk" -> (ivfTopK _),
@@ -342,6 +398,7 @@ object Similarity {
     "dd_embed" -> (embedNearDup _))
 
   def oracleSql: Map[String, String] = Map(
+    "ann_quant_topk" -> quantTopKSql,
     "ann_brute_topk" -> bruteTopKSql,
     "ann_lsh_topk" -> lshTopKSql,
     "ann_ivf_topk" -> ivfTopKSql,
