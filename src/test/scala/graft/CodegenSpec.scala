@@ -72,6 +72,10 @@ class CodegenSpec extends AnyFunSuite {
       assert(dedup.Dedup.ngramJaccard(s, sf).count() > 0)
       assert(dedup.Dedup.chunkDups(s, sf).count() > 0)
       assert(enrich.EnrichQueries.geoIpRange(s, sf).count() > 0)
+      // fused sketch expressions (MinHashSigs / SimHashSig)
+      assert(dedup.Dedup.minhashLsh(s, sf).count() > 0)
+      assert(dedup.Dedup.simhashSigs(s, sf).count() > 0)
+      assert(sim.Similarity.quantTopK(s, sf).count() > 0)
     }
   }
 }

@@ -55,6 +55,39 @@ class RecoverySpec extends AnyFunSuite {
     assert(partial.values.sum < expected.values.sum, "first run saw only the first file")
   }
 
+  test("minhash dedup bucket ownership survives stop/restart and matches batch replay") {
+    val srcDir = tmp("docs_incr")
+    val ckpt = tmp("ckpt_mh")
+    val docs = Tables(spark, sf).documents
+    val schema = docs.schema
+    def owners() = {
+      val arrs = spark.readStream.schema(schema).parquet(srcDir)
+        .select(col("doc_id"),
+          graft.plans.ShingleHashes(col("text"), 3, distinct = true).as("hs_arr"))
+      dedup.Dedup.bandRows(arrs)
+        .groupBy(col("band"), col("key")).agg(min(col("doc_id")).as("keeper"))
+    }
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = owners().writeStream.format("memory").queryName("mh1")
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    try q1.processAllAvailable() finally q1.stop()
+    // second half lands while the job is down; ownership state must recover
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = owners().writeStream.format("memory").queryName("mh2")
+      .outputMode("complete").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val resumed = spark.table("mh2").select("keeper").distinct()
+      .collect().map(_.getLong(0)).sorted
+    // min-ownership is order-independent, so recovery == one-shot batch
+    val batch = dedup.Dedup.bandRows(
+        docs.select(col("doc_id"),
+          graft.plans.ShingleHashes(col("text"), 3, distinct = true).as("hs_arr")))
+      .groupBy(col("band"), col("key")).agg(min(col("doc_id")).as("keeper"))
+      .select("keeper").distinct().collect().map(_.getLong(0)).sorted
+    assert(resumed.sameElements(batch))
+  }
+
   test("action dispatch is effectively-once across a replayed batch") {
     import spark.implicits._
     val logDir = tmp("dispatch_log") + "/log"
