@@ -293,7 +293,35 @@ object Relational {
       |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
       |FROM events GROUP BY user_id""".stripMargin
 
+  // ---- two-phase (salted) aggregation -------------------------------------
+
+  /** Skew-safe aggregation: pre-aggregate on (key, salt) — 16 salt values
+    * from a hash of the row id — then merge per key. A hot key's rows land
+    * on 16 reducers in phase 1 instead of one; phase 2 merges 16 tiny
+    * partials. Same result as the direct groupBy (the oracle IS the direct
+    * groupBy); this query pins the two-phase plan shape the engine reaches
+    * for when AQE's skew handling isn't available (e.g. pre-AQE sinks,
+    * deterministic partition layouts). Count/sum are mergeable; avg is
+    * derived post-merge, never averaged across partials. */
+  def qSaltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).events
+    val salted = ev.withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("psum"))
+    salted.groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"),
+        round(sum(col("psum")), 2).as("sum_value"),
+        round(sum(col("psum")) / sum(col("pn")), 6).as("avg_value"))
+  }
+
+  val qSaltedAggSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(sum(value), 2) AS sum_value,
+      |  round(sum(value) / count(*), 6) AS avg_value
+      |FROM events GROUP BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_agg" -> (qSaltedAgg _),
     "q_pivot" -> (qPivot _),
     "q_asof" -> (qAsof _),
     "q_corr_subq" -> (qCorrSubq _),
@@ -306,6 +334,7 @@ object Relational {
     "ev_topk_users" -> (evTopkUsers _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_salted_agg" -> qSaltedAggSql,
     "q_pivot" -> qPivotSql,
     "q_asof" -> qAsofSql,
     "q_corr_subq" -> qCorrSubqSql,
