@@ -126,28 +126,28 @@ object EventOps {
       .agg(graft.plans.HllSketch.registers(col("user_id").cast("string")).as("regs"),
         countDistinct(col("user_id")).as("exact"))
       .withColumn("inv_scaled", expr(
-        "aggregate(transform(regs, r -> shiftleft(CAST(1 AS BIGINT), 57 - r)), " +
+        "aggregate(transform(regs, r -> shiftleft(CAST(1 AS BIGINT), 55 - r)), " +
           "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
       .select(col("event_type"), col("exact"),
-        expr("round(CAST(0.673 AS DOUBLE) * 256 * power(2.0, 57) / inv_scaled, 4)").as("est"))
+        expr("round(CAST(0.709 AS DOUBLE) * 4096 * power(2.0, 55) / inv_scaled, 4)").as("est"))
 
   val hllUsersSql: String =
     """WITH h AS (
       |  SELECT event_type, user_id,
       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
       |  FROM events),
-      |r AS (SELECT event_type, CAST(h % 16 AS INT) AS b, h // 16 AS w FROM h),
+      |r AS (SELECT event_type, CAST(h % 64 AS INT) AS b, h // 64 AS w FROM h),
       |regs AS (
       |  SELECT event_type, b,
-      |    max(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END) AS reg
+      |    max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS reg
       |  FROM r GROUP BY 1, 2),
       |inv AS (
       |  SELECT event_type,
-      |    sum(1::BIGINT << (57 - reg)) + (16 - count(*)) * (1::BIGINT << 57) AS inv_scaled
+      |    sum(1::BIGINT << (55 - reg)) + (64 - count(*)) * (1::BIGINT << 55) AS inv_scaled
       |  FROM regs GROUP BY 1),
       |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact FROM events GROUP BY 1)
       |SELECT inv.event_type, ex.exact,
-      |  round(CAST(0.673 AS DOUBLE) * 256 * power(2.0, 57) / inv_scaled, 4) AS est
+      |  round(CAST(0.709 AS DOUBLE) * 4096 * power(2.0, 55) / inv_scaled, 4) AS est
       |FROM inv JOIN ex ON inv.event_type = ex.event_type""".stripMargin
 
   // ---- latency/value quantiles --------------------------------------------

@@ -14,14 +14,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Spark's own `approx_count_distinct` uses).
   *
   * PORTABLE by construction: registers derive from the engine's md5-prefix
-  * hash ([[ShingleHashes.hash64]], 60 bits), bucket = low 4 bits, rank =
-  * 57 − bitlength(remaining 56 bits) — every step integer-exact, so an
+  * hash ([[ShingleHashes.hash64]], 60 bits), bucket = low 6 bits, rank =
+  * 55 − bitlength(remaining 54 bits) — every step integer-exact, so an
   * oracle can replay the identical algorithm in SQL and the estimate
   * hash-matches bit-for-bit (unlike vendor sketches, which differ by hash).
   *
-  * Scale shape: the 16-byte buffer rides partial aggregation — each
+  * Scale shape: the 64-byte buffer rides partial aggregation — each
   * partition sketches locally, merge is a per-register max, and only
-  * 16 bytes per group cross the wire regardless of input size.
+  * 64 bytes per group cross the wire regardless of input size.
   */
 case class HllSketch(
     child: Expression,
@@ -29,7 +29,7 @@ case class HllSketch(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]] {
 
-  val m = 16 // registers; error ~1.04/sqrt(16) = 26% — demo-sized, dial up for prod
+  val m = 64 // registers; error ~1.04/sqrt(64) = 13%; same algorithm at any m
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
@@ -38,8 +38,8 @@ case class HllSketch(
     if (v != null) {
       val h = ShingleHashes.hash64(v.asInstanceOf[UTF8String].toString)
       val b = (h & (m - 1)).toInt
-      val w = h >>> 4 // remaining 56 bits
-      val rank = (57 - (64 - java.lang.Long.numberOfLeadingZeros(w))).toByte
+      val w = h >>> 6 // remaining 54 bits
+      val rank = (55 - (64 - java.lang.Long.numberOfLeadingZeros(w))).toByte
       if (rank > buf(b)) buf(b) = rank
     }
     buf
