@@ -93,20 +93,20 @@ class HllSketchSpec extends org.scalatest.funsuite.AnyFunSuite {
     val df = (1 to n).map(i => s"user_$i").toDF("u").repartition(8)
     val out = df.agg(graft.plans.HllSketch.registers(col("u")).as("regs"))
       .withColumn("inv", expr(
-        "aggregate(transform(regs, r -> shiftleft(CAST(1 AS BIGINT), 57 - r)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-      .select(expr("CAST(0.673 AS DOUBLE) * 256 * power(2.0, 57) / inv").as("est"))
+        "aggregate(transform(regs, r -> shiftleft(CAST(1 AS BIGINT), 55 - r)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .select(expr("CAST(0.709 AS DOUBLE) * 4096 * power(2.0, 55) / inv").as("est"))
       .head.getDouble(0)
-    // m=16 -> ~26% standard error; 3 sigma bound
-    assert(math.abs(out - n) / n < 0.8, s"estimate $out vs exact $n")
+    // m=64 -> ~13% standard error; 3 sigma bound
+    assert(math.abs(out - n) / n < 0.4, s"estimate $out vs exact $n")
   }
 
   test("register definition matches the documented bit layout") {
     val buf = graft.plans.HllSketch(GraftTestBridge.expr(col("u"))).createAggregationBuffer()
-    assert(buf.length == 16 && buf.forall(_ == 0))
-    // hash64("x") low 4 bits pick the bucket; remaining 56 bits the rank
+    assert(buf.length == 64 && buf.forall(_ == 0))
+    // hash64("x") low 6 bits pick the bucket; remaining 54 bits the rank
     val h = graft.plans.ShingleHashes.hash64("x")
-    val b = (h & 15).toInt
-    val rank = 57 - (64 - java.lang.Long.numberOfLeadingZeros(h >>> 4))
+    val b = (h & 63).toInt
+    val rank = 55 - (64 - java.lang.Long.numberOfLeadingZeros(h >>> 6))
     val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("x")))
     val agg = graft.plans.HllSketch(
