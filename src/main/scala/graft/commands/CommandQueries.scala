@@ -73,9 +73,81 @@ object CommandQueries {
        |) t(cmd_id, ok, kind, name, field, "check", value, actions, no_delay, susp_only, expiry_days, error)""".stripMargin
   }
 
+  // ---- command → rule → engine, end to end --------------------------------
+
+  /** `signup rules add …` commands that should actually fire against the
+    * signup corpus (the [[corpus]] adds are parse-shape fixtures; these are
+    * live). */
+  val execCorpus: Seq[String] = Seq(
+    "signup rules add e_contains if username contains ER_1 then notify",
+    "signup rules add e_regex if email regex ^user_1[0-9]*@ then close+notify",
+    "signup rules add e_ua if useragent length-lte 12 then ipban nodelay",
+    "signup rules add e_susp if_susp_ip username contains user then notify noexpiry",
+    "signup rules add e_ip if ip equals 123.0.93.63 then close",
+    "signup rules add e_cold if username contains zz_nobody then close")
+
+  private val fieldCheckToKind: Map[(String, String), String] = Map(
+    ("username", "contains") -> "username_contains",
+    ("username", "regex") -> "username_regex",
+    ("email", "contains") -> "email_contains",
+    ("email", "regex") -> "email_regex",
+    ("ip", "equals") -> "ip_match",
+    ("print", "equals") -> "print_match",
+    ("useragent", "length-lte") -> "ua_len_lte")
+
+  /** Compile parsed `add` commands into engine rules (the executable subset
+    * — Lua-criterion adds carry foreign code and are routed to
+    * `RuleEngine.sqlCriterion` by operators instead). Expiry resolves
+    * against the fixed evaluation instant, as the reference resolves
+    * against `Utc::now()`. */
+  def rulesFromCommands(cmds: Seq[String]): Seq[graft.rules.RuleRow] =
+    cmds.map(CommandParser.parse)
+      .filter(p => p.ok && p.kind == "add" && p.field.exists(_ != "lua"))
+      .map { p =>
+        val kind = fieldCheckToKind((p.field.get, p.check.get))
+        graft.rules.RuleRow(
+          p.name.get, kind,
+          if (kind == "ua_len_lte") "" else p.value.get,
+          if (kind == "ua_len_lte") p.value.get.toInt else 0,
+          enabled = true,
+          suspOnly = p.suspOnly.getOrElse(false),
+          noDelay = p.noDelay.getOrElse(false),
+          p.expiryDays.map(d => graft.rules.Rules.nowUs + d.toLong * 86400L * 1000000L),
+          p.actions.getOrElse(""))
+      }
+
+  /** End-to-end: DSL text → parsed rules → broadcast-join match counts per
+    * rule (zero-match rules included — the operator sees every added rule).
+    * This is the integration the reference runs continuously: a command
+    * mutates the rule set, the very next event is evaluated under it. */
+  def cmdExec(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rules = graft.rules.Rules.dfFor(spark, rulesFromCommands(execCorpus))
+    val signups = graft.events.Signups.derive(spark, sfDir)
+    val counts = graft.rules.RuleEngine.matches(signups, rules)
+      .groupBy(col("name")).agg(count(lit(1)).as("n"))
+    rules.select(col("name"), col("actions"))
+      .join(counts, Seq("name"), "left")
+      .select(col("name").as("rule_name"), col("actions"),
+        coalesce(col("n"), lit(0L)).as("n_matches"))
+  }
+
+  val cmdExecSql: String = {
+    import graft.rules.{RuleEngine, Rules}
+    import graft.events.Signups
+    "WITH " + Signups.cte.stripSuffix("\n") + ",\n" +
+      Rules.valuesSqlFor(rulesFromCommands(execCorpus), "rules") + "\n" +
+      s"""SELECT r.name AS rule_name, r.actions,
+         |  count(s.event_id) AS n_matches
+         |FROM rules r LEFT JOIN signups s ON ${RuleEngine.matchConditionSql()}
+         |GROUP BY 1, 2""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cmd_parse" -> (cmdParse _))
+    "cmd_parse" -> (cmdParse _),
+    "cmd_exec" -> (cmdExec _))
 
   def oracleSql: Map[String, String] = Map(
-    "cmd_parse" -> cmdParseSql)
+    "cmd_parse" -> cmdParseSql,
+    "cmd_exec" -> cmdExecSql)
 }

@@ -66,25 +66,31 @@ object Rules {
       noDelay = false, None, "notify"))
 
   /** Rules as a Spark DataFrame (broadcast dim at 100 TB: rules are KBs). */
-  def df(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    corpus.map(r => (r.name, r.kind, r.pattern, r.numArg, r.enabled, r.suspOnly,
-        r.noDelay, r.expiryUs, r.actions))
-      .toDF("name", "kind", "pattern", "num_arg", "enabled", "susp_only",
-        "no_delay", "expiry_us", "actions")
-  }
+  def df(spark: SparkSession): DataFrame = dfFor(spark, corpus)
 
-  /** The identical corpus as a DuckDB CTE `rules(...)`. */
-  val valuesSql: String = {
-    val rows = corpus.map { r =>
+  /** Any rule list as a DuckDB VALUES CTE. */
+  def valuesSqlFor(rules: Seq[RuleRow], cteName: String): String = {
+    val rows = rules.map { r =>
       val exp = r.expiryUs.map(_.toString).getOrElse("NULL")
       s"('${r.name}', '${r.kind}', '${r.pattern}', ${r.numArg}, ${r.enabled}, " +
         s"${r.suspOnly}, ${r.noDelay}, $exp, '${r.actions}')"
     }.mkString(",\n    ")
-    s"""rules(name, kind, pattern, num_arg, enabled, susp_only, no_delay, expiry_us, actions) AS (
+    s"""$cteName(name, kind, pattern, num_arg, enabled, susp_only, no_delay, expiry_us, actions) AS (
        |  VALUES
        |    $rows
        |)""".stripMargin
+  }
+
+  /** The identical corpus as a DuckDB CTE `rules(...)`. */
+  val valuesSql: String = valuesSqlFor(corpus, "rules")
+
+  /** Any rule list as a Spark DataFrame (same shape as [[df]]). */
+  def dfFor(spark: SparkSession, rules: Seq[RuleRow]): DataFrame = {
+    import spark.implicits._
+    rules.map(r => (r.name, r.kind, r.pattern, r.numArg, r.enabled, r.suspOnly,
+        r.noDelay, r.expiryUs, r.actions))
+      .toDF("name", "kind", "pattern", "num_arg", "enabled", "susp_only",
+        "no_delay", "expiry_us", "actions")
   }
 }
 
