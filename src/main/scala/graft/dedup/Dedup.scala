@@ -427,7 +427,43 @@ object Dedup {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
   }
 
+  // ---- benchmark decontamination ------------------------------------------
+
+  val contamBenchDocs = 20L
+  val contamMinShared = 5L
+
+  /** Test-set decontamination — the pre-training pass that drops training
+    * documents overlapping an evaluation set (n-gram contamination, the
+    * GPT-3/PaLM appendix procedure): flag every training doc sharing ≥
+    * `contamMinShared` distinct 3-gram shingles with any benchmark doc.
+    * The benchmark side is tiny by definition → broadcast its inverted
+    * index; the training side streams map-side through the join, one
+    * shuffle for the (train, bench) pair counts. Here the "benchmark" is
+    * the first `contamBenchDocs` documents (production feeds the real eval
+    * suite through the same shape). */
+  def contaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val inv = invIndex(spark, sfDir)
+    val bench = inv.filter(col("doc_id") < contamBenchDocs)
+      .select(col("doc_id").as("bench_id"), col("hs"))
+    val train = inv.filter(col("doc_id") >= contamBenchDocs)
+    train.join(broadcast(bench), "hs")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= contamMinShared)
+  }
+
+  val contaminateSql: String =
+    s"""WITH $shingledCte,
+       |inv AS (SELECT doc_id, ${Portable.hash64Sql("unnest(sh)")} AS hs FROM shd),
+       |bench AS (SELECT doc_id AS bench_id, hs FROM inv WHERE doc_id < $contamBenchDocs),
+       |train AS (SELECT doc_id, hs FROM inv WHERE doc_id >= $contamBenchDocs)
+       |SELECT t.doc_id, b.bench_id, count(*) AS n_shared
+       |FROM train t JOIN bench b ON t.hs = b.hs
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $contamMinShared""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_contam" -> (contaminate _),
     "dd_exact" -> (exact _),
     "dd_ngram_jacc" -> (ngramJaccard _),
     "dd_minhash" -> (minhashLsh _),
@@ -437,6 +473,7 @@ object Dedup {
     "dd_lsh_recall" -> (lshRecall _))
 
   def oracleSql: Map[String, String] = Map(
+    "dd_contam" -> contaminateSql,
     "dd_exact" -> exactSql,
     "dd_ngram_jacc" -> ngramJaccardSql,
     "dd_minhash" -> minhashLshSql,
