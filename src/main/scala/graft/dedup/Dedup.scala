@@ -37,6 +37,27 @@ object Dedup {
     """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
+  // ---- soft dedup: reweight copies instead of dropping them ---------------
+
+  /** Soft dedup (the SoftDeDup/"don't drop, downweight" variant): every
+    * document keeps flowing, but carries sampling weight 1/n_copies of its
+    * exact-dup group — total group mass 1, so repeated boilerplate stops
+    * dominating the training mix without discarding unique trailing
+    * context. Same single hash shuffle as [[exact]]; the weight is a window
+    * count over the text_md5 partitioning (no second join back). */
+  def weighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")))
+    docs(spark, sfDir)
+      .select(col("doc_id"), count(lit(1)).over(w).as("n_copies"))
+      .withColumn("weight", round(lit(1.0) / col("n_copies"), 6))
+  }
+
+  val weightedSql: String =
+    """SELECT doc_id,
+      |  count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+      |  round(CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY md5(text)), 6) AS weight
+      |FROM documents""".stripMargin
+
   // ---- #23 n-gram Jaccard via df-capped inverted index --------------------
 
   /** Shingles appearing in more than this many documents carry no near-dup
@@ -465,6 +486,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_contam" -> (contaminate _),
     "dd_exact" -> (exact _),
+    "dd_weighted" -> (weighted _),
     "dd_ngram_jacc" -> (ngramJaccard _),
     "dd_minhash" -> (minhashLsh _),
     "dd_clusters" -> (clusters _),
@@ -475,6 +497,7 @@ object Dedup {
   def oracleSql: Map[String, String] = Map(
     "dd_contam" -> contaminateSql,
     "dd_exact" -> exactSql,
+    "dd_weighted" -> weightedSql,
     "dd_ngram_jacc" -> ngramJaccardSql,
     "dd_minhash" -> minhashLshSql,
     "dd_clusters" -> clustersSql,

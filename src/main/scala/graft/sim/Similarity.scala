@@ -224,6 +224,40 @@ object Similarity {
     * assignment O(n²/50), asymptotically worse than brute force. */
   val numCentroids = 32
 
+  private def centroids(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir).filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+
+  /** Every vector assigned to its max-cosine centroid: (vec_id, v, nrm,
+    * cid). One O(n·K) broadcast pass + a per-vector argmax window — the
+    * coarse-quantization step shared by IVF probing and SemDeDup. */
+  private def assignedLists(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val cents = centroids(spark, sfDir)
+    val simToCent = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        round(graft.plans.VectorDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+          .as("ccos"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
+    simToCent.withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+  }
+
+  private val assignedCte: String =
+    s"""cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $numCentroids),
+       |sims AS (
+       |  SELECT e.vec_id, cid,
+       |    round(${Portable.cosineSql("e.v", "cv")}, 6) AS ccos
+       |  FROM e CROSS JOIN cents),
+       |assigned AS (
+       |  SELECT vec_id, cid, ccos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crn
+       |  FROM sims),
+       |lists AS (
+       |  SELECT a.vec_id, e.v, a.cid FROM assigned a JOIN e ON a.vec_id = e.vec_id
+       |  WHERE a.crn = 1)""".stripMargin
+
   /** IVF without the training step: the first `numCentroids` corpus vectors
     * serve as centroids ("trained" centroids drop in identically). Vectors
     * are assigned to their max-cosine centroid (one shuffle on cluster_id);
@@ -232,16 +266,9 @@ object Similarity {
     * recall/throughput dial. */
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
-    val cents = e.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val simToCent = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-        round(graft.plans.VectorDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
-          .as("ccos"))
+    val cents = centroids(spark, sfDir)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
-    val lists = simToCent.withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid")).persist()
+    val lists = assignedLists(spark, sfDir).persist()
     // probe assignment depends only on the query row itself — recompute it
     // on just the `numQueries` rows instead of re-running the corpus-wide
     // assignment window a second time
@@ -266,18 +293,7 @@ object Similarity {
 
   val ivfTopKSql: String =
     s"""WITH $embCte,
-       |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $numCentroids),
-       |sims AS (
-       |  SELECT e.vec_id, cid,
-       |    round(${Portable.cosineSql("e.v", "cv")}, 6) AS ccos
-       |  FROM e CROSS JOIN cents),
-       |assigned AS (
-       |  SELECT vec_id, cid, ccos,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crn
-       |  FROM sims),
-       |lists AS (
-       |  SELECT a.vec_id, e.v, a.cid FROM assigned a JOIN e ON a.vec_id = e.vec_id
-       |  WHERE a.crn = 1),
+       |$assignedCte,
        |probes AS (
        |  SELECT vec_id AS qid, cid AS pcid FROM assigned
        |  WHERE vec_id < $numQueries AND crn <= $nprobe),
@@ -294,6 +310,52 @@ object Similarity {
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand ASC) AS rank
        |  FROM scored) t
        |WHERE rank <= 3""".stripMargin
+
+  // ---- SemDeDup: cluster-bucketed semantic dedup --------------------------
+
+  /** Cosine threshold above which two same-cluster vectors count as
+    * semantic duplicates (SemDeDup, Abbas et al. 2023). Kept low for the
+    * near-uniform synthetic embeddings; production corpora run 0.9+. */
+  val semDupTau = 0.3
+
+  /** SemDeDup: coarse k-means bucketing, then pairwise cosine ONLY within a
+    * cluster; a vector is dropped when a lower-id cluster-mate sits within
+    * `semDupTau` (min-id keeper — deterministic, no transitive chaining).
+    * Exactly the paper's shape re-expressed as one assignment pass
+    * (O(n·K), centroids broadcast) + one shuffle on cluster_id + a
+    * within-cluster self-join. Cluster sizes bound the pair work: K is
+    * Θ(n/target_cluster_size) in production (constant here so the oracle is
+    * deterministic), and the `bucketCap` pattern from the LSH tables drops
+    * in unchanged if a degenerate corpus piles into one centroid. */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val lists = assignedLists(spark, sfDir).persist()
+    val pairs = lists.as("a").join(lists.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"),
+        round(graft.plans.VectorDot(col("a.v"), col("b.v"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .filter(col("cos") >= semDupTau)
+    val dups = pairs.groupBy(col("vec_id")).agg(count(lit(1)).as("n_dups"))
+    lists.select(col("vec_id"), col("cid"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        when(coalesce(col("n_dups"), lit(0L)) > 0, "drop").otherwise("keep").as("verdict"))
+  }
+
+  val semDedupSql: String =
+    s"""WITH $embCte,
+       |$assignedCte,
+       |pairs AS (
+       |  SELECT b.vec_id,
+       |    round(${Portable.cosineSql("a.v", "b.v")}, 6) AS cos
+       |  FROM lists a JOIN lists b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       |dups AS (
+       |  SELECT vec_id, count(*) AS n_dups FROM pairs
+       |  WHERE cos >= $semDupTau GROUP BY 1)
+       |SELECT l.vec_id, l.cid, coalesce(d.n_dups, 0) AS n_dups,
+       |  CASE WHEN coalesce(d.n_dups, 0) > 0 THEN 'drop' ELSE 'keep' END AS verdict
+       |FROM lists l LEFT JOIN dups d ON d.vec_id = l.vec_id""".stripMargin
 
   // ---- kNN join: every vector → its top-3 bucket neighbors ----------------
 
@@ -395,7 +457,8 @@ object Similarity {
     "ann_lsh_topk" -> (lshTopK _),
     "ann_ivf_topk" -> (ivfTopK _),
     "ann_knn_join" -> (knnJoin _),
-    "dd_embed" -> (embedNearDup _))
+    "dd_embed" -> (embedNearDup _),
+    "dd_semdedup" -> (semDedup _))
 
   def oracleSql: Map[String, String] = Map(
     "ann_quant_topk" -> quantTopKSql,
@@ -403,5 +466,6 @@ object Similarity {
     "ann_lsh_topk" -> lshTopKSql,
     "ann_ivf_topk" -> ivfTopKSql,
     "ann_knn_join" -> knnJoinSql,
-    "dd_embed" -> embedNearDupSql)
+    "dd_embed" -> embedNearDupSql,
+    "dd_semdedup" -> semDedupSql)
 }

@@ -252,6 +252,132 @@ object TextOps {
        |CROSS JOIN v
        |GROUP BY doc_id""".stripMargin
 
+  // ---- repetition metrics (the Gopher repetition filters) -----------------
+
+  /** Per-document repetition metrics — the Gopher/MassiveText repetition
+    * filters (Rae et al. 2021 §A1.1): duplicate-word fraction, duplicate
+    * 3-gram fraction, and the fraction of characters covered by the single
+    * most frequent word 2-gram. ZERO shuffles: the gram lists are per-row
+    * `ShingleStrings` output, the dup fractions are size-vs-distinct-size
+    * column math, and the mode 2-gram is a sort + run-length fold over the
+    * row's own gram array (O(g log g) per doc, map-side) instead of an
+    * explode + groupBy over the corpus token stream. At 100 TB this pass is
+    * a pure scan. */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val w = Portable.words(col("text"))
+    val g2 = graft.plans.ShingleStrings(col("text"), 2, distinct = false)
+    val g3 = graft.plans.ShingleStrings(col("text"), 3, distinct = false)
+    val nW = size(w)
+    val n3 = size(g3)
+    // run-length fold over the sorted 2-gram list: (prev, run, best, bestg);
+    // strict > keeps the FIRST gram of a tied run — i.e. the
+    // lexicographically smallest, matching the oracle's (cnt DESC, gram ASC)
+    val acc0 = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"), lit("").as("bestg"))
+    val folded = aggregate(array_sort(g2), acc0, (acc, x) => {
+      val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+      struct(x.as("prev"), run.as("run"),
+        when(run > acc.getField("best"), run).otherwise(acc.getField("best")).as("best"),
+        when(run > acc.getField("best"), x).otherwise(acc.getField("bestg")).as("bestg"))
+    })
+    d.select(col("doc_id"), nW.as("n_words"),
+        round((nW - size(array_distinct(w))).cast("double") / nW, 6).as("dup_word_frac"),
+        round(when(n3 > 0, (n3 - size(array_distinct(g3)))
+          .cast("double") / n3).otherwise(0.0), 6).as("dup3_frac"),
+        folded.getField("best").as("top2_cnt"),
+        folded.getField("bestg").as("top2_gram"),
+        col("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("dup_word_frac"), col("dup3_frac"),
+        col("top2_cnt"), col("top2_gram"),
+        round((col("top2_cnt") * length(col("top2_gram"))).cast("double")
+          / col("n_chars"), 6).as("top2_frac"))
+  }
+
+  val repetitionSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, n_chars, ${Portable.wordsSql} AS w FROM documents),
+       |g2 AS (
+       |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram
+       |  FROM base, LATERAL unnest(range(1, greatest(len(w) - 1, 0) + 1)) t(i)),
+       |md AS (
+       |  SELECT doc_id, gram, cnt FROM (
+       |    SELECT doc_id, gram, count(*) AS cnt,
+       |      row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY count(*) DESC, gram ASC) AS rn
+       |    FROM g2 GROUP BY doc_id, gram) t
+       |  WHERE rn = 1),
+       |g3 AS (
+       |  SELECT doc_id,
+       |    greatest(len(w) - 2, 0) AS n3,
+       |    len(list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+       |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS n3d
+       |  FROM base)
+       |SELECT b.doc_id, len(w) AS n_words,
+       |  round(CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS dup_word_frac,
+       |  round(CASE WHEN g3.n3 > 0
+       |    THEN CAST(g3.n3 - g3.n3d AS DOUBLE) / g3.n3 ELSE 0.0 END, 6) AS dup3_frac,
+       |  coalesce(md.cnt, 0) AS top2_cnt,
+       |  coalesce(md.gram, '') AS top2_gram,
+       |  round(CAST(coalesce(md.cnt, 0) * length(coalesce(md.gram, '')) AS DOUBLE)
+       |    / b.n_chars, 6) AS top2_frac
+       |FROM base b
+       |JOIN g3 ON g3.doc_id = b.doc_id
+       |LEFT JOIN md ON md.doc_id = b.doc_id""".stripMargin
+
+  // ---- Gopher quality gate ------------------------------------------------
+
+  /** The Gopher/MassiveText rule-based quality gate (Rae et al. 2021 §A1.1),
+    * first-failing-gate verdict: word-count bounds, mean word length in
+    * [3, 10], ≥80% alphabetic words, ≥2 distinct stop words present. Word
+    * bounds scaled to the synthetic corpus (20 vs Gopher's 50 floor); the
+    * thresholds are the published ones otherwise. Pure per-row column math —
+    * all exact int/int divisions, zero shuffles, whole-stage codegen. */
+  def gopher(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val w = Portable.words(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val nW = size(w)
+    val meanLen = aggregate(w, lit(0L), (a, x) => a + length(x)).cast("double") / nW
+    val fracAlpha = size(filter(w, x => x.rlike("^[a-z]+$"))).cast("double") / nW
+    val stopHits = size(filter(stopArr, s => array_contains(w, s)))
+    d.select(col("doc_id"), nW.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(fracAlpha, 6).as("frac_alpha_words"),
+      stopHits.as("n_stop_hits"),
+      when(nW < 20, "too_short")
+        .when(nW > 100000, "too_long")
+        .when(meanLen < 3.0 || meanLen > 10.0, "word_len")
+        .when(fracAlpha < 0.8, "alpha")
+        .when(stopHits < 2, "low_stop")
+        .otherwise("keep").as("verdict"))
+  }
+
+  val gopherSql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, ${Portable.wordsSql} AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(w) AS n_words,
+       |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+       |      / len(w) AS mean_word_len,
+       |    CAST(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE)
+       |      / len(w) AS frac_alpha_words,
+       |    len(list_filter([$stopList], s -> list_contains(w, s))) AS n_stop_hits
+       |  FROM base)
+       |SELECT doc_id, n_words,
+       |  round(mean_word_len, 6) AS mean_word_len,
+       |  round(frac_alpha_words, 6) AS frac_alpha_words,
+       |  n_stop_hits,
+       |  CASE WHEN n_words < 20 THEN 'too_short'
+       |       WHEN n_words > 100000 THEN 'too_long'
+       |       WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'word_len'
+       |       WHEN frac_alpha_words < 0.8 THEN 'alpha'
+       |       WHEN n_stop_hits < 2 THEN 'low_stop'
+       |       ELSE 'keep' END AS verdict
+       |FROM m""".stripMargin
+  }
+
   // ---- corpus length statistics -------------------------------------------
 
   /** Log2-bucketed document-length histogram — the corpus-shape report every
@@ -311,7 +437,9 @@ object TextOps {
     "tx_filter" -> (filterPass _),
     "tx_pii" -> (pii _),
     "tx_lm_score" -> (lmScore _),
-    "tx_len_hist" -> (lenHist _))
+    "tx_len_hist" -> (lenHist _),
+    "tx_repetition" -> (repetition _),
+    "tx_gopher" -> (gopher _))
 
   def oracleSql: Map[String, String] = Map(
     "tx_langid" -> langIdSql,
@@ -322,5 +450,7 @@ object TextOps {
     "tx_filter" -> filterPassSql,
     "tx_pii" -> piiSql,
     "tx_lm_score" -> lmScoreSql,
-    "tx_len_hist" -> lenHistSql)
+    "tx_len_hist" -> lenHistSql,
+    "tx_repetition" -> repetitionSql,
+    "tx_gopher" -> gopherSql)
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-2 corpus-pipeline operators: Gopher repetition/quality gates,
+  * SemDeDup cluster-bucketed semantic dedup, soft-dedup reweighting. */
+class CorpusOpsSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("tx_repetition: map-side only — no exchange in the plan") {
+    val p = text.TextOps.repetition(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"repetition pass must be a pure scan:\n${p.take(800)}")
+  }
+
+  test("tx_repetition: mode 2-gram count matches a brute-force recount") {
+    val rows = text.TextOps.repetition(spark, sf)
+      .filter(col("n_words") >= 2).limit(20).collect()
+    val texts = Tables(spark, sf).documents
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("t")).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val words = texts(r.getAs[Long]("doc_id")).split("\\s+").filter(_.nonEmpty)
+      val grams = words.sliding(2).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size)
+      val bestCnt = counts.values.max
+      // tie-break: smallest gram among max-count, as documented
+      val bestGram = counts.filter(_._2 == bestCnt).keys.min
+      assert(r.getAs[Long]("top2_cnt") == bestCnt)
+      assert(r.getAs[String]("top2_gram") == bestGram)
+    }
+  }
+
+  test("tx_repetition: fractions live in [0, 1]") {
+    val rows = text.TextOps.repetition(spark, sf).collect()
+    rows.foreach { r =>
+      Seq("dup_word_frac", "dup3_frac", "top2_frac").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c = $v")
+      }
+    }
+  }
+
+  test("tx_gopher: map-side only, verdicts from the documented domain") {
+    val df = text.TextOps.gopher(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"quality gate must be a pure scan:\n${p.take(800)}")
+    val verdicts = df.select(col("verdict")).distinct().collect().map(_.getString(0)).toSet
+    val legal = Set("too_short", "too_long", "word_len", "alpha", "low_stop", "keep")
+    assert(verdicts.subsetOf(legal), s"unexpected verdicts: ${verdicts -- legal}")
+    assert(verdicts.contains("keep"))
+  }
+
+  test("tx_gopher: gate order — a too-short doc is never blamed on a later gate") {
+    val rows = text.TextOps.gopher(spark, sf).filter(col("n_words") < 20).collect()
+    rows.foreach(r => assert(r.getAs[String]("verdict") == "too_short"))
+  }
+
+  test("dd_semdedup: one verdict per vector, drop iff a lower-id cluster-mate is close") {
+    val out = sim.Similarity.semDedup(spark, sf).collect()
+    val n = Tables(spark, sf).embeddings.count()
+    assert(out.length == n, s"${out.length} verdicts for $n vectors")
+    out.foreach { r =>
+      val drop = r.getAs[String]("verdict") == "drop"
+      assert(drop == (r.getAs[Long]("n_dups") > 0))
+    }
+    // the min-id member of every cluster survives (it has no lower-id mate)
+    out.groupBy(_.getAs[Long]("cid")).values.foreach { members =>
+      val minId = members.map(_.getAs[Long]("vec_id")).min
+      val minRow = members.find(_.getAs[Long]("vec_id") == minId).get
+      assert(minRow.getAs[String]("verdict") == "keep")
+    }
+  }
+
+  test("dd_weighted: group mass is 1 and copy counts agree with dd_exact") {
+    val w = dedup.Dedup.weighted(spark, sf)
+    val exact = dedup.Dedup.exact(spark, sf)
+    // total weighted mass == number of distinct texts (each group sums to 1)
+    val mass = w.agg(sum(col("weight"))).head.getDouble(0)
+    val groups = exact.count()
+    assert(math.abs(mass - groups) < 1e-3, s"mass $mass vs $groups groups")
+    // every doc's n_copies equals its group's size from the exact pass
+    val byCopies = w.groupBy(col("n_copies")).count().collect()
+      .map(r => r.getAs[Long]("n_copies") -> r.getAs[Long]("count")).toMap
+    val exactByCopies = exact.groupBy(col("n_copies")).count().collect()
+      .map(r => r.getAs[Long]("n_copies") -> r.getAs[Long]("count") * r.getAs[Long]("n_copies")).toMap
+    // a k-copy group contributes k docs on the weighted side
+    assert(byCopies == exactByCopies)
+  }
+}
