@@ -170,7 +170,37 @@ object EventOps {
       |  round(quantile_cont(value, 0.99), 6) AS p99
       |FROM events GROUP BY 1""".stripMargin
 
+  // ---- cohort retention matrix --------------------------------------------
+
+  /** Daily cohort retention: users grouped by first-seen day, counted
+    * distinct on each later active day's offset — the standard retention
+    * triangle. Shapes: the first-seen dim is one partial agg on user_id;
+    * the join back is co-partitioned on the SAME key (no extra exchange);
+    * the retention cell count is a two-phase distinct agg. Day keys emitted
+    * as strings so the compare is representation-proof. */
+  def cohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
+    ev.join(first, "user_id")
+      .groupBy(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("d"), col("cohort_d")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val cohortsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+      |first AS (
+      |  SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY 1)
+      |SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
+      |  date_diff('day', cohort_d, d) AS day_offset,
+      |  count(DISTINCT ev.user_id) AS n_users
+      |FROM ev JOIN first ON ev.user_id = first.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cohorts" -> (cohorts _),
     "ev_parse_json" -> (parseJson _),
     "ev_throughput" -> (throughput _),
     "ev_signups" -> (signups _),
@@ -179,6 +209,7 @@ object EventOps {
     "ev_quantiles" -> (quantiles _))
 
   def oracleSql: Map[String, String] = Map(
+    "ev_cohorts" -> cohortsSql,
     "ev_parse_json" -> parseJsonSql,
     "ev_throughput" -> throughputSql,
     "ev_signups" -> signupsSql,

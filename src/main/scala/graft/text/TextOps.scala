@@ -378,6 +378,44 @@ object TextOps {
        |FROM m""".stripMargin
   }
 
+  // ---- sequence packing (training-batch assembly) -------------------------
+
+  /** Token budget per packed training sequence (scaled to the synthetic
+    * docs; production uses the model context length). */
+  val packBudget = 256
+
+  /** Sequence packing: concatenate documents in id order and cut every
+    * `packBudget` tokens — each doc lands in the bin where it starts (the
+    * concat-and-chunk packing every pre-training run performs). Packing is
+    * PER SOURCE, not global: a global ordered cumsum is a single-partition
+    * bottleneck, while per-shard packing (what real pipelines do — each
+    * writer packs its own shard) keeps every partition independent. One
+    * shuffle on source; the cumsum is a within-partition running sum. */
+  def pack(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"), col("source"),
+      size(Portable.words(col("text"))).cast("long").as("tok"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(col("tok")).over(w))
+      .groupBy(col("source"), expr(s"(cum - tok) DIV $packBudget").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc_id"),
+        sum(col("tok")).as("total_tokens"))
+  }
+
+  val packSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, CAST(len(${Portable.wordsSql}) AS BIGINT) AS tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, tok,
+       |    sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d)
+       |SELECT source, CAST((cum - tok) // $packBudget AS BIGINT) AS bin,
+       |  count(*) AS n_docs, min(doc_id) AS first_doc_id,
+       |  CAST(sum(tok) AS BIGINT) AS total_tokens
+       |FROM c GROUP BY 1, 2""".stripMargin
+
   // ---- corpus length statistics -------------------------------------------
 
   /** Log2-bucketed document-length histogram — the corpus-shape report every
@@ -439,7 +477,8 @@ object TextOps {
     "tx_lm_score" -> (lmScore _),
     "tx_len_hist" -> (lenHist _),
     "tx_repetition" -> (repetition _),
-    "tx_gopher" -> (gopher _))
+    "tx_gopher" -> (gopher _),
+    "tx_pack" -> (pack _))
 
   def oracleSql: Map[String, String] = Map(
     "tx_langid" -> langIdSql,
@@ -452,5 +491,6 @@ object TextOps {
     "tx_lm_score" -> lmScoreSql,
     "tx_len_hist" -> lenHistSql,
     "tx_repetition" -> repetitionSql,
-    "tx_gopher" -> gopherSql)
+    "tx_gopher" -> gopherSql,
+    "tx_pack" -> packSql)
 }

@@ -73,6 +73,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_pack: every doc packed once, bins contiguous per source") {
+    val out = text.TextOps.pack(spark, sf).collect()
+    val nDocs = Tables(spark, sf).documents.count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    out.groupBy(_.getAs[String]("source")).values.foreach { bins =>
+      val ids = bins.map(_.getAs[Long]("bin")).sorted
+      assert(ids.head == 0L)
+      assert(ids.toSeq == (0L until ids.length).toSeq, s"gap in bins: ${ids.toSeq}")
+      // packing preserves order: later bins start at later docs
+      val byBin = bins.sortBy(_.getAs[Long]("bin")).map(_.getAs[Long]("first_doc_id"))
+      assert(byBin.toSeq == byBin.sorted.toSeq)
+    }
+  }
+
+  test("ev_cohorts: offsets non-negative, no cell exceeds its cohort size") {
+    val out = events.EventOps.cohorts(spark, sf).collect()
+    assert(out.forall(_.getAs[Long]("day_offset") >= 0L))
+    out.groupBy(_.getAs[String]("cohort_day")).values.foreach { cells =>
+      val day0 = cells.find(_.getAs[Long]("day_offset") == 0L)
+      assert(day0.isDefined, "every cohort has its day-0 cell")
+      val size0 = day0.get.getAs[Long]("n_users")
+      cells.foreach(c => assert(c.getAs[Long]("n_users") <= size0))
+    }
+  }
+
   test("dd_weighted: group mass is 1 and copy counts agree with dd_exact") {
     val w = dedup.Dedup.weighted(spark, sf)
     val exact = dedup.Dedup.exact(spark, sf)
