@@ -139,6 +139,70 @@ object Dedup {
        |JOIN sizes sb ON sb.doc_id = id_b
        |WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.12""".stripMargin
 
+  // ---- exact duplicate-substring spans (suffix-array dedup, join form) ----
+
+  /** Minimum run of consecutive shared 3-grams for a span to count: 4 runs
+    * = a 6-word exact duplicate substring. */
+  val spanMinRun = 4
+
+  /** Exact duplicate-substring spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): the suffix-array pass
+    * re-expressed as relational ops — positional 3-gram inverted index
+    * (occurrence-capped like `maxDf`), cross-doc matches on the gram hash,
+    * then gaps-and-islands chaining along each (doc_a, doc_b, diagonal):
+    * consecutive positions share `ai - row_number()`, so a GROUP BY turns
+    * maximal runs into spans. Shapes: one shuffle keyed by gram hash (the
+    * window df and the self-join reuse the same HashPartitioning), one
+    * shuffle for the island window — both bounded by the occurrence cap. */
+  def spans(spark: SparkSession, sfDir: String): DataFrame = {
+    val kg = docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(
+        graft.plans.ShingleHashes(col("text"), 3, distinct = false)))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "h")
+    val informative = kg
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df").between(2, maxDf))
+    val matches = informative.as("a").join(informative.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.i").cast("long").as("ai"), col("b.i").cast("long").as("bi"))
+      .withColumn("diag", col("ai") - col("bi"))
+    val wIsl = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("ai"))
+    matches.withColumn("isl", col("ai") - row_number().over(wIsl))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+      .agg(count(lit(1)).as("run"), min(col("ai")).as("start_a"),
+        min(col("bi")).as("start_b"))
+      .filter(col("run") >= spanMinRun)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        (col("run") + 2).as("span_words"))
+  }
+
+  val spansSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${Portable.wordsSql} AS w FROM documents),
+       |kg AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    ${Portable.hash64Sql("w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]")} AS h
+       |  FROM base, LATERAL unnest(range(1, greatest(len(w) - 1, 1))) t(i)),
+       |df AS (SELECT h, count(*) AS df FROM kg GROUP BY 1),
+       |inf AS (
+       |  SELECT kg.doc_id, kg.pos, kg.h FROM kg JOIN df ON kg.h = df.h
+       |  WHERE df.df BETWEEN 2 AND $maxDf),
+       |m AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS ai, b.pos AS bi,
+       |    a.pos - b.pos AS diag
+       |  FROM inf a JOIN inf b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT da, db, ai, bi, diag,
+       |    ai - row_number() OVER (PARTITION BY da, db, diag ORDER BY ai) AS isl
+       |  FROM m)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  CAST(min(ai) AS BIGINT) AS start_a, CAST(min(bi) AS BIGINT) AS start_b,
+       |  CAST(count(*) + 2 AS BIGINT) AS span_words
+       |FROM isl GROUP BY da, db, diag, isl
+       |HAVING count(*) >= $spanMinRun""".stripMargin
+
   // ---- #24 MinHash + LSH banding ------------------------------------------
 
   val numHashes = 16
@@ -487,6 +551,7 @@ object Dedup {
     "dd_contam" -> (contaminate _),
     "dd_exact" -> (exact _),
     "dd_weighted" -> (weighted _),
+    "dd_spans" -> (spans _),
     "dd_ngram_jacc" -> (ngramJaccard _),
     "dd_minhash" -> (minhashLsh _),
     "dd_clusters" -> (clusters _),
@@ -498,6 +563,7 @@ object Dedup {
     "dd_contam" -> contaminateSql,
     "dd_exact" -> exactSql,
     "dd_weighted" -> weightedSql,
+    "dd_spans" -> spansSql,
     "dd_ngram_jacc" -> ngramJaccardSql,
     "dd_minhash" -> minhashLshSql,
     "dd_clusters" -> clustersSql,

@@ -88,11 +88,51 @@ object Sampling {
        |  FROM documents) t
        |WHERE rn <= $reservoirK""".stripMargin
 
+  // ---- source-mixture table (quality-derived sampling plan) ---------------
+
+  /** Docs each source should contribute per epoch of the mix. */
+  val mixTarget = 20
+
+  /** The mixture table a corpus build derives before sampling: per source,
+    * how many docs survive the retention gate ([[graft.text.TextOps
+    * .filterPass]]) and how many repeats ("epochs", `target / n_keep`) are
+    * needed to hit the per-source target — upweighting scarce clean sources,
+    * downweighting plentiful ones. All divisions are exact-int-operand
+    * doubles (bit-identical across engines). One agg on source; the gate
+    * itself is the map-side scan pass. */
+  def mixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = graft.text.TextOps.filterPass(spark, sfDir)
+      .select(col("doc_id"), col("verdict"))
+    val src = Tables(spark, sfDir).documents.select(col("doc_id"), col("source"))
+    src.join(f, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("verdict") === "keep", 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_rate", round(col("n_keep").cast("double") / col("n_docs"), 6))
+      .withColumn("epochs", when(col("n_keep") > 0,
+        round(lit(mixTarget).cast("double") / col("n_keep"), 6)))
+  }
+
+  val mixtureSql: String =
+    s"""WITH f AS (${graft.text.TextOps.filterPassSql})
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN f.verdict = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  round(CAST(sum(CASE WHEN f.verdict = 'keep' THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS keep_rate,
+       |  CASE WHEN sum(CASE WHEN f.verdict = 'keep' THEN 1 ELSE 0 END) > 0
+       |    THEN round(CAST($mixTarget AS DOUBLE)
+       |      / sum(CASE WHEN f.verdict = 'keep' THEN 1 ELSE 0 END), 6)
+       |  END AS epochs
+       |FROM documents d JOIN f ON f.doc_id = d.doc_id
+       |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_stratified" -> (stratified _),
-    "samp_reservoir" -> (reservoir _))
+    "samp_reservoir" -> (reservoir _),
+    "samp_mixture" -> (mixture _))
 
   def oracleSql: Map[String, String] = Map(
     "samp_stratified" -> stratifiedSql,
-    "samp_reservoir" -> reservoirSql)
+    "samp_reservoir" -> reservoirSql,
+    "samp_mixture" -> mixtureSql)
 }

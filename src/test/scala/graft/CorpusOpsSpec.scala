@@ -98,6 +98,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_spans: reported spans are real exact duplicate substrings") {
+    val out = dedup.Dedup.spans(spark, sf).collect()
+    assert(out.nonEmpty, "synthetic near-dups must surface spans")
+    val texts = Tables(spark, sf).documents
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("t")
+        .split("\\s+").filter(_.nonEmpty)).toMap
+    out.take(25).foreach { r =>
+      val (a, b) = (texts(r.getAs[Long]("doc_a")), texts(r.getAs[Long]("doc_b")))
+      val (sa, sb) = (r.getAs[Long]("start_a").toInt, r.getAs[Long]("start_b").toInt)
+      val n = r.getAs[Long]("span_words").toInt
+      assert(n >= dedup.Dedup.spanMinRun + 2)
+      assert(a.slice(sa, sa + n).toSeq == b.slice(sb, sb + n).toSeq,
+        s"span mismatch: ${r.mkString(",")}")
+    }
+  }
+
   test("dd_weighted: group mass is 1 and copy counts agree with dd_exact") {
     val w = dedup.Dedup.weighted(spark, sf)
     val exact = dedup.Dedup.exact(spark, sf)
