@@ -320,7 +320,41 @@ object Relational {
       |  round(sum(value) / count(*), 6) AS avg_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Running-frame windows: per-customer cumulative spend, 3-order moving
+    * average, previous order price, and spend quartile — the ROWS-frame,
+    * lag, and ntile surface in one pass. ONE shuffle on o_custkey serves
+    * all four functions (same partitioning + deterministic total order).
+    * Running sums are rounded at the data's 2dp granularity (engines fold
+    * doubles in frame order; the 1e-11 tail differs, the cents don't). */
+  def qRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir).orders
+    val ord = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wRun = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wMov = ord.rowsBetween(-2, 0)
+    o.select(col("o_custkey"), col("o_orderkey"),
+      round(sum(col("o_totalprice")).over(wRun), 2).as("run_total"),
+      round(avg(col("o_totalprice")).over(wMov), 6).as("mov_avg3"),
+      lag(col("o_totalprice"), 1).over(ord).as("prev_price"),
+      ntile(4).over(ord).cast("long").as("quartile"))
+  }
+
+  val qRunningSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS UNBOUNDED PRECEDING), 2) AS run_total,
+      |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3,
+      |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price,
+      |  CAST(ntile(4) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS BIGINT) AS quartile
+      |FROM orders""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_running" -> (qRunning _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_pivot" -> (qPivot _),
     "q_asof" -> (qAsof _),
@@ -334,6 +368,7 @@ object Relational {
     "ev_topk_users" -> (evTopkUsers _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_running" -> qRunningSql,
     "q_salted_agg" -> qSaltedAggSql,
     "q_pivot" -> qPivotSql,
     "q_asof" -> qAsofSql,

@@ -115,6 +115,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("st_stream_join: streaming result equals the batch interval join") {
+    val streamed = streaming.StreamOps.streamJoin(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val ev = Tables(spark, sf).events
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id"), col("ts").as("s_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val batch = s.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("s_id"), col("p_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))).as("delay_us"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("q_running: quartiles bounded, first order has no prev_price") {
+    val out = relational.Relational.qRunning(spark, sf).collect()
+    assert(out.forall { r =>
+      val q = r.getAs[Long]("quartile"); q >= 1 && q <= 4
+    })
+    // per customer: exactly the first row (min orderkey among earliest date)
+    // carries a null prev_price
+    out.groupBy(_.getAs[Long]("o_custkey")).values.foreach { rows =>
+      assert(rows.count(_.isNullAt(rows.head.fieldIndex("prev_price"))) == 1)
+    }
+  }
+
   test("dd_weighted: group mass is 1 and copy counts agree with dd_exact") {
     val w = dedup.Dedup.weighted(spark, sf)
     val exact = dedup.Dedup.exact(spark, sf)
