@@ -159,9 +159,13 @@ object Dedup {
       .select(col("doc_id"), posexplode(
         graft.plans.ShingleHashes(col("text"), 3, distinct = false)))
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "h")
+    // persist: both self-join sides read ONE materialization of the
+    // positional index (same contract as ngramJaccardFrom — at 100 TB this
+    // is a staging write, at bench scale an in-memory cache)
     val informative = kg
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("df").between(2, maxDf))
+      .persist()
     val matches = informative.as("a").join(informative.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

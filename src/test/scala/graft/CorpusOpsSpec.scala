@@ -145,6 +145,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_pack: one exchange — bin agg reuses the source partitioning") {
+    val p = text.TextOps.pack(spark, sf).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(800))
+  }
+
+  test("dd_spans: both self-join sides read one cached positional index") {
+    val p = dedup.Dedup.spans(spark, sf).queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(p).size == 2, p.take(1200))
+  }
+
   test("dd_weighted: group mass is 1 and copy counts agree with dd_exact") {
     val w = dedup.Dedup.weighted(spark, sf)
     val exact = dedup.Dedup.exact(spark, sf)
