@@ -48,4 +48,32 @@ object RuleStore {
   def sweep(rules: DataFrame, nowUs: Long): DataFrame =
     rules.filter(col("expiry_us").isNull ||
       lit(nowUs) <= col("expiry_us") + lit(3L * 86400L * 1000000L))
+
+  private val dayUs = 86400L * 1000000L
+
+  /** The once-only expiry notifications (eventhandler.rs:430-460): a rule
+    * notifies "expiring in less than a day" exactly once
+    * (`exp_notification` 0 → 1) and "has expired" exactly once (≤1 → 2).
+    * Input rules may carry an `exp_notification` column (absent ⇒ 0);
+    * returns each rule with the `notice` to send this sweep (null = none)
+    * and the advanced counter — run before [[sweep]], persist the result. */
+  def sweepNotices(rules: DataFrame, nowUs: Long): DataFrame = {
+    val withState =
+      if (rules.columns.contains("exp_notification")) rules
+      else rules.withColumn("exp_notification", lit(0))
+    val state = coalesce(col("exp_notification"), lit(0))
+    val expiringSoon = col("expiry_us").isNotNull &&
+      col("expiry_us") < lit(nowUs + dayUs) && state === 0
+    val expired = col("expiry_us").isNotNull &&
+      col("expiry_us") < lit(nowUs) && state <= 1
+    // reference branch order: the "expiring soon" arm wins while the
+    // counter is 0 — even for an already-expired rule, which then reports
+    // "expired" on the NEXT sweep (eventhandler.rs if/else-if)
+    withState
+      .withColumn("notice",
+        when(expiringSoon, lit("expiring_soon"))
+          .when(expired, lit("expired")))
+      .withColumn("exp_notification",
+        when(expiringSoon, lit(1)).when(expired, lit(2)).otherwise(state))
+  }
 }

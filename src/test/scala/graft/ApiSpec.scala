@@ -48,6 +48,33 @@ class ApiSpec extends AnyFunSuite {
     assert(swept.filter("name = 'r_ip'").count() == 1)
   }
 
+  test("expiry notices fire once each, in the reference's branch order") {
+    import org.apache.spark.sql.functions.col
+    val dayUs = 86400L * 1000000L
+    val now = graft.rules.Rules.nowUs
+    // already expired, never notified: first sweep says expiring_soon
+    // (reference if/else-if), second says expired, third is silent
+    val r0 = graft.rules.Rules.df(spark).filter(col("name") === "r_expired")
+    val s1 = graft.rules.RuleStore.sweepNotices(r0, now).cache()
+    assert(s1.head.getAs[String]("notice") == "expiring_soon")
+    assert(s1.head.getAs[Int]("exp_notification") == 1)
+    val s2 = graft.rules.RuleStore.sweepNotices(s1.drop("notice"), now).cache()
+    assert(s2.head.getAs[String]("notice") == "expired")
+    assert(s2.head.getAs[Int]("exp_notification") == 2)
+    val s3 = graft.rules.RuleStore.sweepNotices(s2.drop("notice"), now)
+    assert(s3.head.getAs[String]("notice") == null)
+    // a rule expiring within a day but not yet expired: expiring_soon once
+    val soon = graft.rules.RuleStore.sweepNotices(
+      r0.withColumn("expiry_us", org.apache.spark.sql.functions.lit(now + dayUs / 2)), now)
+    assert(soon.head.getAs[String]("notice") == "expiring_soon")
+    // no expiry: never notifies
+    val never = graft.rules.RuleStore.sweepNotices(
+      r0.withColumn("expiry_us",
+        org.apache.spark.sql.functions.lit(null).cast("long")), now)
+    assert(never.head.getAs[String]("notice") == null)
+    assert(never.head.getAs[Int]("exp_notification") == 0)
+  }
+
   test("namechk runs hypothetical signup through the engine") {
     val hits = graft.rules.RuleEngine.namechk(spark, "user_242424", graft.rules.Rules.df(spark))
       .collect().map(_.getString(0)).toSet
