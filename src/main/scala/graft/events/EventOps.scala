@@ -170,6 +170,58 @@ object EventOps {
       |  round(quantile_cont(value, 0.99), 6) AS p99
       |FROM events GROUP BY 1""".stripMargin
 
+  // ---- Count-Min frequency sketch -----------------------------------------
+
+  val cmsDepth = 3
+  val cmsWidth = 64
+
+  /** Count-Min sketch estimates vs exact counts — the third sketch family
+    * next to HLL (distinct) and TopKByScore (heavy ranks): per-key frequency
+    * under sublinear state. The sketch is d×w = 192 mergeable counters built
+    * in ONE partial aggregation (order-independent sums — exactly
+    * reproducible, unlike Misra-Gries-style samplers); estimates probe it
+    * via a broadcast join and take the min over rows. Output pairs every
+    * probe's estimate with its true count, so the CMS overestimate guarantee
+    * (`est_n ≥ true_n`) is visible and spec-asserted. Hashes are the
+    * engine's portable md5 family, salted per row. */
+  def cms(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).events.select(col("user_id"))
+    def cells(df: DataFrame): DataFrame = df
+      .select(col("user_id"), posexplode(array((0 until cmsDepth).map { j =>
+        pmod(graft.functions.Portable.hash64(col("user_id").cast("string"), s"cms$j"),
+          lit(cmsWidth.toLong))
+      }: _*)))
+      .withColumnRenamed("pos", "j").withColumnRenamed("col", "cell")
+    val sketch = cells(ev).groupBy(col("j"), col("cell")).agg(count(lit(1)).as("c"))
+    val probes = cells(ev.filter(col("user_id") < 20).distinct())
+    val est = probes.join(broadcast(sketch), Seq("j", "cell"))
+      .groupBy(col("user_id")).agg(min(col("c")).as("est_n"))
+    val truth = ev.filter(col("user_id") < 20)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("true_n"))
+    truth.join(est, "user_id")
+  }
+
+  val cmsSql: String = {
+    val cell = "CAST('0x' || substr(md5('cms' || j || CAST(user_id AS VARCHAR)), 1, 15) " +
+      s"AS BIGINT) % $cmsWidth"
+    s"""WITH cells AS (
+       |  SELECT user_id, j, $cell AS cell
+       |  FROM events, LATERAL unnest([0, 1, 2]) t(j)),
+       |sketch AS (SELECT j, cell, count(*) AS c FROM cells GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT DISTINCT user_id, j, $cell AS cell
+       |  FROM events, LATERAL unnest([0, 1, 2]) t(j)
+       |  WHERE user_id < 20),
+       |est AS (
+       |  SELECT user_id, min(c) AS est_n
+       |  FROM probes JOIN sketch USING (j, cell) GROUP BY 1),
+       |truth AS (
+       |  SELECT user_id, count(*) AS true_n FROM events
+       |  WHERE user_id < 20 GROUP BY 1)
+       |SELECT truth.user_id, true_n, est_n
+       |FROM truth JOIN est USING (user_id)""".stripMargin
+  }
+
   // ---- cohort retention matrix --------------------------------------------
 
   /** Daily cohort retention: users grouped by first-seen day, counted
@@ -200,6 +252,7 @@ object EventOps {
       |GROUP BY 1, 2""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cms" -> (cms _),
     "ev_cohorts" -> (cohorts _),
     "ev_parse_json" -> (parseJson _),
     "ev_throughput" -> (throughput _),
@@ -209,6 +262,7 @@ object EventOps {
     "ev_quantiles" -> (quantiles _))
 
   def oracleSql: Map[String, String] = Map(
+    "ev_cms" -> cmsSql,
     "ev_cohorts" -> cohortsSql,
     "ev_parse_json" -> parseJsonSql,
     "ev_throughput" -> throughputSql,

@@ -155,6 +155,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert("InMemoryTableScan".r.findAllIn(p).size == 2, p.take(1200))
   }
 
+  test("ev_cms: estimates never undercount (the CMS guarantee)") {
+    val out = events.EventOps.cms(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r =>
+      assert(r.getAs[Long]("est_n") >= r.getAs[Long]("true_n"), r.toString))
+  }
+
   test("dd_weighted: group mass is 1 and copy counts agree with dd_exact") {
     val w = dedup.Dedup.weighted(spark, sf)
     val exact = dedup.Dedup.exact(spark, sf)
