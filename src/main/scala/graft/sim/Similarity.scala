@@ -396,6 +396,87 @@ object Similarity {
        |  FROM directed) t
        |WHERE rank <= 3""".stripMargin
 
+  // ---- k-means training (Lloyd iterations) --------------------------------
+
+  val kmK = 8
+  val kmIters = 2
+
+  /** One Lloyd assignment pass: every vector → its max-cosine centroid.
+    * Centroids broadcast (K rows); ties broken (cos desc, cid asc) after
+    * 6dp rounding so both engines agree. */
+  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"),
+        round(graft.plans.VectorDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+          .as("ccos"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
+    scored.withColumn("crn", row_number().over(w)).filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  /** Per-cluster mean vectors of an assignment, repacked as ordered arrays
+    * (6dp-rounded per dimension — the mean is the only non-ordered fold in
+    * the pipeline, and 1e-13 sum-order noise is far below the rounding).
+    * Empty clusters vanish (standard Lloyd's with drop-empty policy). */
+  private def kmMeans(e: DataFrame, assigned: DataFrame): DataFrame = {
+    val dims = e.join(assigned, "vec_id")
+      .select(col("cid"), posexplode(col("v")))
+      .groupBy(col("cid"), col("pos")).agg(round(avg(col("col")), 6).as("m"))
+    dims.groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dm"))
+      .select(col("cid"), transform(col("dm"), x => x.getField("m")).as("cv"))
+      .withColumn("cnrm", sqrt(graft.plans.VectorDot(col("cv"), col("cv"))))
+  }
+
+  /** K-means centroid training (Lloyd's): the step the IVF and SemDeDup
+    * docs defer to ("trained centroids drop in identically"). Each
+    * iteration is one O(n·K) broadcast assignment + one per-dimension mean
+    * — no pairwise work anywhere; K and the iteration count are constants,
+    * so the whole training pass is a fixed number of linear scans at any
+    * corpus size. Output: the iteration-`kmIters` centroid means (one row
+    * per cluster × dimension) with final membership counts. */
+  def kmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("v"), col("nrm")).persist()
+    val seeds = e.filter(col("vec_id") < kmK)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    var cents = seeds
+    var assigned: DataFrame = null
+    for (_ <- 0 until kmIters) {
+      assigned = kmAssign(e, cents).persist()
+      cents = kmMeans(e, assigned)
+    }
+    val counts = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+    cents.select(col("cid"), posexplode(col("cv")))
+      .select(col("cid"), col("pos").cast("long").as("dim"), col("col").as("m"))
+      .join(counts, "cid")
+      .select(col("cid"), col("n_members"), col("dim"), col("m"))
+  }
+
+  val kmeansSql: String = {
+    def assignCte(scored: String) =
+      s"""(SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+         |    FROM $scored) t WHERE rn = 1)""".stripMargin
+    s"""WITH $embCte,
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $kmK),
+       |s0 AS (SELECT e.vec_id, c0.cid,
+       |  round(${Portable.cosineSql("e.v", "cv")}, 6) AS ccos FROM e CROSS JOIN c0),
+       |a0 AS ${assignCte("s0")},
+       |ev AS (SELECT vec_id, i - 1 AS dim, v[i] AS x
+       |  FROM e, LATERAL unnest(range(1, len(v) + 1)) t(i)),
+       |m1 AS (SELECT cid, dim, round(avg(x), 6) AS m
+       |  FROM ev JOIN a0 USING (vec_id) GROUP BY 1, 2),
+       |c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY 1),
+       |s1 AS (SELECT e.vec_id, c1.cid,
+       |  round(${Portable.cosineSql("e.v", "cv")}, 6) AS ccos FROM e CROSS JOIN c1),
+       |a1 AS ${assignCte("s1")},
+       |m2 AS (SELECT cid, dim, round(avg(x), 6) AS m
+       |  FROM ev JOIN a1 USING (vec_id) GROUP BY 1, 2),
+       |counts AS (SELECT cid, count(*) AS n_members FROM a1 GROUP BY 1)
+       |SELECT m2.cid, n_members, dim, m FROM m2 JOIN counts USING (cid)""".stripMargin
+  }
+
   // ---- int8-quantized ANN (the storage/bandwidth path) --------------------
 
   /** Brute-force top-k over INT8-QUANTIZED vectors — the memory-bandwidth
@@ -458,7 +539,8 @@ object Similarity {
     "ann_ivf_topk" -> (ivfTopK _),
     "ann_knn_join" -> (knnJoin _),
     "dd_embed" -> (embedNearDup _),
-    "dd_semdedup" -> (semDedup _))
+    "dd_semdedup" -> (semDedup _),
+    "ann_kmeans" -> (kmeans _))
 
   def oracleSql: Map[String, String] = Map(
     "ann_quant_topk" -> quantTopKSql,
@@ -467,5 +549,6 @@ object Similarity {
     "ann_ivf_topk" -> ivfTopKSql,
     "ann_knn_join" -> knnJoinSql,
     "dd_embed" -> embedNearDupSql,
-    "dd_semdedup" -> semDedupSql)
+    "dd_semdedup" -> semDedupSql,
+    "ann_kmeans" -> kmeansSql)
 }

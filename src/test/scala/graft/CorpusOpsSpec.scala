@@ -155,6 +155,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert("InMemoryTableScan".r.findAllIn(p).size == 2, p.take(1200))
   }
 
+  test("ann_kmeans: every vector accounted for, full-dimension centroids") {
+    val out = sim.Similarity.kmeans(spark, sf).collect()
+    val n = Tables(spark, sf).embeddings.count()
+    val byCluster = out.groupBy(_.getAs[Long]("cid"))
+    assert(byCluster.size <= sim.Similarity.kmK)
+    // membership counts cover the corpus exactly once
+    assert(byCluster.values.map(_.head.getAs[Long]("n_members")).sum == n)
+    // each surviving cluster carries one mean per dimension
+    byCluster.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("dim")).sorted.toSeq == (0L until 64L))
+    }
+  }
+
   test("ev_cms: estimates never undercount (the CMS guarantee)") {
     val out = events.EventOps.cms(spark, sf).collect()
     assert(out.nonEmpty)
