@@ -25,8 +25,30 @@ object StreamOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source → transform → memory-sink, run to completion. */
+  /** File-source → transform → memory-sink, run to completion.
+    *
+    * Stateful streaming operators run one-or-more STATE STORES per shuffle
+    * partition, and store setup dominates small/medium per-partition state
+    * (the stream-stream join measured 12.7 s at 32 partitions vs 3.1 s at
+    * 8 on the bench corpus). Production sizes state partitions to state
+    * volume, not to the batch shuffle default — so every harness query pins
+    * its own partition count (`graft.streaming.statePartitions`, default 8;
+    * streaming pins partitioning at checkpoint creation, so the setting is
+    * per-query and restored after). Results are partition-count-invariant. */
   def runToTable(spark: SparkSession, sfDir: String, mode: OutputMode)(
+      build: DataFrame => DataFrame): DataFrame =
+    withStatePartitions(spark)(runToTableUnscoped(spark, sfDir, mode)(build))
+
+  /** Pin the stateful-query partition count for the duration of `f`. */
+  def withStatePartitions[A](spark: SparkSession)(f: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.getOption("graft.streaming.statePartitions").getOrElse("8"))
+    try f
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def runToTableUnscoped(spark: SparkSession, sfDir: String, mode: OutputMode)(
       build: DataFrame => DataFrame): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file-stream sources take a directory; select the events file by glob
@@ -214,7 +236,8 @@ object StreamOps {
     * production bounds it with a watermark/TTL on the bucket registry (stale
     * buckets age out), the standard contract for streaming dedup state.
     * min(doc_id) (not arrival order) keeps the batch replay deterministic. */
-  def minhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashDedup(spark: SparkSession, sfDir: String): DataFrame =
+    withStatePartitions(spark) {
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
@@ -232,7 +255,7 @@ object StreamOps {
     q.processAllAvailable()
     q.stop()
     spark.table(name).select(col("keeper").as("doc_id")).distinct()
-  }
+    }
 
   val minhashDedupSql: String =
     s"""WITH ${graft.dedup.Dedup.minhashCtes}
@@ -247,7 +270,8 @@ object StreamOps {
     * against the standing query set as they arrive; no window functions
     * needed: the top-k is a bounded sorted-list aggregate, so state is
     * O(queries·k), not O(corpus)). */
-  def annTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  def annTopK(spark: SparkSession, sfDir: String): DataFrame =
+    withStatePartitions(spark) {
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)),
@@ -279,7 +303,7 @@ object StreamOps {
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), col("col.cand").as("cand"),
         col("col.score").as("cos"), (col("pos") + 1).as("rank"))
-  }
+    }
 
   val annTopKSql: String = graft.sim.Similarity.bruteTopKSql
 
@@ -293,21 +317,7 @@ object StreamOps {
     * passes the interval (state O(rate × window), not O(stream)). The
     * harness's single batch makes the result identical to the relational
     * join the oracle runs. */
-  def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    // A streaming join runs FOUR state stores per shuffle partition; store
-    // setup dominates small/medium state (32 partitions ⇒ 12.7 s vs 8 ⇒
-    // 3.1 s on the bench corpus). Stateful operators size their partition
-    // count to state volume — not to the batch shuffle default — so the
-    // join query pins its own (streaming pins partitioning at checkpoint
-    // creation, so this stays per-query and is restored after).
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      spark.conf.getOption("graft.streaming.statePartitions").getOrElse("8"))
-    try streamJoinUnscoped(spark, sfDir)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
-
-  private def streamJoinUnscoped(spark: SparkSession, sfDir: String): DataFrame =
+  def streamJoin(spark: SparkSession, sfDir: String): DataFrame =
     runToTable(spark, sfDir, OutputMode.Append()) { src =>
       val signups = src.filter(col("event_type") === "signup")
         .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
