@@ -37,10 +37,16 @@ object TextOps {
     "profiles(plang, pword) AS (VALUES " +
       profiles.map { case (l, w) => s"('$l', '$w')" }.mkString(", ") + ")"
 
-  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    langIdWith(spark, sfDir, profilesDf(spark))
+
+  /** Language ID against an arbitrary profile dim `(plang, pword)` — the
+    * built-in [[profiles]], or one trained in-engine by [[profileTrain]]
+    * (`select(lang as plang, word as pword)`). */
+  def langIdWith(spark: SparkSession, sfDir: String, profileDim: DataFrame): DataFrame = {
     val wordsTable = docs(spark, sfDir)
       .select(col("doc_id"), explode(array_distinct(Portable.words(col("text")))).as("word"))
-    val scores = wordsTable.join(broadcast(profilesDf(spark)), col("word") === col("pword"))
+    val scores = wordsTable.join(broadcast(profileDim), col("word") === col("pword"))
       .groupBy(col("doc_id"), col("plang")).agg(count(lit(1)).as("score"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("plang").asc)
     scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -58,6 +64,54 @@ object TextOps {
        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
        |  FROM scores) t
        |WHERE rn = 1""".stripMargin
+
+  // ---- language-profile training ------------------------------------------
+
+  val profileTopK = 4
+  val profileMinDf = 3
+
+  /** Trains the [[profiles]] dim from labeled documents — the in-engine
+    * counterpart of `ann_kmeans` for the langid operator ("real deployments
+    * load trained profiles as this same dim"): per (lang, word) document
+    * frequency, scored by the share of the word's documents carrying the
+    * label (`df_lang / df_all` — exact int-operand division, no logs), top-k
+    * per language. Shapes: per-doc distinct words → two vocab-sized partial
+    * aggs (Zipf-small at any corpus size) → per-lang window top-k. A
+    * min-support floor keeps hapax noise out of the profile. */
+  def profileTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(Portable.words(col("text")))).as("word"))
+    val dfAll = words.groupBy(col("word")).agg(count(lit(1)).as("df_all"))
+    val dfLang = words.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("df_lang"))
+    val ranked = dfLang.join(dfAll, "word")
+      .filter(col("df_lang") >= profileMinDf)
+      .withColumn("score", round(col("df_lang").cast("double") / col("df_all"), 6))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("df_lang").desc, col("word").asc)
+    ranked.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= profileTopK)
+      .select(col("lang"), col("word"), col("df_lang"), col("df_all"),
+        col("score"), col("rank"))
+  }
+
+  val profileTrainSql: String =
+    s"""WITH wt AS (
+       |  SELECT doc_id, lang, unnest(list_distinct(${Portable.wordsSql})) AS word
+       |  FROM documents),
+       |df_all AS (SELECT word, count(*) AS df_all FROM wt GROUP BY 1),
+       |df_lang AS (SELECT lang, word, count(*) AS df_lang FROM wt GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT lang, df_lang.word, df_lang, df_all,
+       |    round(CAST(df_lang AS DOUBLE) / df_all, 6) AS score
+       |  FROM df_lang JOIN df_all ON df_lang.word = df_all.word
+       |  WHERE df_lang >= $profileMinDf)
+       |SELECT lang, word, df_lang, df_all, score, rank FROM (
+       |  SELECT lang, word, df_lang, df_all, score,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY score DESC, df_lang DESC, word ASC) AS BIGINT) AS rank
+       |  FROM ranked) t
+       |WHERE rank <= $profileTopK""".stripMargin
 
   // ---- #30 quality scoring ------------------------------------------------
 
@@ -478,7 +532,8 @@ object TextOps {
     "tx_len_hist" -> (lenHist _),
     "tx_repetition" -> (repetition _),
     "tx_gopher" -> (gopher _),
-    "tx_pack" -> (pack _))
+    "tx_pack" -> (pack _),
+    "tx_profile_train" -> (profileTrain _))
 
   def oracleSql: Map[String, String] = Map(
     "tx_langid" -> langIdSql,
@@ -492,5 +547,6 @@ object TextOps {
     "tx_len_hist" -> lenHistSql,
     "tx_repetition" -> repetitionSql,
     "tx_gopher" -> gopherSql,
-    "tx_pack" -> packSql)
+    "tx_pack" -> packSql,
+    "tx_profile_train" -> profileTrainSql)
 }

@@ -168,6 +168,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_profile_train: top-k per language, trained dim drives langId") {
+    val prof = text.TextOps.profileTrain(spark, sf)
+    val rows = prof.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.length <= text.TextOps.profileTopK)
+      assert(ranks.toSeq == (1L to ranks.length))
+      rs.foreach(r => assert(r.getAs[Long]("df_lang") >= text.TextOps.profileMinDf))
+    }
+    // the trained dim slots into the langid operator unchanged
+    val trained = prof.select(col("lang").as("plang"), col("word").as("pword"))
+    val pred = text.TextOps.langIdWith(spark, sf, trained)
+    assert(pred.count() > 0)
+  }
+
   test("ev_cms: estimates never undercount (the CMS guarantee)") {
     val out = events.EventOps.cms(spark, sf).collect()
     assert(out.nonEmpty)
