@@ -222,6 +222,39 @@ object EventOps {
        |FROM truth JOIN est USING (user_id)""".stripMargin
   }
 
+  // ---- rolling distinct actives (DAU / WAU) -------------------------------
+
+  /** Daily + trailing-7-day distinct actives — the DAU/WAU report. Distinct
+    * COUNT over a sliding window isn't directly window-able; the scalable
+    * pattern is: distinct (day, user) pairs first (one shuffle, corpus
+    * collapses to activity pairs), then a bounded range join against the
+    * tiny day dim (each pair lands in ≤7 day rows) and a two-phase distinct
+    * count. Day-dim size is calendar-bounded at any corpus scale. */
+  def wau(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = Tables(spark, sfDir).events
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val days = du.select(col("d").as("day")).distinct()
+    val dau = du.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+    val wauDf = days.join(du,
+        col("d").between(date_sub(col("day"), 6), col("day")))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+    days.join(dau, "day").join(wauDf, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"))
+  }
+
+  val wauSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id
+      |  FROM events),
+      |days AS (SELECT DISTINCT d AS day FROM du),
+      |dau AS (SELECT d AS day, count(*) AS dau FROM du GROUP BY 1),
+      |wau AS (
+      |  SELECT day, count(DISTINCT user_id) AS wau
+      |  FROM days JOIN du ON d BETWEEN day - 6 AND day GROUP BY 1)
+      |SELECT strftime(days.day, '%Y-%m-%d') AS day, dau, wau
+      |FROM days JOIN dau USING (day) JOIN wau USING (day)""".stripMargin
+
   // ---- cohort retention matrix --------------------------------------------
 
   /** Daily cohort retention: users grouped by first-seen day, counted
@@ -253,6 +286,7 @@ object EventOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_cms" -> (cms _),
+    "ev_wau" -> (wau _),
     "ev_cohorts" -> (cohorts _),
     "ev_parse_json" -> (parseJson _),
     "ev_throughput" -> (throughput _),
@@ -263,6 +297,7 @@ object EventOps {
 
   def oracleSql: Map[String, String] = Map(
     "ev_cms" -> cmsSql,
+    "ev_wau" -> wauSql,
     "ev_cohorts" -> cohortsSql,
     "ev_parse_json" -> parseJsonSql,
     "ev_throughput" -> throughputSql,

@@ -184,6 +184,14 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(pred.count() > 0)
   }
 
+  test("ev_wau: weekly actives bound daily actives") {
+    val out = events.EventOps.wau(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("wau") >= r.getAs[Long]("dau"), r.toString)
+    }
+  }
+
   test("ev_cms: estimates never undercount (the CMS guarantee)") {
     val out = events.EventOps.cms(spark, sf).collect()
     assert(out.nonEmpty)
