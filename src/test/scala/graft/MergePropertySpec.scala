@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{HllSketch, TopKByScore}
+
+/** Property-based merge-invariance checks for the mergeable aggregates —
+  * THE distributed-correctness contract: however the input is partitioned
+  * and in whatever order partial buffers merge, the result equals a single
+  * sequential pass. scalacheck drives random data + random partitionings. */
+class MergePropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("TopKByScore: any partitioning + merge order = one sequential pass") {
+    val gen = for {
+      xs <- Gen.listOf(Gen.zip(Gen.chooseNum(-100.0, 100.0), Gen.chooseNum(0L, 50L)))
+      cuts <- Gen.listOf(Gen.chooseNum(0, math.max(xs.size, 1)))
+      seed <- Gen.chooseNum(0L, 1000L)
+    } yield (xs, cuts, seed)
+    check(Prop.forAll(gen) { case (xs, cuts, seed) =>
+      val a = TopKByScore(BoundReference(0, DoubleType, nullable = true),
+        BoundReference(1, LongType, nullable = true), 5)
+      def row(s: Double, i: Long) = new GenericInternalRow(Array[Any](s, i))
+      // sequential reference
+      val ref = a.createAggregationBuffer()
+      xs.foreach { case (s, i) => a.update(ref, row(s, i)) }
+      // random partitioning: split points + shuffled merge order
+      val points = (cuts.map(c => math.min(c, xs.size)) :+ 0 :+ xs.size).distinct.sorted
+      val parts = points.zip(points.tail).map { case (from, to) =>
+        val b = a.createAggregationBuffer()
+        xs.slice(from, to).foreach { case (s, i) => a.update(b, row(s, i)) }
+        a.deserialize(a.serialize(b))
+      }
+      val shuffled = new scala.util.Random(seed).shuffle(parts)
+      val merged = shuffled.foldLeft(a.createAggregationBuffer())((acc, b) => a.merge(acc, b))
+      merged.scores.toSeq == ref.scores.toSeq && merged.ids.toSeq == ref.ids.toSeq
+    })
+  }
+
+  test("HllSketch: register state is partition- and order-invariant") {
+    val gen = for {
+      xs <- Gen.listOf(Gen.alphaNumStr)
+      cuts <- Gen.listOf(Gen.chooseNum(0, math.max(xs.size, 1)))
+      seed <- Gen.chooseNum(0L, 1000L)
+    } yield (xs, cuts, seed)
+    check(Prop.forAll(gen) { case (xs, cuts, seed) =>
+      val a = HllSketch(BoundReference(0, StringType, nullable = true))
+      def row(s: String) = new GenericInternalRow(Array[Any](UTF8String.fromString(s)))
+      val ref = a.createAggregationBuffer()
+      xs.foreach(s => a.update(ref, row(s)))
+      val points = (cuts.map(c => math.min(c, xs.size)) :+ 0 :+ xs.size).distinct.sorted
+      val parts = points.zip(points.tail).map { case (from, to) =>
+        val b = a.createAggregationBuffer()
+        xs.slice(from, to).foreach(s => a.update(b, row(s)))
+        b
+      }
+      val shuffled = new scala.util.Random(seed).shuffle(parts)
+      val merged = shuffled.foldLeft(a.createAggregationBuffer())((acc, b) => a.merge(acc, b))
+      merged.toSeq == ref.toSeq
+    })
+  }
+}
