@@ -320,6 +320,27 @@ object Relational {
       |  round(sum(value) / count(*), 6) AS avg_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** CUBE completes the grouping-sets surface next to [[qRollup]]: all four
+    * (returnflag × linestatus) subtotal combinations plus `grouping_id` in
+    * one pass — Catalyst expands to a single Expand + one aggregation
+    * exchange, not four scans. */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"),
+        grouping_id().as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"), col("gid"))
+
+  val qCubeSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+      |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   /** Running-frame windows: per-customer cumulative spend, 3-order moving
     * average, previous order price, and spend quartile — the ROWS-frame,
     * lag, and ntile surface in one pass. ONE shuffle on o_custkey serves
@@ -355,6 +376,7 @@ object Relational {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_running" -> (qRunning _),
+    "q_cube" -> (qCube _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_pivot" -> (qPivot _),
     "q_asof" -> (qAsof _),
@@ -369,6 +391,7 @@ object Relational {
 
   def oracleSql: Map[String, String] = Map(
     "q_running" -> qRunningSql,
+    "q_cube" -> qCubeSql,
     "q_salted_agg" -> qSaltedAggSql,
     "q_pivot" -> qPivotSql,
     "q_asof" -> qAsofSql,
