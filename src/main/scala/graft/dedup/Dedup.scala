@@ -256,6 +256,52 @@ object Dedup {
       .distinct()
   }
 
+  // ---- incremental dedup: the daily-increment shape -----------------------
+
+  /** Which docs play the "newly ingested delta": every 5th id. */
+  val incrMod = 5
+
+  /** Incremental MinHash dedup — the production ingestion contract: a NEW
+    * batch dedupes against the standing corpus without ever re-pairing
+    * old×old (the standing band index is a staged table at 100 TB; only
+    * delta bands join against it, so per-increment work is O(delta·bands),
+    * independent of corpus age). Keep-first semantics: a new doc is a
+    * duplicate iff it shares an LSH bucket with ANY smaller-id doc; its
+    * canonical copy is the smallest such id. */
+  def incremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val arrs = shingleArrays(spark, sfDir).filter(size(col("hs_arr")) > 0)
+    val bands = bandRows(arrs).persist()
+    val delta = bands.filter(pmod(col("doc_id"), lit(incrMod)) === 0)
+    val cand = delta.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("other_id"))
+      .distinct()
+    val verdicts = cand.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_cands"), min(col("other_id")).as("dup_of"))
+    delta.select(col("doc_id").as("new_id")).distinct()
+      .join(verdicts, Seq("new_id"), "left")
+      .select(col("new_id"), coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        col("dup_of"))
+  }
+
+  /** Oracle for [[incremental]] — declared as a def: it references
+    * [[minhashCtes]], which initializes later in this object. */
+  def incrementalSql: String =
+    s"""WITH $minhashCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS other_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND b.doc_id < a.doc_id
+       |  WHERE a.doc_id % $incrMod = 0),
+       |verdicts AS (
+       |  SELECT new_id, count(*) AS n_cands, min(other_id) AS dup_of
+       |  FROM cand GROUP BY 1)
+       |SELECT d.new_id, coalesce(v.n_cands, 0) AS n_cands, v.dup_of
+       |FROM (SELECT DISTINCT doc_id AS new_id FROM bands
+       |      WHERE doc_id % $incrMod = 0) d
+       |LEFT JOIN verdicts v ON v.new_id = d.new_id""".stripMargin
+
   /** CTE chain shared by the minhash query and the cluster oracle. */
   val minhashCtes: String = {
     val mhCols = hashAB.zipWithIndex.map { case ((a, b), i) =>
@@ -556,6 +602,7 @@ object Dedup {
     "dd_exact" -> (exact _),
     "dd_weighted" -> (weighted _),
     "dd_spans" -> (spans _),
+    "dd_incremental" -> (incremental _),
     "dd_ngram_jacc" -> (ngramJaccard _),
     "dd_minhash" -> (minhashLsh _),
     "dd_clusters" -> (clusters _),
@@ -568,6 +615,7 @@ object Dedup {
     "dd_exact" -> exactSql,
     "dd_weighted" -> weightedSql,
     "dd_spans" -> spansSql,
+    "dd_incremental" -> incrementalSql,
     "dd_ngram_jacc" -> ngramJaccardSql,
     "dd_minhash" -> minhashLshSql,
     "dd_clusters" -> clustersSql,

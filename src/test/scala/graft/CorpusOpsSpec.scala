@@ -199,6 +199,22 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("est_n") >= r.getAs[Long]("true_n"), r.toString))
   }
 
+  test("dd_incremental: delta-only verdicts, consistent with the full pipeline") {
+    val out = dedup.Dedup.incremental(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("new_id") % dedup.Dedup.incrMod == 0)
+      if (r.getAs[Long]("n_cands") == 0L) assert(r.isNullAt(r.fieldIndex("dup_of")))
+      else assert(r.getAs[Long]("dup_of") < r.getAs[Long]("new_id"))
+    }
+    // every (dup_of, new_id) pair is also a full-pipeline candidate pair
+    val full = dedup.Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    out.filter(_.getAs[Long]("n_cands") > 0).foreach { r =>
+      assert(full.contains((r.getAs[Long]("dup_of"), r.getAs[Long]("new_id"))))
+    }
+  }
+
   test("dd_weighted: group mass is 1 and copy counts agree with dd_exact") {
     val w = dedup.Dedup.weighted(spark, sf)
     val exact = dedup.Dedup.exact(spark, sf)
