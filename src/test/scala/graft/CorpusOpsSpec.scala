@@ -215,6 +215,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding/sketch plans: broadcasts where intended, never a cartesian") {
+    // CartesianProduct is the unbounded-pair failure mode; the broadcast
+    // nested-loop the small dims produce is the intended shape
+    for ((name, df) <- Seq(
+        "ev_cms" -> events.EventOps.cms(spark, sf),
+        "dd_semdedup" -> sim.Similarity.semDedup(spark, sf),
+        "ann_kmeans" -> sim.Similarity.kmeans(spark, sf),
+        "ev_wau" -> events.EventOps.wau(spark, sf))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n${p.take(800)}")
+    }
+    val cms = events.EventOps.cms(spark, sf).queryExecution.executedPlan.toString
+    assert(cms.contains("BroadcastExchange"), "the CMS sketch must broadcast")
+  }
+
   test("dd_weighted: group mass is 1 and copy counts agree with dd_exact") {
     val w = dedup.Dedup.weighted(spark, sf)
     val exact = dedup.Dedup.exact(spark, sf)
