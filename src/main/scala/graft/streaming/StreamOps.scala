@@ -307,6 +307,45 @@ object StreamOps {
 
   val annTopKSql: String = graft.sim.Similarity.bruteTopKSql
 
+  // ---- sketches in streaming state ----------------------------------------
+
+  /** HLL distinct-user sketches maintained IN streaming state — the
+    * composition proof that the engine's mergeable sketches run under the
+    * state store exactly as they do in batch: `HllSketch` registers are
+    * order- and partitioning-invariant (property-spec'd), so the streaming
+    * estimate hash-matches the batch/oracle replay. Exact distinct counts
+    * are impossible in streaming without unbounded state — the sketch IS
+    * the production answer (64 bytes per group, any cardinality). */
+  def hllUsers(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(spark, sfDir, OutputMode.Complete()) { src =>
+      src.groupBy(col("event_type"))
+        .agg(graft.plans.HllSketch.registers(col("user_id").cast("string")).as("regs"))
+        .withColumn("inv_scaled", expr(
+          "aggregate(transform(regs, r -> shiftleft(CAST(1 AS BIGINT), 55 - r)), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .select(col("event_type"),
+          expr("round(CAST(0.709 AS DOUBLE) * 4096 * power(2.0, 55) / inv_scaled, 4)")
+            .as("est"))
+    }
+
+  val hllUsersSql: String =
+    """WITH h AS (
+      |  SELECT event_type, user_id,
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM events),
+      |r AS (SELECT event_type, CAST(h % 64 AS INT) AS b, h // 64 AS w FROM h),
+      |regs AS (
+      |  SELECT event_type, b,
+      |    max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS reg
+      |  FROM r GROUP BY 1, 2),
+      |inv AS (
+      |  SELECT event_type,
+      |    sum(1::BIGINT << (55 - reg)) + (64 - count(*)) * (1::BIGINT << 55) AS inv_scaled
+      |  FROM regs GROUP BY 1)
+      |SELECT event_type,
+      |  round(CAST(0.709 AS DOUBLE) * 4096 * power(2.0, 55) / inv_scaled, 4) AS est
+      |FROM inv""".stripMargin
+
   // ---- stream-stream interval join ----------------------------------------
 
   /** Stream-stream inner join with event-time bounds: signups joined to the
@@ -345,6 +384,7 @@ object StreamOps {
       | AND CAST(p.ts AS TIMESTAMP) <= CAST(s.ts AS TIMESTAMP) + INTERVAL 2 HOUR""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_hll_users" -> (hllUsers _),
     "st_stream_join" -> (streamJoin _),
     "st_minhash_dedup" -> (minhashDedup _),
     "st_ann_topk" -> (annTopK _),
@@ -356,6 +396,7 @@ object StreamOps {
     "st_seen_state" -> (seenState _))
 
   def oracleSql: Map[String, String] = Map(
+    "st_hll_users" -> hllUsersSql,
     "st_stream_join" -> streamJoinSql,
     "st_minhash_dedup" -> minhashDedupSql,
     "st_ann_topk" -> annTopKSql,

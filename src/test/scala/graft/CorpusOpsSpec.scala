@@ -115,6 +115,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("st_hll_users: streaming sketch estimate equals the batch estimate") {
+    val streamed = streaming.StreamOps.hllUsers(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("est")).toMap
+    val batch = events.EventOps.hllUsers(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("est")).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("st_stream_join: streaming result equals the batch interval join") {
     val streamed = streaming.StreamOps.streamJoin(spark, sf)
       .collect().map(_.toSeq).toSet
