@@ -45,6 +45,31 @@ class MergePropertySpec extends AnyFunSuite {
     })
   }
 
+  test("MinHashSigs: the fused loop equals the explode-and-min reference") {
+    val words = Gen.listOf(Gen.oneOf("spark", "join", "scan", "merge", "row",
+      "key", "batch", "agg", "the", "a"))
+    check(Prop.forAll(words) { ws =>
+      val text = ws.mkString(" ")
+      val hs = {
+        val w = graft.plans.ShingleHashes.splitWords(text)
+        if (w.length < 3) Seq.empty[Long]
+        else w.sliding(3).map(g => graft.plans.ShingleHashes.hash64(g.mkString(" ")))
+          .toSeq.distinct
+      }
+      val p = graft.dedup.Dedup.mersenneP
+      val ab = graft.dedup.Dedup.hashAB
+      // reference: per-function min over exploded hashes (the aggregation form)
+      val ref = ab.map { case (a, b) =>
+        if (hs.isEmpty) Long.MaxValue
+        else hs.map(h => ((h % p) * a + b) % p).min
+      }
+      val got = graft.plans.MinHashSigs.sigs(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(hs.toArray),
+        ab.map(_._1).toArray, ab.map(_._2).toArray, p).toSeq
+      got == ref
+    })
+  }
+
   test("HllSketch: register state is partition- and order-invariant") {
     val gen = for {
       xs <- Gen.listOf(Gen.alphaNumStr)
