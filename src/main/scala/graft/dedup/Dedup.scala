@@ -269,8 +269,7 @@ object Dedup {
     * duplicate iff it shares an LSH bucket with ANY smaller-id doc; its
     * canonical copy is the smallest such id. */
   def incremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val arrs = shingleArrays(spark, sfDir).filter(size(col("hs_arr")) > 0)
-    val bands = bandRows(arrs).persist()
+    val bands = bandRows(shingleArrays(spark, sfDir)).persist()
     val delta = bands.filter(pmod(col("doc_id"), lit(incrMod)) === 0)
     val cand = delta.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -125,14 +125,15 @@ object EventOps {
       .groupBy(col("event_type"))
       .agg(graft.plans.HllSketch.registers(col("user_id").cast("string")).as("regs"),
         countDistinct(col("user_id")).as("exact"))
-      .withColumn("inv_scaled", expr(
-        "aggregate(transform(regs, r -> shiftleft(CAST(1 AS BIGINT), 55 - r)), " +
-          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
       .select(col("event_type"), col("exact"),
-        expr("round(CAST(0.709 AS DOUBLE) * 4096 * power(2.0, 55) / inv_scaled, 4)").as("est"))
+        graft.plans.HllSketch.estimate("regs").as("est"))
 
-  val hllUsersSql: String =
-    """WITH h AS (
+  /** Register-replay CTEs shared by the batch and streaming HLL oracles —
+    * the layout constants (64 registers, 55-bit widths, α=0.709) exist in
+    * exactly two places: HllSketch (engine) and here (oracle). Expects an
+    * `events` table; yields `inv(event_type, inv_scaled)`. */
+  val hllReplayCtes: String =
+    """h AS (
       |  SELECT event_type, user_id,
       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
       |  FROM events),
@@ -144,11 +145,17 @@ object EventOps {
       |inv AS (
       |  SELECT event_type,
       |    sum(1::BIGINT << (55 - reg)) + (64 - count(*)) * (1::BIGINT << 55) AS inv_scaled
-      |  FROM regs GROUP BY 1),
-      |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact FROM events GROUP BY 1)
-      |SELECT inv.event_type, ex.exact,
-      |  round(CAST(0.709 AS DOUBLE) * 4096 * power(2.0, 55) / inv_scaled, 4) AS est
-      |FROM inv JOIN ex ON inv.event_type = ex.event_type""".stripMargin
+      |  FROM regs GROUP BY 1)""".stripMargin
+
+  val hllEstimateSql: String =
+    "round(CAST(0.709 AS DOUBLE) * 4096 * power(2.0, 55) / inv_scaled, 4)"
+
+  val hllUsersSql: String =
+    s"""WITH $hllReplayCtes,
+       |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact FROM events GROUP BY 1)
+       |SELECT inv.event_type, ex.exact,
+       |  $hllEstimateSql AS est
+       |FROM inv JOIN ex ON inv.event_type = ex.event_type""".stripMargin
 
   // ---- latency/value quantiles --------------------------------------------
 
@@ -227,16 +234,19 @@ object EventOps {
   /** Daily + trailing-7-day distinct actives — the DAU/WAU report. Distinct
     * COUNT over a sliding window isn't directly window-able; the scalable
     * pattern is: distinct (day, user) pairs first (one shuffle, corpus
-    * collapses to activity pairs), then a bounded range join against the
-    * tiny day dim (each pair lands in ≤7 day rows) and a two-phase distinct
-    * count. Day-dim size is calendar-bounded at any corpus scale. */
+    * collapses to activity pairs), then EXPLODE each pair into the ≤7
+    * window days it contributes to — a plain equi-aggregation with
+    * map-side expansion, no range join (a days×pairs non-equi join would
+    * re-scan the whole pair set per day). The trailing day dim prunes
+    * window anchors with no activity of their own. */
   def wau(spark: SparkSession, sfDir: String): DataFrame = {
     val du = Tables(spark, sfDir).events
       .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
     val days = du.select(col("d").as("day")).distinct()
     val dau = du.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
-    val wauDf = days.join(du,
-        col("d").between(date_sub(col("day"), 6), col("day")))
+    val wauDf = du
+      .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("day"),
+        col("user_id"))
       .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
     days.join(dau, "day").join(wauDf, "day")
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
@@ -250,8 +260,10 @@ object EventOps {
       |days AS (SELECT DISTINCT d AS day FROM du),
       |dau AS (SELECT d AS day, count(*) AS dau FROM du GROUP BY 1),
       |wau AS (
-      |  SELECT day, count(DISTINCT user_id) AS wau
-      |  FROM days JOIN du ON d BETWEEN day - 6 AND day GROUP BY 1)
+      |  SELECT day, count(DISTINCT user_id) AS wau FROM (
+      |    SELECT d + CAST(i AS INTEGER) AS day, user_id
+      |    FROM du, LATERAL unnest(range(0, 7)) t(i))
+      |  GROUP BY 1)
       |SELECT strftime(days.day, '%Y-%m-%d') AS day, dau, wau
       |FROM days JOIN dau USING (day) JOIN wau USING (day)""".stripMargin
 

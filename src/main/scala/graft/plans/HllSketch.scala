@@ -72,6 +72,15 @@ case class HllSketch(
 
 object HllSketch {
   /** Aggregate Column: string input → array<int> of 16 HLL registers. */
+  /** Estimate from a [[registers]] output column (by name) — the harmonic
+    * derivation lives here only, shared by the batch and streaming
+    * queries. Registers are 0..55; empty registers contribute 2^55. */
+  def estimate(regsCol: String): Column =
+    org.apache.spark.sql.functions.expr(
+      s"round(CAST(0.709 AS DOUBLE) * 4096 * power(2.0, 55) / " +
+        s"aggregate(transform($regsCol, r -> shiftleft(CAST(1 AS BIGINT), 55 - r)), " +
+        s"CAST(0 AS BIGINT), (acc, x) -> acc + x), 4)")
+
   def registers(c: Column): Column =
     GraftBridge.column(HllSketch(GraftBridge.expression(c)).toAggregateExpression())
 }

@@ -320,31 +320,16 @@ object StreamOps {
     runToTable(spark, sfDir, OutputMode.Complete()) { src =>
       src.groupBy(col("event_type"))
         .agg(graft.plans.HllSketch.registers(col("user_id").cast("string")).as("regs"))
-        .withColumn("inv_scaled", expr(
-          "aggregate(transform(regs, r -> shiftleft(CAST(1 AS BIGINT), 55 - r)), " +
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-        .select(col("event_type"),
-          expr("round(CAST(0.709 AS DOUBLE) * 4096 * power(2.0, 55) / inv_scaled, 4)")
-            .as("est"))
+        .select(col("event_type"), graft.plans.HllSketch.estimate("regs").as("est"))
     }
 
-  val hllUsersSql: String =
-    """WITH h AS (
-      |  SELECT event_type, user_id,
-      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-      |  FROM events),
-      |r AS (SELECT event_type, CAST(h % 64 AS INT) AS b, h // 64 AS w FROM h),
-      |regs AS (
-      |  SELECT event_type, b,
-      |    max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS reg
-      |  FROM r GROUP BY 1, 2),
-      |inv AS (
-      |  SELECT event_type,
-      |    sum(1::BIGINT << (55 - reg)) + (64 - count(*)) * (1::BIGINT << 55) AS inv_scaled
-      |  FROM regs GROUP BY 1)
-      |SELECT event_type,
-      |  round(CAST(0.709 AS DOUBLE) * 4096 * power(2.0, 55) / inv_scaled, 4) AS est
-      |FROM inv""".stripMargin
+  /** The batch replay minus the exact count (streaming can't countDistinct
+    * without unbounded state) — CTEs shared with [[graft.events.EventOps]]. */
+  def hllUsersSql: String =
+    s"""WITH ${graft.events.EventOps.hllReplayCtes}
+       |SELECT event_type,
+       |  ${graft.events.EventOps.hllEstimateSql} AS est
+       |FROM inv""".stripMargin
 
   // ---- stream-stream interval join ----------------------------------------
 

@@ -336,7 +336,8 @@ object TextOps {
         when(run > acc.getField("best"), x).otherwise(acc.getField("bestg")).as("bestg"))
     })
     d.select(col("doc_id"), nW.as("n_words"),
-        round((nW - size(array_distinct(w))).cast("double") / nW, 6).as("dup_word_frac"),
+        round(when(nW > 0, (nW - size(array_distinct(w))).cast("double") / nW)
+          .otherwise(0.0), 6).as("dup_word_frac"),
         round(when(n3 > 0, (n3 - size(array_distinct(g3)))
           .cast("double") / n3).otherwise(0.0), 6).as("dup3_frac"),
         folded.getField("best").as("top2_cnt"),
@@ -344,8 +345,10 @@ object TextOps {
         col("n_chars"))
       .select(col("doc_id"), col("n_words"), col("dup_word_frac"), col("dup3_frac"),
         col("top2_cnt"), col("top2_gram"),
-        round((col("top2_cnt") * length(col("top2_gram"))).cast("double")
-          / col("n_chars"), 6).as("top2_frac"))
+        // capped at 1: overlapping occurrences of a self-repeating gram
+        // ("a a a a") would otherwise claim more characters than exist
+        round(least((col("top2_cnt") * length(col("top2_gram"))).cast("double")
+          / col("n_chars"), lit(1.0)), 6).as("top2_frac"))
   }
 
   val repetitionSql: String =
@@ -368,13 +371,15 @@ object TextOps {
        |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS n3d
        |  FROM base)
        |SELECT b.doc_id, len(w) AS n_words,
-       |  round(CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS dup_word_frac,
+       |  round(CASE WHEN len(w) > 0
+       |    THEN CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w)
+       |    ELSE 0.0 END, 6) AS dup_word_frac,
        |  round(CASE WHEN g3.n3 > 0
        |    THEN CAST(g3.n3 - g3.n3d AS DOUBLE) / g3.n3 ELSE 0.0 END, 6) AS dup3_frac,
        |  coalesce(md.cnt, 0) AS top2_cnt,
        |  coalesce(md.gram, '') AS top2_gram,
-       |  round(CAST(coalesce(md.cnt, 0) * length(coalesce(md.gram, '')) AS DOUBLE)
-       |    / b.n_chars, 6) AS top2_frac
+       |  round(least(CAST(coalesce(md.cnt, 0) * length(coalesce(md.gram, '')) AS DOUBLE)
+       |    / b.n_chars, CAST(1.0 AS DOUBLE)), 6) AS top2_frac
        |FROM base b
        |JOIN g3 ON g3.doc_id = b.doc_id
        |LEFT JOIN md ON md.doc_id = b.doc_id""".stripMargin
@@ -392,8 +397,10 @@ object TextOps {
     val w = Portable.words(col("text"))
     val stopArr = array(stopwords.map(lit): _*)
     val nW = size(w)
-    val meanLen = aggregate(w, lit(0L), (a, x) => a + length(x)).cast("double") / nW
-    val fracAlpha = size(filter(w, x => x.rlike("^[a-z]+$"))).cast("double") / nW
+    val meanLen = when(nW > 0,
+      aggregate(w, lit(0L), (a, x) => a + length(x)).cast("double") / nW).otherwise(0.0)
+    val fracAlpha = when(nW > 0,
+      size(filter(w, x => x.rlike("^[a-z]+$"))).cast("double") / nW).otherwise(0.0)
     val stopHits = size(filter(stopArr, s => array_contains(w, s)))
     d.select(col("doc_id"), nW.as("n_words"),
       round(meanLen, 6).as("mean_word_len"),
@@ -413,10 +420,13 @@ object TextOps {
        |  SELECT doc_id, ${Portable.wordsSql} AS w FROM documents),
        |m AS (
        |  SELECT doc_id, len(w) AS n_words,
-       |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
-       |      / len(w) AS mean_word_len,
-       |    CAST(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE)
-       |      / len(w) AS frac_alpha_words,
+       |    CASE WHEN len(w) > 0
+       |      THEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+       |      ELSE 0.0 END AS mean_word_len,
+       |    CASE WHEN len(w) > 0
+       |      THEN CAST(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE)
+       |        / len(w)
+       |      ELSE 0.0 END AS frac_alpha_words,
        |    len(list_filter([$stopList], s -> list_contains(w, s))) AS n_stop_hits
        |  FROM base)
        |SELECT doc_id, n_words,

@@ -73,14 +73,17 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("tx_pack: every doc packed once, bins contiguous per source") {
+  test("tx_pack: every doc packed once, bins ordered per source") {
     val out = text.TextOps.pack(spark, sf).collect()
     val nDocs = Tables(spark, sf).documents.count()
     assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
     out.groupBy(_.getAs[String]("source")).values.foreach { bins =>
       val ids = bins.map(_.getAs[Long]("bin")).sorted
+      // bins start at 0 and strictly increase; a doc longer than the budget
+      // legitimately skips bins (it owns the bin where it starts), so
+      // contiguity is NOT an invariant
       assert(ids.head == 0L)
-      assert(ids.toSeq == (0L until ids.length).toSeq, s"gap in bins: ${ids.toSeq}")
+      assert(ids.distinct.length == ids.length)
       // packing preserves order: later bins start at later docs
       val byBin = bins.sortBy(_.getAs[Long]("bin")).map(_.getAs[Long]("first_doc_id"))
       assert(byBin.toSeq == byBin.sorted.toSeq)
