@@ -86,35 +86,14 @@ object CommandQueries {
     "signup rules add e_ip if ip equals 123.0.93.63 then close",
     "signup rules add e_cold if username contains zz_nobody then close")
 
-  private val fieldCheckToKind: Map[(String, String), String] = Map(
-    ("username", "contains") -> "username_contains",
-    ("username", "regex") -> "username_regex",
-    ("email", "contains") -> "email_contains",
-    ("email", "regex") -> "email_regex",
-    ("ip", "equals") -> "ip_match",
-    ("print", "equals") -> "print_match",
-    ("useragent", "length-lte") -> "ua_len_lte")
-
-  /** Compile parsed `add` commands into engine rules (the executable subset
-    * — Lua-criterion adds carry foreign code and are routed to
-    * `RuleEngine.sqlCriterion` by operators instead). Expiry resolves
-    * against the fixed evaluation instant, as the reference resolves
-    * against `Utc::now()`. */
+  /** Compile parsed `add` commands into engine rules — delegates to the
+    * parser's own [[CommandParser.toRuleRow]] (one command→rule compiler;
+    * unmapped (field, check) pairs skip instead of throwing). Expiry
+    * resolves against the fixed evaluation instant, as the reference
+    * resolves against `Utc::now()`. */
   def rulesFromCommands(cmds: Seq[String]): Seq[graft.rules.RuleRow] =
     cmds.map(CommandParser.parse)
-      .filter(p => p.ok && p.kind == "add" && p.field.exists(_ != "lua"))
-      .map { p =>
-        val kind = fieldCheckToKind((p.field.get, p.check.get))
-        graft.rules.RuleRow(
-          p.name.get, kind,
-          if (kind == "ua_len_lte") "" else p.value.get,
-          if (kind == "ua_len_lte") p.value.get.toInt else 0,
-          enabled = true,
-          suspOnly = p.suspOnly.getOrElse(false),
-          noDelay = p.noDelay.getOrElse(false),
-          p.expiryDays.map(d => graft.rules.Rules.nowUs + d.toLong * 86400L * 1000000L),
-          p.actions.getOrElse(""))
-      }
+      .flatMap(p => CommandParser.toRuleRow(p, graft.rules.Rules.nowUs))
 
   /** End-to-end: DSL text → parsed rules → broadcast-join match counts per
     * rule (zero-match rules included — the operator sees every added rule).

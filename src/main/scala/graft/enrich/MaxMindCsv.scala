@@ -45,23 +45,39 @@ object MaxMindCsv {
   /** Collect the dim for the [[GeoIp.enrichFast]] binary-search path. A
     * GeoIP dim is broadcast-small by contract (full GeoLite2 City is a few
     * hundred MB of CSV → tens of MB of ranges), and the collect happens
-    * once per job, not per row. Ranges come back sorted by `lo`;
-    * overlapping rows (CSV exports can carry nested networks) keep the
-    * first, so the disjointness invariant RangeLookup requires holds. */
+    * once per job, not per row.
+    *
+    * Nested networks (CSV exports can carry them) flatten with MaxMind's
+    * longest-prefix-wins semantics: the more-specific block owns its
+    * addresses and the enclosing block keeps the remainder segments on
+    * either side — so the disjointness invariant RangeLookup requires
+    * holds WITHOUT losing coverage. CIDR blocks are disjoint or properly
+    * nested, never partially overlapping, so a single stack sweep over
+    * (lo asc, hi desc) order suffices. */
   def loadRanges(spark: SparkSession, blocksCsv: String, locationsCsv: String): Seq[GeoIp.IpRange] = {
     val rows = loadDim(spark, blocksCsv, locationsCsv)
-      .orderBy(col("lo"), col("hi"))
+      .orderBy(col("lo").asc, col("hi").desc)
       .collect()
     val out = Seq.newBuilder[GeoIp.IpRange]
-    var lastHi = -1L
-    rows.foreach { r =>
-      val lo = r.getLong(0)
-      if (lo > lastHi) {
-        out += GeoIp.IpRange(lo, r.getLong(1), r.getString(2), r.getString(3),
-          r.getSeq[String](4))
-        lastHi = r.getLong(1)
+    val stack = scala.collection.mutable.Stack.empty[GeoIp.IpRange]
+    var cursor = 0L
+    def emitTo(hi: Long, r: GeoIp.IpRange): Unit =
+      if (cursor <= hi) {
+        out += GeoIp.IpRange(cursor, hi, r.country, r.city, r.subdivisions)
+        cursor = hi + 1
       }
+    rows.foreach { row =>
+      val r = GeoIp.IpRange(row.getLong(0), row.getLong(1), row.getString(2),
+        row.getString(3), row.getSeq[String](4))
+      // enclosing ranges that end before this one starts are done
+      while (stack.nonEmpty && stack.top.hi < r.lo) { val t = stack.pop(); emitTo(t.hi, t) }
+      // the (innermost) enclosing network keeps the segment up to r's start
+      if (stack.nonEmpty && cursor < r.lo) emitTo(r.lo - 1, stack.top)
+      if (cursor < r.lo) cursor = r.lo // gap with no enclosing network
+      // exact-duplicate rows keep the first occurrence
+      if (stack.isEmpty || stack.top.lo != r.lo || stack.top.hi != r.hi) stack.push(r)
     }
+    while (stack.nonEmpty) { val t = stack.pop(); emitTo(t.hi, t) }
     out.result()
   }
 }

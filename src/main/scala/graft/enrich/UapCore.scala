@@ -40,7 +40,10 @@ object UapCore {
     var current: String = ""
     var item: mutable.Map[String, String] = null
     yaml.linesIterator.foreach { raw =>
-      val line = raw.takeWhile(_ != '#') // uap-core uses full-line comments only
+      // whole-line comments only: a '#' INSIDE a quoted regex is literal
+      // (e.g. `- regex: '(Foo)#(\d+)'`), so mid-line stripping would
+      // corrupt the pattern
+      val line = if (raw.trim.startsWith("#")) "" else raw
       val trimmed = line.trim
       if (trimmed.nonEmpty) {
         if (!line.startsWith(" ") && trimmed.endsWith(":")) {
@@ -83,8 +86,16 @@ object UapCore {
     * substituted by the first capture group, else the raw replacement, else
     * group 1 — uap-core's documented resolution rule. */
   def family(ua: Column, patterns: Seq[Pattern], default: String = "Other"): Column =
-    patterns.foldRight(lit(default)) { (p, els) =>
-      when(ua.rlike(p.regex), familyExpr(ua, p)).otherwise(els)
+    patterns match {
+      case Seq() => lit(default)
+      case head +: tail =>
+        // FLAT CaseWhen (chained .when appends branches) — a foldRight of
+        // nested when/otherwise builds a tree as deep as the pattern list,
+        // which overflows Catalyst recursion and the 64KB codegen method
+        // limit on the real ~1000-entry regexes.yaml
+        tail.foldLeft(when(ua.rlike(head.regex), familyExpr(ua, head))) {
+          (acc, p) => acc.when(ua.rlike(p.regex), familyExpr(ua, p))
+        }.otherwise(lit(default))
     }
 
   private def familyExpr(ua: Column, p: Pattern): Column = p.replacement match {

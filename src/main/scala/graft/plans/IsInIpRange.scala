@@ -21,21 +21,26 @@ case class IsInIpRange(first: Expression, second: Expression, third: Expression)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "is_in_ip_range"
 
+  // NB: every operand must parse — a malformed BOUND fails closed too
+  // (lo = -1 would otherwise sit below every valid address and the
+  // predicate would degrade to `v <= hi`, matching almost everything).
   override def nullSafeEval(ip: Any, lo: Any, hi: Any): Any = {
     val v = IsInIpRange.ipOrNeg(ip.asInstanceOf[UTF8String])
-    v >= 0 &&
-      v >= IsInIpRange.ipOrNeg(lo.asInstanceOf[UTF8String]) &&
-      v <= IsInIpRange.ipOrNeg(hi.asInstanceOf[UTF8String])
+    val l = IsInIpRange.ipOrNeg(lo.asInstanceOf[UTF8String])
+    val h = IsInIpRange.ipOrNeg(hi.asInstanceOf[UTF8String])
+    v >= 0 && l >= 0 && h >= 0 && v >= l && v <= h
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (ip, lo, hi) => {
       val v = ctx.freshName("ipVal")
+      val l = ctx.freshName("loVal")
+      val h = ctx.freshName("hiVal")
       s"""
          |long $v = graft.plans.IsInIpRange.ipOrNeg($ip);
-         |${ev.value} = $v >= 0
-         |  && $v >= graft.plans.IsInIpRange.ipOrNeg($lo)
-         |  && $v <= graft.plans.IsInIpRange.ipOrNeg($hi);
+         |long $l = graft.plans.IsInIpRange.ipOrNeg($lo);
+         |long $h = graft.plans.IsInIpRange.ipOrNeg($hi);
+         |${ev.value} = $v >= 0 && $l >= 0 && $h >= 0 && $v >= $l && $v <= $h;
        """.stripMargin
     })
 

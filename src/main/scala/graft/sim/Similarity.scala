@@ -177,7 +177,10 @@ object Similarity {
 
   /** Undirected candidate pairs (id_a < id_b) from any shared (tbl, bkey). */
   def selfJoinCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val k = quantKeyed(spark, sfDir)
+    // persist: both self-join sides read ONE materialization of the keyed
+    // table (the dd_minhash/dd_spans convention) — without it the whole
+    // anchor cross-join + cap window runs twice, once per side
+    val k = quantKeyed(spark, sfDir).persist()
     k.as("a").join(k.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -24,6 +24,13 @@ class ApiSpec extends AnyFunSuite {
         |  is_in_ip_range('11.0.0.0', '10.0.0.0', '10.255.255.255'),
         |  is_in_ip_range('10.0.0.0', '10.0.0.0', '10.0.0.0')""".stripMargin).head
     assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2))
+    // malformed input fails CLOSED on every operand — a typo'd lower bound
+    // must not degrade the predicate to `ip <= hi`
+    val m = spark.sql(
+      """SELECT is_in_ip_range('10.O.0.5', '10.0.0.0', '10.255.255.255'),
+        |  is_in_ip_range('10.0.0.5', '10.O.0.0', '10.255.255.255'),
+        |  is_in_ip_range('10.0.0.5', '10.0.0.0', 'garbage')""".stripMargin).head
+    assert(!m.getBoolean(0) && !m.getBoolean(1) && !m.getBoolean(2))
   }
 
   test("rule store: save/load/add/remove/sweep roundtrip") {

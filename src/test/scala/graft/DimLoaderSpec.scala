@@ -61,6 +61,52 @@ class DimLoaderSpec extends AnyFunSuite {
     assert(viaJoin == fast)
   }
 
+  test("nested networks flatten longest-prefix-wins with remainder coverage") {
+    val dir = Files.createTempDirectory("mmcsv_nested")
+    // 1.0.0.0/16 encloses 1.0.4.0/24 — the /24 (Melbourne) must own its
+    // addresses while the /16 (Sydney) keeps BOTH remainder sides
+    val blocks = write(dir, "blocks.csv",
+      """network,geoname_id,registered_country_geoname_id,represented_country_geoname_id,is_anonymous_proxy,is_satellite_provider,postal_code,latitude,longitude,accuracy_radius
+        |1.0.0.0/16,2147714,2077456,,0,0,,-33.86,151.20,1000
+        |1.0.4.0/24,2158177,2077456,,0,0,3000,-37.83,144.96,20
+        |""".stripMargin)
+    val locs = write(dir, "locations.csv",
+      """geoname_id,locale_code,continent_code,continent_name,country_iso_code,country_name,subdivision_1_iso_code,subdivision_1_name,subdivision_2_iso_code,subdivision_2_name,city_name,metro_code,time_zone,is_in_european_union
+        |2147714,en,OC,Oceania,AU,Australia,NSW,"New South Wales",,,Sydney,,Australia/Sydney,0
+        |2158177,en,OC,Oceania,AU,Australia,VIC,Victoria,,,Melbourne,,Australia/Melbourne,0
+        |""".stripMargin)
+    val ranges = enrich.MaxMindCsv.loadRanges(spark, blocks, locs)
+    // three disjoint segments: /16-before, the /24, /16-after
+    assert(ranges.map(_.city) == Seq("Sydney", "Melbourne", "Sydney"))
+    assert(ranges.sliding(2).forall { case Seq(a, b) => a.hi < b.lo })
+    import spark.implicits._
+    val users = Seq((1L, "1.0.0.7"), (2L, "1.0.4.200"), (3L, "1.0.250.1"))
+      .toDF("event_id", "ip")
+    val got = enrich.GeoIp.enrichFast(users, ranges)
+      .select("event_id", "city").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "Sydney", 2L -> "Melbourne", 3L -> "Sydney"))
+  }
+
+  test("a quoted regex containing '#' survives parsing; cascades stay flat") {
+    val yaml =
+      """user_agent_parsers:
+        |# a full-line comment
+        |  - regex: '(Foo)#(\d+)'
+        |    family_replacement: 'FooHash'
+        |""".stripMargin
+    val db = enrich.UapCore.parse(yaml)
+    assert(db.clients == Seq(enrich.UapCore.Pattern("(Foo)#(\\d+)", Some("FooHash"))))
+    // a realistic-scale pattern list must not nest one CaseWhen per entry
+    // (Catalyst recursion / 64KB codegen limits at uap-core's ~1000 rows)
+    val big = (0 until 1000).map(i => enrich.UapCore.Pattern(s"(AgentNo$i)/", None))
+    import spark.implicits._
+    val df = Seq("AgentNo7/1.0", "nothing").toDF("ua")
+    val out = df.select(enrich.UapCore.family(col("ua"), big).as("fam"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("AgentNo7", "Other"))
+  }
+
   test("uap-core regexes.yaml compiles to the regexp cascade") {
     val yaml =
       """user_agent_parsers:
