@@ -31,19 +31,22 @@ object Bench {
       // debt from earlier queries doesn't land inside their timing window
       if (headline(name)) System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failed query must NOT masquerade as a fast one: record -1 so a
+      // regression reads as an error in the artifact, not as a perf win
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop per-query persisted intermediates so caches don't leak memory
       // pressure into later queries
       spark.catalog.clearCache()
-      name -> dt
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val headlineTotal = results.filter(r => headline(r._1)).map(_._2).sum
     val total = results.map(_._2).sum
+    val errors = results.filter(_._2 < 0).map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
     val metricJson =
-      s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","queries":$qs,"all_total":$total,"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","queries":$qs,"all_total":$total,"n_queries":${results.size},"errors":$errors,"sf":"$sfDir"}"""
     println(metricJson)
     // file copy of the metric line: survives any stdout decoration/buffering
     // between the forked JVM and whatever harness launched sbt

@@ -179,7 +179,9 @@ object CommandParser {
   def parseExpiryDuration(s: String): Either[String, Int] = {
     val step = s.lastOption.getOrElse('/')
     val amount = s.dropRight(1).toIntOption.getOrElse(0)
-    if (amount == 0 || (step != 'd' && step != 'w'))
+    // <= 0 also rejects negatives — the reference parses u32, so "-5d" is
+    // an error there, not an already-expired rule
+    if (amount <= 0 || (step != 'd' && step != 'w'))
       Left("Invalid expiry date format. Example: `14d`. Supported: `d` (day), `w` (week).")
     else Right(if (step == 'd') amount else amount * 7)
   }

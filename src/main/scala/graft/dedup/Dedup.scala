@@ -453,7 +453,8 @@ object Dedup {
     * Chunking is pure codegen'd HOFs (sequence/slice/array_join — no
     * explode until the chunk list exists); one hash shuffle total. The
     * (doc, chunk-index) keep-winner rides the aggregation as a packed int
-    * (doc_id·4096+cid — docs are ≤4096 chunks by construction), so
+    * (doc_id·2^20+cid — 2^20 chunks ≈ 8M words bounds any real doc;
+    * doc ids stay well under 2^42), so
     * arg-min needs no second pass. */
   def chunkDups(spark: SparkSession, sfDir: String): DataFrame = {
     val chunks = docs(spark, sfDir)
@@ -463,11 +464,11 @@ object Dedup {
     chunks
       .groupBy(md5(col("chunk")).as("chunk_md5"))
       .agg(count(lit(1)).as("n_copies"),
-        min(col("doc_id") * 4096 + col("cid")).as("keep_key"))
+        min(col("doc_id") * 1048576L + col("cid")).as("keep_key"))
       .filter(col("n_copies") >= 2)
       .select(col("chunk_md5"), col("n_copies"),
-        expr("keep_key DIV 4096").as("keep_doc"),
-        (col("keep_key") % 4096).as("keep_cid"))
+        expr("keep_key DIV 1048576").as("keep_doc"),
+        (col("keep_key") % 1048576L).as("keep_cid"))
   }
 
   val chunkDupsSql: String =
@@ -478,8 +479,8 @@ object Dedup {
        |  FROM w, LATERAL unnest(range(0, (len(w) + ${chunkWords - 1}) // $chunkWords)) t(i)
        |  WHERE len(w) > 0)
        |SELECT md5(chunk) AS chunk_md5, count(*) AS n_copies,
-       |  min(doc_id * 4096 + cid) // 4096 AS keep_doc,
-       |  min(doc_id * 4096 + cid) % 4096 AS keep_cid
+       |  min(doc_id * 1048576 + cid) // 1048576 AS keep_doc,
+       |  min(doc_id * 1048576 + cid) % 1048576 AS keep_cid
        |FROM c GROUP BY 1 HAVING count(*) >= 2""".stripMargin
 
   // ---- #25 SimHash + hamming ----------------------------------------------

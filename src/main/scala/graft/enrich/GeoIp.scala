@@ -47,11 +47,21 @@ object GeoIp {
        |)""".stripMargin
   }
 
-  /** Dotted-quad string → 32-bit integer value. */
+  /** Strict dotted-quad shape: four octets, each 0-255 — anything else
+    * (IPv6, out-of-range octets, garbage) must map to null, NOT alias into
+    * another range's integer space ("0.300.0.1" would otherwise enrich to
+    * a wrong location instead of failing closed). */
+  private val dottedQuadRe = {
+    val o = "(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+    s"^$o\\.$o\\.$o\\.$o$$"
+  }
+
+  /** Dotted-quad string → 32-bit integer value; malformed input → null. */
   def ipToInt(ipCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val o = split(ipCol, "\\.")
-    o.getItem(0).cast("long") * 16777216L + o.getItem(1).cast("long") * 65536L +
-      o.getItem(2).cast("long") * 256L + o.getItem(3).cast("long")
+    when(ipCol.rlike(dottedQuadRe),
+      o.getItem(0).cast("long") * 16777216L + o.getItem(1).cast("long") * 65536L +
+        o.getItem(2).cast("long") * 256L + o.getItem(3).cast("long"))
   }
 
   /** Driver-side dotted-quad → long (for building literals/oracle SQL). */
@@ -59,10 +69,12 @@ object GeoIp {
     ip.split("\\.").map(_.toLong).foldLeft(0L)((a, o) => a * 256 + o)
 
   val ipToIntSql: String =
-    """(CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216 +
+    """(CASE WHEN regexp_full_match(ip,
+      |    '(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)')
+      |  THEN CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216 +
       |   CAST(string_split(ip, '.')[2] AS BIGINT) * 65536 +
       |   CAST(string_split(ip, '.')[3] AS BIGINT) * 256 +
-      |   CAST(string_split(ip, '.')[4] AS BIGINT))""".stripMargin
+      |   CAST(string_split(ip, '.')[4] AS BIGINT) END)""".stripMargin
 
   /** Left range join: rows outside every range keep null location (the
     * reference logs and continues on lookup failure). */

@@ -215,10 +215,14 @@ object Relational {
     val quotes = ev.filter(col("event_type") =!= "signup")
       .select(col("user_id"), col("ts_us"), lit(null).cast("long").as("event_id"),
         lit(0).as("side"), col("value").as("qval"))
-    // order by (ts, side) so a quote at the same instant is NOT visible to
-    // the probe (strictly-earlier semantics); rows-between excludes self
+    // side DESC puts the probe (side 1) BEFORE a quote (side 0) sharing its
+    // instant, so the same-microsecond quote stays outside the preceding
+    // frame — strictly-earlier semantics. Tertiary key makes duplicate
+    // same-instant quotes deterministic across engines (last() would
+    // otherwise pick by physical order).
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us").asc, col("side").asc)
+      .orderBy(col("ts_us").asc, col("side").desc,
+        coalesce(col("qval"), lit(0.0)).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     probe.unionAll(quotes)
       .withColumn("asof_value", round(last(col("qval"), ignoreNulls = true).over(w), 2))
@@ -240,7 +244,8 @@ object Relational {
       |SELECT event_id, user_id, ts_us, asof_value FROM (
       |  SELECT event_id, user_id, ts_us, side,
       |    round(last_value(qval IGNORE NULLS) OVER (
-      |      PARTITION BY user_id ORDER BY ts_us ASC, side ASC
+      |      PARTITION BY user_id
+      |      ORDER BY ts_us ASC, side DESC, coalesce(qval, CAST(0.0 AS DOUBLE)) ASC
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 2) AS asof_value
       |  FROM u) t
       |WHERE side = 1""".stripMargin

@@ -144,7 +144,12 @@ class HttpNdjsonMicroBatchStream(
             in.close(); c.disconnect()
           }
         } catch {
-          case e: Throwable if !stopped => lastError = e
+          case e: Throwable if !stopped =>
+            lastError = e
+            // surface the failure: without this a typo'd URL / DNS / TLS
+            // error retries forever while the stream reads as merely idle
+            logWarning(s"http-ndjson connect/read failed (will retry in " +
+              s"$reconnectDelayMs ms): $e")
         }
         // stream ended or failed: the reference retries after a fixed pause
         if (!stopped) Thread.sleep(reconnectDelayMs)

@@ -62,7 +62,19 @@ object StreamOps {
       .outputMode(mode).start()
     q.processAllAvailable()
     q.stop()
-    spark.table(name)
+    drainTable(spark, name)
+  }
+
+  /** Read a memory-sink table and DROP it — each harness query otherwise
+    * retains its full result in driver memory for the session lifetime
+    * (clearCache does not free memory-sink tables). Results are
+    * harness-sized by construction. */
+  private def drainTable(spark: SparkSession, name: String): DataFrame = {
+    val t = spark.table(name)
+    val rows = java.util.Arrays.asList(t.collect(): _*)
+    val out = spark.createDataFrame(rows, t.schema)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   // ---- #18 windowed counts (watermark + tumbling window) ------------------
@@ -254,7 +266,7 @@ object StreamOps {
       .outputMode(OutputMode.Complete()).start()
     q.processAllAvailable()
     q.stop()
-    spark.table(name).select(col("keeper").as("doc_id")).distinct()
+    drainTable(spark, name).select(col("keeper").as("doc_id")).distinct()
     }
 
   val minhashDedupSql: String =
@@ -299,7 +311,7 @@ object StreamOps {
       .outputMode(OutputMode.Complete()).start()
     query.processAllAvailable()
     query.stop()
-    spark.table(name)
+    drainTable(spark, name)
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), col("col.cand").as("cand"),
         col("col.score").as("cos"), (col("pos") + 1).as("rank"))

@@ -14,6 +14,24 @@ class EnrichSpec extends AnyFunSuite {
     assert(df.filter("country IS NULL").count() == 0, "all first octets < 224 are covered")
   }
 
+  test("malformed ips enrich to null, never to an aliased range") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // "0.300.0.1" aliases into a valid range's integer space if octets
+    // aren't validated; IPv6 and garbage must also fail closed
+    val users = Seq((1L, "0.300.0.1"), (2L, "::1"), (3L, "garbage"),
+      (4L, "1.2.3.4.5"), (5L, "10.0.0.1")).toDF("event_id", "ip")
+    val out = enrich.GeoIp.enrich(users, enrich.GeoIp.rangesDf(spark))
+      .select(col("event_id"), col("country")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty && out(3L).isEmpty && out(4L).isEmpty)
+    assert(out(5L).nonEmpty)
+    val fast = enrich.GeoIp.enrichFast(users, enrich.GeoIp.ranges)
+      .select(col("event_id"), col("country")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(fast == out)
+  }
+
   test("ua cascade: bot / mobile / trim / fallback / null branches") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -51,6 +69,9 @@ class EnrichSpec extends AnyFunSuite {
     assert(CommandParser.parseExpiryDuration("3w") == Right(21))
     assert(CommandParser.parseExpiryDuration("0d").isLeft)
     assert(CommandParser.parseExpiryDuration("xd").isLeft)
+    // the reference parses u32: a negative renew is a format error, not a
+    // rule silently expired into the past
+    assert(CommandParser.parseExpiryDuration("-5d").isLeft)
   }
 
   test("status watermark flags types silent for >90s before stream end") {
