@@ -2,6 +2,7 @@ package graft.multimodal
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (SURVEY §2f #33).
@@ -111,19 +112,21 @@ object Multimodal {
     * preserving aspect ratio. All-integer math ((d·max) DIV longest side) so
     * the plan is exact on both engines — the actual pixel resample is the
     * codec stub's job; this op is the dimension planning every image
-    * pipeline runs before batching GPU work. */
-  def mmResize(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+    * pipeline runs before batching GPU work. Carries `fmt` for the batch
+    * packer; the `mm_resize` query drops it (stable output schema). */
+  private def resized(spark: SparkSession, sfDir: String): DataFrame =
     mmMeta(spark, sfDir)
       .withColumn("longest", greatest(col("width"), col("height")))
-      .select(col("doc_id"), col("width"), col("height"),
+      .select(col("doc_id"), col("fmt"), col("width"), col("height"),
         when(col("longest") <= resizeMax, col("width"))
           .otherwise(greatest(lit(1),
             expr(s"CAST(width * $resizeMax DIV longest AS INT)"))).as("out_w"),
         when(col("longest") <= resizeMax, col("height"))
           .otherwise(greatest(lit(1),
             expr(s"CAST(height * $resizeMax DIV longest AS INT)"))).as("out_h"))
-  }
+
+  def mmResize(spark: SparkSession, sfDir: String): DataFrame =
+    resized(spark, sfDir).drop("fmt")
 
   val mmResizeSql: String =
     s"""WITH meta AS ($mmMetaSql),
@@ -179,15 +182,124 @@ object Multimodal {
        |GROUP BY doc_id""".stripMargin
   }
 
+  // ---- cross-modal pair scoring (CLIP-filter analog) -----------------------
+
+  final case class TextFeat(doc_id: Long, t: Array[Double])
+
+  val pairBins = 64
+  val pairThreshold = 0.05
+
+  /** LAION-style pair filtering: score every (caption, image-embedding)
+    * pair and gate on the score. The caption tower runs through the same
+    * batched decode loop (a 64-bin byte histogram standing in for a text
+    * encoder — swap the loop body for a real model); the image tower is the
+    * `embeddings` table, joined 1:1 on id. An equi-join on the pair key —
+    * co-partitionable at 100 TB, broadcast when one tower is small. Output
+    * keeps EVERY pair with score + verdict (tx_filter's gate pattern) so
+    * mixture planning downstream sees pass rates, not just survivors. */
+  def mmPair(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val txt = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[Payload]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap(_.map { p =>
+          val h = new Array[Double](pairBins)
+          // & 0x7f: corpus is ASCII; a stray high byte must stay in-bounds
+          p.payload.foreach(b => h((b & 0x7f) >> 1) += 1.0)
+          TextFeat(p.doc_id, h)
+        })
+      }
+      .toDF()
+    val img = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val cos = graft.plans.VectorDot(col("t"), col("v")) /
+      (sqrt(graft.plans.VectorDot(col("t"), col("t"))) *
+       sqrt(graft.plans.VectorDot(col("v"), col("v"))))
+    txt.join(img, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("label"), round(cos, 6).as("clip_score"))
+      .withColumn("verdict",
+        when(col("clip_score") >= pairThreshold, "keep").otherwise("drop"))
+  }
+
+  val mmPairSql: String = {
+    import graft.functions.Portable
+    s"""WITH ch AS (
+       |  SELECT doc_id, ascii(unnest(split(text, ''))) // 2 AS bin
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT doc_id, bin, CAST(count(*) AS DOUBLE) AS c
+       |  FROM ch GROUP BY 1, 2),
+       |hist AS (
+       |  SELECT d.doc_id, list(coalesce(c.c, 0.0) ORDER BY r.bin) AS t
+       |  FROM documents d CROSS JOIN range(0, $pairBins) r(bin)
+       |  LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bin = r.bin
+       |  GROUP BY 1),
+       |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings)
+       |SELECT h.doc_id, e.label,
+       |  round(${Portable.cosineSql("t", "v")}, 6) AS clip_score,
+       |  CASE WHEN round(${Portable.cosineSql("t", "v")}, 6) >= $pairThreshold
+       |       THEN 'keep' ELSE 'drop' END AS verdict
+       |FROM hist h JOIN e ON e.vec_id = h.doc_id""".stripMargin
+  }
+
+  // ---- GPU batch packing ---------------------------------------------------
+
+  val pixelBudget = 16384L
+
+  /** Batch packing for the accelerator: resized items pack per MODALITY
+    * (an image batch can't absorb audio) into fixed pixel budgets — the
+    * vision twin of tx_pack's token budgets. Same shape: per-shard window
+    * cumsum, integer bin id from the item's START offset (an item never
+    * splits; a batch may overhang by at most one item). Modality partitions
+    * are independent, so there is no global ordered-cumsum bottleneck —
+    * one shuffle on fmt, and at 100 TB the shard key widens to
+    * (fmt, date-bucket) with the same plan. */
+  def mmBatchPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("fmt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    resized(spark, sfDir)
+      .select(col("doc_id"), col("fmt"),
+        (col("out_w") * col("out_h")).cast("long").as("px"))
+      .withColumn("cum", sum(col("px")).over(w))
+      .groupBy(col("fmt"), expr(s"(cum - px) DIV $pixelBudget").as("batch"))
+      .agg(count(lit(1)).as("n_items"), min(col("doc_id")).as("first_doc_id"),
+        sum(col("px")).as("total_px"))
+  }
+
+  val mmBatchPackSql: String =
+    s"""WITH meta AS ($mmMetaSql),
+       |m AS (SELECT *, greatest(width, height) AS longest FROM meta),
+       |r AS (SELECT doc_id, fmt,
+       |  CASE WHEN longest <= $resizeMax THEN width
+       |       ELSE greatest(1, CAST(width * $resizeMax // longest AS INTEGER)) END AS out_w,
+       |  CASE WHEN longest <= $resizeMax THEN height
+       |       ELSE greatest(1, CAST(height * $resizeMax // longest AS INTEGER)) END AS out_h
+       |  FROM m),
+       |c AS (SELECT doc_id, fmt, CAST(out_w * out_h AS BIGINT) AS px,
+       |  sum(CAST(out_w * out_h AS BIGINT)) OVER (PARTITION BY fmt
+       |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM r)
+       |SELECT fmt, CAST((cum - px) // $pixelBudget AS BIGINT) AS batch,
+       |  count(*) AS n_items, min(doc_id) AS first_doc_id,
+       |  CAST(sum(px) AS BIGINT) AS total_px
+       |FROM c GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mmMeta _),
     "mm_framesample" -> (mmFrameSample _),
     "mm_resize" -> (mmResize _),
-    "mm_features" -> (mmFeatures _))
+    "mm_features" -> (mmFeatures _),
+    "mm_pair" -> (mmPair _),
+    "mm_batchpack" -> (mmBatchPack _))
 
   def oracleSql: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
     "mm_framesample" -> mmFrameSampleSql,
     "mm_resize" -> mmResizeSql,
-    "mm_features" -> mmFeaturesSql)
+    "mm_features" -> mmFeaturesSql,
+    "mm_pair" -> mmPairSql,
+    "mm_batchpack" -> mmBatchPackSql)
 }

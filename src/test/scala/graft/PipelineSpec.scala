@@ -135,6 +135,37 @@ class PipelineSpec extends AnyFunSuite {
       assert(s.split("\\|").length == 8)
     }
   }
+
+  test("mm_pair: cosine bounded, verdict mirrors the threshold, both verdicts occur") {
+    val rows = multimodal.Multimodal.mmPair(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("clip_score")
+      assert(s >= -1.0 && s <= 1.0)
+      val expect = if (s >= multimodal.Multimodal.pairThreshold) "keep" else "drop"
+      assert(r.getAs[String]("verdict") == expect)
+    }
+    val kept = rows.count(_.getAs[String]("verdict") == "keep")
+    assert(kept > 0 && kept < rows.length, "gate must actually split the corpus")
+  }
+
+  test("mm_batchpack: every item packed once, overhang bounded by one item") {
+    val rows = multimodal.Multimodal.mmBatchPack(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_items")).sum == 500)
+    val maxItemPx = multimodal.Multimodal.resizeMax.toLong * multimodal.Multimodal.resizeMax
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_items") >= 1)
+      // bin-by-start-offset: a batch holds its budget plus at most the one
+      // item that straddles the boundary
+      assert(r.getAs[Long]("total_px") <= multimodal.Multimodal.pixelBudget + maxItemPx)
+    }
+    // batches within a modality are contiguous doc_id runs: first_doc_id
+    // strictly increases with batch id
+    rows.groupBy(_.getAs[String]("fmt")).foreach { case (_, rs) =>
+      val byBatch = rs.sortBy(_.getAs[Long]("batch")).map(_.getAs[Long]("first_doc_id"))
+      assert(byBatch.sameElements(byBatch.sorted))
+    }
+  }
 }
 class WideningSpec extends org.scalatest.funsuite.AnyFunSuite {
   import SparkTest._
