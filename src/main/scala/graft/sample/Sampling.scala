@@ -101,10 +101,10 @@ object Sampling {
     * doubles (bit-identical across engines). One agg on source; the gate
     * itself is the map-side scan pass. */
   def mixture(spark: SparkSession, sfDir: String): DataFrame = {
-    val f = graft.text.TextOps.filterPass(spark, sfDir)
-      .select(col("doc_id"), col("verdict"))
-    val src = Tables(spark, sfDir).documents.select(col("doc_id"), col("source"))
-    src.join(f, "doc_id")
+    // source rides the gate scan (filterPassCarrying) — joining the verdict
+    // table back to documents on doc_id would re-shuffle the full corpus
+    // for a column the scan already read
+    graft.text.TextOps.filterPassCarrying(spark, sfDir, Seq("source"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("verdict") === "keep", 1L).otherwise(0L)).as("n_keep"))

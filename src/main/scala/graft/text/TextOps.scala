@@ -117,8 +117,11 @@ object TextOps {
 
   val stopwords: Seq[String] = Seq("the", "a", "or", "and", "of")
 
-  def quality(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
+  /** Quality metrics as a PROJECTION over any frame with a `text` column.
+    * The gates are per-row column math, so composition carries them for
+    * free — a quality "table" joined back on doc_id would spend a
+    * full-corpus shuffle at 100 TB on values the scan already had in hand. */
+  def withQualityCols(d: DataFrame): DataFrame = {
     val w = Portable.words(col("text"))
     val stopArr = array(stopwords.map(lit): _*)
     val nW = size(w).cast("double")
@@ -126,12 +129,17 @@ object TextOps {
       .cast("double") / length(col("text"))
     val stopRatio = size(filter(w, x => array_contains(stopArr, x))).cast("double") / nW
     val lenScore = least(nW / 200.0, lit(1.0))
-    d.select(col("doc_id"),
-      size(w).as("n_words"),
-      round(alphaRatio, 6).as("alpha_ratio"),
-      round(stopRatio, 6).as("stop_ratio"),
-      round(alphaRatio * 0.4 + stopRatio * 0.3 + lenScore * 0.3, 6).as("quality"))
+    d.withColumn("n_words", size(w))
+      .withColumn("alpha_ratio", round(alphaRatio, 6))
+      .withColumn("stop_ratio", round(stopRatio, 6))
+      .withColumn("quality",
+        round(alphaRatio * 0.4 + stopRatio * 0.3 + lenScore * 0.3, 6))
   }
+
+  def quality(spark: SparkSession, sfDir: String): DataFrame =
+    withQualityCols(docs(spark, sfDir))
+      .select(col("doc_id"), col("n_words"), col("alpha_ratio"),
+        col("stop_ratio"), col("quality"))
 
   val qualitySql: String = {
     val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -235,16 +243,27 @@ object TextOps {
     * broadcast profile join + column math); at scale this is the map-side
     * pass that decides what the expensive downstream (dedup, embedding)
     * ever sees. */
-  def filterPass(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir).select(col("doc_id"), col("lang"))
-    val q = quality(spark, sfDir).select(col("doc_id"), col("n_words"), col("quality"))
+  def filterPass(spark: SparkSession, sfDir: String): DataFrame =
+    filterPassCarrying(spark, sfDir, Nil)
+
+  /** The retention pass with extra document columns carried through
+    * (e.g. `source` for mixture planning) — carrying beats re-joining the
+    * verdict table back to `documents` on doc_id, which is a second
+    * full-corpus shuffle for columns the gate scan already read. Quality
+    * gates ride the scan as a projection; only langid (a genuine per-doc
+    * aggregation) costs a join. */
+  def filterPassCarrying(spark: SparkSession, sfDir: String,
+      carry: Seq[String]): DataFrame = {
+    val d = withQualityCols(docs(spark, sfDir))
+      .select((Seq("doc_id", "lang", "n_words", "quality") ++ carry).map(col): _*)
     val l = langId(spark, sfDir).select(col("doc_id"), col("lang_pred"))
-    d.join(q, "doc_id").join(l, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"), col("lang_pred"), col("n_words"), col("quality"),
+    d.join(l, Seq("doc_id"), "left")
+      .select(Seq(col("doc_id"), col("lang"), col("lang_pred"),
+        col("n_words"), col("quality")) ++ carry.map(col) :+
         when(col("lang_pred").isNull || col("lang_pred") =!= col("lang"), "lang")
           .when(col("quality") < 0.5, "quality")
           .when(col("n_words") < 20, "short")
-          .otherwise("keep").as("verdict"))
+          .otherwise("keep").as("verdict"): _*)
   }
 
   val filterPassSql: String =
