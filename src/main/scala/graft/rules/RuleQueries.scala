@@ -439,9 +439,55 @@ object RuleQueries {
        |FROM caught
        |WINDOW w AS (PARTITION BY name ORDER BY ts_us ASC, event_id ASC)""".stripMargin)
 
+  // ---- CIDR-block ban candidates ------------------------------------------
+
+  // alert-sensitivity knob; 4 rule-match events in one /24 is the level
+  // that splits this corpus — production tunes it like any alert threshold
+  val cidrMinMatches = 4L
+
+  /** Block-level escalation of the per-IP ban action (rules.rs:286-331 bans
+    * exactly the matched ip): aggregate matched signups into /24 blocks and
+    * surface blocks with enough rule-match activity to make a block ban
+    * worth a moderator's look — the step after single-IP bans become
+    * whack-a-mole. Distinct-user counts ride along (the other signal a
+    * moderator reads). Rides the same broadcast-join match output as ru_engine
+    * (fact side streams map-side), one agg on the block id; the block id is
+    * integer math over the fail-closed ipToInt, so malformed ips drop
+    * instead of aliasing into someone else's block. */
+  def ruCidr(spark: SparkSession, sfDir: String): DataFrame =
+    RuleEngine.matches(signups(spark, sfDir), Rules.df(spark))
+      .withColumn("block",
+        floor(graft.enrich.GeoIp.ipToInt(col("ip")) / 256).cast("long"))
+      .filter(col("block").isNotNull)
+      .select(concat(expr("block DIV 65536"), lit("."),
+          expr("(block DIV 256) % 256"), lit("."),
+          expr("block % 256"), lit(".0/24")).as("cidr"),
+        col("username"))
+      .groupBy(col("cidr"))
+      .agg(count(lit(1)).as("n_matches"),
+        countDistinct(col("username")).as("n_users"))
+      .withColumn("verdict",
+        when(col("n_matches") >= cidrMinMatches, "ban_candidate").otherwise("watch"))
+
+  val ruCidrSql: String = withCtes(
+    s"""SELECT
+       |  CAST(block // 65536 AS VARCHAR) || '.' ||
+       |    CAST((block // 256) % 256 AS VARCHAR) || '.' ||
+       |    CAST(block % 256 AS VARCHAR) || '.0/24' AS cidr,
+       |  count(*) AS n_matches,
+       |  count(DISTINCT username) AS n_users,
+       |  CASE WHEN count(*) >= $cidrMinMatches
+       |       THEN 'ban_candidate' ELSE 'watch' END AS verdict
+       |FROM (
+       |  SELECT ${graft.enrich.GeoIp.ipToIntSql} // 256 AS block, s.username
+       |  FROM signups s JOIN rules r ON ${RuleEngine.matchConditionSql()}) m
+       |WHERE block IS NOT NULL
+       |GROUP BY 1""".stripMargin)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ru_bloom" -> (ruBloom _),
     "ru_notify_text" -> (ruNotifyText _),
+    "ru_cidr" -> (ruCidr _),
     "ru_notify" -> (ruNotify _),
     "ru_lua" -> (ruLua _),
     "ru_show" -> (ruShow _),
@@ -456,6 +502,7 @@ object RuleQueries {
     "ru_actions" -> (ruActions _))
 
   def oracleSql: Map[String, String] = Map(
+    "ru_cidr" -> ruCidrSql,
     "ru_bloom" -> ruBloomSql,
     "ru_notify_text" -> ruNotifyTextSql,
     "ru_notify" -> ruNotifySql,

@@ -87,6 +87,34 @@ class CoreSpec extends AnyFunSuite {
     assert(statuses("r_print") == ("active", false))
   }
 
+  test("ev_spike: z only on full windows, verdict mirrors the rounded z") {
+    val rows = events.EventOps.spikes(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val z = Option(r.getAs[java.lang.Double]("z")).map(_.doubleValue)
+      val expect = if (z.exists(_ >= events.EventOps.spikeZ)) "spike" else "ok"
+      assert(r.getAs[String]("verdict") == expect)
+      // 10 trailing counts bound the deviation: |z| can't exceed sqrt(n·(n−1))
+      z.foreach(v => assert(math.abs(v) <= math.sqrt(10.0 * 9.0) + 1e-9))
+    }
+  }
+
+  test("ru_cidr: block totals reconcile with the engine's valid-ip matches") {
+    val s = events.Signups.derive(spark, sf)
+    val m = rules.RuleEngine.matches(s, rules.Rules.df(spark))
+    val validIp = m.filter(
+      graft.enrich.GeoIp.ipToInt(org.apache.spark.sql.functions.col("ip")).isNotNull).count()
+    val blocks = rules.RuleQueries.ruCidr(spark, sf).collect()
+    assert(blocks.map(_.getAs[Long]("n_matches")).sum == validIp,
+      "every valid-ip match lands in exactly one block")
+    blocks.foreach { r =>
+      assert(r.getAs[String]("cidr").matches("""\d+\.\d+\.\d+\.0/24"""))
+      val expect = if (r.getAs[Long]("n_matches") >= rules.RuleQueries.cidrMinMatches)
+        "ban_candidate" else "watch"
+      assert(r.getAs[String]("verdict") == expect)
+    }
+  }
+
   test("ru_actions maps every action to the reference endpoint") {
     val df = rules.RuleQueries.ruActions(spark, sf)
     val notify = df.filter("action = 'notify'")
