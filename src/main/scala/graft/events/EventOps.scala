@@ -308,27 +308,36 @@ object EventOps {
     * signup throughput to a human, eventstream.rs:46-52; this makes the
     * judgment an operator). Per (event_type, minute) counts, then a
     * z-score of each bucket against its `spikeWindow` trailing observed
-    * buckets. Variance is assembled from INTEGER window sums
-    * ((n·Σx² − (Σx)²) / (n·(n−1))) so both engines derive identical
-    * doubles from exact integers — no streaming-variance accumulation
-    * drift. One count agg + one window per event_type series; series are
-    * independent, so the window never sees more than one type's buckets
-    * (at 100 TB the bucket series per type is tiny — minutes per year —
-    * while the count agg does all the heavy lifting map-side). */
-  def spikes(spark: SparkSession, sfDir: String): DataFrame = {
+    * buckets. Variance is assembled from EXACT integer window sums
+    * ((n·Σx² − (Σx)²) / (n·(n−1))) carried in 38-digit decimals (Spark)
+    * / HUGEINT (oracle), so both engines derive identical doubles at any
+    * event rate — no streaming-variance accumulation drift and no Long
+    * wrap on x² for hot buckets. A FLAT baseline (zero variance) with any
+    * deviation is infinite z: flagged 'spike' with z left null — the
+    * clearest anomaly must not read as 'ok'. One count agg + one window
+    * per event_type series; series are independent, so the window never
+    * sees more than one type's buckets (at 100 TB the bucket series per
+    * type is tiny — minutes per year — while the count agg does all the
+    * heavy lifting map-side). */
+  def spikes(spark: SparkSession, sfDir: String): DataFrame =
+    spikesOver(Tables(spark, sfDir).events)
+
+  /** [[spikes]] over any frame with (ts timestamp, event_type) columns. */
+  def spikesOver(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("minute_epoch"))
       .rowsBetween(-spikeWindow, -1)
-    Tables(spark, sfDir).events
+    val nDec = col("n_events").cast("decimal(19,0)")
+    events
       .groupBy(
         unix_timestamp(date_trunc("minute", col("ts"))).as("minute_epoch"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .withColumn("w_n", count(col("n_events")).over(w))
-      .withColumn("s1", sum(col("n_events")).over(w))
-      .withColumn("s2", sum(col("n_events") * col("n_events")).over(w))
+      .withColumn("s1", sum(nDec).over(w))
+      .withColumn("s2", sum(nDec * nDec).over(w))
       .filter(col("w_n") === spikeWindow)
-      // exact integer variance numerator; > 0 is an integer predicate
+      // exact integer variance numerator; its sign is an exact predicate
       .withColumn("num", col("w_n") * col("s2") - col("s1") * col("s1"))
       .withColumn("z", when(col("num") > 0,
         round((col("n_events").cast("double") -
@@ -336,6 +345,8 @@ object EventOps {
           sqrt(col("num").cast("double") / (col("w_n") * (col("w_n") - 1))), 6)))
       .select(col("event_type"), col("minute_epoch"), col("n_events"), col("z"),
         when(col("z").isNotNull && col("z") >= spikeZ, "spike")
+          // flat baseline, deviating bucket: z is +/-infinity, not 'ok'
+          .when(col("num") === 0 && nDec * col("w_n") =!= col("s1"), "spike")
           .otherwise("ok").as("verdict"))
   }
 
@@ -347,20 +358,22 @@ object EventOps {
        |w AS (
        |  SELECT *,
        |    count(n_events) OVER win AS w_n,
-       |    CAST(sum(n_events) OVER win AS BIGINT) AS s1,
-       |    CAST(sum(n_events * n_events) OVER win AS BIGINT) AS s2
+       |    CAST(sum(n_events) OVER win AS HUGEINT) AS s1,
+       |    CAST(sum(CAST(n_events AS HUGEINT) * n_events) OVER win AS HUGEINT) AS s2
        |  FROM c WINDOW win AS (PARTITION BY event_type ORDER BY minute_epoch
        |    ROWS BETWEEN $spikeWindow PRECEDING AND 1 PRECEDING)),
        |v AS (
        |  SELECT *, w_n * s2 - s1 * s1 AS num FROM w WHERE w_n = $spikeWindow),
        |z AS (
-       |  SELECT event_type, minute_epoch, n_events,
+       |  SELECT event_type, minute_epoch, n_events, num, s1, w_n,
        |    CASE WHEN num > 0 THEN
        |      round((CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / w_n)
        |        / sqrt(CAST(num AS DOUBLE) / (w_n * (w_n - 1))), 6) END AS z
        |  FROM v)
        |SELECT event_type, minute_epoch, n_events, z,
-       |  CASE WHEN z IS NOT NULL AND z >= $spikeZ THEN 'spike' ELSE 'ok' END AS verdict
+       |  CASE WHEN z IS NOT NULL AND z >= $spikeZ THEN 'spike'
+       |       WHEN num = 0 AND CAST(n_events AS HUGEINT) * w_n <> s1 THEN 'spike'
+       |       ELSE 'ok' END AS verdict
        |FROM z""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

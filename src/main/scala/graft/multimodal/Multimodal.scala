@@ -128,15 +128,23 @@ object Multimodal {
   def mmResize(spark: SparkSession, sfDir: String): DataFrame =
     resized(spark, sfDir).drop("fmt")
 
-  val mmResizeSql: String =
-    s"""WITH meta AS ($mmMetaSql),
-       |m AS (SELECT *, greatest(width, height) AS longest FROM meta)
-       |SELECT doc_id, width, height,
+  /** Shared resize CTE chain (`meta`→`m`→`rsz`), the single SQL source of
+    * the fit-into-box math — mm_resize and mm_batchpack must pack from the
+    * SAME dimensions or a drift between two copies would pass mm_resize's
+    * oracle while packing different batches. */
+  private val resizedSqlCtes: String =
+    s"""meta AS ($mmMetaSql),
+       |m AS (SELECT *, greatest(width, height) AS longest FROM meta),
+       |rsz AS (SELECT doc_id, fmt, width, height,
        |  CASE WHEN longest <= $resizeMax THEN width
        |       ELSE greatest(1, CAST(width * $resizeMax // longest AS INTEGER)) END AS out_w,
        |  CASE WHEN longest <= $resizeMax THEN height
        |       ELSE greatest(1, CAST(height * $resizeMax // longest AS INTEGER)) END AS out_h
-       |FROM m""".stripMargin
+       |  FROM m)""".stripMargin
+
+  val mmResizeSql: String =
+    s"""WITH $resizedSqlCtes
+       |SELECT doc_id, width, height, out_w, out_h FROM rsz""".stripMargin
 
   // ---- feature extraction --------------------------------------------------
 
@@ -205,8 +213,11 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(64).flatMap(_.map { p =>
           val h = new Array[Double](pairBins)
-          // & 0x7f: corpus is ASCII; a stray high byte must stay in-bounds
-          p.payload.foreach(b => h((b & 0x7f) >> 1) += 1.0)
+          // skip non-ASCII bytes: every byte of a multi-byte UTF-8 char is
+          // >= 0x80, and the oracle's per-CHARACTER codepoint bins drop
+          // those same chars (bin >= 64 misses the range join) — skipping
+          // here keeps the two engines byte-for-char consistent
+          p.payload.foreach(b => if ((b & 0xff) < 0x80) h((b & 0xff) >> 1) += 1.0)
           TextFeat(p.doc_id, h)
         })
       }
@@ -214,13 +225,17 @@ object Multimodal {
     val img = Tables(spark, sfDir).embeddings
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-    val cos = graft.plans.VectorDot(col("t"), col("v")) /
-      (sqrt(graft.plans.VectorDot(col("t"), col("t"))) *
-       sqrt(graft.plans.VectorDot(col("v"), col("v"))))
+    val nrm = sqrt(graft.plans.VectorDot(col("t"), col("t"))) *
+      sqrt(graft.plans.VectorDot(col("v"), col("v")))
+    // zero-norm guard: an empty/all-multibyte caption (or zero embedding)
+    // has no direction — score null, gated 'drop', never a NULL-vs-NaN
+    // engine divergence
+    val cos = when(nrm > 0, round(graft.plans.VectorDot(col("t"), col("v")) / nrm, 6))
     txt.join(img, col("doc_id") === col("vec_id"))
-      .select(col("doc_id"), col("label"), round(cos, 6).as("clip_score"))
+      .select(col("doc_id"), col("label"), cos.as("clip_score"))
       .withColumn("verdict",
-        when(col("clip_score") >= pairThreshold, "keep").otherwise("drop"))
+        when(col("clip_score").isNotNull && col("clip_score") >= pairThreshold,
+          "keep").otherwise("drop"))
   }
 
   val mmPairSql: String = {
@@ -237,12 +252,17 @@ object Multimodal {
        |  LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bin = r.bin
        |  GROUP BY 1),
        |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-       |      FROM embeddings)
-       |SELECT h.doc_id, e.label,
-       |  round(${Portable.cosineSql("t", "v")}, 6) AS clip_score,
-       |  CASE WHEN round(${Portable.cosineSql("t", "v")}, 6) >= $pairThreshold
+       |      FROM embeddings),
+       |scored AS (
+       |  SELECT h.doc_id, e.label,
+       |    CASE WHEN sqrt(list_sum(list_transform(t, x -> x * x))) *
+       |              sqrt(list_sum(list_transform(v, x -> x * x))) > 0
+       |         THEN round(${Portable.cosineSql("t", "v")}, 6) END AS clip_score
+       |  FROM hist h JOIN e ON e.vec_id = h.doc_id)
+       |SELECT doc_id, label, clip_score,
+       |  CASE WHEN clip_score IS NOT NULL AND clip_score >= $pairThreshold
        |       THEN 'keep' ELSE 'drop' END AS verdict
-       |FROM hist h JOIN e ON e.vec_id = h.doc_id""".stripMargin
+       |FROM scored""".stripMargin
   }
 
   // ---- GPU batch packing ---------------------------------------------------
@@ -270,18 +290,11 @@ object Multimodal {
   }
 
   val mmBatchPackSql: String =
-    s"""WITH meta AS ($mmMetaSql),
-       |m AS (SELECT *, greatest(width, height) AS longest FROM meta),
-       |r AS (SELECT doc_id, fmt,
-       |  CASE WHEN longest <= $resizeMax THEN width
-       |       ELSE greatest(1, CAST(width * $resizeMax // longest AS INTEGER)) END AS out_w,
-       |  CASE WHEN longest <= $resizeMax THEN height
-       |       ELSE greatest(1, CAST(height * $resizeMax // longest AS INTEGER)) END AS out_h
-       |  FROM m),
+    s"""WITH $resizedSqlCtes,
        |c AS (SELECT doc_id, fmt, CAST(out_w * out_h AS BIGINT) AS px,
        |  sum(CAST(out_w * out_h AS BIGINT)) OVER (PARTITION BY fmt
        |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-       |  FROM r)
+       |  FROM rsz)
        |SELECT fmt, CAST((cum - px) // $pixelBudget AS BIGINT) AS batch,
        |  count(*) AS n_items, min(doc_id) AS first_doc_id,
        |  CAST(sum(px) AS BIGINT) AS total_px

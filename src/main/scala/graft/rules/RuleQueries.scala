@@ -456,8 +456,8 @@ object RuleQueries {
     * instead of aliasing into someone else's block. */
   def ruCidr(spark: SparkSession, sfDir: String): DataFrame =
     RuleEngine.matches(signups(spark, sfDir), Rules.df(spark))
-      .withColumn("block",
-        floor(graft.enrich.GeoIp.ipToInt(col("ip")) / 256).cast("long"))
+      .withColumn("ip_int", graft.enrich.GeoIp.ipToInt(col("ip")))
+      .withColumn("block", expr("ip_int DIV 256"))
       .filter(col("block").isNotNull)
       .select(concat(expr("block DIV 65536"), lit("."),
           expr("(block DIV 256) % 256"), lit("."),

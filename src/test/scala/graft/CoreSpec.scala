@@ -87,16 +87,34 @@ class CoreSpec extends AnyFunSuite {
     assert(statuses("r_print") == ("active", false))
   }
 
-  test("ev_spike: z only on full windows, verdict mirrors the rounded z") {
+  test("ev_spike: verdict mirrors the rounded z, z values are finite") {
     val rows = events.EventOps.spikes(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val z = Option(r.getAs[java.lang.Double]("z")).map(_.doubleValue)
-      val expect = if (z.exists(_ >= events.EventOps.spikeZ)) "spike" else "ok"
-      assert(r.getAs[String]("verdict") == expect)
-      // 10 trailing counts bound the deviation: |z| can't exceed sqrt(n·(n−1))
-      z.foreach(v => assert(math.abs(v) <= math.sqrt(10.0 * 9.0) + 1e-9))
+      // z is out-of-sample (the probe bucket is excluded from its own
+      // baseline) so it is unbounded — but never NaN/inf
+      z.foreach(v => assert(!v.isNaN && !v.isInfinite))
+      if (z.isDefined) {
+        val expect = if (z.exists(_ >= events.EventOps.spikeZ)) "spike" else "ok"
+        assert(r.getAs[String]("verdict") == expect)
+      }
     }
+  }
+
+  test("ev_spike: a deviation over a flat baseline is a spike, not 'ok'") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp, from_unixtime}
+    // 10 flat minutes of 5 events, then one minute with 50: zero variance,
+    // infinite z — must flag, with z null
+    val rows = (0 until 10).flatMap(m => (0 until 5).map(i => (m.toLong * 60 + i, "t"))) ++
+      (0 until 50).map(i => (600L + i % 60, "t"))
+    val ev = rows.toDF("sec", "event_type")
+      .select(to_timestamp(from_unixtime(col("sec"))).as("ts"), col("event_type"))
+    val out = events.EventOps.spikesOver(ev).collect()
+    val last = out.maxBy(_.getAs[Long]("minute_epoch"))
+    assert(last.getAs[String]("verdict") == "spike")
+    assert(last.getAs[java.lang.Double]("z") == null)
   }
 
   test("ru_cidr: block totals reconcile with the engine's valid-ip matches") {
