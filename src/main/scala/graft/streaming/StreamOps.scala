@@ -380,7 +380,84 @@ object StreamOps {
       | AND CAST(p.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
       | AND CAST(p.ts AS TIMESTAMP) <= CAST(s.ts AS TIMESTAMP) + INTERVAL 2 HOUR""".stripMargin
 
+  // ---- streaming rate-anomaly detection -----------------------------------
+
+  final case class SpikeEvent(event_type: String, ts_us: Long)
+  final case class SpikeBucket(minute_epoch: Long, n: Long)
+  final case class SpikeRing(ring: List[SpikeBucket])
+  final case class SpikeOut(event_type: String, minute_epoch: Long,
+    n_events: Long, z: Option[Double], verdict: String)
+
+  /** The pure per-key state transition behind [[stSpike]]: fold this
+    * batch's (minute, count) buckets through the trailing ring carried in
+    * state. Exact BigInt variance (same integer identity as the batch
+    * [[graft.events.EventOps.spikes]]) and Spark-round-compatible
+    * HALF_UP rounding, so the streaming emission is bit-equal to the
+    * batch replay. Returns (emitted rows, ring to carry) — the ring NEVER
+    * exceeds `spikeWindow` entries, which IS the per-key state bound. */
+  def spikeFold(eventType: String, prior: List[SpikeBucket],
+      buckets: Seq[SpikeBucket]): (Seq[SpikeOut], List[SpikeBucket]) = {
+    val win = graft.events.EventOps.spikeWindow
+    val out = Vector.newBuilder[SpikeOut]
+    var ring = prior
+    buckets.foreach { b =>
+      if (ring.length == win) {
+        val s1 = ring.iterator.map(x => BigInt(x.n)).sum
+        val s2 = ring.iterator.map(x => BigInt(x.n) * BigInt(x.n)).sum
+        val num = BigInt(win) * s2 - s1 * s1
+        val z =
+          if (num > 0)
+            Some(BigDecimal((b.n.toDouble - s1.toDouble / win) /
+              math.sqrt(num.toDouble / (win * (win - 1))))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          else None
+        val verdict =
+          if (z.exists(_ >= graft.events.EventOps.spikeZ)) "spike"
+          else if (num == 0 && BigInt(b.n) * win != s1) "spike"
+          else "ok"
+        out += SpikeOut(eventType, b.minute_epoch, b.n, z, verdict)
+      }
+      ring = (ring :+ b).takeRight(win)
+    }
+    (out.result(), ring)
+  }
+
+  /** Streaming form of ev_spike — the live "is something unusual happening"
+    * alarm (the reference watches its stream by eyeballing throughput;
+    * status.rs only detects SILENCE). Keyed by event_type, the state is the
+    * trailing `spikeWindow` bucket counts — a fixed-size ring per key, so
+    * state is O(types · window) regardless of corpus age; each closed
+    * minute emits its z verdict. The oracle is the BATCH spikes SQL: the
+    * deterministic single-batch harness makes the streaming emission equal
+    * to the batch replay, and [[spikeFold]]'s split-invariance (spec'd) is
+    * what makes that hold across any micro-batch boundary placement. */
+  def stSpike(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runToTable(spark, sfDir, OutputMode.Append()) { src =>
+      src.select(col("event_type"), col("ts_us")).as[SpikeEvent]
+        .groupByKey(_.event_type)
+        .flatMapGroupsWithState[SpikeRing, SpikeOut](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (etype, events, state) =>
+            val buckets = events
+              .foldLeft(Map.empty[Long, Long]) { (m, e) =>
+                val minute = e.ts_us / 60000000L
+                m.updated(minute, m.getOrElse(minute, 0L) + 1L)
+              }
+              .toSeq.sortBy(_._1)
+              .map { case (minute, n) => SpikeBucket(minute * 60L, n) }
+            val prior = if (state.exists) state.get.ring else Nil
+            val (rows, ring) = spikeFold(etype, prior, buckets)
+            state.update(SpikeRing(ring))
+            rows.iterator
+        }.toDF()
+    }
+  }
+
+  val stSpikeSql: String = graft.events.EventOps.spikesSql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_spike" -> (stSpike _),
     "st_hll_users" -> (hllUsers _),
     "st_stream_join" -> (streamJoin _),
     "st_minhash_dedup" -> (minhashDedup _),
@@ -393,6 +470,7 @@ object StreamOps {
     "st_seen_state" -> (seenState _))
 
   def oracleSql: Map[String, String] = Map(
+    "st_spike" -> stSpikeSql,
     "st_hll_users" -> hllUsersSql,
     "st_stream_join" -> streamJoinSql,
     "st_minhash_dedup" -> minhashDedupSql,
