@@ -92,4 +92,28 @@ class MergePropertySpec extends AnyFunSuite {
       merged.toSeq == ref.toSeq
     })
   }
+
+  test("spikeFold: any micro-batch split sequence = one pass, ring bounded") {
+    import streaming.StreamOps.{SpikeBucket, SpikeOut, spikeFold}
+    // splits are ORDERED (micro-batches preserve event-time order per key),
+    // unlike the aggregate merges above which also shuffle
+    val gen = for {
+      ns <- Gen.listOf(Gen.chooseNum(0L, 30L))
+      cuts <- Gen.listOf(Gen.chooseNum(0, math.max(ns.size, 1)))
+    } yield (ns, cuts)
+    check(Prop.forAll(gen) { case (ns, cuts) =>
+      val buckets = ns.zipWithIndex.map { case (n, i) => SpikeBucket(i * 60L, n) }
+      val (whole, endRing) = spikeFold("t", Nil, buckets)
+      val points = (cuts.map(c => math.min(c, buckets.size)) :+ 0 :+ buckets.size)
+        .distinct.sorted
+      val (rows, ring, maxLen) = points.zip(points.tail).foldLeft(
+        (Vector.empty[SpikeOut], List.empty[SpikeBucket], 0)) {
+        case ((acc, r, m), (from, to)) =>
+          val (out, r2) = spikeFold("t", r, buckets.slice(from, to))
+          (acc ++ out, r2, math.max(m, r2.length))
+      }
+      rows == whole.toVector && ring == endRing &&
+        maxLen <= graft.events.EventOps.spikeWindow
+    })
+  }
 }

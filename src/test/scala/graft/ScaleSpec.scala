@@ -44,6 +44,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.count() == plain)
   }
 
+  test("tx_quality is a pure projection: zero exchanges") {
+    val plan = text.TextOps.quality(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
+  }
+
+  test("ev_spike: one count shuffle + one series-window shuffle, nothing else") {
+    val plan = events.EventOps.spikes(spark, sf).queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 2, s"expected 2 hash exchanges, got $shuffles:\n${plan.take(900)}")
+  }
+
+  test("ru_cidr: broadcast match output, distinct-agg shuffles only") {
+    val plan = rules.RuleQueries.ruCidr(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+    // two-phase count-distinct: (cidr, username) partial then (cidr) final
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"expected <=2 hash exchanges, got $shuffles:\n${plan.take(900)}")
+  }
+
   test("dd_clusters: every pair endpoint shares its cluster") {
     val pairs = dedup.Dedup.minhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
