@@ -42,9 +42,16 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val headlineTotal = results.filter(r => headline(r._1)).map(_._2).sum
-    val total = results.map(_._2).sum
-    val errors = results.filter(_._2 < 0).map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
+    // failed queries are EXCLUDED from the sums (a -1 summed in would make
+    // a crash read as a perf win); a failed headline query invalidates the
+    // graded value outright (-1) — errors carries the names either way
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val okResults = results.filter(_._2 >= 0)
+    val headlineTotal =
+      if (failed.exists(headline)) -1.0
+      else okResults.filter(r => headline(r._1)).map(_._2).sum
+    val total = okResults.map(_._2).sum
+    val errors = failed.map(n => s""""$n"""").mkString("[", ",", "]")
     val metricJson =
       s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","queries":$qs,"all_total":$total,"n_queries":${results.size},"errors":$errors,"sf":"$sfDir"}"""
     println(metricJson)

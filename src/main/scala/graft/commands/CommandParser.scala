@@ -180,9 +180,12 @@ object CommandParser {
     val step = s.lastOption.getOrElse('/')
     val amount = s.dropRight(1).toIntOption.getOrElse(0)
     // <= 0 also rejects negatives — the reference parses u32, so "-5d" is
-    // an error there, not an already-expired rule
-    if (amount <= 0 || (step != 'd' && step != 'w'))
+    // an error there, not an already-expired rule. The week multiply runs
+    // in Long: Int wrap on huge week counts would ALSO yield a negative
+    // (i.e. already-expired) duration
+    val days = if (step == 'd') amount.toLong else amount.toLong * 7
+    if (amount <= 0 || (step != 'd' && step != 'w') || days > Int.MaxValue)
       Left("Invalid expiry date format. Example: `14d`. Supported: `d` (day), `w` (week).")
-    else Right(if (step == 'd') amount else amount * 7)
+    else Right(days.toInt)
   }
 }

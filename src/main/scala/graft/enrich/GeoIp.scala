@@ -53,7 +53,9 @@ object GeoIp {
     * a wrong location instead of failing closed). */
   private val dottedQuadRe = {
     val o = "(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
-    s"^$o\\.$o\\.$o\\.$o$$"
+    // \z, not $: Java's $ matches before a trailing newline, so
+    // "1.2.3.4\n" would pass here yet fail the oracle's RE2 full-match
+    s"^$o\\.$o\\.$o\\.$o\\z"
   }
 
   /** Dotted-quad string → 32-bit integer value; malformed input → null. */

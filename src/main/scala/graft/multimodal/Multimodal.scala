@@ -241,8 +241,11 @@ object Multimodal {
   val mmPairSql: String = {
     import graft.functions.Portable
     s"""WITH ch AS (
+       |  -- length guard: split('','') is [''] and ascii('') is 0, which
+       |  -- would hand an empty caption a phantom bin-0 count that the
+       |  -- Spark byte path (correctly) never sees
        |  SELECT doc_id, ascii(unnest(split(text, ''))) // 2 AS bin
-       |  FROM documents),
+       |  FROM documents WHERE length(text) > 0),
        |cnt AS (
        |  SELECT doc_id, bin, CAST(count(*) AS DOUBLE) AS c
        |  FROM ch GROUP BY 1, 2),

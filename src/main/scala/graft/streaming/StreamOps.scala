@@ -384,23 +384,30 @@ object StreamOps {
 
   final case class SpikeEvent(event_type: String, ts_us: Long)
   final case class SpikeBucket(minute_epoch: Long, n: Long)
-  final case class SpikeRing(ring: List[SpikeBucket])
+  final case class SpikeState(ring: List[SpikeBucket], pending: Option[SpikeBucket])
   final case class SpikeOut(event_type: String, minute_epoch: Long,
     n_events: Long, z: Option[Double], verdict: String)
 
   /** The pure per-key state transition behind [[stSpike]]: fold this
-    * batch's (minute, count) buckets through the trailing ring carried in
-    * state. Exact BigInt variance (same integer identity as the batch
-    * [[graft.events.EventOps.spikes]]) and Spark-round-compatible
-    * HALF_UP rounding, so the streaming emission is bit-equal to the
-    * batch replay. Returns (emitted rows, ring to carry) — the ring NEVER
-    * exceeds `spikeWindow` entries, which IS the per-key state bound. */
-  def spikeFold(eventType: String, prior: List[SpikeBucket],
-      buckets: Seq[SpikeBucket]): (Seq[SpikeOut], List[SpikeBucket]) = {
+    * batch's (minute, count) buckets through the state. A bucket is OPEN
+    * until a later minute arrives for the key — it sits in `pending` and
+    * absorbs same-minute counts from later micro-batches (a batch boundary
+    * inside a minute must not emit a half-counted verdict or double-enter
+    * the ring). Closing a bucket emits its verdict (exact BigInt variance,
+    * the same integer identity as the batch
+    * [[graft.events.EventOps.spikes]], Spark-round-compatible HALF_UP
+    * rounding) and pushes it into the trailing ring. State is the ring
+    * (≤ `spikeWindow` entries) + one pending bucket — the per-key bound.
+    * Pre-pending out-of-order buckets are dropped (a real deployment sets
+    * a watermark; the sources here are event-time ordered). */
+  def spikeFold(eventType: String, prior: SpikeState,
+      buckets: Seq[SpikeBucket]): (Seq[SpikeOut], SpikeState) = {
     val win = graft.events.EventOps.spikeWindow
     val out = Vector.newBuilder[SpikeOut]
-    var ring = prior
-    buckets.foreach { b =>
+    var ring = prior.ring
+    var pending = prior.pending
+
+    def close(b: SpikeBucket): Unit = {
       if (ring.length == win) {
         val s1 = ring.iterator.map(x => BigInt(x.n)).sum
         val s2 = ring.iterator.map(x => BigInt(x.n) * BigInt(x.n)).sum
@@ -419,24 +426,38 @@ object StreamOps {
       }
       ring = (ring :+ b).takeRight(win)
     }
-    (out.result(), ring)
+
+    buckets.foreach { b =>
+      pending match {
+        case None => pending = Some(b)
+        case Some(p) if b.minute_epoch == p.minute_epoch =>
+          pending = Some(p.copy(n = p.n + b.n))
+        case Some(p) if b.minute_epoch > p.minute_epoch =>
+          close(p); pending = Some(b)
+        case Some(_) => // older than the open bucket: late beyond tolerance
+      }
+    }
+    (out.result(), SpikeState(ring, pending))
   }
 
   /** Streaming form of ev_spike — the live "is something unusual happening"
     * alarm (the reference watches its stream by eyeballing throughput;
     * status.rs only detects SILENCE). Keyed by event_type, the state is the
-    * trailing `spikeWindow` bucket counts — a fixed-size ring per key, so
-    * state is O(types · window) regardless of corpus age; each closed
-    * minute emits its z verdict. The oracle is the BATCH spikes SQL: the
-    * deterministic single-batch harness makes the streaming emission equal
-    * to the batch replay, and [[spikeFold]]'s split-invariance (spec'd) is
-    * what makes that hold across any micro-batch boundary placement. */
+    * trailing `spikeWindow` bucket counts plus the one OPEN bucket — a
+    * fixed-size ring per key, O(types · window) regardless of corpus age.
+    * A minute emits its verdict only once CLOSED (a later minute arrived
+    * for the key), so a micro-batch boundary inside a minute can neither
+    * emit a half-counted verdict nor double-enter the ring —
+    * [[spikeFold]]'s split-invariance property (spec'd down to mid-bucket
+    * splits) is what makes the emission equal to the batch replay across
+    * any boundary placement. The oracle is the batch spikes SQL minus each
+    * type's final bucket (still open at stream end — never emitted). */
   def stSpike(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     runToTable(spark, sfDir, OutputMode.Append()) { src =>
       src.select(col("event_type"), col("ts_us")).as[SpikeEvent]
         .groupByKey(_.event_type)
-        .flatMapGroupsWithState[SpikeRing, SpikeOut](
+        .flatMapGroupsWithState[SpikeState, SpikeOut](
           OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
           case (etype, events, state) =>
             val buckets = events
@@ -446,15 +467,22 @@ object StreamOps {
               }
               .toSeq.sortBy(_._1)
               .map { case (minute, n) => SpikeBucket(minute * 60L, n) }
-            val prior = if (state.exists) state.get.ring else Nil
-            val (rows, ring) = spikeFold(etype, prior, buckets)
-            state.update(SpikeRing(ring))
+            val prior = if (state.exists) state.get else SpikeState(Nil, None)
+            val (rows, next) = spikeFold(etype, prior, buckets)
+            state.update(next)
             rows.iterator
         }.toDF()
     }
   }
 
-  val stSpikeSql: String = graft.events.EventOps.spikesSql
+  val stSpikeSql: String =
+    s"""WITH base AS (${graft.events.EventOps.spikesSql}),
+       |last_min AS (
+       |  SELECT event_type,
+       |    max(CAST(epoch(date_trunc('minute', CAST(ts AS TIMESTAMP))) AS BIGINT)) AS lm
+       |  FROM events GROUP BY 1)
+       |SELECT base.* FROM base JOIN last_min USING (event_type)
+       |WHERE minute_epoch < lm""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_spike" -> (stSpike _),

@@ -72,6 +72,9 @@ class EnrichSpec extends AnyFunSuite {
     // the reference parses u32: a negative renew is a format error, not a
     // rule silently expired into the past
     assert(CommandParser.parseExpiryDuration("-5d").isLeft)
+    // the week multiply must not wrap Int back into "valid but negative"
+    assert(CommandParser.parseExpiryDuration("310000000w").isLeft)
+    assert(CommandParser.parseExpiryDuration("2000000000d") == Right(2000000000))
   }
 
   test("status watermark flags types silent for >90s before stream end") {

@@ -93,27 +93,31 @@ class MergePropertySpec extends AnyFunSuite {
     })
   }
 
-  test("spikeFold: any micro-batch split sequence = one pass, ring bounded") {
-    import streaming.StreamOps.{SpikeBucket, SpikeOut, spikeFold}
-    // splits are ORDERED (micro-batches preserve event-time order per key),
-    // unlike the aggregate merges above which also shuffle
+  test("spikeFold: any micro-batch split — including mid-bucket — equals one pass") {
+    import streaming.StreamOps.{SpikeBucket, SpikeOut, SpikeState, spikeFold}
+    // splits are ORDERED (micro-batches preserve event-time order per key)
+    // and cut the raw EVENT stream, so a boundary can land inside a minute —
+    // the partial bucket must merge in pending, never half-emit
     val gen = for {
-      ns <- Gen.listOf(Gen.chooseNum(0L, 30L))
-      cuts <- Gen.listOf(Gen.chooseNum(0, math.max(ns.size, 1)))
+      ns <- Gen.listOf(Gen.chooseNum(1L, 8L))
+      cuts <- Gen.listOf(Gen.chooseNum(0, 500))
     } yield (ns, cuts)
     check(Prop.forAll(gen) { case (ns, cuts) =>
-      val buckets = ns.zipWithIndex.map { case (n, i) => SpikeBucket(i * 60L, n) }
-      val (whole, endRing) = spikeFold("t", Nil, buckets)
-      val points = (cuts.map(c => math.min(c, buckets.size)) :+ 0 :+ buckets.size)
+      val events = ns.zipWithIndex.flatMap { case (n, i) => Seq.fill(n.toInt)(i * 60L) }
+      def bucketize(ev: Seq[Long]): Seq[SpikeBucket] =
+        ev.groupBy(identity).toSeq.sortBy(_._1)
+          .map { case (m, es) => SpikeBucket(m, es.size.toLong) }
+      val (whole, endSt) = spikeFold("t", SpikeState(Nil, None), bucketize(events))
+      val points = (cuts.map(c => math.min(c, events.size)) :+ 0 :+ events.size)
         .distinct.sorted
-      val (rows, ring, maxLen) = points.zip(points.tail).foldLeft(
-        (Vector.empty[SpikeOut], List.empty[SpikeBucket], 0)) {
-        case ((acc, r, m), (from, to)) =>
-          val (out, r2) = spikeFold("t", r, buckets.slice(from, to))
-          (acc ++ out, r2, math.max(m, r2.length))
+      val (rows, st) = points.zip(points.tail).foldLeft(
+        (Vector.empty[SpikeOut], SpikeState(Nil, None))) {
+        case ((acc, s), (from, to)) =>
+          val (out, s2) = spikeFold("t", s, bucketize(events.slice(from, to)))
+          (acc ++ out, s2)
       }
-      rows == whole.toVector && ring == endRing &&
-        maxLen <= graft.events.EventOps.spikeWindow
+      rows == whole.toVector && st == endSt &&
+        st.ring.length <= graft.events.EventOps.spikeWindow
     })
   }
 }

@@ -199,25 +199,23 @@ class WideningSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
-  test("st_spike: fold is micro-batch-split invariant and state stays bounded") {
-    import streaming.StreamOps.{SpikeBucket, spikeFold}
-    // deterministic pseudo-random bucket series (includes a flat stretch
-    // with a deviation — the infinite-z branch)
-    val counts = (0 until 40).map(i => ((i * 2654435761L) % 97) / 10 + 1) ++
-      Seq.fill(12)(5L) ++ Seq(50L) ++ (0 until 10).map(_ => 7L)
+  test("st_spike: flat-baseline deviation emits a null-z spike; mid-bucket splits merge") {
+    import streaming.StreamOps.{SpikeBucket, SpikeState, spikeFold}
+    // flat stretch with a deviation (the infinite-z branch), then closers
+    val counts = Seq.fill(12)(5L) ++ Seq(50L) ++ Seq.fill(3)(7L)
     val buckets = counts.zipWithIndex.map { case (n, i) => SpikeBucket(i * 60L, n) }
-    val (whole, endRing) = spikeFold("t", Nil, buckets)
+    val (whole, endSt) = spikeFold("t", SpikeState(Nil, None), buckets)
     assert(whole.exists(r => r.verdict == "spike" && r.z.isEmpty),
       "flat-baseline deviation must emit a null-z spike")
-    // every split point yields the same emissions and the same final ring
-    Seq(1, 7, 10, 23, 41, 55).foreach { cut =>
-      val (a, ringA) = spikeFold("t", Nil, buckets.take(cut))
-      val (b, ringB) = spikeFold("t", ringA, buckets.drop(cut))
-      assert(a ++ b == whole, s"split at $cut diverged")
-      assert(ringB == endRing)
-      assert(ringA.length <= events.EventOps.spikeWindow)
-      assert(ringB.length <= events.EventOps.spikeWindow)
-    }
+    // a batch boundary INSIDE the 50-bucket: 20 then 30 more in the same
+    // minute must merge in pending, not emit twice or double-enter the ring
+    val early = buckets.take(12) :+ SpikeBucket(12 * 60L, 20L)
+    val late = SpikeBucket(12 * 60L, 30L) +: buckets.drop(13)
+    val (a, st1) = spikeFold("t", SpikeState(Nil, None), early)
+    val (b, st2) = spikeFold("t", st1, late)
+    assert((a ++ b) == whole, "mid-bucket split diverged from one pass")
+    assert(st2 == endSt)
+    assert(st2.ring.length <= events.EventOps.spikeWindow)
   }
 
   test("st_pipeline streaming matches equal batch rule engine") {
