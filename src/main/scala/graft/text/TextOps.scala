@@ -325,6 +325,62 @@ object TextOps {
        |CROSS JOIN v
        |GROUP BY doc_id""".stripMargin
 
+  // ---- collocation mining (phrase detection) ------------------------------
+
+  val collocMinCount = 10L
+  val collocTopK = 30
+
+  /** PMI-style collocation mining — the phrase-detection pass (the
+    * word2vec phrase pass) that decides which adjacent word pairs become
+    * single tokens before tokenizer/vocab training. The score is the
+    * RATIONAL PMI core (c12·N)/(c1·c2): exact-integer operands, no libm
+    * log (the tx_lm_score parity trick — both engines divide the same two
+    * exactly-representable doubles). Shapes: the same two Zipf-small count
+    * dims as the bigram LM, joins keyed on the gram's words, top-k via
+    * TakeOrderedAndProject — no global sort, and the corpus-sized gram
+    * stream collapses into the count dims before any join. */
+  def colloc(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val grams = d.select(
+      explode(graft.plans.ShingleStrings(col("text"), 2, distinct = false)).as("gram"))
+    val bi = grams.groupBy(col("gram")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= collocMinCount)
+    val uni = d.select(explode(Portable.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val n = grams.agg(count(lit(1)).as("n_bi"))
+    bi
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .withColumn("w2", split(col("gram"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("c1").as("ca")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c1").as("cb")), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("c12").cast("double") * col("n_bi") /
+        (col("ca").cast("double") * col("cb")), 6))
+      .orderBy(col("score").desc, col("gram").asc)
+      .limit(collocTopK)
+      .select(col("gram"), col("c12"), col("ca"), col("cb"), col("score"))
+  }
+
+  val collocSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${Portable.wordsSql} AS w FROM documents),
+       |grams AS (
+       |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram
+       |  FROM base, LATERAL unnest(range(1, greatest(len(w) - 1, 0) + 1)) t(i)),
+       |bi AS (SELECT gram, count(*) AS c12 FROM grams GROUP BY 1
+       |       HAVING count(*) >= $collocMinCount),
+       |uni AS (
+       |  SELECT word AS w, count(*) AS c1
+       |  FROM (SELECT unnest(w) AS word FROM base) GROUP BY 1),
+       |n AS (SELECT count(*) AS n_bi FROM grams)
+       |SELECT gram, c12, ua.c1 AS ca, ub.c1 AS cb,
+       |  round(CAST(c12 AS DOUBLE) * n_bi / (CAST(ua.c1 AS DOUBLE) * ub.c1), 6) AS score
+       |FROM bi
+       |JOIN uni ua ON string_split(gram, ' ')[1] = ua.w
+       |JOIN uni ub ON string_split(gram, ' ')[2] = ub.w
+       |CROSS JOIN n
+       |ORDER BY score DESC, gram ASC LIMIT $collocTopK""".stripMargin
+
   // ---- repetition metrics (the Gopher repetition filters) -----------------
 
   /** Per-document repetition metrics — the Gopher/MassiveText repetition
@@ -555,6 +611,7 @@ object TextOps {
     "tx_tokens" -> (tokens _),
     "tx_fingerprint" -> (fingerprint _),
     "tx_top_ngrams" -> (topKNgrams _),
+    "tx_colloc" -> (colloc _),
     "tx_filter" -> (filterPass _),
     "tx_pii" -> (pii _),
     "tx_lm_score" -> (lmScore _),
@@ -570,6 +627,7 @@ object TextOps {
     "tx_tokens" -> tokensSql,
     "tx_fingerprint" -> fingerprintSql,
     "tx_top_ngrams" -> topKNgramsSql,
+    "tx_colloc" -> collocSql,
     "tx_filter" -> filterPassSql,
     "tx_pii" -> piiSql,
     "tx_lm_score" -> lmScoreSql,

@@ -133,6 +133,20 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_colloc: PMI ranking is internally consistent") {
+    val rows = text.TextOps.colloc(spark, sf).collect()
+    assert(rows.length == text.TextOps.collocTopK)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sorted.reverse), "descending by score")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c12") >= text.TextOps.collocMinCount)
+      // a pair can't co-occur more often than either word occurs
+      assert(r.getAs[Long]("c12") <= r.getAs[Long]("ca"))
+      assert(r.getAs[Long]("c12") <= r.getAs[Long]("cb"))
+      assert(r.getAs[Double]("score") > 0.0)
+    }
+  }
+
   test("ru_actions maps every action to the reference endpoint") {
     val df = rules.RuleQueries.ruActions(spark, sf)
     val notify = df.filter("action = 'notify'")
