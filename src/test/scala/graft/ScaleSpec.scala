@@ -63,6 +63,12 @@ class ScaleSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"expected <=2 hash exchanges, got $shuffles:\n${plan.take(900)}")
   }
 
+  test("tx_colloc: top-k is TakeOrderedAndProject, never a global sort") {
+    val plan = text.TextOps.colloc(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+    assert(!plan.contains("Exchange rangepartitioning"), "global sort leaked in:\n" + plan.take(600))
+  }
+
   test("dd_clusters: every pair endpoint shares its cluster") {
     val pairs = dedup.Dedup.minhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
