@@ -43,13 +43,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failed queries are EXCLUDED from the sums (a -1 summed in would make
-    // a crash read as a perf win); a failed headline query invalidates the
-    // graded value outright (-1) — errors carries the names either way
+    // a crash read as a perf win); a failed HEADLINE query adds a 600 s
+    // timeout-equivalent penalty, so the graded lower-is-better value reads
+    // strictly WORSE than any healthy run under plain numeric comparison —
+    // no consumer has to special-case a sentinel. errors carries the names.
     val failed = results.filter(_._2 < 0).map(_._1)
     val okResults = results.filter(_._2 >= 0)
     val headlineTotal =
-      if (failed.exists(headline)) -1.0
-      else okResults.filter(r => headline(r._1)).map(_._2).sum
+      okResults.filter(r => headline(r._1)).map(_._2).sum +
+        600.0 * failed.count(headline)
     val total = okResults.map(_._2).sum
     val errors = failed.map(n => s""""$n"""").mkString("[", ",", "]")
     val metricJson =

@@ -176,15 +176,20 @@ object CommandParser {
   }
 
   /** `Nd` / `Nw` → days (command.rs:243-263). */
+  /** 100M days ≈ 273 000 years — far under the ~106.75M-day bound where
+    * `days · 86 400 000 000` micros exceeds Long.MaxValue. */
+  val maxExpiryDays = 100000000L
+
   def parseExpiryDuration(s: String): Either[String, Int] = {
     val step = s.lastOption.getOrElse('/')
     val amount = s.dropRight(1).toIntOption.getOrElse(0)
     // <= 0 also rejects negatives — the reference parses u32, so "-5d" is
     // an error there, not an already-expired rule. The week multiply runs
-    // in Long: Int wrap on huge week counts would ALSO yield a negative
-    // (i.e. already-expired) duration
+    // in Long, and the accepted range is capped so the downstream
+    // `nowUs + days · 86 400 000 000` micros conversion can never wrap
+    // Long either (wrap = negative = silently-already-expired rule)
     val days = if (step == 'd') amount.toLong else amount.toLong * 7
-    if (amount <= 0 || (step != 'd' && step != 'w') || days > Int.MaxValue)
+    if (amount <= 0 || (step != 'd' && step != 'w') || days > maxExpiryDays)
       Left("Invalid expiry date format. Example: `14d`. Supported: `d` (day), `w` (week).")
     else Right(days.toInt)
   }

@@ -343,11 +343,14 @@ object TextOps {
     val d = docs(spark, sfDir)
     val grams = d.select(
       explode(graft.plans.ShingleStrings(col("text"), 2, distinct = false)).as("gram"))
-    val bi = grams.groupBy(col("gram")).agg(count(lit(1)).as("c12"))
-      .filter(col("c12") >= collocMinCount)
+    // ONE corpus-wide gram aggregation serves both the pair counts and the
+    // total (n_bi = Σc12): a separate grams.count() would re-run the
+    // bigram explode over the whole corpus for a single number
+    val gramCounts = grams.groupBy(col("gram")).agg(count(lit(1)).as("c12"))
+    val bi = gramCounts.filter(col("c12") >= collocMinCount)
     val uni = d.select(explode(Portable.words(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val n = grams.agg(count(lit(1)).as("n_bi"))
+    val n = gramCounts.agg(sum(col("c12")).as("n_bi"))
     bi
       .withColumn("w1", split(col("gram"), " ").getItem(0))
       .withColumn("w2", split(col("gram"), " ").getItem(1))
@@ -367,12 +370,12 @@ object TextOps {
        |grams AS (
        |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram
        |  FROM base, LATERAL unnest(range(1, greatest(len(w) - 1, 0) + 1)) t(i)),
-       |bi AS (SELECT gram, count(*) AS c12 FROM grams GROUP BY 1
-       |       HAVING count(*) >= $collocMinCount),
+       |cnt AS (SELECT gram, count(*) AS c12 FROM grams GROUP BY 1),
+       |bi AS (SELECT * FROM cnt WHERE c12 >= $collocMinCount),
        |uni AS (
        |  SELECT word AS w, count(*) AS c1
        |  FROM (SELECT unnest(w) AS word FROM base) GROUP BY 1),
-       |n AS (SELECT count(*) AS n_bi FROM grams)
+       |n AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bi FROM cnt)
        |SELECT gram, c12, ua.c1 AS ca, ub.c1 AS cb,
        |  round(CAST(c12 AS DOUBLE) * n_bi / (CAST(ua.c1 AS DOUBLE) * ub.c1), 6) AS score
        |FROM bi

@@ -72,9 +72,12 @@ class EnrichSpec extends AnyFunSuite {
     // the reference parses u32: a negative renew is a format error, not a
     // rule silently expired into the past
     assert(CommandParser.parseExpiryDuration("-5d").isLeft)
-    // the week multiply must not wrap Int back into "valid but negative"
+    // the week multiply must not wrap Int back into "valid but negative",
+    // and accepted day counts must stay micros-safe for the downstream
+    // nowUs + days·86400e6 conversion
     assert(CommandParser.parseExpiryDuration("310000000w").isLeft)
-    assert(CommandParser.parseExpiryDuration("2000000000d") == Right(2000000000))
+    assert(CommandParser.parseExpiryDuration("2000000000d").isLeft)
+    assert(CommandParser.parseExpiryDuration("100000000d") == Right(100000000))
   }
 
   test("status watermark flags types silent for >90s before stream end") {
