@@ -379,7 +379,47 @@ object Relational {
       |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS BIGINT) AS quartile
       |FROM orders""".stripMargin
 
+  // ---- SCD2 dim maintenance (change log → validity intervals) -------------
+
+  /** Change-data-capture → type-2 slowly-changing dimension: each user's
+    * purchase stream sets a "tier" (value bucket); consecutive same-tier
+    * events collapse and every change opens a validity interval closed by
+    * the next change (null valid_to = the current version). The warehouse
+    * dim-maintenance pass without MERGE machinery: change detection and
+    * interval closing are two frames over ONE (user, ts) window — a single
+    * shuffle on the natural key, no self-join (the filter between the two
+    * window functions preserves the partitioning and ordering, so Catalyst
+    * plans one exchange + one sort for both). */
+  def qScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    Tables(spark, sfDir).events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") / 100).cast("long").as("tier"))
+      .withColumn("prev_tier", lag(col("tier"), 1).over(w))
+      .filter(col("prev_tier").isNull || col("prev_tier") =!= col("tier"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .select(col("user_id"), col("tier"), col("ts_us").as("valid_from_us"),
+        col("valid_to_us"))
+  }
+
+  val qScd2Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    CAST(floor(value / 100) AS BIGINT) AS tier
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, ts_us, tier FROM (
+      |    SELECT user_id, ts_us, tier,
+      |      lag(tier) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_tier
+      |    FROM p) t
+      |  WHERE prev_tier IS NULL OR prev_tier <> tier)
+      |SELECT user_id, tier, ts_us AS valid_from_us,
+      |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS valid_to_us
+      |FROM c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2" -> (qScd2 _),
     "q_running" -> (qRunning _),
     "q_cube" -> (qCube _),
     "q_salted_agg" -> (qSaltedAgg _),
@@ -395,6 +435,7 @@ object Relational {
     "ev_topk_users" -> (evTopkUsers _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_scd2" -> qScd2Sql,
     "q_running" -> qRunningSql,
     "q_cube" -> qCubeSql,
     "q_salted_agg" -> qSaltedAggSql,

@@ -145,6 +145,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("q_scd2: intervals chain without gaps, tiers change at every boundary") {
+    val rows = relational.Relational.qScd2(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("tier"),
+        r.getAs[Long]("valid_from_us"), Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.longValue)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(_._3)
+      // exactly one open (current) version per user, and it is the last
+      assert(sorted.count(_._4.isEmpty) == 1)
+      assert(sorted.last._4.isEmpty)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"user $uid: interval gap/overlap")
+          assert(a._2 != b._2, s"user $uid: consecutive versions share a tier")
+        case _ =>
+      }
+    }
+  }
+
   test("q_running: quartiles bounded, first order has no prev_price") {
     val out = relational.Relational.qRunning(spark, sf).collect()
     assert(out.forall { r =>
