@@ -8,6 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class ApiSpec extends AnyFunSuite {
   import SparkTest._
 
+  test("driver contract: entry() smoke returns rows, maps align") {
+    assert(SparkEntry.entry(spark).count() > 0, "driver smoke gate is rows > 0")
+    // every oracle key must have a query; every query key a SURVEY-checked
+    // oracle (the repo policy: no rows-only fallbacks)
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  }
+
   test("extensions register shingle_hashes and vector_dot for SQL") {
     graft.plans.GraftExtensions.install(spark)
     val r = spark.sql(
