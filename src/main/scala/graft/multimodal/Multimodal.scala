@@ -271,37 +271,44 @@ object Multimodal {
   // ---- GPU batch packing ---------------------------------------------------
 
   val pixelBudget = 16384L
+  val packShardDocs = 1000L
 
   /** Batch packing for the accelerator: resized items pack per MODALITY
     * (an image batch can't absorb audio) into fixed pixel budgets — the
     * vision twin of tx_pack's token budgets. Same shape: per-shard window
     * cumsum, integer bin id from the item's START offset (an item never
-    * splits; a batch may overhang by at most one item). Modality partitions
-    * are independent, so there is no global ordered-cumsum bottleneck —
-    * one shuffle on fmt, and at 100 TB the shard key widens to
-    * (fmt, date-bucket) with the same plan. */
+    * splits; a batch may overhang by at most one item). The shard key is
+    * (fmt, doc_id-range): bare fmt has only a handful of values, which
+    * would funnel every image through ONE ordered-cumsum task at 100 TB —
+    * the `packShardDocs` range bound caps any window partition at a fixed
+    * row count, and batches never need to cross an input range (a real
+    * packer works per input split anyway). */
   def mmBatchPack(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("fmt")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("fmt"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     resized(spark, sfDir)
       .select(col("doc_id"), col("fmt"),
+        expr(s"doc_id DIV $packShardDocs").as("shard"),
         (col("out_w") * col("out_h")).cast("long").as("px"))
       .withColumn("cum", sum(col("px")).over(w))
-      .groupBy(col("fmt"), expr(s"(cum - px) DIV $pixelBudget").as("batch"))
+      .groupBy(col("fmt"), col("shard"),
+        expr(s"(cum - px) DIV $pixelBudget").as("batch"))
       .agg(count(lit(1)).as("n_items"), min(col("doc_id")).as("first_doc_id"),
         sum(col("px")).as("total_px"))
   }
 
   val mmBatchPackSql: String =
     s"""WITH $resizedSqlCtes,
-       |c AS (SELECT doc_id, fmt, CAST(out_w * out_h AS BIGINT) AS px,
-       |  sum(CAST(out_w * out_h AS BIGINT)) OVER (PARTITION BY fmt
+       |c AS (SELECT doc_id, fmt, doc_id // $packShardDocs AS shard,
+       |  CAST(out_w * out_h AS BIGINT) AS px,
+       |  sum(CAST(out_w * out_h AS BIGINT)) OVER (
+       |    PARTITION BY fmt, doc_id // $packShardDocs
        |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM rsz)
-       |SELECT fmt, CAST((cum - px) // $pixelBudget AS BIGINT) AS batch,
+       |SELECT fmt, shard, CAST((cum - px) // $pixelBudget AS BIGINT) AS batch,
        |  count(*) AS n_items, min(doc_id) AS first_doc_id,
        |  CAST(sum(px) AS BIGINT) AS total_px
-       |FROM c GROUP BY 1, 2""".stripMargin
+       |FROM c GROUP BY 1, 2, 3""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mmMeta _),

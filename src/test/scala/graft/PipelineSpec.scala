@@ -159,12 +159,13 @@ class PipelineSpec extends AnyFunSuite {
       // item that straddles the boundary
       assert(r.getAs[Long]("total_px") <= multimodal.Multimodal.pixelBudget + maxItemPx)
     }
-    // batches within a modality are contiguous doc_id runs: first_doc_id
-    // strictly increases with batch id
-    rows.groupBy(_.getAs[String]("fmt")).foreach { case (_, rs) =>
-      val byBatch = rs.sortBy(_.getAs[Long]("batch")).map(_.getAs[Long]("first_doc_id"))
-      assert(byBatch.sameElements(byBatch.sorted))
-    }
+    // batches within a (modality, shard) are contiguous doc_id runs:
+    // first_doc_id strictly increases with batch id
+    rows.groupBy(r => (r.getAs[String]("fmt"), r.getAs[Long]("shard")))
+      .foreach { case (_, rs) =>
+        val byBatch = rs.sortBy(_.getAs[Long]("batch")).map(_.getAs[Long]("first_doc_id"))
+        assert(byBatch.sameElements(byBatch.sorted))
+      }
   }
 }
 class WideningSpec extends org.scalatest.funsuite.AnyFunSuite {
