@@ -271,7 +271,10 @@ object Multimodal {
   // ---- GPU batch packing ---------------------------------------------------
 
   val pixelBudget = 16384L
-  val packShardDocs = 1000L
+  // 256 (not a round 1000) so even the 500-doc spec corpus spans two
+  // shards — the shard-boundary behavior is exercised by every tier of
+  // testing, not only at bench scale
+  val packShardDocs = 256L
 
   /** Batch packing for the accelerator: resized items pack per MODALITY
     * (an image batch can't absorb audio) into fixed pixel budgets — the

@@ -391,13 +391,19 @@ object Relational {
     * window functions preserves the partitioning and ordering, so Catalyst
     * plans one exchange + one sort for both). */
   def qScd2(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    // tier as the secondary key: ts_us is nanos truncated to micros, so
+    // same-microsecond ties are possible and lag/lead must see the same
+    // ordering on both engines (the qAsof convention)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("tier").asc)
     Tables(spark, sfDir).events
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         floor(col("value") / 100).cast("long").as("tier"))
       .withColumn("prev_tier", lag(col("tier"), 1).over(w))
-      .filter(col("prev_tier").isNull || col("prev_tier") =!= col("tier"))
+      // null-safe: a NULL-tier run must collapse like any other (the
+      // IS NULL form would open a version per NULL row)
+      .filter(!(col("prev_tier") <=> col("tier")))
       .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
       .select(col("user_id"), col("tier"), col("ts_us").as("valid_from_us"),
         col("valid_to_us"))
@@ -411,11 +417,11 @@ object Relational {
       |c AS (
       |  SELECT user_id, ts_us, tier FROM (
       |    SELECT user_id, ts_us, tier,
-      |      lag(tier) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_tier
+      |      lag(tier) OVER (PARTITION BY user_id ORDER BY ts_us ASC, tier ASC) AS prev_tier
       |    FROM p) t
-      |  WHERE prev_tier IS NULL OR prev_tier <> tier)
+      |  WHERE prev_tier IS DISTINCT FROM tier)
       |SELECT user_id, tier, ts_us AS valid_from_us,
-      |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS valid_to_us
+      |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, tier ASC) AS valid_to_us
       |FROM c""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -159,6 +159,9 @@ class PipelineSpec extends AnyFunSuite {
       // item that straddles the boundary
       assert(r.getAs[Long]("total_px") <= multimodal.Multimodal.pixelBudget + maxItemPx)
     }
+    // the corpus must actually span shard boundaries or this spec can't
+    // catch cross-shard batch-numbering regressions
+    assert(rows.map(_.getAs[Long]("shard")).distinct.length >= 2)
     // batches within a (modality, shard) are contiguous doc_id runs:
     // first_doc_id strictly increases with batch id
     rows.groupBy(r => (r.getAs[String]("fmt"), r.getAs[Long]("shard")))
