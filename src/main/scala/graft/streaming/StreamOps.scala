@@ -484,7 +484,68 @@ object StreamOps {
        |SELECT base.* FROM base JOIN last_min USING (event_type)
        |WHERE minute_epoch < lm""".stripMargin
 
+  // ---- streaming SCD2 dim maintenance -------------------------------------
+
+  final case class Scd2Event(user_id: Long, ts_us: Long, tier: Long)
+  final case class Scd2State(tier: Long, valid_from_us: Long)
+  final case class Scd2Out(user_id: Long, tier: Long,
+    valid_from_us: Long, valid_to_us: Long)
+
+  /** Per-key CDC fold: a tier change CLOSES the open version (emit) and
+    * opens the next; same-tier events collapse into the open version. The
+    * state is one (tier, valid_from) per key — O(keys) forever. Pure and
+    * split-invariant by construction (each event folds through the carried
+    * state), so micro-batch boundaries can't split or duplicate a version. */
+  def scd2Fold(userId: Long, prior: Option[Scd2State],
+      events: Seq[Scd2Event]): (Seq[Scd2Out], Option[Scd2State]) = {
+    val out = Vector.newBuilder[Scd2Out]
+    var open = prior
+    events.foreach { e =>
+      open match {
+        case None => open = Some(Scd2State(e.tier, e.ts_us))
+        case Some(o) if o.tier != e.tier =>
+          out += Scd2Out(userId, o.tier, o.valid_from_us, e.ts_us)
+          open = Some(Scd2State(e.tier, e.ts_us))
+        case Some(_) => // same tier: the open version absorbs it
+      }
+    }
+    (out.result(), open)
+  }
+
+  /** Streaming form of q_scd2 — dim maintenance on the live change stream:
+    * each closed validity interval is emitted the moment its successor
+    * version arrives; the OPEN version per key stays in state and is never
+    * emitted (append mode can't retract). The oracle is the batch q_scd2
+    * minus its null-valid_to rows — exactly the open versions. Events sort
+    * by (ts, tier) within the batch group, matching the batch window's
+    * deterministic tie-break. */
+  def stScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runToTable(spark, sfDir, OutputMode.Append()) { src =>
+      src.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          floor(col("value") / 100).cast("long").as("tier"))
+        .as[Scd2Event]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[Scd2State, Scd2Out](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (uid, events, state) =>
+            val sorted = events.toSeq.sortBy(e => (e.ts_us, e.tier))
+            val prior = if (state.exists) Some(state.get) else None
+            val (rows, next) = scd2Fold(uid, prior, sorted)
+            next.foreach(state.update)
+            rows.iterator
+        }.toDF()
+    }
+  }
+
+  val stScd2Sql: String =
+    s"""SELECT user_id, tier, valid_from_us, valid_to_us
+       |FROM (${graft.relational.Relational.qScd2Sql})
+       |WHERE valid_to_us IS NOT NULL""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_scd2" -> (stScd2 _),
     "st_spike" -> (stSpike _),
     "st_hll_users" -> (hllUsers _),
     "st_stream_join" -> (streamJoin _),
@@ -498,6 +559,7 @@ object StreamOps {
     "st_seen_state" -> (seenState _))
 
   def oracleSql: Map[String, String] = Map(
+    "st_scd2" -> stScd2Sql,
     "st_spike" -> stSpikeSql,
     "st_hll_users" -> hllUsersSql,
     "st_stream_join" -> streamJoinSql,

@@ -120,4 +120,25 @@ class MergePropertySpec extends AnyFunSuite {
         st.ring.length <= graft.events.EventOps.spikeWindow
     })
   }
+
+  test("scd2Fold: any ordered event split = one pass; state is one version") {
+    import streaming.StreamOps.{Scd2Event, Scd2Out, scd2Fold}
+    val gen = for {
+      tiers <- Gen.listOf(Gen.chooseNum(0L, 3L))
+      cuts <- Gen.listOf(Gen.chooseNum(0, 500))
+    } yield (tiers, cuts)
+    check(Prop.forAll(gen) { case (tiers, cuts) =>
+      val events = tiers.zipWithIndex.map { case (t, i) => Scd2Event(7L, i * 10L, t) }
+      val (whole, endSt) = scd2Fold(7L, None, events)
+      val points = (cuts.map(c => math.min(c, events.size)) :+ 0 :+ events.size)
+        .distinct.sorted
+      val (rows, st) = points.zip(points.tail).foldLeft(
+        (Vector.empty[Scd2Out], Option.empty[streaming.StreamOps.Scd2State])) {
+        case ((acc, s), (from, to)) =>
+          val (out, s2) = scd2Fold(7L, s, events.slice(from, to))
+          (acc ++ out, s2)
+      }
+      rows == whole.toVector && st == endSt
+    })
+  }
 }
