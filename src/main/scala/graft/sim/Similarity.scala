@@ -535,7 +535,53 @@ object Similarity {
        |WHERE rank <= 3""".stripMargin
   }
 
+  // ---- ANN recall audit (the approximate-path tuning query) ---------------
+
+  /** Recall@3 of both approximate paths (sign-bucket LSH, IVF probing)
+    * against brute-force truth, per query — the similarity-search twin of
+    * `dd_lsh_recall`. This is the dial-tuning query an operator runs before
+    * committing to bucket/probe parameters at full scale: truth is computed
+    * on the QUERY SAMPLE only (O(sample·n), not O(n²)), the approximate
+    * sides are the production pipelines unchanged, and the output is small
+    * (methods × queries), so the audit costs one brute pass over the sample
+    * plus the candidate pipelines it is grading. */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = bruteTopK(spark, sfDir).filter(col("rank") <= 3)
+      .select(col("qid"), col("cand")).persist()
+    val nTruth = truth.groupBy(col("qid")).agg(count(lit(1)).as("n_truth"))
+    def methodRows(approx: DataFrame, method: String): DataFrame = {
+      val hits = truth
+        .join(approx.select(col("qid"), col("cand")), Seq("qid", "cand"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+      nTruth.join(hits, Seq("qid"), "left")
+        .select(lit(method).as("method"), col("qid"), col("n_truth"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+    }
+    methodRows(lshTopK(spark, sfDir), "lsh")
+      .unionAll(methodRows(ivfTopK(spark, sfDir), "ivf"))
+      .withColumn("recall", round(col("n_hit") / col("n_truth"), 6))
+  }
+
+  val annRecallSql: String = {
+    def methodSql(approxSql: String, method: String) =
+      s"""SELECT '$method' AS method, n.qid, n.n_truth,
+         |  coalesce(h.n_hit, 0) AS n_hit,
+         |  round(coalesce(h.n_hit, 0) / n.n_truth, 6) AS recall
+         |FROM n_truth n LEFT JOIN (
+         |  SELECT t.qid, count(*) AS n_hit
+         |  FROM truth t JOIN ($approxSql) a
+         |    ON t.qid = a.qid AND t.cand = a.cand
+         |  GROUP BY 1) h ON h.qid = n.qid""".stripMargin
+    s"""WITH truth AS (
+       |  SELECT qid, cand FROM ($bruteTopKSql) b WHERE rank <= 3),
+       |n_truth AS (SELECT qid, count(*) AS n_truth FROM truth GROUP BY 1)
+       |${methodSql(lshTopKSql, "lsh")}
+       |UNION ALL
+       |${methodSql(ivfTopKSql, "ivf")}""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall" -> (annRecall _),
     "ann_quant_topk" -> (quantTopK _),
     "ann_brute_topk" -> (bruteTopK _),
     "ann_lsh_topk" -> (lshTopK _),
@@ -546,6 +592,7 @@ object Similarity {
     "ann_kmeans" -> (kmeans _))
 
   def oracleSql: Map[String, String] = Map(
+    "ann_recall" -> annRecallSql,
     "ann_quant_topk" -> quantTopKSql,
     "ann_brute_topk" -> bruteTopKSql,
     "ann_lsh_topk" -> lshTopKSql,

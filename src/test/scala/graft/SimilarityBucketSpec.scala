@@ -34,6 +34,24 @@ class SimilarityBucketSpec extends AnyFunSuite {
     assert(pairs.length == pairs.distinct.length)
   }
 
+  test("ann_recall: one row per (method, query), recall in [0,1], and the " +
+      "approx paths find a strict subset of brute truth") {
+    val rows = sim.Similarity.annRecall(spark, sf).collect()
+    assert(rows.length == 2 * sim.Similarity.numQueries)
+    rows.foreach { r =>
+      val (nTruth, nHit) = (r.getAs[Long]("n_truth"), r.getAs[Long]("n_hit"))
+      val recall = r.getAs[Double]("recall")
+      assert(nHit <= nTruth, s"hits exceed truth: $r")
+      assert(recall >= 0.0 && recall <= 1.0, s"recall out of range: $r")
+    }
+    // the audit only means something if the dial actually moves: on this
+    // corpus the approximate paths must not be trivially perfect AND must
+    // find something (both all-0 and all-1 would make the query vacuous)
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    assert(recalls.exists(_ > 0.0), "no approx path found any truth neighbor")
+    assert(recalls.exists(_ < 1.0), "audit is vacuous: every recall is 1.0")
+  }
+
   test("knn join ranks are contiguous and capped at 3 per vector") {
     val rows = sim.Similarity.knnJoin(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("id")).values.foreach { rs =>
