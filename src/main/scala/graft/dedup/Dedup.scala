@@ -597,7 +597,44 @@ object Dedup {
        |GROUP BY 1, 2
        |HAVING count(*) >= $contamMinShared""".stripMargin
 
+  // ---- cross-source duplication matrix (provenance diagnostic) ------------
+
+  /** Which sources copy from which: for every (unordered) source pair, how
+    * many near-duplicate document pairs span them. The curation diagnostic
+    * behind "crawl B mirrors crawl A — drop it before paying for the full
+    * pipeline on both". Built on the MinHash candidate pairs, because on
+    * real web corpora mirrors differ by boilerplate, so exact-hash matrices
+    * under-report exactly the duplication this question is about.
+    *
+    * Scale shape: rides [[minhashLsh]] unchanged (capped O(n·bands)
+    * candidate generation, never O(n²)); the source lookup is two
+    * co-partitioned equi-joins of the pair list against the (doc_id,
+    * source) projection; the matrix agg output is |sources|² rows at most.
+    * least/greatest canonicalizes the pair so A→B and B→A land in one
+    * cell. */
+  def sourceMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = docs(spark, sfDir).select(col("doc_id"), col("source"))
+    minhashLsh(spark, sfDir)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
+  val sourceMatrixSql: String =
+    s"""WITH pairs AS (${minhashLshSql})
+       |SELECT least(da.source, db.source) AS source_a,
+       |  greatest(da.source, db.source) AS source_b,
+       |  count(*) AS n_dup_pairs
+       |FROM pairs
+       |JOIN documents da ON da.doc_id = pairs.id_a
+       |JOIN documents db ON db.doc_id = pairs.id_b
+       |GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_source_matrix" -> (sourceMatrix _),
     "dd_contam" -> (contaminate _),
     "dd_exact" -> (exact _),
     "dd_weighted" -> (weighted _),
@@ -611,6 +648,7 @@ object Dedup {
     "dd_lsh_recall" -> (lshRecall _))
 
   def oracleSql: Map[String, String] = Map(
+    "dd_source_matrix" -> sourceMatrixSql,
     "dd_contam" -> contaminateSql,
     "dd_exact" -> exactSql,
     "dd_weighted" -> weightedSql,

@@ -126,12 +126,46 @@ object Sampling {
        |FROM documents d JOIN f ON f.doc_id = d.doc_id
        |GROUP BY 1""".stripMargin
 
+  // ---- deterministic train/valid/test split -------------------------------
+
+  /** Percent of the hash space per split: train 90 / valid 5 / test 5. */
+  val splitTrainPct = 90
+  val splitValidPct = 95 // upper bound; test takes the rest
+
+  /** Reproducible corpus split: every doc's split is a pure function of its
+    * id under the portable hash (salt "split" — independent of the sampling
+    * salt, so split membership never correlates with sample membership).
+    * Zero shuffles, no seed plumbing, stable under corpus growth and
+    * re-partitioning — the property that keeps eval sets honest when the
+    * pipeline reruns at 100 TB: a doc can never migrate between train and
+    * test because an upstream stage changed its partition. */
+  def split(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = pmod(Portable.hash64(col("doc_id").cast("string"), salt = "split"), lit(100L))
+    Tables(spark, sfDir).documents
+      .select(col("doc_id"), b.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < splitTrainPct, "train")
+          .when(col("bucket") < splitValidPct, "valid")
+          .otherwise("test"))
+  }
+
+  val splitSql: String = {
+    val b = s"""${Portable.hash64Sql("CAST(doc_id AS VARCHAR)", "split")} % 100"""
+    s"""SELECT doc_id, $b AS bucket,
+       |  CASE WHEN $b < $splitTrainPct THEN 'train'
+       |       WHEN $b < $splitValidPct THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "samp_split" -> (split _),
     "samp_stratified" -> (stratified _),
     "samp_reservoir" -> (reservoir _),
     "samp_mixture" -> (mixture _))
 
   def oracleSql: Map[String, String] = Map(
+    "samp_split" -> splitSql,
     "samp_stratified" -> stratifiedSql,
     "samp_reservoir" -> reservoirSql,
     "samp_mixture" -> mixtureSql)

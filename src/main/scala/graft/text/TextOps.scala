@@ -608,7 +608,65 @@ object TextOps {
          |FROM signups""".stripMargin
   }
 
+  // ---- TF-IDF keyword retrieval -------------------------------------------
+
+  /** Demo query terms; production passes any term list — the plan shape is
+    * term-count-independent (one column per term, still zero shuffles). */
+  val searchTerms: Seq[String] = Seq("spark", "window", "vector")
+
+  /** TF-IDF keyword retrieval: top-k documents for a small term set.
+    * Scale shape: term frequencies are per-row `regexp_count` columns (ZERO
+    * shuffle — no corpus token explode, no inverted index build for an
+    * ad-hoc query); corpus stats collapse to ONE row (N + per-term df)
+    * broadcast back; the score is a FIXED-ORDER fold of tf_i · (N/df_i)
+    * (exact-int operands each step, so both engines fold identical doubles);
+    * top-k is TakeOrderedAndProject with a doc_id tie-break — no global
+    * sort. idf uses the raw rational N/df rather than log(N/df): order-
+    * preserving for single-term queries, libm-free, and exactly portable —
+    * the log variant needs only a `log()` wrap at ranking time. */
+  def search(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val tf = d.select(
+      col("doc_id") +: searchTerms.indices.map(i =>
+        regexp_count(col("text"), lit("\\b" + searchTerms(i) + "\\b"))
+          .cast("long").as(s"tf$i")): _*)
+    val stats = tf.agg(
+      count(lit(1)).as("n_docs"),
+      searchTerms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    val score = searchTerms.indices.map(i =>
+        col(s"tf$i") * (col("n_docs") / greatest(col(s"df$i"), lit(1L))))
+      .reduce(_ + _)
+    tf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val searchSql: String = {
+    val tfCols = searchTerms.indices.map(i =>
+      s"len(regexp_extract_all(text, '\\b${searchTerms(i)}\\b')) AS tf$i").mkString(",\n    ")
+    val dfCols = searchTerms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n    ")
+    val score = searchTerms.indices.map(i =>
+      s"tf$i * (n_docs / greatest(df$i, 1))").mkString(" + ")
+    s"""WITH tf AS (
+       |  SELECT doc_id,
+       |    $tfCols
+       |  FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |    $dfCols
+       |  FROM tf)
+       |SELECT doc_id, round($score, 6) AS score
+       |FROM tf CROSS JOIN stats
+       |WHERE round($score, 6) > 0
+       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_search" -> (search _),
     "tx_langid" -> (langId _),
     "tx_quality" -> (quality _),
     "tx_tokens" -> (tokens _),
@@ -625,6 +683,7 @@ object TextOps {
     "tx_profile_train" -> (profileTrain _))
 
   def oracleSql: Map[String, String] = Map(
+    "tx_search" -> searchSql,
     "tx_langid" -> langIdSql,
     "tx_quality" -> qualitySql,
     "tx_tokens" -> tokensSql,

@@ -31,6 +31,29 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("samp_split partitions the corpus: every doc in exactly one split, " +
+      "all three splits populated, zero shuffles") {
+    val rows = sample.Sampling.split(spark, sf).collect()
+    val total = Tables(spark, sf).documents.count()
+    assert(rows.length == total, "split must cover every doc exactly once")
+    val bySplit = rows.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "valid", "test"), bySplit.toString)
+    // train holds the bulk (90% nominal; hash-uniformity tolerance)
+    assert(bySplit("train").toDouble / total > 0.75, bySplit.toString)
+    val plan = sample.Sampling.split(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "split must be map-side math:\n" + plan.take(600))
+  }
+
+  test("dd_source_matrix conserves the candidate pairs and canonicalizes") {
+    val cells = dedup.Dedup.sourceMatrix(spark, sf).collect()
+    val nPairs = dedup.Dedup.minhashLsh(spark, sf).count()
+    assert(cells.map(_.getAs[Long]("n_dup_pairs")).sum == nPairs,
+      "matrix cells must sum to the candidate pair count")
+    cells.foreach { r =>
+      assert(r.getAs[String]("source_a") <= r.getAs[String]("source_b"), r.toString)
+    }
+  }
+
   test("tx_pii redacts every detected email and ip") {
     val rows = text.TextOps.pii(spark, sf).collect()
     assert(rows.nonEmpty)

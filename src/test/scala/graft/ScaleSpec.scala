@@ -63,6 +63,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"expected <=2 hash exchanges, got $shuffles:\n${plan.take(900)}")
   }
 
+  test("tx_search: zero hash shuffles (tf is per-row math, stats one row), " +
+      "top-k via TakeOrderedAndProject") {
+    val plan = text.TextOps.search(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+    assert(!plan.contains("Exchange rangepartitioning"), "global sort leaked in:\n" + plan.take(600))
+    // the only exchanges allowed are the single-row stats agg + its
+    // broadcast back — never a hash repartition of the corpus
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "corpus-wide shuffle leaked in:\n" + plan.take(900))
+  }
+
   test("tx_colloc: top-k is TakeOrderedAndProject, never a global sort") {
     val plan = text.TextOps.colloc(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
