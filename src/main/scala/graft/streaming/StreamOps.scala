@@ -274,6 +274,53 @@ object StreamOps {
        |SELECT DISTINCT keeper AS doc_id FROM (
        |  SELECT band, key, min(doc_id) AS keeper FROM bands GROUP BY 1, 2)""".stripMargin
 
+  // ---- streaming per-stratum reservoir ------------------------------------
+
+  val stReservoirK = 10
+
+  /** Streaming bounded sampling: keep exactly K docs per language as the
+    * corpus streams — the live twin of `samp_reservoir`. Priority is the
+    * portable hash (salt "res", folded mod 2^40 so the double score used by
+    * the aggregate stays EXACT), so the kept set is a pure function of doc
+    * ids: order-invariant, hash-matching the batch replay for any arrival
+    * order or micro-batch split. The `TopKByScore` buffer HOLDS at most K
+    * (priority, id) pairs per language — state O(strata·K) forever, the
+    * same bounded-state contract as st_ann_topk (a naive collect_list
+    * would hold the whole stream per stratum). */
+  def stReservoir(spark: SparkSession, sfDir: String): DataFrame =
+    withStatePartitions(spark) {
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val src = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val prioritized = src.select(col("lang"), col("doc_id"),
+      pmod(graft.functions.Portable.hash64(col("doc_id").cast("string"), salt = "res"),
+        lit(1L << 40)).cast("double").as("pr"))
+    // smallest-priority-wins: negate into the (score desc, id asc) buffer
+    val kept = prioritized.groupBy(col("lang"))
+      .agg(graft.plans.TopKAgg.topK(-col("pr"), col("doc_id"), stReservoirK).as("top"))
+    val name = "st_" + UUID.randomUUID().toString.replace("-", "")
+    val q = kept.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable()
+    q.stop()
+    drainTable(spark, name)
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), col("col.cand").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rn"))
+    }
+
+  val stReservoirSql: String =
+    s"""SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang ORDER BY
+       |      ${graft.functions.Portable.hash64Sql("CAST(doc_id AS VARCHAR)", "res")}
+       |        % ${1L << 40} ASC, doc_id ASC) AS rn
+       |  FROM documents) t
+       |WHERE rn <= $stReservoirK""".stripMargin
+
   // ---- streaming similarity search ----------------------------------------
 
   /** Streaming ANN: the embedding corpus streams, the query set broadcasts,
@@ -550,6 +597,7 @@ object StreamOps {
     "st_hll_users" -> (hllUsers _),
     "st_stream_join" -> (streamJoin _),
     "st_minhash_dedup" -> (minhashDedup _),
+    "st_reservoir" -> (stReservoir _),
     "st_ann_topk" -> (annTopK _),
     "st_pipeline" -> (pipeline _),
     "st_window_counts" -> (windowCounts _),
@@ -564,6 +612,7 @@ object StreamOps {
     "st_hll_users" -> hllUsersSql,
     "st_stream_join" -> streamJoinSql,
     "st_minhash_dedup" -> minhashDedupSql,
+    "st_reservoir" -> stReservoirSql,
     "st_ann_topk" -> annTopKSql,
     "st_pipeline" -> pipelineSql,
     "st_window_counts" -> windowCountsSql,

