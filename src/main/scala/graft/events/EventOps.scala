@@ -376,7 +376,56 @@ object EventOps {
        |       ELSE 'ok' END AS verdict
        |FROM z""".stripMargin
 
+  // ---- time-series gap-fill -----------------------------------------------
+
+  /** Dense per-(type, minute) event series: sparse counts zero-filled over
+    * each type's [first, last] minute — the sparse→dense pass every
+    * time-series consumer (anomaly models, dashboards, the ev_spike z-score)
+    * wants under it, made explicit.
+    *
+    * Scale shape: the dense grid is generated with a TWO-LEVEL explode —
+    * hours from the type's bounds, then the ≤60 minutes inside each hour —
+    * so no task ever materializes a type's whole range as one array: a type
+    * spanning years fans out across the hour rows (the mm_batchpack
+    * sharding lesson). One agg shuffle for the sparse counts, a tiny
+    * per-type bounds agg, and one equi-join on (type, minute) that Spark
+    * distributes on exactly the output key. */
+  def gapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).events
+    val sparse = ev.groupBy(col("event_type"),
+        unix_timestamp(date_trunc("minute", col("ts"))).as("minute_epoch"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = sparse.groupBy(col("event_type"))
+      .agg(min(col("minute_epoch")).as("lo"), max(col("minute_epoch")).as("hi"))
+    val hours = bounds.select(col("event_type"), col("lo"), col("hi"),
+      explode(sequence(col("lo") - pmod(col("lo"), lit(3600L)), col("hi"), lit(3600L)))
+        .as("h"))
+    val dense = hours.select(col("event_type"),
+      explode(sequence(greatest(col("h"), col("lo")),
+        least(col("h") + 3540L, col("hi")), lit(60L))).as("minute_epoch"))
+    dense.join(sparse, Seq("event_type", "minute_epoch"), "left")
+      .select(col("event_type"), col("minute_epoch"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  val gapfillSql: String =
+    """WITH sparse AS (
+      |  SELECT event_type,
+      |    CAST(epoch(date_trunc('minute', CAST(ts AS TIMESTAMP))) AS BIGINT) AS minute_epoch,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT event_type, min(minute_epoch) AS lo, max(minute_epoch) AS hi
+      |  FROM sparse GROUP BY 1),
+      |dense AS (
+      |  SELECT event_type, unnest(range(lo, hi + 60, 60)) AS minute_epoch
+      |  FROM bounds)
+      |SELECT d.event_type, d.minute_epoch, coalesce(s.n, 0) AS n
+      |FROM dense d LEFT JOIN sparse s
+      |  ON s.event_type = d.event_type AND s.minute_epoch = d.minute_epoch""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_gapfill" -> (gapfill _),
     "ev_spike" -> (spikes _),
     "ev_cms" -> (cms _),
     "ev_wau" -> (wau _),
@@ -389,6 +438,7 @@ object EventOps {
     "ev_quantiles" -> (quantiles _))
 
   def oracleSql: Map[String, String] = Map(
+    "ev_gapfill" -> gapfillSql,
     "ev_spike" -> spikesSql,
     "ev_cms" -> cmsSql,
     "ev_wau" -> wauSql,

@@ -155,6 +155,21 @@ class CoreSpec extends AnyFunSuite {
     assert(closes.filter("extra_delay_ms <> 1500").count() == 0, "close gets +1500ms")
   }
 
+  test("ev_gapfill: grid is complete per type, counts are conserved, " +
+      "and real gaps were filled") {
+    val rows = events.EventOps.gapfill(spark, sf).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (t, rs) =>
+      val minutes = rs.map(_.getAs[Long]("minute_epoch"))
+      assert(minutes.length == (minutes.max - minutes.min) / 60 + 1,
+        s"$t grid has holes or duplicates")
+      assert(minutes.distinct.length == minutes.length, s"$t grid duplicates")
+    }
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables(spark, sf).events.count(), "zero-fill must not alter counts")
+    assert(rows.exists(_.getAs[Long]("n") == 0L), "corpus has gaps; none were filled")
+  }
+
   test("sql criterion (Lua analog) composes into the engine") {
     val s = events.Signups.derive(spark, sf)
     val pred = rules.RuleEngine.sqlCriterion("susp_ip AND length(username) <= 7")
