@@ -424,7 +424,51 @@ object EventOps {
       |FROM dense d LEFT JOIN sparse s
       |  ON s.event_type = d.event_type AND s.minute_epoch = d.minute_epoch""".stripMargin
 
+  // ---- incremental aggregate maintenance ----------------------------------
+
+  /** The delta cutoff: everything from this day on is "the new increment".
+    * A production refresh passes the previous watermark here. */
+  val incrSplitNs: Long =
+    java.time.Instant.parse("2024-01-24T00:00:00Z").getEpochSecond * 1000000000L
+
+  /** Incremental rollup maintenance: the standing per-(type, day) aggregate
+    * table is refreshed by MERGING the stored partials with partials
+    * computed over the delta only — never by rescanning history. Every
+    * statistic is chosen mergeable (count/sum/min/max; the mean is derived
+    * AFTER the merge), which is exactly Spark's partial-aggregation
+    * contract, promoted to a cross-run maintenance strategy: at 100 TB the
+    * daily refresh costs O(delta), and both scans here prune on the split
+    * predicate PUSHED into the parquet scan — the filter runs on the raw
+    * nanos column `ts_ns`, not the derived timestamp, precisely so it
+    * reaches `PushedFilters` (in prod the "old" branch is a read of the
+    * stored rollup, not a scan). The merged result hash-matches the full
+    * recompute — that equality IS the oracle check. */
+  def incrAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).events
+      .withColumn("day_us", graft.epochUs(date_trunc("day", col("ts"))))
+    def partials(d: DataFrame): DataFrame =
+      d.groupBy(col("event_type"), col("day_us"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v_raw"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+    val old = partials(ev.filter(col("ts_ns") < incrSplitNs))
+    val delta = partials(ev.filter(col("ts_ns") >= incrSplitNs))
+    old.unionByName(delta)
+      .groupBy(col("event_type"), col("day_us"))
+      .agg(sum(col("n")).as("n"), round(sum(col("sum_v_raw")), 2).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+      .withColumn("avg_v", round(col("sum_v") / col("n"), 6))
+  }
+
+  val incrAggSql: String =
+    """SELECT event_type,
+      |  epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS day_us,
+      |  count(*) AS n, round(sum(value), 2) AS sum_v,
+      |  min(value) AS min_v, max(value) AS max_v,
+      |  round(round(sum(value), 2) / count(*), 6) AS avg_v
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_incr_agg" -> (incrAgg _),
     "ev_gapfill" -> (gapfill _),
     "ev_spike" -> (spikes _),
     "ev_cms" -> (cms _),
@@ -438,6 +482,7 @@ object EventOps {
     "ev_quantiles" -> (quantiles _))
 
   def oracleSql: Map[String, String] = Map(
+    "ev_incr_agg" -> incrAggSql,
     "ev_gapfill" -> gapfillSql,
     "ev_spike" -> spikesSql,
     "ev_cms" -> cmsSql,

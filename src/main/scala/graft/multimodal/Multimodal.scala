@@ -268,6 +268,130 @@ object Multimodal {
        |FROM scored""".stripMargin
   }
 
+  // ---- perceptual-hash near-dup (pHash/dHash over decoded media) -----------
+
+  final case class PHash(doc_id: Long, phash: Long)
+
+  val phashBits = 64
+  val phashWindow = 4
+  val phashBandBits = 16
+  val phashBands = 4 // 64 bits / 16-bit bands; hamming ≤ 3 ⇒ ≥1 band clean
+  val phashMaxHamming = 3
+  val phashSalt = "mp"
+
+  /** Perceptual signature per payload: SimHash over the DISTINCT hashes of
+    * all `phashWindow`-byte sliding windows of the raw payload. Byte-window
+    * features make the signature shift-invariant (an insertion perturbs
+    * only the windows it touches, unlike positional sampling) yet
+    * content-discriminative (unlike global byte statistics — a byte
+    * HISTOGRAM gradient put ~99% of this corpus within hamming 3 of each
+    * other, and positional dHash put 0%; the window-simhash form lands the
+    * informative middle). This is the byte-stream analog of pHash's DCT
+    * bits: with a real codec the features become decoded-pixel blocks;
+    * here the decode is the documented stub, so windows run over the raw
+    * bytes. Works on any binary modality — no tokenization assumed.
+    * Computed in the same batched decode loop as [[mmMeta]]; payloads
+    * shorter than one window have no features and are filtered out
+    * (mirroring the oracle's absent groups — dd_simhash's zero-word rule). */
+  def mmPhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val saltBytes = phashSalt.getBytes("UTF-8")
+    Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .filter(length(col("payload")) >= phashWindow)
+      .as[Payload]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.grouped(64).flatMap(_.map { p =>
+          val n = p.payload.length
+          val seen = new java.util.HashSet[java.lang.Long]()
+          val votes = new Array[Int](phashBits)
+          var i = 0
+          while (i <= n - phashWindow) {
+            md.reset()
+            md.update(saltBytes)
+            md.update(p.payload, i, phashWindow)
+            val d = md.digest()
+            // the engine's portable 60-bit hash: first 15 md5 hex digits =
+            // the top 60 bits of the first 8 digest bytes
+            var h = 0L
+            var j = 0
+            while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+            h = h >>> 4
+            if (seen.add(h)) {
+              var b = 0
+              while (b < phashBits) {
+                votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+                b += 1
+              }
+            }
+            i += 1
+          }
+          var sig = 0L
+          var b = 0
+          while (b < phashBits) {
+            if (votes(b) > 0) sig |= (1L << b)
+            b += 1
+          }
+          PHash(p.doc_id, sig)
+        })
+      }
+      .toDF()
+  }
+
+  /** Perceptual near-dup pairs: hamming ≤ 3 over the 64-bit signature, so
+    * (pigeonhole) at least one of 4 disjoint 16-bit bands is identical —
+    * candidates come from an equi-join on (band, band value), exactly
+    * dd_simhash's bucketed shape: O(n·4) exploded rows, 65536 key values
+    * per band, no blocked cross join. A pair sharing several bands is
+    * credited to its FIRST matching band (distinct-free, exactly-once). */
+  def mmPhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = mmPhashSigs(spark, sfDir)
+    val banded = sigs.select(col("doc_id"), col("phash"),
+        explode(array((0 until phashBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("phash"), phashBandBits * b).bitwiseAND(0xffffL).as("bv"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+      .persist() // both self-join sides
+    val firstShared = coalesce((0 until phashBands).map { b =>
+      when((shiftright(expr("a.phash"), phashBandBits * b).bitwiseAND(0xffffL) ===
+            shiftright(expr("b.phash"), phashBandBits * b).bitwiseAND(0xffffL)), lit(b))
+    }: _*)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(expr("a.phash").bitwiseXOR(expr("b.phash"))))
+      .filter(col("hamming") <= phashMaxHamming && col("a.band") === firstShared)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("hamming"))
+  }
+
+  val mmPhashSql: String = {
+    // unrolled votes + signature sum (simhashSql's shape); bit 63's literal
+    // is min-long, but the 60-bit hash never votes it set, so the sum stays
+    // in int64 range
+    val votes = (0 until phashBits).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(",\n    ")
+    val sig = (0 until phashBits).map(j =>
+      s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH kg AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST('0x' || substr(md5('$phashSalt' || substr(text, CAST(i AS INTEGER), $phashWindow)), 1, 15) AS BIGINT) AS h
+       |  FROM documents, LATERAL unnest(range(1, length(text) - ${phashWindow - 2})) t(i)),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM kg GROUP BY 1),
+       |sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS phash FROM votes)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.phash, b.phash)) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $phashMaxHamming""".stripMargin
+  }
+
   // ---- GPU batch packing ---------------------------------------------------
 
   val pixelBudget = 16384L
@@ -319,6 +443,7 @@ object Multimodal {
     "mm_resize" -> (mmResize _),
     "mm_features" -> (mmFeatures _),
     "mm_pair" -> (mmPair _),
+    "mm_phash" -> (mmPhash _),
     "mm_batchpack" -> (mmBatchPack _))
 
   def oracleSql: Map[String, String] = Map(
@@ -327,5 +452,6 @@ object Multimodal {
     "mm_resize" -> mmResizeSql,
     "mm_features" -> mmFeaturesSql,
     "mm_pair" -> mmPairSql,
+    "mm_phash" -> mmPhashSql,
     "mm_batchpack" -> mmBatchPackSql)
 }

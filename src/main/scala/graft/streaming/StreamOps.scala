@@ -212,6 +212,53 @@ object StreamOps {
       |  max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
       |FROM events GROUP BY user_id""".stripMargin
 
+  // ---- live silent-stream detection (status.rs, streaming form) -----------
+
+  final case class TypedTs(event_type: String, ts_us: Long)
+  final case class Silence(event_type: String, silent_from_us: Long,
+    silent_to_us: Long, gap_us: Long)
+
+  val silenceGapUs: Long = 90L * 1000000
+
+  /** The reference's status watcher (status.rs), live: per event type,
+    * detect periods where the stream went silent for > 90 s. State is ONE
+    * long per event type (the latest timestamp seen) — O(types) forever,
+    * the smallest state of any query here; a production continuation adds
+    * an event-time timeout so a still-open silence alarms before the next
+    * event eventually closes it. Batch twin: `status_watermark` (the
+    * point-in-time check); oracle = the gap scan over the full log. */
+  def silence(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runToTable(spark, sfDir, OutputMode.Append()) { src =>
+      src.select(col("event_type"), col("ts_us")).as[TypedTs]
+        .groupByKey(_.event_type)
+        .flatMapGroupsWithState[Long, Silence](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (tpe, events, state) =>
+            val sorted = events.map(_.ts_us).toArray.sorted
+            val out = Vector.newBuilder[Silence]
+            var last = state.getOption.getOrElse(Long.MinValue)
+            sorted.foreach { t =>
+              if (last != Long.MinValue && t - last > silenceGapUs)
+                out += Silence(tpe, last, t, t - last)
+              if (t > last) last = t
+            }
+            state.update(last)
+            out.result().iterator
+        }.toDF()
+    }
+  }
+
+  val silenceSql: String =
+    s"""WITH o AS (
+       |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+       |    lag(epoch_us(CAST(ts AS TIMESTAMP)))
+       |      OVER (PARTITION BY event_type ORDER BY ts) AS prev
+       |  FROM events)
+       |SELECT event_type, prev AS silent_from_us, us AS silent_to_us,
+       |  us - prev AS gap_us
+       |FROM o WHERE us - prev > $silenceGapUs""".stripMargin
+
   // ---- the reference program end-to-end as ONE streaming job --------------
 
   /** eventstream.rs → eventhandler.rs in a single Structured Streaming
@@ -604,6 +651,7 @@ object StreamOps {
     "st_window_sliding" -> (windowSliding _),
     "st_sessionize" -> (sessionize _),
     "st_dedup" -> (streamDedup _),
+    "st_silence" -> (silence _),
     "st_seen_state" -> (seenState _))
 
   def oracleSql: Map[String, String] = Map(
@@ -619,5 +667,6 @@ object StreamOps {
     "st_window_sliding" -> windowSlidingSql,
     "st_sessionize" -> sessionizeSql,
     "st_dedup" -> streamDedupSql,
+    "st_silence" -> silenceSql,
     "st_seen_state" -> seenStateSql)
 }

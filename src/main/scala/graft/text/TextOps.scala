@@ -180,7 +180,11 @@ object TextOps {
     * each sliding window of 4 hashes, keep the distinct minima as the doc's
     * fingerprint set. Positional explode + windowed min + distinct agg —
     * all shuffle-partitioned by doc_id. */
-  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Distinct (doc_id, fingerprint) pairs — the winnowing fingerprint SET
+    * per document. The distinct aggregates under the window's existing
+    * HashPartitioning(doc_id) (keys ⊇ partitioning), so no extra exchange;
+    * both `tx_fingerprint` and `tx_winnow_pairs` consume this frame. */
+  def fingerprintSets(spark: SparkSession, sfDir: String): DataFrame = {
     val kgrams = docs(spark, sfDir)
       .select(col("doc_id"), posexplode(
         graft.plans.ShingleHashes(col("text"), 3, distinct = false, salt = "fp")))
@@ -188,13 +192,19 @@ object TextOps {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(0, winnowWindow - 1)
     kgrams.withColumn("fp", min(col("h")).over(w))
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("fp")).as("n_fp"), min(col("fp")).as("min_fp"),
-        max(col("fp")).as("max_fp"))
+      .select(col("doc_id"), col("fp")).distinct()
   }
 
-  val fingerprintSql: String =
-    s"""WITH base AS (
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    fingerprintSets(spark, sfDir)
+      .groupBy(col("doc_id"))
+      .agg(count(col("fp")).as("n_fp"), min(col("fp")).as("min_fp"),
+        max(col("fp")).as("max_fp"))
+
+  /** Shared CTE chain ending in `sets` = distinct (doc_id, fp) — the single
+    * SQL source of the winnowing pipeline for both fingerprint queries. */
+  private val fingerprintSetsCtes: String =
+    s"""base AS (
        |  SELECT doc_id, ${Portable.wordsSql} AS w FROM documents),
        |kg AS (
        |  SELECT doc_id,
@@ -208,9 +218,48 @@ object TextOps {
        |  SELECT doc_id,
        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
        |      ROWS BETWEEN CURRENT ROW AND ${winnowWindow - 1} FOLLOWING) AS fp
-       |  FROM hashed)
-       |SELECT doc_id, count(DISTINCT fp) AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp
-       |FROM fps GROUP BY 1""".stripMargin
+       |  FROM hashed),
+       |sets AS (SELECT DISTINCT doc_id, fp FROM fps)""".stripMargin
+
+  val fingerprintSql: String =
+    s"""WITH $fingerprintSetsCtes
+       |SELECT doc_id, count(fp) AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp
+       |FROM sets GROUP BY 1""".stripMargin
+
+  // ---- fingerprint-overlap near-dup (the MOSS report) ---------------------
+
+  val winnowMaxDf = 50
+  val winnowMinShared = 3
+
+  /** Document pairs sharing ≥ `winnowMinShared` winnowing fingerprints —
+    * MOSS-style containment/plagiarism detection. Same df-capped
+    * inverted-index shape as dd_ngram_jacc, but over the winnowing SAMPLE of
+    * the gram stream (~2/(w+1) of positions survive the window-min), so the
+    * index this op ships to the shuffle is ~3× smaller than the full
+    * shingle index at identical corpus size — the cheap first near-dup
+    * screen at 100 TB. The window df keeps HashPartitioning(fp) for the
+    * self-join; the df cap bounds hot-fingerprint pair blowup to O(cap²). */
+  def winnowPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = fingerprintSets(spark, sfDir)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("df").between(2, winnowMaxDf))
+      .persist() // both self-join sides
+    sets.as("a").join(sets.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= winnowMinShared)
+  }
+
+  val winnowPairsSql: String =
+    s"""WITH $fingerprintSetsCtes,
+       |fdf AS (SELECT fp, count(*) AS df FROM sets GROUP BY 1),
+       |inf AS (
+       |  SELECT sets.doc_id, sets.fp FROM sets JOIN fdf ON sets.fp = fdf.fp
+       |  WHERE fdf.df BETWEEN 2 AND $winnowMaxDf)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |FROM inf a JOIN inf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $winnowMinShared""".stripMargin
 
   // ---- corpus-level top-k n-grams -----------------------------------------
 
@@ -671,6 +720,7 @@ object TextOps {
     "tx_quality" -> (quality _),
     "tx_tokens" -> (tokens _),
     "tx_fingerprint" -> (fingerprint _),
+    "tx_winnow_pairs" -> (winnowPairs _),
     "tx_top_ngrams" -> (topKNgrams _),
     "tx_colloc" -> (colloc _),
     "tx_filter" -> (filterPass _),
@@ -688,6 +738,7 @@ object TextOps {
     "tx_quality" -> qualitySql,
     "tx_tokens" -> tokensSql,
     "tx_fingerprint" -> fingerprintSql,
+    "tx_winnow_pairs" -> winnowPairsSql,
     "tx_top_ngrams" -> topKNgramsSql,
     "tx_colloc" -> collocSql,
     "tx_filter" -> filterPassSql,

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Late-round-2 curation/maintenance operators: perceptual-hash near-dup
+  * (mm_phash), fingerprint-overlap near-dup (tx_winnow_pairs), incremental
+  * rollup maintenance (ev_incr_agg), live silence detection (st_silence). */
+class CurationOpsSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("mm_phash: banded pairs equal the brute-force hamming join exactly once") {
+    val sigs = multimodal.Multimodal.mmPhashSigs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("phash")))
+    val brute = (for {
+      (ia, ha) <- sigs; (ib, hb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(ha ^ hb)
+      if h <= multimodal.Multimodal.phashMaxHamming
+    } yield (ia, ib, h)).toSet
+    val rows = multimodal.Multimodal.mmPhash(spark, sf).collect()
+    val banded = rows
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
+    // exactly-once: first-matching-band crediting emits no duplicates
+    assert(banded.length == banded.toSet.size)
+    // pigeonhole completeness: hamming ≤ 3 over 4 disjoint 16-bit bands
+    // means the banded equi-join can't miss a pair the brute join finds
+    assert(banded.toSet == brute)
+  }
+
+  test("mm_phash: no cartesian product; candidates come from the band equi-join") {
+    val plan = multimodal.Multimodal.mmPhash(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("tx_winnow_pairs: pairs match a brute-force recount over fingerprint sets") {
+    val sets = text.TextOps.fingerprintSets(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fp")))
+    val byFp = sets.groupBy(_._2).view
+      .mapValues(_.map(_._1).sorted)
+      .filter { case (_, ds) =>
+        ds.size >= 2 && ds.size <= text.TextOps.winnowMaxDf }
+    val counts = scala.collection.mutable.Map[(Long, Long), Long]()
+    byFp.values.foreach { ds =>
+      var i = 0
+      while (i < ds.size) {
+        var j = i + 1
+        while (j < ds.size) {
+          val k = (ds(i), ds(j))
+          counts(k) = counts.getOrElse(k, 0L) + 1
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val brute = counts.collect {
+      case ((a, b), n) if n >= text.TextOps.winnowMinShared => (a, b, n)
+    }.toSet
+    val got = text.TextOps.winnowPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_shared"))).toSet
+    assert(got == brute)
+  }
+
+  test("ev_incr_agg: merged old+delta partials equal the single-pass recompute") {
+    val ev = Tables(spark, sf).events
+      .withColumn("day_us", graft.epochUs(date_trunc("day", col("ts"))))
+    val direct = ev.groupBy(col("event_type"), col("day_us"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .withColumn("avg_v", round(col("sum_v") / col("n"), 6))
+      .collect().map(_.toSeq).toSet
+    val merged = events.EventOps.incrAgg(spark, sf).collect().map(_.toSeq).toSet
+    assert(merged == direct)
+  }
+
+  test("ev_incr_agg: the split predicate reaches the parquet scan on both branches") {
+    val plan = events.EventOps.incrAgg(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(ts"), plan.take(1200))
+    assert(plan.contains("GreaterThanOrEqual(ts"), plan.take(1200))
+  }
+
+  test("st_silence: streaming gaps equal the batch lag recompute") {
+    val gapUs = streaming.StreamOps.silenceGapUs
+    val got = streaming.StreamOps.silence(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("silent_from_us"),
+        r.getAs[Long]("silent_to_us"), r.getAs[Long]("gap_us")))
+    got.foreach { case (_, from, to, gap) =>
+      assert(gap == to - from && gap > gapUs)
+    }
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"))
+    val exp = Tables(spark, sf).events
+      .select(col("event_type"), graft.epochUs(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("us") - col("prev") > gapUs)
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("prev"),
+        r.getAs[Long]("us"), r.getAs[Long]("us") - r.getAs[Long]("prev"))).toSet
+    assert(got.toSet == exp)
+  }
+}
