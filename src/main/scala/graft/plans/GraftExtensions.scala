@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shingleHashesFn)
     ext.injectFunction(GraftExtensions.shingleStringsFn)
     ext.injectFunction(GraftExtensions.vectorDotFn)
+    ext.injectFunction(GraftExtensions.int8QuantizeFn)
     ext.injectFunction(GraftExtensions.isInIpRangeFn)
   }
 }
@@ -61,6 +62,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
     args => VectorDot(args(0), args(1)))
 
+  val int8QuantizeFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("int8_quantize"),
+    new ExpressionInfo(classOf[Int8Quantize].getName, "int8_quantize"),
+    args => Int8Quantize(args.head))
+
   val isInIpRangeFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("is_in_ip_range"),
     new ExpressionInfo(classOf[IsInIpRange].getName, "is_in_ip_range"),
@@ -73,6 +79,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("shingle_hashes", shingleHashesFn._3, "scala_udf")
     reg.createOrReplaceTempFunction("shingle_strings", shingleStringsFn._3, "scala_udf")
     reg.createOrReplaceTempFunction("vector_dot", vectorDotFn._3, "scala_udf")
+    reg.createOrReplaceTempFunction("int8_quantize", int8QuantizeFn._3, "scala_udf")
     reg.createOrReplaceTempFunction("is_in_ip_range", isInIpRangeFn._3, "scala_udf")
   }
 }

@@ -493,9 +493,10 @@ object Similarity {
   def quantTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables(spark, sfDir).embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val amax = greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30))
+    // fused one-pass quantization (see Int8Quantize: the HOF formulation
+    // re-ran the max-abs fold per element after CollapseProject inlining)
     val e = base
-      .withColumn("q", transform(col("v"), x => round(x / amax * 127.0).cast("double")))
+      .withColumn("q", graft.plans.Int8Quantize(col("v")))
       .withColumn("qnrm", sqrt(graft.plans.VectorDot(col("q"), col("q"))))
       .filter(col("qnrm") > 0)
       .select(col("vec_id"), col("q"), col("qnrm"))
@@ -531,6 +532,137 @@ object Similarity {
        |SELECT qid, cand, qcos, rank FROM (
        |  SELECT qid, cand, qcos,
        |    row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cand ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 3""".stripMargin
+  }
+
+  // ---- product-quantization ANN (codes + ADC lookup table) ----------------
+
+  val pqSub = 4 // subspaces (embeddings are 64-d → 16 dims each)
+  val pqDimPer = 16
+  val pqK = 8 // codewords per subspace
+  val pqStride = 17 // hash-picked codeword source rows: vec_id = c·stride
+
+  /** PQ codebook dim: `pqK` codewords per subspace, sliced from hash-picked
+    * corpus rows (vec_id = c·pqStride) — a CONSTANT, corpus-independent
+    * count, the same rule that fixed ann_ivf_topk's centroid scaling; a
+    * production deployment swaps in k-means-trained codewords (ann_kmeans)
+    * without touching the pipeline. `cwn2` = ‖cw‖² rides along so
+    * reconstruction norms are one lookup, not a re-dot. */
+  private def pqCodebook(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir)
+      .filter(col("vec_id") % pqStride === 0 && col("vec_id") < pqK * pqStride)
+      .select(expr(s"vec_id DIV $pqStride").as("c"),
+        explode(array((0 until pqSub).map { s =>
+          struct(lit(s).as("s"), slice(col("v"), s * pqDimPer + 1, pqDimPer).as("cw"))
+        }: _*)).as("k"))
+      .select(col("c"), col("k.s").as("s"), col("k.cw").as("cw"))
+      .withColumn("cwn2", graft.plans.VectorDot(col("cw"), col("cw")))
+
+  /** Product-quantization ANN — the memory-bound path at 100 TB: each
+    * vector is stored as `pqSub` small codes (here 4×3 bits vs 64×8 bytes,
+    * a ~170× compression of the scan), and query scoring never touches the
+    * raw vectors — an ADC (asymmetric distance computation) LOOKUP TABLE of
+    * q·pqSub·pqK partial dots is broadcast and scoring is pure adds over
+    * the code stream.
+    *
+    * Stages: (1) assignment — subvectors × broadcast codebook, l2² argmin
+    * via the packed-int arg-min (dd_chunks' pattern: `min(d2µ·K + c)` is
+    * partial-aggregable, so no window shuffle); (2) reconstruction norms
+    * from codebook lookups; (3) ADC — codes join the broadcast LUT, one
+    * sum per (query, candidate); top-3 by approximate cosine. Scores are
+    * rounded at 6dp (the sum over 4 LUT parts is order-free at that
+    * precision, per the engine's cosine contract). */
+  /** PQ code assignment: (vec_id, subspace, code). Package-visible so specs
+    * can assert the self-assignment invariant (a codeword-source row encodes
+    * to its own codeword — its l2² is exactly 0). */
+  private[graft] def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val cb = pqCodebook(spark, sfDir)
+    val sub = emb(spark, sfDir).select(col("vec_id"),
+        explode(array((0 until pqSub).map { s =>
+          struct(lit(s).as("s"), slice(col("v"), s * pqDimPer + 1, pqDimPer).as("sub"))
+        }: _*)).as("k"))
+      .select(col("vec_id"), col("k.s").as("s"), col("k.sub").as("sub"))
+    val d2i = round((graft.plans.VectorDot(col("sub"), col("sub"))
+        - lit(2.0) * graft.plans.VectorDot(col("sub"), col("cw"))
+        + col("cwn2")) * 1e6, 0).cast("long")
+    sub.join(broadcast(cb), "s")
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(d2i * pqK + col("c")).as("packed"))
+      .select(col("vec_id"), col("s"), (col("packed") % pqK).as("c"))
+  }
+
+  def pqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val cb = pqCodebook(spark, sfDir)
+    val codes = pqCodes(spark, sfDir)
+      .persist() // feeds reconstruction norms AND ADC scoring
+    val recon = codes
+      .join(broadcast(cb.select(col("s"), col("c"), col("cwn2"))), Seq("s", "c"))
+      .groupBy(col("vec_id")).agg(sqrt(sum(col("cwn2"))).as("rnrm"))
+    val qs = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val qsub = qs.select(col("qid"), col("qnrm"),
+        explode(array((0 until pqSub).map { s =>
+          struct(lit(s).as("s"), slice(col("qv"), s * pqDimPer + 1, pqDimPer).as("qsv"))
+        }: _*)).as("k"))
+      .select(col("qid"), col("qnrm"), col("k.s").as("s"), col("k.qsv").as("qsv"))
+    val lut = qsub.join(cb, "s")
+      .select(col("qid"), col("qnrm"), col("s"), col("c"),
+        graft.plans.VectorDot(col("qsv"), col("cw")).as("part"))
+    val adc = codes.join(broadcast(lut), Seq("s", "c"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("part")).as("dp"), max(col("qnrm")).as("qnrm"))
+    val scored = adc.join(recon, "vec_id")
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(col("dp") / (col("qnrm") * col("rnrm")), 6).as("pq_score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("pq_score").desc, col("cand").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+  }
+
+  val pqTopKSql: String = {
+    val dot = (a: String, b: String) =>
+      s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
+    s"""WITH $embCte,
+       |cw AS (SELECT vec_id // $pqStride AS c, v FROM e
+       |       WHERE vec_id % $pqStride = 0 AND vec_id < ${pqK * pqStride}),
+       |cbn AS (
+       |  SELECT c, s, list_slice(v, s * $pqDimPer + 1, s * $pqDimPer + $pqDimPer) AS cwv,
+       |    list_sum(list_transform(
+       |      list_slice(v, s * $pqDimPer + 1, s * $pqDimPer + $pqDimPer), x -> x * x)) AS cwn2
+       |  FROM cw, LATERAL unnest(range(0, $pqSub)) t(s)),
+       |sub AS (
+       |  SELECT vec_id, s, list_slice(v, s * $pqDimPer + 1, s * $pqDimPer + $pqDimPer) AS sv
+       |  FROM e, LATERAL unnest(range(0, $pqSub)) t(s)),
+       |d AS (
+       |  SELECT vec_id, sub.s, c,
+       |    CAST(round((${dot("sv", "sv")} - 2 * ${dot("sv", "cwv")} + cwn2) * 1e6) AS BIGINT) AS d2i
+       |  FROM sub JOIN cbn ON sub.s = cbn.s),
+       |codes AS (
+       |  SELECT vec_id, s, min(d2i * $pqK + c) % $pqK AS c FROM d GROUP BY 1, 2),
+       |recon AS (
+       |  SELECT codes.vec_id, sqrt(sum(cwn2)) AS rnrm
+       |  FROM codes JOIN cbn ON codes.s = cbn.s AND codes.c = cbn.c GROUP BY 1),
+       |q AS (SELECT vec_id AS qid, v AS qv,
+       |        sqrt(list_sum(list_transform(v, x -> x * x))) AS qnrm
+       |      FROM e WHERE vec_id < $numQueries),
+       |qsub AS (
+       |  SELECT qid, qnrm, s, list_slice(qv, s * $pqDimPer + 1, s * $pqDimPer + $pqDimPer) AS qsv
+       |  FROM q, LATERAL unnest(range(0, $pqSub)) t(s)),
+       |lut AS (
+       |  SELECT qid, qnrm, cbn.s, cbn.c, ${dot("qsv", "cwv")} AS part
+       |  FROM qsub JOIN cbn ON qsub.s = cbn.s),
+       |adc AS (
+       |  SELECT qid, codes.vec_id AS cand, sum(part) AS dp, max(qnrm) AS qnrm
+       |  FROM codes JOIN lut ON codes.s = lut.s AND codes.c = lut.c
+       |  WHERE codes.vec_id <> lut.qid GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT qid, cand, round(dp / (qnrm * rnrm), 6) AS pq_score
+       |  FROM adc JOIN recon ON recon.vec_id = adc.cand)
+       |SELECT qid, cand, pq_score, rank FROM (
+       |  SELECT qid, cand, pq_score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY pq_score DESC, cand ASC) AS rank
        |  FROM scored) t
        |WHERE rank <= 3""".stripMargin
   }
@@ -583,6 +715,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall" -> (annRecall _),
     "ann_quant_topk" -> (quantTopK _),
+    "ann_pq_topk" -> (pqTopK _),
     "ann_brute_topk" -> (bruteTopK _),
     "ann_lsh_topk" -> (lshTopK _),
     "ann_ivf_topk" -> (ivfTopK _),
@@ -594,6 +727,7 @@ object Similarity {
   def oracleSql: Map[String, String] = Map(
     "ann_recall" -> annRecallSql,
     "ann_quant_topk" -> quantTopKSql,
+    "ann_pq_topk" -> pqTopKSql,
     "ann_brute_topk" -> bruteTopKSql,
     "ann_lsh_topk" -> lshTopKSql,
     "ann_ivf_topk" -> ivfTopKSql,

@@ -29,6 +29,29 @@ class CodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("Int8Quantize generated code matches interpreted eval and round semantics") {
+    withStrictCodegen { s =>
+      import s.implicits._
+      val df = Seq(
+        Tuple1(Array(1.0, -2.0, 0.5)),            // amax 2 → 63.5, -127, 31.75
+        Tuple1(Array(0.0, 0.0)),                  // zero vector: amax floor
+        Tuple1(Array(-3.0)))                      // single negative: -127
+        .toDF("v")
+      val got = df.select(graft.plans.Int8Quantize(col("v")).as("q"))
+        .collect().map(_.getSeq[Double](0).toList).toList
+      // HALF_UP away from zero: 63.5 → 64, 31.75 → 32
+      assert(got == List(List(64.0, -127.0, 32.0), List(0.0, 0.0), List(-127.0)))
+      // interpreted path agrees (expression eval outside codegen)
+      val interp = graft.plans.Int8Quantize(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Array(1.0, -2.0, 0.5),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray().toList
+      assert(interp == List(64.0, -127.0, 32.0))
+    }
+  }
+
   test("ShingleHashes generated code matches the interpreted hash loop") {
     withStrictCodegen { s =>
       import s.implicits._

@@ -60,4 +60,38 @@ class SimilarityBucketSpec extends AnyFunSuite {
       assert(ranks.toSeq == (1 to ranks.length))
     }
   }
+
+  test("ann_pq_topk: codebook and LUT stay broadcast; no cartesian product") {
+    val plan = sim.Similarity.pqTopK(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("ann_pq_topk: a codeword-source row assigns to its own codeword in every subspace") {
+    // vec_id = c·stride IS codeword c, so its subvector l2² to codeword c is
+    // exactly 0 in every subspace — assignment must pick c (ties broken low
+    // can only prefer an identical codeword with a smaller id)
+    val s = sim.Similarity
+    val codes = s.pqCodes(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("s"), r.getAs[Long]("c")))
+    val n = Tables(spark, sf).embeddings.count()
+    assert(codes.length == n * s.pqSub, "every vector gets one code per subspace")
+    assert(codes.forall { case (_, _, c) => c >= 0 && c < s.pqK })
+    (0 until s.pqK).foreach { c =>
+      val own = codes.filter(_._1 == c.toLong * s.pqStride)
+      assert(own.length == s.pqSub)
+      own.foreach { case (_, _, got) => assert(got == c, s"codeword $c self-assignment") }
+    }
+  }
+
+  test("ann_pq_topk: ranks contiguous, no self-candidates, all queries present") {
+    val s = sim.Similarity
+    val rows = s.pqTopK(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("qid")).distinct.length == s.numQueries)
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.toSeq == (1 to ranks.length) && ranks.length <= 3)
+      rs.foreach(r => assert(r.getAs[Long]("cand") != r.getAs[Long]("qid")))
+    }
+  }
 }
