@@ -237,8 +237,9 @@ object TextOps {
     * the gram stream (~2/(w+1) of positions survive the window-min), so the
     * index this op ships to the shuffle is ~3× smaller than the full
     * shingle index at identical corpus size — the cheap first near-dup
-    * screen at 100 TB. The window df keeps HashPartitioning(fp) for the
-    * self-join; the df cap bounds hot-fingerprint pair blowup to O(cap²). */
+    * screen at 100 TB. The df cap bounds hot-fingerprint pair blowup to
+    * O(cap²) per fingerprint; every shuffle in the plan moves only the
+    * winnowed index, never the gram stream. */
   def winnowPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sets = fingerprintSets(spark, sfDir)
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))

@@ -99,6 +99,24 @@ class ScaleSpec extends AnyFunSuite {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("tx_winnow_pairs: bounded shuffle budget, candidates only from the fp equi-join") {
+    val plan = text.TextOps.winnowPairs(spark, sf).queryExecution.executedPlan.toString
+    // budget: doc_id (winnowing window) + fp (df window, inside the cache)
+    // + 2 join-side exchanges (the self-join re-aliases the cached frame's
+    // attributes, hiding its fp partitioning) + pair-key aggregation = 5.
+    // All are bounded by the winnowed index size (~2/(w+1) of the grams).
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 5, s"expected <=5 hash exchanges, got $shuffles:\n${plan.take(900)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+  }
+
+  test("ev_incr_agg: partial-agg merge — no window, no join in the merge path") {
+    val plan = events.EventOps.incrAgg(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"merge must be a union+agg, not a join:\n${plan.take(600)}")
+    assert(!plan.contains("Window"), plan.take(600))
+  }
+
   test("ev_signups: filter + projection pushed to the parquet scan") {
     val p = planOf("ev_signups")
     assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,signup)]"), p.take(800))
