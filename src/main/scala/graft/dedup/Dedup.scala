@@ -509,35 +509,15 @@ object Dedup {
       .select(col("doc_id"), col("lang"),
         graft.plans.SimHashSig(col("ha"), simBits).as("simhash"))
 
-  /** Hamming ≤ 3 over 64 bits ⇒ at least one of 4 disjoint 16-bit bands is
-    * identical (pigeonhole), so candidate pairs come from an equi-join on
-    * (lang, band index, band value) — O(n·4) exploded rows and a hash
-    * shuffle instead of the O(n²/lang) blocked cross join. A pair sharing
-    * several bands would surface once per band; crediting it only to its
-    * FIRST matching band keeps the pipeline distinct-free (no second
-    * shuffle) and exactly-once. */
+  /** Hamming ≤ 3 over 64 bits via the shared banded-hamming equi-join
+    * ([[graft.functions.Banding.hammingPairs]]): candidates from (lang,
+    * band, band value) — O(n·4) exploded rows instead of the O(n²/lang)
+    * blocked cross join, first-matching-band crediting for exactly-once. */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = simhashSigs(spark, sfDir)
-    val banded = sigs.select(col("doc_id"), col("lang"), col("simhash"),
-        explode(array((0 until simBands).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("simhash"), simBandBits * b).bitwiseAND(0xffffL).as("bv"))
-        }: _*)).as("bk"))
-      .select(col("doc_id"), col("lang"), col("simhash"),
-        col("bk.band").as("band"), col("bk.bv").as("bv"))
-      .persist() // both self-join sides
-    val firstShared = coalesce((0 until simBands).map { b =>
-      when((shiftright(expr("a.simhash"), simBandBits * b).bitwiseAND(0xffffL) ===
-            shiftright(expr("b.simhash"), simBandBits * b).bitwiseAND(0xffffL)), lit(b))
-    }: _*)
-    banded.as("a").join(banded.as("b"),
-        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
-          col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming",
-        bit_count(expr("a.simhash").bitwiseXOR(expr("b.simhash"))))
-      .filter(col("hamming") <= 3 && col("a.band") === firstShared)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.lang").as("lang"), col("hamming"))
+    val out = graft.functions.Banding.hammingPairs(
+      simhashSigs(spark, sfDir), "simhash", "doc_id", Seq("lang"),
+      simBands, simBandBits, maxHamming = 3)
+    out.select(col("id_a"), col("id_b"), col("lang"), col("hamming"))
   }
 
   val simhashSql: String = {

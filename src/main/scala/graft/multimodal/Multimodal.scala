@@ -290,6 +290,8 @@ object Multimodal {
     * bits: with a real codec the features become decoded-pixel blocks;
     * here the decode is the documented stub, so windows run over the raw
     * bytes. Works on any binary modality — no tokenization assumed.
+    * (Oracle parity note: DuckDB windows over CHARACTERS — byte = char on
+    * this corpus, the same equivalence mm_framesample's oracle relies on.)
     * Computed in the same batched decode loop as [[mmMeta]]; payloads
     * shorter than one window have no features and are filtered out
     * (mirroring the oracle's absent groups — dd_simhash's zero-word rule). */
@@ -339,35 +341,15 @@ object Multimodal {
       .toDF()
   }
 
-  /** Perceptual near-dup pairs: hamming ≤ 3 over the 64-bit signature, so
-    * (pigeonhole) at least one of 4 disjoint 16-bit bands is identical —
-    * candidates come from an equi-join on (band, band value), exactly
-    * dd_simhash's bucketed shape: O(n·4) exploded rows, 65536 key values
-    * per band, no blocked cross join. A pair sharing several bands is
-    * credited to its FIRST matching band (distinct-free, exactly-once). */
-  def mmPhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = mmPhashSigs(spark, sfDir)
-    val banded = sigs.select(col("doc_id"), col("phash"),
-        explode(array((0 until phashBands).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("phash"), phashBandBits * b).bitwiseAND(0xffffL).as("bv"))
-        }: _*)).as("bk"))
-      .select(col("doc_id"), col("phash"),
-        col("bk.band").as("band"), col("bk.bv").as("bv"))
-      .persist() // both self-join sides
-    val firstShared = coalesce((0 until phashBands).map { b =>
-      when((shiftright(expr("a.phash"), phashBandBits * b).bitwiseAND(0xffffL) ===
-            shiftright(expr("b.phash"), phashBandBits * b).bitwiseAND(0xffffL)), lit(b))
-    }: _*)
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming",
-        bit_count(expr("a.phash").bitwiseXOR(expr("b.phash"))))
-      .filter(col("hamming") <= phashMaxHamming && col("a.band") === firstShared)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("hamming"))
-  }
+  /** Perceptual near-dup pairs: hamming ≤ 3 over the 64-bit signature via
+    * the shared banded-hamming equi-join
+    * ([[graft.functions.Banding.hammingPairs]], dd_simhash's machinery —
+    * here with no blocking key: modality is stub-derived and
+    * length-unstable, so near-identical payloads must stay pairable). */
+  def mmPhash(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.Banding.hammingPairs(
+      mmPhashSigs(spark, sfDir), "phash", "doc_id", Nil,
+      phashBands, phashBandBits, phashMaxHamming)
 
   val mmPhashSql: String = {
     // unrolled votes + signature sum (simhashSql's shape); bit 63's literal

@@ -40,8 +40,14 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
     val out = new Array[Double](n)
     i = 0
     while (i < n) {
-      out(i) = new java.math.BigDecimal(v.getDouble(i) / amax * 127.0)
-        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+      val r = v.getDouble(i) / amax * 127.0
+      // BigDecimal(double) throws on non-finite input; propagate NaN/±Inf
+      // like the HOF round() this replaces (null elements read as 0.0)
+      out(i) =
+        if (java.lang.Double.isFinite(r))
+          new java.math.BigDecimal(r)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        else r
       i += 1
     }
     new GenericArrayData(out)
@@ -63,8 +69,11 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
          |}
          |double[] $out = new double[$n];
          |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = new java.math.BigDecimal($a.getDouble($i) / $amax * 127.0)
-         |    .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  double $ax = $a.getDouble($i) / $amax * 127.0;
+         |  $out[$i] = java.lang.Double.isFinite($ax)
+         |    ? new java.math.BigDecimal($ax)
+         |        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+         |    : $ax;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

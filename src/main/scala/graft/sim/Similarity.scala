@@ -559,20 +559,6 @@ object Similarity {
       .select(col("c"), col("k.s").as("s"), col("k.cw").as("cw"))
       .withColumn("cwn2", graft.plans.VectorDot(col("cw"), col("cw")))
 
-  /** Product-quantization ANN — the memory-bound path at 100 TB: each
-    * vector is stored as `pqSub` small codes (here 4×3 bits vs 64×8 bytes,
-    * a ~170× compression of the scan), and query scoring never touches the
-    * raw vectors — an ADC (asymmetric distance computation) LOOKUP TABLE of
-    * q·pqSub·pqK partial dots is broadcast and scoring is pure adds over
-    * the code stream.
-    *
-    * Stages: (1) assignment — subvectors × broadcast codebook, l2² argmin
-    * via the packed-int arg-min (dd_chunks' pattern: `min(d2µ·K + c)` is
-    * partial-aggregable, so no window shuffle); (2) reconstruction norms
-    * from codebook lookups; (3) ADC — codes join the broadcast LUT, one
-    * sum per (query, candidate); top-3 by approximate cosine. Scores are
-    * rounded at 6dp (the sum over 4 LUT parts is order-free at that
-    * precision, per the engine's cosine contract). */
   /** PQ code assignment: (vec_id, subspace, code). Package-visible so specs
     * can assert the self-assignment invariant (a codeword-source row encodes
     * to its own codeword — its l2² is exactly 0). */
@@ -592,6 +578,20 @@ object Similarity {
       .select(col("vec_id"), col("s"), (col("packed") % pqK).as("c"))
   }
 
+  /** Product-quantization ANN — the memory-bound path at 100 TB: each
+    * vector is stored as `pqSub` small codes (here 4×3 bits vs 64×8 bytes,
+    * a ~170× compression of the scan), and query scoring never touches the
+    * raw vectors — an ADC (asymmetric distance computation) LOOKUP TABLE of
+    * q·pqSub·pqK partial dots is broadcast and scoring is pure adds over
+    * the code stream.
+    *
+    * Stages: (1) assignment — subvectors × broadcast codebook, l2² argmin
+    * via the packed-int arg-min (dd_chunks' pattern: `min(d2µ·K + c)` is
+    * partial-aggregable, so no window shuffle); (2) reconstruction norms
+    * from codebook lookups; (3) ADC — codes join the broadcast LUT, one
+    * sum per (query, candidate); top-3 by approximate cosine. Scores are
+    * rounded at 6dp (the sum over 4 LUT parts is order-free at that
+    * precision, per the engine's cosine contract). */
   def pqTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
     val cb = pqCodebook(spark, sfDir)

@@ -225,8 +225,13 @@ object StreamOps {
     * long per event type (the latest timestamp seen) — O(types) forever,
     * the smallest state of any query here; a production continuation adds
     * an event-time timeout so a still-open silence alarms before the next
-    * event eventually closes it. Batch twin: `status_watermark` (the
-    * point-in-time check); oracle = the gap scan over the full log. */
+    * event eventually closes it. Like [[sessionize]], events are sorted
+    * per batch and assumed event-time-ordered ACROSS batches (the
+    * harness's single batch satisfies this; a late event arriving behind
+    * the watermark neither regresses state nor emits a spurious gap, but
+    * its true predecessor gap is not reconstructed — O(1) state can't).
+    * Batch twin: `status_watermark` (the point-in-time check); oracle =
+    * the gap scan over the full log. */
   def silence(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     runToTable(spark, sfDir, OutputMode.Append()) { src =>

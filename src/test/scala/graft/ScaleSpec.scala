@@ -100,6 +100,10 @@ class ScaleSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
   test("tx_winnow_pairs: bounded shuffle budget, candidates only from the fp equi-join") {
+    // a materialized cache from an earlier suite prints its internal
+    // exchanges into the plan string — count against a fresh build, like
+    // the verify harness (clears caches between queries)
+    spark.catalog.clearCache()
     val plan = text.TextOps.winnowPairs(spark, sf).queryExecution.executedPlan.toString
     // budget: doc_id (winnowing window) + fp (df window, inside the cache)
     // + 2 join-side exchanges (the self-join re-aliases the cached frame's
