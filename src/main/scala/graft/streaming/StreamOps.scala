@@ -264,6 +264,61 @@ object StreamOps {
        |  us - prev AS gap_us
        |FROM o WHERE us - prev > $silenceGapUs""".stripMargin
 
+  // ---- live sparse→dense gap-fill (ev_gapfill's streaming twin) -----------
+
+  final case class ZeroMinute(event_type: String, minute_epoch: Long, n: Long)
+
+  /** Live zero-fill: per event type, emit a (minute, 0) row for every
+    * minute that closed with NO events — the streaming twin of ev_gapfill
+    * (whose batch output this hash-matches on the n=0 rows). State is ONE
+    * long per type (the last seen minute) — O(types) forever; each arriving
+    * event CLOSES the empty minutes strictly between the last seen minute
+    * and its own, so emission is bounded by real wall-clock gaps, never by
+    * corpus size. Same cross-batch event-time-order contract as
+    * [[silence]]/[[sessionize]]. */
+  def stGapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runToTable(spark, sfDir, OutputMode.Append()) { src =>
+      src.select(col("event_type"),
+          (expr("ts_us DIV 60000000") * 60L).as("minute"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[Long, ZeroMinute](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (tpe, events, state) =>
+            val minutes = events.map(_._2).toArray.distinct.sorted
+            val out = Vector.newBuilder[ZeroMinute]
+            var last = state.getOption.getOrElse(Long.MinValue)
+            minutes.foreach { m =>
+              if (last != Long.MinValue) {
+                var z = last + 60
+                while (z < m) { out += ZeroMinute(tpe, z, 0L); z += 60 }
+              }
+              if (m > last) last = m
+            }
+            state.update(last)
+            out.result().iterator
+        }.toDF()
+    }
+  }
+
+  val stGapfillSql: String =
+    """WITH sparse AS (
+      |  SELECT event_type,
+      |    CAST(epoch(date_trunc('minute', CAST(ts AS TIMESTAMP))) AS BIGINT) AS minute_epoch,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT event_type, min(minute_epoch) AS lo, max(minute_epoch) AS hi
+      |  FROM sparse GROUP BY 1),
+      |dense AS (
+      |  SELECT event_type, unnest(range(lo, hi + 60, 60)) AS minute_epoch
+      |  FROM bounds)
+      |SELECT d.event_type, d.minute_epoch, CAST(0 AS BIGINT) AS n
+      |FROM dense d LEFT JOIN sparse s
+      |  ON s.event_type = d.event_type AND s.minute_epoch = d.minute_epoch
+      |WHERE s.minute_epoch IS NULL""".stripMargin
+
   // ---- the reference program end-to-end as ONE streaming job --------------
 
   /** eventstream.rs → eventhandler.rs in a single Structured Streaming
@@ -656,6 +711,7 @@ object StreamOps {
     "st_window_sliding" -> (windowSliding _),
     "st_sessionize" -> (sessionize _),
     "st_dedup" -> (streamDedup _),
+    "st_gapfill" -> (stGapfill _),
     "st_silence" -> (silence _),
     "st_seen_state" -> (seenState _))
 
@@ -672,6 +728,7 @@ object StreamOps {
     "st_window_sliding" -> windowSlidingSql,
     "st_sessionize" -> sessionizeSql,
     "st_dedup" -> streamDedupSql,
+    "st_gapfill" -> stGapfillSql,
     "st_silence" -> silenceSql,
     "st_seen_state" -> seenStateSql)
 }

@@ -83,6 +83,16 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(plan.contains("GreaterThanOrEqual(ts"), plan.take(1200))
   }
 
+  test("st_gapfill: streaming zero-minutes equal the batch gapfill's n=0 rows") {
+    val got = streaming.StreamOps.stGapfill(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("minute_epoch")))
+    assert(got.length == got.toSet.size, "each empty minute closes exactly once")
+    val exp = events.EventOps.gapfill(spark, sf).filter(col("n") === 0)
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("minute_epoch")))
+      .toSet
+    assert(got.toSet == exp)
+  }
+
   test("st_silence: streaming gaps equal the batch lag recompute") {
     val gapUs = streaming.StreamOps.silenceGapUs
     val got = streaming.StreamOps.silence(spark, sf).collect()
