@@ -325,6 +325,44 @@ object Relational {
       |  round(sum(value) / count(*), 6) AS avg_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---- join-key skew probe ------------------------------------------------
+
+  val skewTopK = 10
+
+  /** The diagnostic a platform runs BEFORE choosing a skew strategy
+    * (salting factor, AQE skew-join thresholds): per-key frequency of a
+    * prospective join/partition key, its share of the table, and the
+    * multiple over the uniform expectation (`cnt / (total/distinct)` — the
+    * factor by which that key's reducer outweighs the average). One
+    * partial-agg pass for the per-key counts, a ONE-ROW stats frame
+    * broadcast back (tx_search's shape), top-k via TakeOrderedAndProject —
+    * no global sort, no second scan. All ratios are exact-int-operand
+    * divisions rounded at 6dp. */
+  def qSkewProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = Tables(spark, sfDir).events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val stats = keyed.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    keyed.crossJoin(broadcast(stats))
+      .select(col("user_id"), col("cnt"),
+        round(col("cnt").cast("double") / col("total"), 6).as("share"),
+        round(col("cnt").cast("double") * col("n_keys") / col("total"), 6)
+          .as("skew_x"))
+      .orderBy(col("cnt").desc, col("user_id").asc)
+      .limit(skewTopK)
+  }
+
+  val qSkewProbeSql: String =
+    s"""WITH keyed AS (
+       |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+       |stats AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM keyed)
+       |SELECT user_id, cnt,
+       |  round(CAST(cnt AS DOUBLE) / total, 6) AS share,
+       |  round(CAST(cnt AS DOUBLE) * n_keys / total, 6) AS skew_x
+       |FROM keyed, stats
+       |ORDER BY cnt DESC, user_id ASC LIMIT $skewTopK""".stripMargin
+
   /** CUBE completes the grouping-sets surface next to [[qRollup]]: all four
     * (returnflag × linestatus) subtotal combinations plus `grouping_id` in
     * one pass — Catalyst expands to a single Expand + one aggregation
@@ -429,6 +467,7 @@ object Relational {
     "q_running" -> (qRunning _),
     "q_cube" -> (qCube _),
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_skew_probe" -> (qSkewProbe _),
     "q_pivot" -> (qPivot _),
     "q_asof" -> (qAsof _),
     "q_corr_subq" -> (qCorrSubq _),
@@ -445,6 +484,7 @@ object Relational {
     "q_running" -> qRunningSql,
     "q_cube" -> qCubeSql,
     "q_salted_agg" -> qSaltedAggSql,
+    "q_skew_probe" -> qSkewProbeSql,
     "q_pivot" -> qPivotSql,
     "q_asof" -> qAsofSql,
     "q_corr_subq" -> qCorrSubqSql,

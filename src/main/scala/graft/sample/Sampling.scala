@@ -126,6 +126,46 @@ object Sampling {
        |FROM documents d JOIN f ON f.doc_id = d.doc_id
        |GROUP BY 1""".stripMargin
 
+  // ---- temperature-scaled mixture weights ---------------------------------
+
+  /** UniMax/multilingual-style temperature rebalancing of the source
+    * mixture: sampling shares ∝ mass^(1/T) with T = 2, i.e. sqrt-scaled —
+    * large sources damped, scarce sources boosted, without the hard
+    * per-source target `mixture` uses. Mass is the per-source CHARACTER
+    * count (UniMax weighs languages by token counts, not doc counts — a
+    * source of long documents deserves proportionally more sampling mass).
+    * sqrt (unlike a general pow) is IEEE-754 correctly-rounded on every
+    * engine, so the weights differ only in the final sum's addend order —
+    * guarded by the engine's standard 6dp rounding. The global normalizer
+    * is a window over the SOURCE dim (bounded by construction — ~20 rows
+    * at any corpus size), never over the corpus. */
+  def temperature(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSource = Tables(spark, sfDir).documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("mass"))
+    val all = Window.partitionBy()
+    perSource
+      .withColumn("raw_share",
+        round(col("mass").cast("double") / sum(col("mass")).over(all), 6))
+      .withColumn("temp_share",
+        round(sqrt(col("mass").cast("double")) /
+          sum(sqrt(col("mass").cast("double"))).over(all), 6))
+      .withColumn("boost", round(col("temp_share") / col("raw_share"), 6))
+  }
+
+  val temperatureSql: String =
+    """WITH k AS (
+      |  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS mass
+      |  FROM documents GROUP BY 1)
+      |SELECT source, n_docs, mass,
+      |  round(CAST(mass AS DOUBLE) / sum(mass) OVER (), 6) AS raw_share,
+      |  round(sqrt(CAST(mass AS DOUBLE)) /
+      |    sum(sqrt(CAST(mass AS DOUBLE))) OVER (), 6) AS temp_share,
+      |  round(round(sqrt(CAST(mass AS DOUBLE)) /
+      |      sum(sqrt(CAST(mass AS DOUBLE))) OVER (), 6)
+      |    / round(CAST(mass AS DOUBLE) / sum(mass) OVER (), 6), 6) AS boost
+      |FROM k""".stripMargin
+
   // ---- deterministic train/valid/test split -------------------------------
 
   /** Percent of the hash space per split: train 90 / valid 5 / test 5. */
@@ -162,11 +202,13 @@ object Sampling {
     "samp_split" -> (split _),
     "samp_stratified" -> (stratified _),
     "samp_reservoir" -> (reservoir _),
-    "samp_mixture" -> (mixture _))
+    "samp_mixture" -> (mixture _),
+    "samp_temperature" -> (temperature _))
 
   def oracleSql: Map[String, String] = Map(
     "samp_split" -> splitSql,
     "samp_stratified" -> stratifiedSql,
     "samp_reservoir" -> reservoirSql,
-    "samp_mixture" -> mixtureSql)
+    "samp_mixture" -> mixtureSql,
+    "samp_temperature" -> temperatureSql)
 }

@@ -83,6 +83,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(plan.contains("GreaterThanOrEqual(ts"), plan.take(1200))
   }
 
+  test("q_skew_probe: top-k by count, shares consistent, uniform-multiple sane") {
+    val rows = relational.Relational.qSkewProbe(spark, sf).collect()
+    assert(rows.length == relational.Relational.skewTopK)
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.sorted.reverse.toSeq == cnts.toSeq, "descending by count")
+    assert(rows.head.getAs[Double]("skew_x") >= 1.0, "top key at or above average")
+    rows.foreach { r =>
+      val share = r.getAs[Double]("share")
+      assert(share > 0 && share <= 1)
+      // skew_x is the multiple over uniform expectation — positive, and
+      // the TOP key is at or above average (the tail of the top-10 can dip
+      // just under 1.0 on a near-uniform corpus)
+      assert(r.getAs[Double]("skew_x") > 0)
+    }
+  }
+
+  test("samp_temperature: sqrt damping — boost falls as source mass rises; shares normalize") {
+    val rows = sample.Sampling.temperature(spark, sf).collect()
+      .map(r => (r.getAs[Long]("mass"), r.getAs[Double]("raw_share"),
+        r.getAs[Double]("temp_share"), r.getAs[Double]("boost")))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-3)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3)
+    // monotone: more mass never earns a higher boost
+    rows.sortBy(_._1).sliding(2).foreach {
+      case Array((m1, _, _, b1), (m2, _, _, b2)) if m1 < m2 => assert(b2 <= b1)
+      case _ => ()
+    }
+  }
+
   test("st_gapfill: streaming zero-minutes equal the batch gapfill's n=0 rows") {
     val got = streaming.StreamOps.stGapfill(spark, sf).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("minute_epoch")))
