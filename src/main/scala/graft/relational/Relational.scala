@@ -17,24 +17,38 @@ object Relational {
 
   /** TPC-H Q1 shape: scan-heavy grouped aggregation with partial (map-side)
     * aggregation; no join, single shuffle on the 4-ish distinct keys. */
+  /** Money aggregates run in EXACT decimal and only the final sum is cast
+    * back to double: a 6dp round over a floating sum is order-sensitive at
+    * scale (at sf0.1, ~200k addends pushed one sum_charge cell across a
+    * rounding boundary between engines; at 100 TB every cell would be a
+    * coin flip), while the decimal sum is a single rational number on both
+    * engines — one deterministic double conversion at the end. The data is
+    * 2dp money, so the double→decimal(·,2) casts are exact-by-construction. */
   def q1Agg(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables(spark, sfDir).lineitem
+    val one = lit(1).cast("decimal(3,2)")
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = col("l_discount").cast("decimal(4,2)")
+    val tax = col("l_tax").cast("decimal(4,2)")
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 6).as("sum_charge"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * (one - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
   }
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 6) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -138,13 +152,18 @@ object Relational {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey") &&
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+      // exact decimal revenue (q1's rationale: per-nation sums span the
+      // whole fact table, the worst case for float addend-order drift)
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+        .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
   val q5JoinSql: String =
     """SELECT n_name,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
