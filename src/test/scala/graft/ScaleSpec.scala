@@ -115,6 +115,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
   }
 
+  test("q1_agg: money sums are partition-order invariant (exact decimal internals)") {
+    // float sums round-flip under different addend orders at scale (seen at
+    // sf0.1); the decimal internals make the result a single rational number
+    // regardless of partitioning — assert bit-equal doubles across layouts
+    val a = relational.Relational.q1Agg(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") + r.getAs[String]("l_linestatus") ->
+        (r.getAs[Double]("sum_disc_price"), r.getAs[Double]("sum_charge"))).toMap
+    val li = Tables(spark, sf).lineitem.repartition(7).cache()
+    try {
+      li.count()
+      val one = org.apache.spark.sql.functions.lit(1).cast("decimal(3,2)")
+      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val disc = col("l_discount").cast("decimal(4,2)")
+      val tax = col("l_tax").cast("decimal(4,2)")
+      val b = li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(price * (one - disc)).cast("double").as("sum_disc_price"),
+          sum(price * (one - disc) * (one + tax)).cast("double").as("sum_charge"))
+        .collect()
+        .map(r => r.getAs[String]("l_returnflag") + r.getAs[String]("l_linestatus") ->
+          (r.getAs[Double]("sum_disc_price"), r.getAs[Double]("sum_charge"))).toMap
+      assert(a == b, "exact decimal sums must not depend on partition layout")
+    } finally li.unpersist()
+  }
+
   test("ev_incr_agg: partial-agg merge — no window, no join in the merge path") {
     val plan = events.EventOps.incrAgg(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"merge must be a union+agg, not a join:\n${plan.take(600)}")
