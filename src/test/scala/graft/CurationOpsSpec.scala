@@ -83,6 +83,38 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(plan.contains("GreaterThanOrEqual(ts"), plan.take(1200))
   }
 
+  test("ev_quantiles: the documented approx_percentile drop-in stays within tolerance") {
+    // SURVEY §2a sells approx_percentile as the 100 TB drop-in for the
+    // exact percentile. Its guarantee is on RANK, not value (it returns an
+    // actual element; tiny strata have value gaps near the tail), so pin
+    // the honest contract: each approximate quantile lands between the
+    // exact percentiles ±4 rank-points around its target
+    val bounds = Tables(spark, sf).events
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.46)").as("lo50"), expr("percentile(value, 0.54)").as("hi50"),
+        expr("percentile(value, 0.86)").as("lo90"), expr("percentile(value, 0.94)").as("hi90"),
+        expr("percentile(value, 0.95)").as("lo99"), expr("percentile(value, 1.0)").as("hi99"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val approx = Tables(spark, sf).events
+      .groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(value, 0.9, 10000)").as("p90"),
+        expr("approx_percentile(value, 0.99, 10000)").as("p99"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"), r.getAs[Double]("p99"))).toMap
+    assert(bounds.keySet == approx.keySet)
+    approx.foreach { case (t, (a50, a90, a99)) =>
+      val b = bounds(t)
+      Seq(("50", a50, "lo50", "hi50"), ("90", a90, "lo90", "hi90"),
+          ("99", a99, "lo99", "hi99")).foreach { case (p, a, lo, hi) =>
+        assert(a >= b.getAs[Double](lo) && a <= b.getAs[Double](hi),
+          s"$t p$p: approx $a outside [${b.getAs[Double](lo)}, ${b.getAs[Double](hi)}]")
+      }
+    }
+  }
+
   test("q_skew_probe: top-k by count, shares consistent, uniform-multiple sane") {
     val rows = relational.Relational.qSkewProbe(spark, sf).collect()
     assert(rows.length == relational.Relational.skewTopK)
