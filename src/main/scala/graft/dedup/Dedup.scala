@@ -513,12 +513,10 @@ object Dedup {
     * ([[graft.functions.Banding.hammingPairs]]): candidates from (lang,
     * band, band value) — O(n·4) exploded rows instead of the O(n²/lang)
     * blocked cross join, first-matching-band crediting for exactly-once. */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = graft.functions.Banding.hammingPairs(
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.Banding.hammingPairs(
       simhashSigs(spark, sfDir), "simhash", "doc_id", Seq("lang"),
       simBands, simBandBits, maxHamming = 3)
-    out.select(col("id_a"), col("id_b"), col("lang"), col("hamming"))
-  }
 
   val simhashSql: String = {
     val votes = (0 until simBits).map(j =>

@@ -34,7 +34,10 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < n) {
       val ax = math.abs(v.getDouble(i))
-      if (ax > amax) amax = ax
+      // NaN poisons the max (list_max semantics in the reference HOF
+      // form): `ax > amax` is false for NaN, so propagate it explicitly —
+      // once amax is NaN it stays NaN and every output becomes NaN
+      if (ax != ax) amax = ax else if (ax > amax) amax = ax
       i += 1
     }
     val out = new Array[Double](n)
@@ -65,7 +68,7 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
          |double $amax = 1e-30;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $ax = java.lang.Math.abs($a.getDouble($i));
-         |  if ($ax > $amax) $amax = $ax;
+         |  if ($ax != $ax) { $amax = $ax; } else if ($ax > $amax) { $amax = $ax; }
          |}
          |double[] $out = new double[$n];
          |for (int $i = 0; $i < $n; $i++) {

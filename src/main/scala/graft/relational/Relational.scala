@@ -17,13 +17,17 @@ object Relational {
 
   /** TPC-H Q1 shape: scan-heavy grouped aggregation with partial (map-side)
     * aggregation; no join, single shuffle on the 4-ish distinct keys. */
-  /** Money aggregates run in EXACT decimal and only the final sum is cast
-    * back to double: a 6dp round over a floating sum is order-sensitive at
-    * scale (at sf0.1, ~200k addends pushed one sum_charge cell across a
-    * rounding boundary between engines; at 100 TB every cell would be a
-    * coin flip), while the decimal sum is a single rational number on both
-    * engines — one deterministic double conversion at the end. The data is
-    * 2dp money, so the double→decimal(·,2) casts are exact-by-construction. */
+  /** Money aggregates run in EXACT decimal; the sum is rounded to the
+    * data's 2dp granularity IN decimal and only then cast to double. The
+    * decimal sum is a single rational number on both engines (a 6dp round
+    * over a floating sum is order-sensitive — at sf0.1, ~200k addends
+    * pushed one sum_charge cell across a rounding boundary), and the
+    * 2dp re-round keeps the unscaled value below 2^53 until ~10^14 in
+    * cents, so the final double conversion is ONE correctly-rounded step
+    * on both engines (DuckDB's int128/10^s cast double-rounds once the
+    * unscaled sum passes 2^53 — scale 6 would cross that around sf1). The
+    * data is 2dp money, so the double→decimal(·,2) input casts are
+    * exact-by-construction. */
   def q1Agg(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables(spark, sfDir).lineitem
     val one = lit(1).cast("decimal(3,2)")
@@ -35,8 +39,8 @@ object Relational {
       .agg(
         sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
         sum(price).cast("double").as("sum_base_price"),
-        sum(price * (one - disc)).cast("double").as("sum_disc_price"),
-        sum(price * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+        round(sum(price * (one - disc)), 2).cast("double").as("sum_disc_price"),
+        round(sum(price * (one - disc) * (one + tax)), 2).cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
   }
 
@@ -44,11 +48,11 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-      |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
       |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-      |    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -152,18 +156,20 @@ object Relational {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey") &&
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      // exact decimal revenue (q1's rationale: per-nation sums span the
-      // whole fact table, the worst case for float addend-order drift)
-      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
-          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+      // exact decimal revenue, re-rounded to 2dp before the double cast
+      // (q1's rationale: per-nation sums span the whole fact table, the
+      // worst case for float addend-order drift and for 2^53 overflow of
+      // a high-scale decimal cast)
+      .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))), 2)
         .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
   val q5JoinSql: String =
     """SELECT n_name,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-      |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey

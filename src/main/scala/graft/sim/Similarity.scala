@@ -589,17 +589,28 @@ object Similarity {
     * via the packed-int arg-min (dd_chunks' pattern: `min(d2µ·K + c)` is
     * partial-aggregable, so no window shuffle); (2) reconstruction norms
     * from codebook lookups; (3) ADC — codes join the broadcast LUT, one
-    * sum per (query, candidate); top-3 by approximate cosine. Scores are
-    * rounded at 6dp (the sum over 4 LUT parts is order-free at that
-    * precision, per the engine's cosine contract). */
+    * sum per (query, candidate); top-3 by approximate cosine. The
+    * per-(query, candidate) fold over the 4 LUT parts (and the 4
+    * reconstruction-norm terms) runs as per-subspace conditional sums
+    * added in WRITTEN order — each conditional sum has exactly one
+    * non-null addend, so the float result is aggregation-order
+    * independent, not merely round-guarded. */
   def pqTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
     val cb = pqCodebook(spark, sfDir)
     val codes = pqCodes(spark, sfDir)
       .persist() // feeds reconstruction norms AND ADC scoring
+    // per-subspace conditional sums have exactly ONE non-null addend each,
+    // so folding them in written order makes the float result independent
+    // of aggregation order — the addend-order hazard q1's decimal fix
+    // closed, solved here for values that aren't quantized
+    val reconParts = (0 until pqSub).map(s =>
+      sum(when(col("s") === s, col("cwn2"))).as(s"rn$s"))
     val recon = codes
       .join(broadcast(cb.select(col("s"), col("c"), col("cwn2"))), Seq("s", "c"))
-      .groupBy(col("vec_id")).agg(sqrt(sum(col("cwn2"))).as("rnrm"))
+      .groupBy(col("vec_id")).agg(reconParts.head, reconParts.tail: _*)
+      .select(col("vec_id"),
+        sqrt((0 until pqSub).map(s => col(s"rn$s")).reduce(_ + _)).as("rnrm"))
     val qs = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val qsub = qs.select(col("qid"), col("qnrm"),
@@ -610,10 +621,14 @@ object Similarity {
     val lut = qsub.join(cb, "s")
       .select(col("qid"), col("qnrm"), col("s"), col("c"),
         graft.plans.VectorDot(col("qsv"), col("cw")).as("part"))
+    val adcParts = (0 until pqSub).map(s =>
+      sum(when(col("s") === s, col("part"))).as(s"p$s")) :+ max(col("qnrm")).as("qnrm")
     val adc = codes.join(broadcast(lut), Seq("s", "c"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("part")).as("dp"), max(col("qnrm")).as("qnrm"))
+      .agg(adcParts.head, adcParts.tail: _*)
+      .select(col("qid"), col("vec_id"), col("qnrm"),
+        (0 until pqSub).map(s => col(s"p$s")).reduce(_ + _).as("dp"))
     val scored = adc.join(recon, "vec_id")
       .select(col("qid"), col("vec_id").as("cand"),
         round(col("dp") / (col("qnrm") * col("rnrm")), 6).as("pq_score"))
@@ -642,8 +657,12 @@ object Similarity {
        |codes AS (
        |  SELECT vec_id, s, min(d2i * $pqK + c) % $pqK AS c FROM d GROUP BY 1, 2),
        |recon AS (
-       |  SELECT codes.vec_id, sqrt(sum(cwn2)) AS rnrm
-       |  FROM codes JOIN cbn ON codes.s = cbn.s AND codes.c = cbn.c GROUP BY 1),
+       |  SELECT vec_id, sqrt(rn0 + rn1 + rn2 + rn3) AS rnrm FROM (
+       |    SELECT codes.vec_id,
+       |      ${(0 until pqSub).map(s =>
+                  s"sum(CASE WHEN cbn.s = $s THEN cwn2 END) AS rn$s").mkString(", ")}
+       |    FROM codes JOIN cbn ON codes.s = cbn.s AND codes.c = cbn.c
+       |    GROUP BY 1) t_rn),
        |q AS (SELECT vec_id AS qid, v AS qv,
        |        sqrt(list_sum(list_transform(v, x -> x * x))) AS qnrm
        |      FROM e WHERE vec_id < $numQueries),
@@ -654,9 +673,13 @@ object Similarity {
        |  SELECT qid, qnrm, cbn.s, cbn.c, ${dot("qsv", "cwv")} AS part
        |  FROM qsub JOIN cbn ON qsub.s = cbn.s),
        |adc AS (
-       |  SELECT qid, codes.vec_id AS cand, sum(part) AS dp, max(qnrm) AS qnrm
-       |  FROM codes JOIN lut ON codes.s = lut.s AND codes.c = lut.c
-       |  WHERE codes.vec_id <> lut.qid GROUP BY 1, 2),
+       |  SELECT qid, cand, p0 + p1 + p2 + p3 AS dp, qnrm FROM (
+       |    SELECT qid, codes.vec_id AS cand,
+       |      ${(0 until pqSub).map(s =>
+                  s"sum(CASE WHEN codes.s = $s THEN part END) AS p$s").mkString(", ")},
+       |      max(qnrm) AS qnrm
+       |    FROM codes JOIN lut ON codes.s = lut.s AND codes.c = lut.c
+       |    WHERE codes.vec_id <> lut.qid GROUP BY 1, 2) t_adc),
        |scored AS (
        |  SELECT qid, cand, round(dp / (qnrm * rnrm), 6) AS pq_score
        |  FROM adc JOIN recon ON recon.vec_id = adc.cand)

@@ -35,12 +35,15 @@ class CodegenSpec extends AnyFunSuite {
       val df = Seq(
         Tuple1(Array(1.0, -2.0, 0.5)),            // amax 2 → 63.5, -127, 31.75
         Tuple1(Array(0.0, 0.0)),                  // zero vector: amax floor
-        Tuple1(Array(-3.0)))                      // single negative: -127
+        Tuple1(Array(-3.0)),                      // single negative: -127
+        Tuple1(Array(1.0, Double.NaN)))           // NaN poisons the max
         .toDF("v")
       val got = df.select(graft.plans.Int8Quantize(col("v")).as("q"))
         .collect().map(_.getSeq[Double](0).toList).toList
-      // HALF_UP away from zero: 63.5 → 64, 31.75 → 32
-      assert(got == List(List(64.0, -127.0, 32.0), List(0.0, 0.0), List(-127.0)))
+      // HALF_UP away from zero: 63.5 → 64, 31.75 → 32; a NaN element makes
+      // EVERY output NaN (list_max semantics of the reference HOF form)
+      assert(got.take(3) == List(List(64.0, -127.0, 32.0), List(0.0, 0.0), List(-127.0)))
+      assert(got(3).forall(_.isNaN))
       // interpreted path agrees (expression eval outside codegen)
       val interp = graft.plans.Int8Quantize(
         org.apache.spark.sql.catalyst.expressions.Literal.create(

@@ -131,8 +131,8 @@ class ScaleSpec extends AnyFunSuite {
       val tax = col("l_tax").cast("decimal(4,2)")
       val b = li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(price * (one - disc)).cast("double").as("sum_disc_price"),
-          sum(price * (one - disc) * (one + tax)).cast("double").as("sum_charge"))
+        .agg(round(sum(price * (one - disc)), 2).cast("double").as("sum_disc_price"),
+          round(sum(price * (one - disc) * (one + tax)), 2).cast("double").as("sum_charge"))
         .collect()
         .map(r => r.getAs[String]("l_returnflag") + r.getAs[String]("l_linestatus") ->
           (r.getAs[Double]("sum_disc_price"), r.getAs[Double]("sum_charge"))).toMap
