@@ -28,6 +28,29 @@ object EnrichQueries {
          |    THEN coalesce(array_to_string(g.subdivisions, '|'), '') END AS subdivisions
          |FROM s2 LEFT JOIN geo g ON s2.ip_int BETWEEN g.lo AND g.hi""".stripMargin
 
+  /** The NATURAL form of the geo range join — a plain inner BETWEEN join —
+    * planned through [[graft.plans.RangeJoinRewrite]]: the optimizer rule
+    * recognizes the LocalRelation interval dim and rewrites the join to the
+    * [[graft.plans.RangeLookup]] projection, so this query's physical plan
+    * has NO join node despite being written as one. This is what a SQL
+    * user gets for free; `geo_ip_range` is the hand-fused equivalent. */
+  def geoJoinAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(spark)
+    val withInt = signups(spark, sfDir)
+      .withColumn("ip_int", GeoIp.ipToInt(col("ip")))
+      .filter(col("ip_int").isNotNull)
+    withInt.join(GeoIp.rangesDf(spark),
+        col("ip_int") >= col("lo") && col("ip_int") <= col("hi"))
+      .select(col("event_id"), col("ip_int"), col("country"), col("city"))
+  }
+
+  val geoJoinAutoSql: String =
+    "WITH " + Signups.cte.stripSuffix("\n") + ",\n" + GeoIp.rangesValuesSql + ",\n" +
+      s"""s2 AS (SELECT event_id, ${GeoIp.ipToIntSql} AS ip_int FROM signups)
+         |SELECT s2.event_id, s2.ip_int, g.country, g.city
+         |FROM s2 JOIN geo g ON s2.ip_int BETWEEN g.lo AND g.hi
+         |WHERE s2.ip_int IS NOT NULL""".stripMargin
+
   // ---- #14 UA regex cascade ----------------------------------------------
 
   def uaDevice(spark: SparkSession, sfDir: String): DataFrame = {
@@ -90,12 +113,14 @@ object EnrichQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_ip_range" -> (geoIpRange _),
+    "geo_join_auto" -> (geoJoinAuto _),
     "ua_device" -> (uaDevice _),
     "seen_recent" -> (seenRecent _),
     "status_watermark" -> (statusWatermark _))
 
   def oracleSql: Map[String, String] = Map(
     "geo_ip_range" -> geoIpRangeSql,
+    "geo_join_auto" -> geoJoinAutoSql,
     "ua_device" -> uaDeviceSql,
     "seen_recent" -> seenRecentSql,
     "status_watermark" -> statusWatermarkSql)

@@ -9,7 +9,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *   shingle_hashes(text, k, distinct, salt) → array<bigint>
   *   vector_dot(a, b)                        → double
+  *   int8_quantize(v)                        → array<double>
   *   is_in_ip_range(ip, lo, hi)              → boolean
+  *
+  * plus the [[RangeJoinRewrite]] optimizer rule (BETWEEN joins against
+  * plan-time interval dims → RangeLookup projections).
   *
   * Activate with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -23,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vectorDotFn)
     ext.injectFunction(GraftExtensions.int8QuantizeFn)
     ext.injectFunction(GraftExtensions.isInIpRangeFn)
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }
 }
 
@@ -81,5 +86,10 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("vector_dot", vectorDotFn._3, "scala_udf")
     reg.createOrReplaceTempFunction("int8_quantize", int8QuantizeFn._3, "scala_udf")
     reg.createOrReplaceTempFunction("is_in_ip_range", isInIpRangeFn._3, "scala_udf")
+    // optimizer rules can't be injected on a live session through the
+    // extensions API — experimental.extraOptimizations is the public hook
+    if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinRewrite
   }
 }
