@@ -38,9 +38,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       rewrite(left, right, cond).getOrElse(j)
   }
 
+  // no SubqueryAlias case: EliminateSubqueryAliases runs in the optimizer's
+  // first batch, before either injection point, so aliases are already gone
   private def localRelation(p: LogicalPlan): Option[LocalRelation] = p match {
     case lr: LocalRelation => Some(lr)
-    case SubqueryAlias(_, child) => localRelation(child)
     case _ => None
   }
 
