@@ -97,7 +97,10 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     ngramJaccardFrom(invIndex(spark, sfDir))
 
-  def ngramJaccardFrom(inv: DataFrame): DataFrame = {
+  /** Shared pair statistics of the df-capped inverted index: per candidate
+    * pair (a < b), the intersection size and both capped-universe set
+    * sizes — the base frame the Jaccard AND containment scorers divide. */
+  def pairStatsFrom(inv: DataFrame): DataFrame = {
     // document frequency as a window count over the hs partition: ONE hash
     // shuffle by hs (vs aggregate + re-join), and the persisted result keeps
     // HashPartitioning(hs) — the candidate self-join below reuses it with no
@@ -116,13 +119,43 @@ object Dedup {
     pairs
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "sa"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "sb"), "id_b")
+  }
+
+  def ngramJaccardFrom(inv: DataFrame): DataFrame =
+    pairStatsFrom(inv)
       .withColumn("jaccard", round(col("inter") / (col("sa") + col("sb") - col("inter")), 6))
       .filter(col("jaccard") >= 0.12)
       .select(col("id_a"), col("id_b"), col("inter"), col("sa"), col("sb"), col("jaccard"))
-  }
 
-  val ngramJaccardSql: String =
-    s"""WITH $shingledCte,
+  // ---- asymmetric containment (excerpt / quote detection) -----------------
+
+  val containThreshold = 0.8
+
+  /** Broder containment |A∩B| / |A|: the ASYMMETRIC near-dup measure. A
+    * 200-word excerpt quoted inside a 5000-word article has Jaccard ~0.04 —
+    * invisible to `dd_ngram_jacc` — but containment 1.0; this is how a
+    * curation pipeline finds subset duplication (quotes, syndicated
+    * excerpts, page-in-page). Rides the SAME df-capped pair statistics as
+    * the Jaccard pass (sizes are capped-universe sizes, like Jaccard's);
+    * emits both directions + a verdict, keeping pairs where either
+    * direction clears the threshold. */
+  def containment(spark: SparkSession, sfDir: String): DataFrame =
+    pairStatsFrom(invIndex(spark, sfDir))
+      .withColumn("cont_a_in_b", round(col("inter") / col("sa"), 6))
+      .withColumn("cont_b_in_a", round(col("inter") / col("sb"), 6))
+      .filter(col("cont_a_in_b") >= containThreshold ||
+        col("cont_b_in_a") >= containThreshold)
+      .withColumn("verdict",
+        when(col("cont_a_in_b") >= containThreshold &&
+          col("cont_b_in_a") >= containThreshold, "mutual")
+          .when(col("cont_a_in_b") >= containThreshold, "a_in_b")
+          .otherwise("b_in_a"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("sa"), col("sb"),
+        col("cont_a_in_b"), col("cont_b_in_a"), col("verdict"))
+
+  /** Shared SQL CTE chain ending in pair stats (id_a, id_b, inter, sa, sb). */
+  private val pairStatsCtes: String =
+    s"""$shingledCte,
        |inv0 AS (SELECT doc_id, ${Portable.hash64Sql("unnest(sh)")} AS hs FROM shd),
        |df AS (SELECT hs, count(*) AS df FROM inv0 GROUP BY 1),
        |informative AS (SELECT doc_id, inv0.hs, df FROM inv0 JOIN df ON inv0.hs = df.hs WHERE df <= $maxDf),
@@ -131,13 +164,32 @@ object Dedup {
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
        |  FROM joinable a JOIN joinable b ON a.hs = b.hs AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT id_a, id_b, inter, sa.n_sh AS sa, sb.n_sh AS sb,
-       |  round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
-       |FROM pairs
-       |JOIN sizes sa ON sa.doc_id = id_a
-       |JOIN sizes sb ON sb.doc_id = id_b
-       |WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.12""".stripMargin
+       |  GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT id_a, id_b, inter, sa.n_sh AS sa, sb.n_sh AS sb
+       |  FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b)""".stripMargin
+
+  val containmentSql: String =
+    s"""WITH $pairStatsCtes
+       |SELECT id_a, id_b, inter, sa, sb,
+       |  round(inter / sa, 6) AS cont_a_in_b,
+       |  round(inter / sb, 6) AS cont_b_in_a,
+       |  CASE WHEN round(inter / sa, 6) >= $containThreshold
+       |         AND round(inter / sb, 6) >= $containThreshold THEN 'mutual'
+       |       WHEN round(inter / sa, 6) >= $containThreshold THEN 'a_in_b'
+       |       ELSE 'b_in_a' END AS verdict
+       |FROM stats
+       |WHERE round(inter / sa, 6) >= $containThreshold
+       |   OR round(inter / sb, 6) >= $containThreshold""".stripMargin
+
+  val ngramJaccardSql: String =
+    s"""WITH $pairStatsCtes
+       |SELECT id_a, id_b, inter, sa, sb,
+       |  round(inter / (sa + sb - inter), 6) AS jaccard
+       |FROM stats
+       |WHERE round(inter / (sa + sb - inter), 6) >= 0.12""".stripMargin
 
   // ---- exact duplicate-substring spans (suffix-array dedup, join form) ----
 
@@ -619,6 +671,7 @@ object Dedup {
     "dd_spans" -> (spans _),
     "dd_incremental" -> (incremental _),
     "dd_ngram_jacc" -> (ngramJaccard _),
+    "dd_containment" -> (containment _),
     "dd_minhash" -> (minhashLsh _),
     "dd_clusters" -> (clusters _),
     "dd_simhash" -> (simhash _),
@@ -633,6 +686,7 @@ object Dedup {
     "dd_spans" -> spansSql,
     "dd_incremental" -> incrementalSql,
     "dd_ngram_jacc" -> ngramJaccardSql,
+    "dd_containment" -> containmentSql,
     "dd_minhash" -> minhashLshSql,
     "dd_clusters" -> clustersSql,
     "dd_simhash" -> simhashSql,

@@ -83,6 +83,21 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(plan.contains("GreaterThanOrEqual(ts"), plan.take(1200))
   }
 
+  test("dd_containment: directions consistent with pair stats, verdicts match thresholds") {
+    val th = dedup.Dedup.containThreshold
+    val rows = dedup.Dedup.containment(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (inter, sa, sb) = (r.getAs[Long]("inter"), r.getAs[Long]("sa"), r.getAs[Long]("sb"))
+      assert(inter <= math.min(sa, sb), "intersection bounded by either set")
+      val (ab, ba) = (r.getAs[Double]("cont_a_in_b"), r.getAs[Double]("cont_b_in_a"))
+      assert(ab >= th || ba >= th)
+      val expected =
+        if (ab >= th && ba >= th) "mutual" else if (ab >= th) "a_in_b" else "b_in_a"
+      assert(r.getAs[String]("verdict") == expected)
+    }
+  }
+
   test("ev_quantiles: the documented approx_percentile drop-in stays within tolerance") {
     // SURVEY §2a sells approx_percentile as the 100 TB drop-in for the
     // exact percentile. Its guarantee is on RANK, not value (it returns an
