@@ -28,6 +28,30 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(banded.toSet == brute)
   }
 
+  test("Banding.hammingPairs equals brute force on seeded-random signatures") {
+    // corpus-independent pin of the pigeonhole completeness: random 64-bit
+    // signatures (including adversarial duplicates) across several seeds
+    import spark.implicits._
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val base = Seq.fill(40)(rnd.nextLong())
+      // duplicates + near-dups (≤3 flipped bits) to exercise every verdict
+      val sigs = (base ++ base.take(5) ++ base.take(8).map { s =>
+        (0 until rnd.nextInt(4)).foldLeft(s)((x, _) => x ^ (1L << rnd.nextInt(64)))
+      }).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val df = sigs.toDF("doc_id", "sig")
+      val got = functions.Banding.hammingPairs(df, "sig", "doc_id", Nil, 4, 16, 3)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
+      val brute = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+      } yield (ia, ib, h)).toSet
+      assert(got.length == got.toSet.size, s"seed $seed: exactly-once violated")
+      assert(got.toSet == brute, s"seed $seed")
+    }
+  }
+
   test("mm_phash: no cartesian product; candidates come from the band equi-join") {
     val plan = multimodal.Multimodal.mmPhash(spark, sf)
       .queryExecution.executedPlan.toString
