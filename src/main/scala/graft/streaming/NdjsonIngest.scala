@@ -27,7 +27,12 @@ object NdjsonIngest {
     StructField("fingerPrint", StringType),
     StructField("suspIp", BooleanType)))
 
-  /** Parse a raw NDJSON line stream: valid signups vs dead letters. */
+  /** Parse a raw NDJSON line stream: valid signups vs dead letters.
+    * Malformed = unparseable JSON, an untagged payload, or a signup with no
+    * username (the reference's serde rejects exactly those). A VALID
+    * non-signup message — e.g. a liveness ping `{"t":"ping"}` — is NOT
+    * malformed; it flows through as a non-signup and the `t` filter drops
+    * it, instead of polluting the dead-letter audit branch. */
   def parse(lines: DataFrame): DataFrame =
     lines
       .select(col("value").as("raw"), from_json(col("value"), signupSchema).as("j"))
@@ -36,7 +41,8 @@ object NdjsonIngest {
         col("j.email").as("email"), col("j.ip").as("ip"),
         col("j.userAgent").as("ua"), col("j.fingerPrint").as("fingerprint"),
         coalesce(col("j.suspIp"), lit(false)).as("susp_ip"),
-        (col("j.t").isNull || col("j.username").isNull).as("malformed"))
+        (col("j").isNull || col("j.t").isNull ||
+          (col("j.t") === "signup" && col("j.username").isNull)).as("malformed"))
 
   /** Signup events from a live socket (NDJSON lines). */
   def fromSocket(spark: SparkSession, host: String, port: Int): DataFrame =

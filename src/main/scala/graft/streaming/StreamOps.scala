@@ -57,13 +57,37 @@ object StreamOps {
       .parquet(sfDir)
       .withColumn("ts_us", expr("ts DIV 1000"))
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    runBuiltToTable(spark, build(src), mode)
+  }
+
+  /** Start `built` into a fresh memory sink, run to completion, and drain
+    * the table. The query is stopped and the sink dropped even when a
+    * transform fails mid-stream — otherwise a failed harness query would
+    * leave a live StreamingQuery plus its memory-sink rows attached to the
+    * session for the rest of the run. Shared by every inline runner. */
+  private def runBuiltToTable(spark: SparkSession, built: DataFrame,
+      mode: OutputMode): DataFrame = {
     val name = "st_" + UUID.randomUUID().toString.replace("-", "")
-    val q = build(src).writeStream.format("memory").queryName(name)
+    val q = built.writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
-    q.processAllAvailable()
+    try q.processAllAvailable()
+    catch {
+      case t: Throwable =>
+        try q.stop() finally spark.catalog.dropTempView(name)
+        throw t
+    }
     q.stop()
     drainTable(spark, name)
   }
+
+  private val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def docsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
 
   /** Read a memory-sink table and DROP it — each harness query otherwise
     * retains its full result in driver memory for the session lifetime
@@ -121,10 +145,15 @@ object StreamOps {
   val gapUs: Long = 30L * 60 * 1000000
 
   /** Custom keyed state: per-user session assembly with a 30-minute gap.
-    * Each batch sessionizes its (sorted) events; production continuations
-    * carry the open session in `GroupState` and emit on event-time timeout —
-    * with the harness's single batch the state path is exercised but every
-    * session closes at batch end, matching the relational oracle. */
+    * Each batch sessionizes its (sorted) events and emits EVERY session,
+    * open ones included — correct for the harness's single batch, where
+    * every session closes at batch end (the relational oracle's answer). A
+    * multi-batch production continuation must instead READ the open
+    * session back from `GroupState` (written below as that carry), merge
+    * the first events of the next batch into it, and emit it only on gap
+    * or event-time timeout — emitting per batch as here would duplicate
+    * the open session. The write-only state in this harness form is the
+    * handoff point for that continuation, not a consumed input. */
   def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     runToTable(spark, sfDir, OutputMode.Append()) { src =>
@@ -357,23 +386,13 @@ object StreamOps {
     * min(doc_id) (not arrival order) keeps the batch replay deterministic. */
   def minhashDedup(spark: SparkSession, sfDir: String): DataFrame =
     withStatePartitions(spark) {
-    val docsSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val src = spark.readStream.schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
-    val arrs = src.select(col("doc_id"),
+    val arrs = docsStream(spark, sfDir).select(col("doc_id"),
       graft.plans.ShingleHashes(col("text"), 3, distinct = true).as("hs_arr"))
     val owners = graft.dedup.Dedup.bandRows(arrs)
       .groupBy(col("band"), col("key"))
       .agg(min(col("doc_id")).as("keeper"))
-    val name = "st_" + UUID.randomUUID().toString.replace("-", "")
-    val q = owners.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete()).start()
-    q.processAllAvailable()
-    q.stop()
-    drainTable(spark, name).select(col("keeper").as("doc_id")).distinct()
+    runBuiltToTable(spark, owners, OutputMode.Complete())
+      .select(col("keeper").as("doc_id")).distinct()
     }
 
   val minhashDedupSql: String =
@@ -396,24 +415,13 @@ object StreamOps {
     * would hold the whole stream per stratum). */
   def stReservoir(spark: SparkSession, sfDir: String): DataFrame =
     withStatePartitions(spark) {
-    val docsSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val src = spark.readStream.schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
-    val prioritized = src.select(col("lang"), col("doc_id"),
+    val prioritized = docsStream(spark, sfDir).select(col("lang"), col("doc_id"),
       pmod(graft.functions.Portable.hash64(col("doc_id").cast("string"), salt = "res"),
         lit(1L << 40)).cast("double").as("pr"))
     // smallest-priority-wins: negate into the (score desc, id asc) buffer
     val kept = prioritized.groupBy(col("lang"))
       .agg(graft.plans.TopKAgg.topK(-col("pr"), col("doc_id"), stReservoirK).as("top"))
-    val name = "st_" + UUID.randomUUID().toString.replace("-", "")
-    val q = kept.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete()).start()
-    q.processAllAvailable()
-    q.stop()
-    drainTable(spark, name)
+    runBuiltToTable(spark, kept, OutputMode.Complete())
       .select(col("lang"), posexplode(col("top")))
       .select(col("lang"), col("col.cand").as("doc_id"),
         (col("pos") + 1).cast("long").as("rn"))
@@ -460,12 +468,7 @@ object StreamOps {
     val topk = scored.groupBy(col("qid"))
       .agg(graft.plans.TopKAgg.topK(col("cos"), col("cand"), graft.sim.Similarity.topK)
         .as("top"))
-    val name = "st_" + UUID.randomUUID().toString.replace("-", "")
-    val query = topk.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete()).start()
-    query.processAllAvailable()
-    query.stop()
-    drainTable(spark, name)
+    runBuiltToTable(spark, topk, OutputMode.Complete())
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), col("col.cand").as("cand"),
         col("col.score").as("cos"), (col("pos") + 1).as("rank"))

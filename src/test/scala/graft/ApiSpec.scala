@@ -100,6 +100,24 @@ class ApiSpec extends AnyFunSuite {
     assert(!hits.contains("r_email_contains"))
   }
 
+  test("ndjson parse: pings are valid non-signups; only serde-rejects are dead letters") {
+    import spark.implicits._
+    val parsed = streaming.NdjsonIngest.parse(Seq(
+      """{"t":"ping"}""",                       // liveness ping: valid, non-signup
+      """garbage""",                            // unparseable: malformed
+      """{"t":"signup"}""",                     // signup missing username: malformed
+      """{"t":"signup","username":"u"}""",      // minimal valid signup
+      """{"foo":1}""")                          // untagged payload: malformed
+      .toDF("value"))
+      .select("t", "malformed").collect()
+      .map(r => (Option(r.getString(0)), r.getBoolean(1)))
+    assert(parsed(0) == (Some("ping"), false))
+    assert(parsed(1)._2, "unparseable json is a dead letter")
+    assert(parsed(2) == (Some("signup"), true))
+    assert(parsed(3) == (Some("signup"), false))
+    assert(parsed(4)._2, "untagged payload is a dead letter")
+  }
+
   test("ndjson socket ingest: parse, malformed drop, signup filter") {
     val server = new ServerSocket(0)
     val port = server.getLocalPort
