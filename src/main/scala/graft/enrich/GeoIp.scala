@@ -96,14 +96,17 @@ object GeoIp {
     * [[MaxMindCsv.loadRanges]]; defaults to the built-in stand-in. */
   def enrichFast(users: DataFrame, dim: Seq[IpRange] = ranges): DataFrame = {
     val sorted = dim.sortBy(_.lo).toArray
-    val idx = graft.plans.RangeLookup(ipToInt(col("ip")),
-      sorted.map(_.lo), sorted.map(_.hi))
     val countries = typedLit(sorted.map(_.country).toSeq)
     val cities = typedLit(sorted.map(_.city).toSeq)
     val subs = typedLit(sorted.map(_.subdivisions.toSeq).toSeq)
     users
+      // ip_int FIRST and the probe reads the column: after CollapseProject
+      // the trees are identical anyway, so codegen's common-subexpression
+      // elimination computes the parse once — referencing the column keeps
+      // that sharing structural instead of relying on expression equality
       .withColumn("ip_int", ipToInt(col("ip")))
-      .withColumn("gidx", idx)
+      .withColumn("gidx", graft.plans.RangeLookup(col("ip_int"),
+        sorted.map(_.lo), sorted.map(_.hi)))
       .withColumn("country", element_at(countries, col("gidx")))
       .withColumn("city", element_at(cities, col("gidx")))
       .withColumn("subdivisions", element_at(subs, col("gidx")))

@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object UapCore {
 
-  final case class Pattern(regex: String, replacement: Option[String])
+  final case class Pattern(regex: String, replacement: Option[String],
+      caseInsensitive: Boolean = false) {
+    /** The Java-regex form: uap-core marks case-insensitivity out-of-band
+      * (`regex_flag: 'i'`) — fold it back in as an inline flag. */
+    def javaRegex: String = if (caseInsensitive) "(?i)" + regex else regex
+  }
   final case class Db(clients: Seq[Pattern], os: Seq[Pattern], devices: Seq[Pattern])
 
   private val sectionKeys = Map(
@@ -62,7 +67,8 @@ object UapCore {
     def patterns(section: String): Seq[Pattern] = {
       val replKey = sectionKeys(section)
       sections.getOrElse(section, mutable.ListBuffer.empty).toSeq
-        .flatMap(m => m.get("regex").map(r => Pattern(r, m.get(replKey))))
+        .flatMap(m => m.get("regex").map(r =>
+          Pattern(r, m.get(replKey), m.get("regex_flag").contains("i"))))
     }
     Db(patterns("user_agent_parsers"), patterns("os_parsers"), patterns("device_parsers"))
   }
@@ -82,29 +88,37 @@ object UapCore {
       v.substring(1, v.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
     else v
 
-  /** First-match-wins family cascade: `replacement` template with `$1`
-    * substituted by the first capture group, else the raw replacement, else
-    * group 1 — uap-core's documented resolution rule. */
+  /** First-match-wins family cascade: `replacement` template with `$1`-`$9`
+    * substituted by the corresponding capture groups, else the raw
+    * replacement, else group 1 — uap-core's documented resolution rule. A
+    * null UA resolves to null (never the default — [[UserAgents.parse]]'s
+    * null contract, which a dim-driven swap-in must preserve). */
   def family(ua: Column, patterns: Seq[Pattern], default: String = "Other"): Column =
     patterns match {
-      case Seq() => lit(default)
+      case Seq() => when(ua.isNotNull, lit(default))
       case head +: tail =>
         // FLAT CaseWhen (chained .when appends branches) — a foldRight of
         // nested when/otherwise builds a tree as deep as the pattern list,
         // which overflows Catalyst recursion and the 64KB codegen method
         // limit on the real ~1000-entry regexes.yaml
-        tail.foldLeft(when(ua.rlike(head.regex), familyExpr(ua, head))) {
-          (acc, p) => acc.when(ua.rlike(p.regex), familyExpr(ua, p))
-        }.otherwise(lit(default))
+        tail.foldLeft(when(ua.rlike(head.javaRegex), familyExpr(ua, head))) {
+          (acc, p) => acc.when(ua.rlike(p.javaRegex), familyExpr(ua, p))
+        }.when(ua.isNotNull, lit(default))
     }
 
+  private val groupRef = "\\$([1-9])".r
+
   private def familyExpr(ua: Column, p: Pattern): Column = p.replacement match {
-    case Some(t) if t.contains("$1") =>
-      val parts = t.split("\\$1", -1)
-      val g1 = regexp_extract(ua, p.regex, 1)
-      concat(parts.zipWithIndex.flatMap { case (s, i) =>
-        (if (i == 0) Seq.empty else Seq(g1)) ++ (if (s.isEmpty) Seq.empty else Seq(lit(s)))
-      }: _*)
+    case Some(t) if groupRef.findFirstIn(t).isDefined =>
+      // split keeping the $N tokens: "LG $2" → ["LG ", "$2"]
+      val tokens = groupRef.pattern.split(t, -1) // literal parts, keep trailing ""
+      val refs = groupRef.findAllMatchIn(t).map(_.group(1).toInt).toSeq
+      val pieces = tokens.zipWithIndex.flatMap { case (s, i) =>
+        (if (i == 0) Seq.empty
+         else Seq(regexp_extract(ua, p.javaRegex, refs(i - 1)))) ++
+          (if (s.isEmpty) Seq.empty else Seq(lit(s)))
+      }
+      concat(pieces: _*)
     case Some(t) => lit(t)
     case None => regexp_extract(ua, p.regex, 1)
   }

@@ -17,10 +17,16 @@ object RuleStore {
   def save(rules: DataFrame, path: String): Unit =
     rules.coalesce(1).write.mode("overwrite").json(path)
 
+  /** Load keeps `exp_notification` (the once-only expiry-notice counter
+    * [[sweepNotices]] documents as "persist the result") — dropping it on
+    * the save/load roundtrip would re-arm every past notification. Files
+    * written before the counter existed read it as null; sweepNotices
+    * coalesces that to 0. */
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(
       "name STRING, kind STRING, pattern STRING, num_arg INT, enabled BOOLEAN, " +
-        "susp_only BOOLEAN, no_delay BOOLEAN, expiry_us LONG, actions STRING")
+        "susp_only BOOLEAN, no_delay BOOLEAN, expiry_us LONG, actions STRING, " +
+        "exp_notification INT")
       .json(path)
 
   /** `signup rules add` — refuses duplicate names (rules.rs:49-57). */
@@ -30,7 +36,11 @@ object RuleStore {
       rule.suspOnly, rule.noDelay, rule.expiryUs, rule.actions))
       .toDF("name", "kind", "pattern", "num_arg", "enabled", "susp_only",
         "no_delay", "expiry_us", "actions")
-    rules.unionByName(newDf.join(rules.select("name"), Seq("name"), "left_anti"))
+    // allowMissingColumns: a fresh rule has no exp_notification counter yet
+    // (null ⇒ 0 at the next sweep)
+    rules.unionByName(
+      newDf.join(rules.select("name"), Seq("name"), "left_anti"),
+      allowMissingColumns = true)
   }
 
   def remove(rules: DataFrame, name: String): DataFrame =

@@ -70,10 +70,14 @@ object Rules {
 
   /** Any rule list as a DuckDB VALUES CTE. */
   def valuesSqlFor(rules: Seq[RuleRow], cteName: String): String = {
+    // single quotes in user-authored patterns/names must be SQL-escaped
+    // ('' ) — a regex like ['] would otherwise break (or inject into)
+    // every oracle built on this CTE
+    def q(s: String): String = "'" + s.replace("'", "''") + "'"
     val rows = rules.map { r =>
       val exp = r.expiryUs.map(_.toString).getOrElse("NULL")
-      s"('${r.name}', '${r.kind}', '${r.pattern}', ${r.numArg}, ${r.enabled}, " +
-        s"${r.suspOnly}, ${r.noDelay}, $exp, '${r.actions}')"
+      s"(${q(r.name)}, ${q(r.kind)}, ${q(r.pattern)}, ${r.numArg}, ${r.enabled}, " +
+        s"${r.suspOnly}, ${r.noDelay}, $exp, ${q(r.actions)})"
     }.mkString(",\n    ")
     s"""$cteName(name, kind, pattern, num_arg, enabled, susp_only, no_delay, expiry_us, actions) AS (
        |  VALUES

@@ -62,6 +62,34 @@ class ApiSpec extends AnyFunSuite {
     assert(swept.filter("name = 'r_ip'").count() == 1)
   }
 
+  test("expiry-notice counter survives the save/load roundtrip") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("rules_notice").toString + "/rules"
+    val now = graft.rules.Rules.nowUs
+    val r0 = graft.rules.Rules.df(spark).filter(col("name") === "r_expired")
+    val s1 = graft.rules.RuleStore.sweepNotices(r0, now).drop("notice")
+    graft.rules.RuleStore.save(s1, dir)
+    val reloaded = graft.rules.RuleStore.load(spark, dir)
+    assert(reloaded.head.getAs[Int]("exp_notification") == 1,
+      "persisted notice state must not reset — it re-arms past notifications")
+    // the NEXT sweep advances 1 → 2 (expired), never re-fires expiring_soon
+    val s2 = graft.rules.RuleStore.sweepNotices(reloaded, now)
+    assert(s2.head.getAs[String]("notice") == "expired")
+    // add() on the widened frame: the fresh rule joins with a null counter
+    val added = graft.rules.RuleStore.add(reloaded,
+      graft.rules.RuleRow("r_fresh", "ip", "9.9.9.9", 0, enabled = true,
+        suspOnly = false, noDelay = true, None, "shadowban"), spark)
+    assert(added.filter(col("name") === "r_fresh").count() == 1)
+  }
+
+  test("rule VALUES oracle escapes quotes in user-authored patterns") {
+    val sql = graft.rules.Rules.valuesSqlFor(Seq(
+      graft.rules.RuleRow("r'q", "username_regex", "[']", 0, enabled = true,
+        suspOnly = false, noDelay = true, None, "close")), "t")
+    assert(sql.contains("'r''q'") && sql.contains("'['']'"),
+      s"quotes must double, got:\n$sql")
+  }
+
   test("expiry notices fire once each, in the reference's branch order") {
     import org.apache.spark.sql.functions.col
     val dayUs = 86400L * 1000000L

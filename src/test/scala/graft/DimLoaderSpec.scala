@@ -147,4 +147,29 @@ class DimLoaderSpec extends AnyFunSuite {
     assert(rows(2) == (("PyAmf 3", "Other", "iPhone")))
     assert(rows(3) == (("Other", "Other", "Other")))
   }
+
+  test("uap-core: regex_flag 'i', multi-group templates, and null-UA contract") {
+    val yaml =
+      """device_parsers:
+        |  - regex: 'hbbtv'
+        |    regex_flag: 'i'
+        |    device_replacement: 'SmartTV'
+        |  - regex: '; ?(LG-?([\dA-Za-z]+))'
+        |    device_replacement: 'LG $2'
+        |""".stripMargin
+    val db = enrich.UapCore.parse(yaml)
+    assert(db.devices.head.caseInsensitive, "regex_flag: 'i' must be honored")
+    import spark.implicits._
+    val uas = Seq(
+      Some("Mozilla/5.0 (HbbTV/1.1.1)"),  // matches only case-insensitively
+      Some("Mozilla/5.0 (Linux; LG-K420) Browser"), // $2 = inner group
+      Some("nothing-known/1.0"),
+      None).toDF("ua")
+    val fams = uas.select(enrich.UapCore.family(col("ua"), db.devices).as("f"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(fams(0).contains("SmartTV"))
+    assert(fams(1).contains("LG K420"), s"got ${fams(1)} — $$2 must substitute group 2")
+    assert(fams(2).contains("Other"))
+    assert(fams(3).isEmpty, "null UA parses to null, never the default")
+  }
 }
