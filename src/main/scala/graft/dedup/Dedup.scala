@@ -272,7 +272,10 @@ object Dedup {
   val hashAB: Seq[(Long, Long)] = {
     var s = 1234567L
     def next(): Long = { s = (s * 1103515245L + 12345L) % mersenneP; s }
-    Seq.fill(numHashes)(((next() | 1L) % mersenneP, next()))
+    // multiplier a ∈ [1, p-1]: map INTO the nonzero range AFTER any mod —
+    // the old `(x | 1) % p` form could round-trip p-1 → p → 0, silently
+    // degrading that hash function to the constant b
+    Seq.fill(numHashes)(((next() % (mersenneP - 1)) + 1, next()))
   }
 
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
@@ -446,6 +449,13 @@ object Dedup {
       labels = next.select(col("node"), col("lbl"))
       iter += 1
     }
+    // pointer doubling covers distance 2^r after r rounds, so 12 rounds
+    // reach diameter ~4096; a component deeper than that (degenerate
+    // chain-shaped near-dup graphs) must fail LOUDLY, not emit silently
+    // split clusters
+    require(changed == 0,
+      s"label propagation did not converge in $iter rounds — component " +
+        "diameter exceeds 2^iter; raise the round cap for this graph")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
@@ -483,7 +493,11 @@ object Dedup {
     truth.join(cand, col("id_a") === col("ca") && col("id_b") === col("cb"), "left")
       .agg(count(lit(1)).as("n_truth"), count(col("ca")).as("n_hit"))
       .select(col("n_truth"), col("n_hit"),
-        round(col("n_hit") / col("n_truth"), 4).as("recall"))
+        // empty truth set → recall undefined (null), on BOTH engines —
+        // Spark's x/0 is NULL while DuckDB's is IEEE NaN, so the guard is
+        // what keeps the degenerate-corpus case hash-equal
+        when(col("n_truth") > 0,
+          round(col("n_hit") / col("n_truth"), 4)).as("recall"))
   }
 
   val lshRecallSql: String =
@@ -491,7 +505,7 @@ object Dedup {
        |  SELECT id_a, id_b FROM ($ngramJaccardSql) WHERE jaccard >= 0.2),
        |cand AS (SELECT id_a AS ca, id_b AS cb FROM ($minhashLshSql))
        |SELECT count(*) AS n_truth, count(ca) AS n_hit,
-       |  round(count(ca) / count(*), 4) AS recall
+       |  CASE WHEN count(*) > 0 THEN round(count(ca) / count(*), 4) END AS recall
        |FROM truth LEFT JOIN cand ON id_a = ca AND id_b = cb""".stripMargin
 
   // ---- cross-document chunk (paragraph) dedup -----------------------------

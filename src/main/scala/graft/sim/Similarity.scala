@@ -23,12 +23,19 @@ object Similarity {
   private def emb(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables(spark, sfDir).embeddings
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-    // norms once per row; every cosine is then one VectorDot + one divide
+    // norms once per row; every cosine is then one VectorDot + one divide.
+    // Zero-norm vectors have no direction and are EXCLUDED here (mirrored
+    // in embCte): without the shared guard a 0/0 cosine is NULL in Spark
+    // but NaN in DuckDB — and DuckDB sorts NaN above every value, so one
+    // zero vector would top every oracle top-k while vanishing from the
+    // engine's (quantTopK guards its own path; this covers the other nine)
     base.withColumn("nrm", sqrt(graft.plans.VectorDot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
   }
 
   private val embCte: String =
-    "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |      WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0)""".stripMargin
 
   val numAnchors = 4
 

@@ -35,7 +35,9 @@ object TextOps {
 
   val profilesValuesSql: String =
     "profiles(plang, pword) AS (VALUES " +
-      profiles.map { case (l, w) => s"('$l', '$w')" }.mkString(", ") + ")"
+      profiles.map { case (l, w) =>
+        s"('${l.replace("'", "''")}', '${w.replace("'", "''")}')"
+      }.mkString(", ") + ")"
 
   def langId(spark: SparkSession, sfDir: String): DataFrame =
     langIdWith(spark, sfDir, profilesDf(spark))
@@ -176,14 +178,13 @@ object TextOps {
 
   val winnowWindow = 4
 
-  /** Classic winnowing: hash every positional word 3-gram, take the min of
-    * each sliding window of 4 hashes, keep the distinct minima as the doc's
-    * fingerprint set. Positional explode + windowed min + distinct agg —
-    * all shuffle-partitioned by doc_id. */
-  /** Distinct (doc_id, fingerprint) pairs — the winnowing fingerprint SET
-    * per document. The distinct aggregates under the window's existing
-    * HashPartitioning(doc_id) (keys ⊇ partitioning), so no extra exchange;
-    * both `tx_fingerprint` and `tx_winnow_pairs` consume this frame. */
+  /** Classic winnowing as a distinct (doc_id, fingerprint) SET per
+    * document: hash every positional word 3-gram, take the min of each
+    * sliding window of 4 hashes, keep the distinct minima. Positional
+    * explode + windowed min + distinct agg — the distinct aggregates under
+    * the window's existing HashPartitioning(doc_id) (keys ⊇ partitioning),
+    * so no extra exchange; both `tx_fingerprint` and `tx_winnow_pairs`
+    * consume this frame. */
   def fingerprintSets(spark: SparkSession, sfDir: String): DataFrame = {
     val kgrams = docs(spark, sfDir)
       .select(col("doc_id"), posexplode(
@@ -674,11 +675,18 @@ object TextOps {
     * sort. idf uses the raw rational N/df rather than log(N/df): order-
     * preserving for single-term queries, libm-free, and exactly portable —
     * the log variant needs only a `log()` wrap at ranking time. */
+  /** Term → literal-safe regex: backslash-escape every non-alphanumeric.
+    * (Not `Pattern.quote` — its \Q..\E envelope is Java-only, and the
+    * oracle's RE2 would treat it literally.) Keeps "c++"-style terms from
+    * being regex syntax on either engine. */
+  private def reEscape(t: String): String =
+    t.replaceAll("([^A-Za-z0-9])", "\\\\$1")
+
   def search(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     val tf = d.select(
       col("doc_id") +: searchTerms.indices.map(i =>
-        regexp_count(col("text"), lit("\\b" + searchTerms(i) + "\\b"))
+        regexp_count(col("text"), lit("\\b" + reEscape(searchTerms(i)) + "\\b"))
           .cast("long").as(s"tf$i")): _*)
     val stats = tf.agg(
       count(lit(1)).as("n_docs"),
@@ -695,8 +703,11 @@ object TextOps {
   }
 
   val searchSql: String = {
-    val tfCols = searchTerms.indices.map(i =>
-      s"len(regexp_extract_all(text, '\\b${searchTerms(i)}\\b')) AS tf$i").mkString(",\n    ")
+    // regex-escaped AND SQL-quote-doubled: a term is user input twice over
+    val tfCols = searchTerms.indices.map { i =>
+      val t = reEscape(searchTerms(i)).replace("'", "''")
+      s"len(regexp_extract_all(text, '\\b$t\\b')) AS tf$i"
+    }.mkString(",\n    ")
     val dfCols = searchTerms.indices.map(i =>
       s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n    ")
     val score = searchTerms.indices.map(i =>
