@@ -708,6 +708,11 @@ object Similarity {
     * (methods × queries), so the audit costs one brute pass over the sample
     * plus the candidate pipelines it is grading. */
   def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    // ONE materialized corpus read serves truth + both graded pipelines:
+    // each sub-pipeline rebuilds the identical embeddings scan plan, which
+    // the cache manager substitutes with this materialization (dd_lsh_recall
+    // achieves the same sharing by threading a persisted frame explicitly)
+    Tables(spark, sfDir).embeddings.persist()
     val truth = bruteTopK(spark, sfDir).filter(col("rank") <= 3)
       .select(col("qid"), col("cand")).persist()
     val nTruth = truth.groupBy(col("qid")).agg(count(lit(1)).as("n_truth"))
