@@ -6,7 +6,8 @@ package graft.commands
   *   status
   *   namechk <username>
   *   signup seen <username>
-  *   signup test `<json>`
+  *   signup rules test `<json>`   (command.rs:227 — `test` is a RULES
+  *                                 subcommand, not a top-level signup form)
   *   signup rules list
   *   signup rules add <name> if|if_susp_ip|if_ip_susp <field> <check> <value>
   *     then <action>[+<action>…] [nodelay] [noexpiry]
@@ -129,7 +130,13 @@ object CommandParser {
           case None => Left("Can't parse int")
         }
       case "useragent" => Left("Could not parse user command")
-      case "lua" => Right(("lua", "lua", code))
+      // empty code = the operator forgot the backticks. The reference
+      // accepts the add and fails when the lua compiles ("Invalid lua",
+      // command.rs:298-300); the engine's analog (sqlCriterion("") →
+      // plan-time ParseException) would detonate far from the command, so
+      // validation is pulled forward to the same user-visible message
+      case "lua" if code.nonEmpty => Right(("lua", "lua", code))
+      case "lua" => Left("Invalid lua")
       case _ => Left("Could not parse user command")
     }
     criterion match {

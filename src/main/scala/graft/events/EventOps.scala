@@ -30,10 +30,13 @@ object EventOps {
         col("p.k").isNotNull.as("valid"))
   }
 
+  // regex mirrors from_json's verdicts on shapes the generator could emit:
+  // signed ints parse, and the [,}] anchor rejects a truncated "{"k": 5"
+  // that the JSON parser would null out
   val parseJsonSql: String =
     """SELECT event_id,
-      |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k,
-      |  regexp_extract(props, '"k": ([0-9]+)', 1) <> '' AS valid
+      |  CAST(regexp_extract(props, '"k": (-?[0-9]+)[,}]', 1) AS INTEGER) AS k,
+      |  regexp_extract(props, '"k": (-?[0-9]+)[,}]', 1) <> '' AS valid
       |FROM events""".stripMargin
 
   /** Ingest throughput: events per hour per type (the reference counts every
@@ -344,7 +347,10 @@ object EventOps {
             col("s1").cast("double") / col("w_n")) /
           sqrt(col("num").cast("double") / (col("w_n") * (col("w_n") - 1))), 6)))
       .select(col("event_type"), col("minute_epoch"), col("n_events"), col("z"),
-        when(col("z").isNotNull && col("z") >= spikeZ, "spike")
+        // |z|: a COLLAPSE is as anomalous as a surge — a one-sided test
+        // reads a site outage as 'ok' the moment the baseline has any
+        // variance at all
+        when(col("z").isNotNull && abs(col("z")) >= spikeZ, "spike")
           // flat baseline, deviating bucket: z is +/-infinity, not 'ok'
           .when(col("num") === 0 && nDec * col("w_n") =!= col("s1"), "spike")
           .otherwise("ok").as("verdict"))
@@ -371,7 +377,7 @@ object EventOps {
        |        / sqrt(CAST(num AS DOUBLE) / (w_n * (w_n - 1))), 6) END AS z
        |  FROM v)
        |SELECT event_type, minute_epoch, n_events, z,
-       |  CASE WHEN z IS NOT NULL AND z >= $spikeZ THEN 'spike'
+       |  CASE WHEN z IS NOT NULL AND abs(z) >= $spikeZ THEN 'spike'
        |       WHEN num = 0 AND CAST(n_events AS HUGEINT) * w_n <> s1 THEN 'spike'
        |       ELSE 'ok' END AS verdict
        |FROM z""".stripMargin

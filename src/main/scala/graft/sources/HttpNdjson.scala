@@ -105,6 +105,7 @@ class HttpNdjsonMicroBatchStream(
   @GuardedBy("lock") private var connects = 0
   @volatile private var stopped = false
   @volatile private var lastError: Throwable = _
+  @volatile private var consecutiveFailures = 0
   @volatile private var conn: HttpURLConnection = _
 
   /** Reconnect count — observable for tests and monitoring. */
@@ -123,6 +124,7 @@ class HttpNdjsonMicroBatchStream(
           val in = new BufferedReader(
             new InputStreamReader(c.getInputStream, StandardCharsets.UTF_8))
           lock.synchronized { connects += 1 }
+          consecutiveFailures = 0
           try {
             val dataAcc = new StringBuilder // SSE: accumulated data: lines
             var line = in.readLine()
@@ -146,8 +148,11 @@ class HttpNdjsonMicroBatchStream(
         } catch {
           case e: Throwable if !stopped =>
             lastError = e
-            // surface the failure: without this a typo'd URL / DNS / TLS
-            // error retries forever while the stream reads as merely idle
+            consecutiveFailures += 1
+            // log the failure; latestOffset escalates to a query error
+            // once the failures are persistent — without that a typo'd
+            // URL / DNS / TLS error retries forever while the stream
+            // reads as merely idle
             logWarning(s"http-ndjson connect/read failed (will retry in " +
               s"$reconnectDelayMs ms): $e")
         }
@@ -163,9 +168,34 @@ class HttpNdjsonMicroBatchStream(
   }
 
   override def initialOffset(): Offset = HttpLineOffset(0L)
-  override def deserializeOffset(json: String): Offset = HttpLineOffset(json.toLong)
+
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.toLong
+    lock.synchronized {
+      // checkpoint restart: a live tap cannot replay, so ADOPT the
+      // committed offset as the numbering base for what the fresh buffer
+      // holds — without the rebase, the restored start offset addresses a
+      // window the new instance never buffered: planInputPartitions slices
+      // empty, and commit() then silently discards the first post-restart
+      // batch of real lines
+      if (n > baseOffset + buffer.size) {
+        baseOffset = n
+        plannedEnd = math.max(plannedEnd, n)
+      }
+    }
+    HttpLineOffset(n)
+  }
+
+  /** Connect failures in a row before the query is failed instead of
+    * retrying silently (the reference's loop retries forever; a Spark query
+    * should surface a dead endpoint to its monitoring). */
+  private val maxConsecutiveFailures = 8
 
   override def latestOffset(): Offset = lock.synchronized {
+    if (consecutiveFailures >= maxConsecutiveFailures)
+      throw new IllegalStateException(
+        s"http-ndjson: $consecutiveFailures consecutive connect failures to $url",
+        lastError)
     val avail = baseOffset + buffer.size
     val window = math.max(plannedEnd, baseOffset) + maxLinesPerTrigger
     plannedEnd = math.max(plannedEnd, math.min(avail, if (window < 0) Long.MaxValue else window))
@@ -175,6 +205,11 @@ class HttpNdjsonMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[HttpLineOffset].n, end.asInstanceOf[HttpLineOffset].n)
     val slice = lock.synchronized {
+      // fail LOUD on an unservable window (start below the trimmed base):
+      // silently returning an empty slice would let commit() discard the
+      // buffered lines the batch never delivered
+      require(s >= baseOffset,
+        s"offset $s below trimmed base $baseOffset — non-replayable source")
       buffer.slice((s - baseOffset).toInt, (e - baseOffset).toInt).toArray
     }
     if (slice.isEmpty) return Array.empty

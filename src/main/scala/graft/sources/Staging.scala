@@ -28,7 +28,11 @@ object Staging {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new java.net.URI(warehouse + "/" + table.toLowerCase)
+    // Locale.ROOT: Spark lowercases identifiers locale-independently — the
+    // default-locale form diverges under e.g. tr_TR ("I" → dotless "ı")
+    // and the stale-location delete would miss the real directory
+    val loc = new java.net.URI(
+      warehouse + "/" + table.toLowerCase(java.util.Locale.ROOT))
     val fs = org.apache.hadoop.fs.FileSystem.get(loc, spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(loc), true)
     df.write.mode("overwrite")
@@ -45,9 +49,14 @@ object Staging {
   def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
 
-  /** Equi-join with the left (large, skewed) side salted `factor` ways. */
+  /** Equi-join with the left (large, skewed) side salted `factor` ways.
+    * The salt is `mid % factor`: per-partition row ids are consecutive, so
+    * a hot key's rows round-robin across all `factor` sub-keys — strictly
+    * more even than hashing (the key column is constant within the hot key
+    * and contributes nothing). */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String, factor: Int): DataFrame = {
-    val salted = large.withColumn("_salt", pmod(hash(col(key), monotonically_increasing_id()), lit(factor)))
+    val salted = large.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(factor.toLong)).cast("int"))
     val replicated = small.crossJoin(
       small.sparkSession.range(factor).select(col("id").cast("int").as("_salt")))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

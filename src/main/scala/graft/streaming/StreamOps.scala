@@ -576,7 +576,7 @@ object StreamOps {
               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
           else None
         val verdict =
-          if (z.exists(_ >= graft.events.EventOps.spikeZ)) "spike"
+          if (z.exists(v => math.abs(v) >= graft.events.EventOps.spikeZ)) "spike"
           else if (num == 0 && BigInt(b.n) * win != s1) "spike"
           else "ok"
         out += SpikeOut(eventType, b.minute_epoch, b.n, z, verdict)

@@ -96,7 +96,8 @@ class CoreSpec extends AnyFunSuite {
       // baseline) so it is unbounded — but never NaN/inf
       z.foreach(v => assert(!v.isNaN && !v.isInfinite))
       if (z.isDefined) {
-        val expect = if (z.exists(_ >= events.EventOps.spikeZ)) "spike" else "ok"
+        val expect =
+          if (z.exists(v => math.abs(v) >= events.EventOps.spikeZ)) "spike" else "ok"
         assert(r.getAs[String]("verdict") == expect)
       }
     }
