@@ -33,15 +33,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  // config args must be LITERALS at function-resolution time (they shape
+  // the expression itself): fail with a usable message instead of silently
+  // hashing with a garbage Expression.toString salt or dying in a raw
+  // ClassCastException on `1 + 2`
   private def str(e: Expression): String = e match {
     case Literal(s: UTF8String, _) => s.toString
     case Literal(null, _) => ""
-    case other => other.toString
+    case other => throw new IllegalArgumentException(
+      s"argument must be a string literal, got: $other")
   }
-  private def int(e: Expression): Int =
-    e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
-  private def bool(e: Expression): Boolean =
-    e.asInstanceOf[Literal].value.asInstanceOf[Boolean]
+  private def int(e: Expression): Int = e match {
+    case Literal(v: Number, _) => v.intValue()
+    case other => throw new IllegalArgumentException(
+      s"argument must be an integer literal, got: $other")
+  }
+  private def bool(e: Expression): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"argument must be a boolean literal, got: $other")
+  }
 
   val shingleHashesFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("shingle_hashes"),

@@ -30,6 +30,20 @@ case class HllSketch(
   extends TypedImperativeAggregate[Array[Byte]] {
 
   val m = 64 // registers; error ~1.04/sqrt(64) = 13%; same algorithm at any m
+  // (changing m must update HllSketch.estimate: α and m² live there, and
+  // the oracle replay's `% 64` bucket width in EventOps.hllReplayCtes)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        // the portable-hash contract is BYTES-OF-STRING: an implicit cast
+        // would silently desync from the oracle, and no cast at all dies in
+        // update() with a raw ClassCastException mid-job
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hll_registers needs a string input (cast explicitly), got ${other.simpleString}")
+    }
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
@@ -71,13 +85,17 @@ case class HllSketch(
 }
 
 object HllSketch {
-  /** Aggregate Column: string input → array<int> of 16 HLL registers. */
   /** Estimate from a [[registers]] output column (by name) — the harmonic
     * derivation lives here only, shared by the batch and streaming
-    * queries. Registers are 0..55; empty registers contribute 2^55. */
+    * queries. Registers are 0..55; empty registers contribute 2^55.
+    * Constants are m-derived: α₆₄ = 0.709 and m² = 4096 for m = 64 (the
+    * sketch's register count) — both must move with `m`. */
+  private val alphaM = 0.709 // α for m = 64
+  private val mSquared = 64 * 64
+
   def estimate(regsCol: String): Column =
     org.apache.spark.sql.functions.expr(
-      s"round(CAST(0.709 AS DOUBLE) * 4096 * power(2.0, 55) / " +
+      s"round(CAST($alphaM AS DOUBLE) * $mSquared * power(2.0, 55) / " +
         s"aggregate(transform($regsCol, r -> shiftleft(CAST(1 AS BIGINT), 55 - r)), " +
         s"CAST(0 AS BIGINT), (acc, x) -> acc + x), 4)")
 

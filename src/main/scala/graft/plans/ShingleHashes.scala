@@ -39,8 +39,11 @@ case class ShingleHashes(child: Expression, k: Int, distinct: Boolean, salt: Str
     * no per-row InternalRow boxing the CodegenFallback path pays). */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val saltLit = salt.replace("\\", "\\\\").replace("\"", "\\\"")
-      s"""${ev.value} = graft.plans.ShingleHashes.evalText($c, $k, $distinct, "$saltLit");"""
+      // the salt rides as a compiled-in reference object, not a source
+      // literal — hand-escaping can't cover control chars (a '\n' in a
+      // config-read salt would break Janino compilation)
+      val saltRef = ctx.addReferenceObj("shingleSalt", salt, "java.lang.String")
+      s"""${ev.value} = graft.plans.ShingleHashes.evalText($c, $k, $distinct, $saltRef);"""
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

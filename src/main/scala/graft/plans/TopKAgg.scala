@@ -32,6 +32,16 @@ case class TopKByScore(
 
   require(k > 0, "k must be positive")
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      // fail at ANALYSIS: without the check a mistyped column passes
+      // planning and every task dies in update() with a raw ClassCastException
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_k_by_score needs (double score, bigint id), got " +
+          s"(${score.dataType.simpleString}, ${id.dataType.simpleString})")
+
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {

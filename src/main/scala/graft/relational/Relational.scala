@@ -340,14 +340,17 @@ object Relational {
       .agg(count(lit(1)).as("pn"), sum(col("value")).as("psum"))
     salted.groupBy(col("event_type"))
       .agg(sum(col("pn")).as("n"),
-        round(sum(col("psum")), 2).as("sum_value"),
-        round(sum(col("psum")) / sum(col("pn")), 6).as("avg_value"))
+        round(sum(col("psum")), 2).as("sum_value"))
+      // derive the mean from the ROUNDED (hash-stable) sum, not the raw
+      // float sum — a 6dp round over order-sensitive addends is the
+      // addend-order hazard the file header forbids (q1's rationale)
+      .withColumn("avg_value", round(col("sum_value") / col("n"), 6))
   }
 
   val qSaltedAggSql: String =
     """SELECT event_type, count(*) AS n,
       |  round(sum(value), 2) AS sum_value,
-      |  round(sum(value) / count(*), 6) AS avg_value
+      |  round(round(sum(value), 2) / count(*), 6) AS avg_value
       |FROM events GROUP BY event_type""".stripMargin
 
   // ---- join-key skew probe ------------------------------------------------
