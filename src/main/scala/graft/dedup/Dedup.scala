@@ -37,6 +37,36 @@ object Dedup {
     """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
+  // ---- normalized-exact dedup (casefold / punctuation / whitespace) -------
+
+  /** The normalization key for [[normalized]]: casefold, strip everything
+    * but `[a-z0-9 ]`, collapse whitespace runs, trim. Pure codegen'd column
+    * math (corpus is ASCII, so `lower` agrees across engines byte-for-byte);
+    * exposed separately so callers can key any dedup variant on it. */
+  def normKey(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Normalized-exact ("fuzzy-exact") dedup: hash the casefolded,
+    * punctuation-stripped, whitespace-collapsed text instead of the raw
+    * bytes, so trivially reformatted copies (case changes, added markup
+    * punctuation, re-wrapped whitespace) collapse into one group — the
+    * standard step between [[exact]] and the shingle-based near-dup tiers.
+    * Same single hash shuffle as [[exact]]; `n_exact_variants` counts how
+    * many raw-byte variants the group folded (anything >1 is a doc [[exact]]
+    * would have kept twice). */
+  def normalized(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .groupBy(md5(normKey(col("text"))).as("norm_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        countDistinct(md5(col("text"))).as("n_exact_variants"))
+
+  val normalizedSql: String =
+    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies,
+      |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact_variants
+      |FROM documents GROUP BY 1""".stripMargin
+
   // ---- soft dedup: reweight copies instead of dropping them ---------------
 
   /** Soft dedup (the SoftDeDup/"don't drop, downweight" variant): every
@@ -681,6 +711,7 @@ object Dedup {
     "dd_source_matrix" -> (sourceMatrix _),
     "dd_contam" -> (contaminate _),
     "dd_exact" -> (exact _),
+    "dd_normalized" -> (normalized _),
     "dd_weighted" -> (weighted _),
     "dd_spans" -> (spans _),
     "dd_incremental" -> (incremental _),
@@ -696,6 +727,7 @@ object Dedup {
     "dd_source_matrix" -> sourceMatrixSql,
     "dd_contam" -> contaminateSql,
     "dd_exact" -> exactSql,
+    "dd_normalized" -> normalizedSql,
     "dd_weighted" -> weightedSql,
     "dd_spans" -> spansSql,
     "dd_incremental" -> incrementalSql,

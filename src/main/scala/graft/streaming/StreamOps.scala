@@ -348,6 +348,65 @@ object StreamOps {
       |  ON s.event_type = d.event_type AND s.minute_epoch = d.minute_epoch
       |WHERE s.minute_epoch IS NULL""".stripMargin
 
+  // ---- live per-key rate limiting (the notify throttle, generalized) ------
+
+  final case class RlEvent(user_id: Long, ts_us: Long)
+  final case class RlState(minute_us: Long, n: Long)
+  final case class Throttled(user_id: Long, minute_us: Long, n_seen: Long,
+    n_allowed: Long, n_dropped: Long)
+
+  val rateLimitPerMinute: Long = 1L
+
+  /** Per-key event-time rate limiter — the reference's per-user notify
+    * throttle (eventhandler.rs:196-216 dedups notifications per user)
+    * generalized to a budget of [[rateLimitPerMinute]] events per user per
+    * minute. State is ONE (minute, count) pair per key — O(keys) forever,
+    * independent of rate. Emits a throttle report row when a minute CLOSES
+    * over budget; the still-open bucket is held back (same open-bucket
+    * holdback as st_spike), and a late event behind the open bucket is
+    * dropped rather than miscounted — O(1) state can't reopen a closed
+    * minute (the single-batch harness never takes that path). Only counts
+    * cross the wire, so intra-minute arrival order is irrelevant —
+    * the report is deterministic under any batch slicing. */
+  def rateLimit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runToTable(spark, sfDir, OutputMode.Append()) { src =>
+      src.select(col("user_id"), col("ts_us")).as[RlEvent]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[RlState, Throttled](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (uid, events, state) =>
+            val out = Vector.newBuilder[Throttled]
+            var cur = state.getOption.getOrElse(RlState(Long.MinValue, 0))
+            def close(): Unit = if (cur.minute_us != Long.MinValue) {
+              val allowed = math.min(cur.n, rateLimitPerMinute)
+              if (cur.n > allowed)
+                out += Throttled(uid, cur.minute_us, cur.n, allowed, cur.n - allowed)
+            }
+            events.map(_.ts_us).toArray.sorted.foreach { t =>
+              val m = t - t % 60000000L
+              if (m > cur.minute_us) { close(); cur = RlState(m, 0) }
+              if (m == cur.minute_us) cur = RlState(cur.minute_us, cur.n + 1)
+            }
+            state.update(cur)
+            out.result().iterator
+        }.toDF()
+    }
+  }
+
+  val rateLimitSql: String =
+    s"""WITH m AS (
+       |  SELECT user_id,
+       |    epoch_us(date_trunc('minute', CAST(ts AS TIMESTAMP))) AS minute_us,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |last AS (SELECT user_id, max(minute_us) AS last_min FROM m GROUP BY 1)
+       |SELECT m.user_id, minute_us, n AS n_seen,
+       |  CAST(least(n, $rateLimitPerMinute) AS BIGINT) AS n_allowed,
+       |  CAST(n - least(n, $rateLimitPerMinute) AS BIGINT) AS n_dropped
+       |FROM m JOIN last ON m.user_id = last.user_id
+       |WHERE minute_us < last_min AND n > $rateLimitPerMinute""".stripMargin
+
   // ---- the reference program end-to-end as ONE streaming job --------------
 
   /** eventstream.rs → eventhandler.rs in a single Structured Streaming
@@ -715,6 +774,7 @@ object StreamOps {
     "st_sessionize" -> (sessionize _),
     "st_dedup" -> (streamDedup _),
     "st_gapfill" -> (stGapfill _),
+    "st_rate_limit" -> (rateLimit _),
     "st_silence" -> (silence _),
     "st_seen_state" -> (seenState _))
 
@@ -732,6 +792,7 @@ object StreamOps {
     "st_sessionize" -> sessionizeSql,
     "st_dedup" -> streamDedupSql,
     "st_gapfill" -> stGapfillSql,
+    "st_rate_limit" -> rateLimitSql,
     "st_silence" -> silenceSql,
     "st_seen_state" -> seenStateSql)
 }

@@ -88,6 +88,54 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("dd_normalized: reformatted copies collapse; raw-byte dups stay counted") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "The quick,  Brown FOX!"),   // punctuation + case + double space
+      (2L, "the quick brown fox"),      // canonical form
+      (3L, "THE QUICK BROWN FOX."),     // case + trailing punct
+      (4L, "the quick brown fox"),      // raw-byte dup of 2
+      (5L, "a different document")).toDF("doc_id", "text")
+    val key = dedup.Dedup.normKey(col("text"))
+    val groups = crafted
+      .groupBy(md5(key).as("norm_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        countDistinct(md5(col("text"))).as("n_exact_variants"))
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"),
+        r.getAs[Long]("n_exact_variants"))).toSet
+    // docs 1-4 are one normalized group (keeper = min doc_id = 1) spanning
+    // 3 raw-byte variants — exact dedup alone would have kept 3 of them
+    assert(groups == Set((1L, 4L, 3L), (5L, 1L, 1L)))
+    // corpus run: group keys are unique and copies conserve the doc count
+    val corpus = dedup.Dedup.normalized(spark, sf).collect()
+    assert(corpus.map(_.getAs[String]("norm_md5")).distinct.length == corpus.length)
+    assert(corpus.map(_.getAs[Long]("n_copies")).sum ==
+      Tables(spark, sf).documents.count())
+  }
+
+  test("st_rate_limit: throttle report equals batch recompute minus open buckets") {
+    val limit = streaming.StreamOps.rateLimitPerMinute
+    val got = streaming.StreamOps.rateLimit(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("minute_us"),
+        r.getAs[Long]("n_seen"), r.getAs[Long]("n_allowed"), r.getAs[Long]("n_dropped")))
+    // internal consistency: allowed capped at the budget, dropped = overflow
+    got.foreach { case (_, _, n, a, d) =>
+      assert(a == math.min(n, limit) && d == n - a && d > 0)
+    }
+    // batch recompute: per-(user, minute) counts over budget, excluding each
+    // user's final (still-open) bucket — the holdback the stream never emits
+    val ev = Tables(spark, sf).events.select(col("user_id"),
+      (graft.epochUs(col("ts")) - graft.epochUs(col("ts")) % 60000000L).as("m"))
+    val counts = ev.groupBy(col("user_id"), col("m")).agg(count(lit(1)).as("n"))
+    val lastM = counts.groupBy(col("user_id")).agg(max(col("m")).as("last_m"))
+    val exp = counts.join(lastM, "user_id")
+      .filter(col("m") < col("last_m") && col("n") > limit)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("m"),
+        r.getAs[Long]("n"))).toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet == exp)
+    assert(got.nonEmpty, "corpus has over-budget minutes; an empty report is a bug")
+  }
+
   test("ev_incr_agg: merged old+delta partials equal the single-pass recompute") {
     val ev = Tables(spark, sf).events
       .withColumn("day_us", graft.epochUs(date_trunc("day", col("ts"))))
