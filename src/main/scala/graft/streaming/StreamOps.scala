@@ -368,6 +368,27 @@ object StreamOps {
     * minute (the single-batch harness never takes that path). Only counts
     * cross the wire, so intra-minute arrival order is irrelevant —
     * the report is deterministic under any batch slicing. */
+  /** The per-group transition: fold a batch's (sorted) event times into the
+    * open bucket, emitting a throttle report for each over-budget minute
+    * that CLOSES. Pure so the batch-slicing invariance is property-testable
+    * (MergePropertySpec): any ordered split of the event stream — including
+    * mid-minute — produces the same reports and end state as one pass. */
+  def rlFold(uid: Long, prior: RlState, sortedTsUs: Seq[Long]): (Seq[Throttled], RlState) = {
+    val out = Vector.newBuilder[Throttled]
+    var cur = prior
+    def close(): Unit = if (cur.minute_us != Long.MinValue) {
+      val allowed = math.min(cur.n, rateLimitPerMinute)
+      if (cur.n > allowed)
+        out += Throttled(uid, cur.minute_us, cur.n, allowed, cur.n - allowed)
+    }
+    sortedTsUs.foreach { t =>
+      val m = t - t % 60000000L
+      if (m > cur.minute_us) { close(); cur = RlState(m, 0) }
+      if (m == cur.minute_us) cur = RlState(cur.minute_us, cur.n + 1)
+    }
+    (out.result(), cur)
+  }
+
   def rateLimit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     runToTable(spark, sfDir, OutputMode.Append()) { src =>
@@ -376,20 +397,11 @@ object StreamOps {
         .flatMapGroupsWithState[RlState, Throttled](
           OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
           case (uid, events, state) =>
-            val out = Vector.newBuilder[Throttled]
-            var cur = state.getOption.getOrElse(RlState(Long.MinValue, 0))
-            def close(): Unit = if (cur.minute_us != Long.MinValue) {
-              val allowed = math.min(cur.n, rateLimitPerMinute)
-              if (cur.n > allowed)
-                out += Throttled(uid, cur.minute_us, cur.n, allowed, cur.n - allowed)
-            }
-            events.map(_.ts_us).toArray.sorted.foreach { t =>
-              val m = t - t % 60000000L
-              if (m > cur.minute_us) { close(); cur = RlState(m, 0) }
-              if (m == cur.minute_us) cur = RlState(cur.minute_us, cur.n + 1)
-            }
-            state.update(cur)
-            out.result().iterator
+            val prior = state.getOption.getOrElse(RlState(Long.MinValue, 0))
+            val (rows, next) =
+              rlFold(uid, prior, events.map(_.ts_us).toArray.sorted.toSeq)
+            state.update(next)
+            rows.iterator
         }.toDF()
     }
   }

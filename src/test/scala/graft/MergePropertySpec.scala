@@ -121,6 +121,33 @@ class MergePropertySpec extends AnyFunSuite {
     })
   }
 
+  test("rlFold: any ordered event split — including mid-minute — equals one pass") {
+    import streaming.StreamOps.{RlState, Throttled, rlFold}
+    // events are raw timestamps (several per minute) so a cut can land
+    // inside a minute: the open bucket's count must thread through state,
+    // never half-emit or reset
+    val gen = for {
+      ns <- Gen.listOf(Gen.chooseNum(1L, 5L))
+      cuts <- Gen.listOf(Gen.chooseNum(0, 500))
+    } yield (ns, cuts)
+    check(Prop.forAll(gen) { case (ns, cuts) =>
+      val events = ns.zipWithIndex.flatMap { case (n, i) =>
+        (0 until n.toInt).map(j => i * 60000000L + j * 1000L)
+      }
+      val init = RlState(Long.MinValue, 0)
+      val (whole, endSt) = rlFold(9L, init, events)
+      val points = (cuts.map(c => math.min(c, events.size)) :+ 0 :+ events.size)
+        .distinct.sorted
+      val (rows, st) = points.zip(points.tail).foldLeft(
+        (Vector.empty[Throttled], init)) {
+        case ((acc, s), (from, to)) =>
+          val (out, s2) = rlFold(9L, s, events.slice(from, to))
+          (acc ++ out, s2)
+      }
+      rows == whole.toVector && st == endSt
+    })
+  }
+
   test("scd2Fold: any ordered event split = one pass; state is one version") {
     import streaming.StreamOps.{Scd2Event, Scd2Out, scd2Fold}
     val gen = for {
