@@ -16,7 +16,8 @@ object SparkEntry {
     (text.TextOps.queries, text.TextOps.oracleSql),
     (sample.Sampling.queries, sample.Sampling.oracleSql),
     (streaming.StreamOps.queries, streaming.StreamOps.oracleSql),
-    (multimodal.Multimodal.queries, multimodal.Multimodal.oracleSql))
+    (multimodal.Multimodal.queries, multimodal.Multimodal.oracleSql),
+    (pipeline.Curate.queries, pipeline.Curate.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's identity in one plan: signups × broadcast rule dim →

@@ -233,4 +233,40 @@ class WideningSpec extends org.scalatest.funsuite.AnyFunSuite {
     val n = st.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
     assert(n == 2000L, s"each of 1000 events in exactly 2 windows, got $n")
   }
+
+  test("pipe_curate: every survivor clears every stage's own contract") {
+    import org.apache.spark.sql.functions._
+    val out = pipeline.Curate.curate(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getAs[Long]("doc_id")).toSet
+    // gate: survivors pass the quality/length floors
+    val gatedOk = text.TextOps.withQualityCols(Tables(spark, sf).documents)
+      .filter(col("quality") >= pipeline.Curate.qualityFloor &&
+        col("n_words") >= pipeline.Curate.minWords)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(gatedOk))
+    // decontamination: no benchmark doc, no contaminated doc
+    val contaminated = dedup.Dedup.contaminate(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.forall(_ >= dedup.Dedup.contamBenchDocs))
+    assert(ids.intersect(contaminated).isEmpty)
+    // split: survivors are train-bucket docs only (samp_split agreement)
+    val trainIds = sample.Sampling.split(spark, sf)
+      .filter(col("split") === "train").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(trainIds))
+    // packing: bins are monotone nondecreasing in doc order per source
+    out.groupBy(_.getAs[String]("source")).values.foreach { rows =>
+      val bins = rows.sortBy(_.getAs[Long]("doc_id")).map(_.getAs[Long]("bin"))
+      assert(bins.zip(bins.tail).forall { case (a, b) => a <= b })
+      assert(bins.head == 0L, "first doc of a source starts bin 0")
+    }
+  }
+
+  test("pipe_curate: one plan — contamination anti-join broadcast, no cartesian") {
+    val plan = pipeline.Curate.curate(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(1000))
+    assert(!plan.contains("CartesianProduct"), plan.take(1000))
+  }
 }
