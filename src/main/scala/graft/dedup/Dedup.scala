@@ -39,12 +39,19 @@ object Dedup {
 
   // ---- normalized-exact dedup (casefold / punctuation / whitespace) -------
 
-  /** The normalization key for [[normalized]]: casefold, strip everything
-    * but `[a-z0-9 ]`, collapse whitespace runs, trim. Pure codegen'd column
+  /** The normalization key for [[normalized]]: casefold, then map every run
+    * of non-alphanumerics (punctuation, spaces, tabs, LINE BREAKS — deleting
+    * instead of spacing would weld "foo\nbar" to "foobar" and leave
+    * re-wrapped copies un-deduped) to one space, trim. Pure codegen'd column
     * math (corpus is ASCII, so `lower` agrees across engines byte-for-byte);
     * exposed separately so callers can key any dedup variant on it. */
   def normKey(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** [[normKey]] as DuckDB SQL over a `text` column — the ONE sync point for
+    * every oracle that replays the normalization (dd_normalized, pipe_curate). */
+  val normKeySql: String =
+    "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 
   /** Normalized-exact ("fuzzy-exact") dedup: hash the casefolded,
     * punctuation-stripped, whitespace-collapsed text instead of the raw
@@ -61,11 +68,10 @@ object Dedup {
         countDistinct(md5(col("text"))).as("n_exact_variants"))
 
   val normalizedSql: String =
-    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
-      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5,
-      |  min(doc_id) AS keep_id, count(*) AS n_copies,
-      |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact_variants
-      |FROM documents GROUP BY 1""".stripMargin
+    s"""SELECT md5($normKeySql) AS norm_md5,
+       |  min(doc_id) AS keep_id, count(*) AS n_copies,
+       |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact_variants
+       |FROM documents GROUP BY 1""".stripMargin
 
   // ---- soft dedup: reweight copies instead of dropping them ---------------
 

@@ -34,10 +34,13 @@ object Curate {
     import graft.dedup.Dedup
     // 1. retention gate (quality + length floors) — a PROJECTION riding the
     //    scan (withQualityCols), so no verdict table is joined back
+    // n_words is carried through as the token count — stage 5 must not
+    // re-run the word split the gate already paid for
     val gated = graft.text.TextOps.withQualityCols(
         graft.Tables(spark, sfDir).documents)
       .filter(col("quality") >= qualityFloor && col("n_words") >= minWords)
-      .select(col("doc_id"), col("text"), col("source"))
+      .select(col("doc_id"), col("text"), col("source"),
+        col("n_words").cast("long").as("tok"))
     // 2. normalized-exact keeper over the GATED corpus (dedup after
     //    filtering — the cheap gate shrinks what the dedup shuffle carries)
     val w = Window.partitionBy(md5(Dedup.normKey(col("text"))))
@@ -53,9 +56,10 @@ object Curate {
     //    no seed, no shuffle, stable under corpus growth)
     val bucket = pmod(Portable.hash64(col("doc_id").cast("string"), salt = "split"), lit(100L))
     val train = clean.filter(bucket < graft.sample.Sampling.splitTrainPct)
-    // 5. per-source sequence packing of the survivors
-    val toks = train.select(col("doc_id"), col("source"),
-      size(Portable.words(col("text"))).cast("long").as("tok"))
+    // 5. per-source sequence packing of the survivors — tok was computed by
+    //    the gate's projection; drop the fat text column here, before the
+    //    pack shuffle carries it
+    val toks = train.select(col("doc_id"), col("source"), col("tok"))
     val cw = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     toks.withColumn("cum", sum(col("tok")).over(cw))
@@ -65,8 +69,7 @@ object Curate {
 
   val curateSql: String = {
     import graft.dedup.Dedup
-    val normMd5 = "md5(trim(regexp_replace(regexp_replace(lower(text), " +
-      "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
+    val normMd5 = s"md5(${Dedup.normKeySql})"
     val bucket = s"""${Portable.hash64Sql("CAST(doc_id AS VARCHAR)", "split")} % 100"""
     s"""WITH q AS (${graft.text.TextOps.qualitySql}),
        |gated AS (

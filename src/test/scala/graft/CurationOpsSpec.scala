@@ -95,7 +95,10 @@ class CurationOpsSpec extends AnyFunSuite {
       (2L, "the quick brown fox"),      // canonical form
       (3L, "THE QUICK BROWN FOX."),     // case + trailing punct
       (4L, "the quick brown fox"),      // raw-byte dup of 2
-      (5L, "a different document")).toDF("doc_id", "text")
+      (5L, "a different document"),
+      (6L, "the quick\nbrown fox"),     // re-wrapped copy: newline = space
+      (7L, "foo\nbar"),                 // must NOT weld to "foobar"
+      (8L, "foobar")).toDF("doc_id", "text")
     val key = dedup.Dedup.normKey(col("text"))
     val groups = crafted
       .groupBy(md5(key).as("norm_md5"))
@@ -103,9 +106,10 @@ class CurationOpsSpec extends AnyFunSuite {
         countDistinct(md5(col("text"))).as("n_exact_variants"))
       .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"),
         r.getAs[Long]("n_exact_variants"))).toSet
-    // docs 1-4 are one normalized group (keeper = min doc_id = 1) spanning
-    // 3 raw-byte variants — exact dedup alone would have kept 3 of them
-    assert(groups == Set((1L, 4L, 3L), (5L, 1L, 1L)))
+    // docs 1-4 and the re-wrapped 6 are one normalized group (keeper = min
+    // doc_id = 1) spanning 4 raw-byte variants — exact dedup alone would
+    // have kept 4 of them; "foo\nbar" and "foobar" stay distinct
+    assert(groups == Set((1L, 5L, 4L), (5L, 1L, 1L), (7L, 1L, 1L), (8L, 1L, 1L)))
     // corpus run: group keys are unique and copies conserve the doc count
     val corpus = dedup.Dedup.normalized(spark, sf).collect()
     assert(corpus.map(_.getAs[String]("norm_md5")).distinct.length == corpus.length)
