@@ -263,6 +263,16 @@ class WideningSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("dd_normalized: no join — normalization is scan-side math ahead of one agg") {
+    spark.catalog.clearCache()
+    val plan = dedup.Dedup.normalized(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(800))
+    // two exchanges only: the distinct-variant expand's partial pair + the
+    // final group on norm_md5 — nothing shuffles the raw text twice
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n <= 2, s"expected <=2 exchanges, got $n\n" + plan.take(800))
+  }
+
   test("pipe_curate: one plan — contamination anti-join broadcast, no cartesian") {
     val plan = pipeline.Curate.curate(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
