@@ -573,6 +573,39 @@ object Dedup {
         (col("keep_key") % 1048576L).as("keep_cid"))
   }
 
+  /** INTRA-document chunk dedup — the C4-style "remove repeated lines
+    * within a page" transform ([[chunkDups]] is the cross-document pass):
+    * drop every repeat of a chunk after its first occurrence, keeping
+    * original order. Entirely per-row column math (`array_distinct`
+    * preserves first-occurrence order) over the same single-pass chunking
+    * expression — ZERO shuffle at any corpus size; emits the cleaned-text
+    * hash so downstream exact/near-dup tiers can key on the scrubbed form. */
+  def intra(spark: SparkSession, sfDir: String): DataFrame = {
+    val ch = graft.plans.ShingleStrings.chunks(col("text"), chunkWords)
+    docs(spark, sfDir)
+      .select(col("doc_id"), ch.as("ch"))
+      .filter(size(col("ch")) > 0)
+      .select(col("doc_id"),
+        size(col("ch")).cast("long").as("n_chunks"),
+        size(array_distinct(col("ch"))).cast("long").as("n_unique"),
+        md5(array_join(array_distinct(col("ch")), " ")).as("clean_md5"))
+  }
+
+  val intraSql: String =
+    s"""WITH w AS (SELECT doc_id, ${Portable.wordsSql} AS w FROM documents),
+       |c AS (
+       |  SELECT doc_id, i AS cid,
+       |    array_to_string(w[i * $chunkWords + 1 : i * $chunkWords + $chunkWords], ' ') AS chunk
+       |  FROM w, LATERAL unnest(range(0, (len(w) + ${chunkWords - 1}) // $chunkWords)) t(i)
+       |  WHERE len(w) > 0),
+       |f AS (
+       |  SELECT doc_id, chunk, min(cid) AS fp, count(*) AS n
+       |  FROM c GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chunks,
+       |  CAST(count(*) AS BIGINT) AS n_unique,
+       |  md5(string_agg(chunk, ' ' ORDER BY fp)) AS clean_md5
+       |FROM f GROUP BY doc_id""".stripMargin
+
   val chunkDupsSql: String =
     s"""WITH w AS (SELECT doc_id, ${Portable.wordsSql} AS w FROM documents),
        |c AS (
@@ -727,6 +760,7 @@ object Dedup {
     "dd_clusters" -> (clusters _),
     "dd_simhash" -> (simhash _),
     "dd_chunks" -> (chunkDups _),
+    "dd_intra" -> (intra _),
     "dd_lsh_recall" -> (lshRecall _))
 
   def oracleSql: Map[String, String] = Map(
@@ -743,5 +777,6 @@ object Dedup {
     "dd_clusters" -> clustersSql,
     "dd_simhash" -> simhashSql,
     "dd_chunks" -> chunkDupsSql,
+    "dd_intra" -> intraSql,
     "dd_lsh_recall" -> lshRecallSql)
 }

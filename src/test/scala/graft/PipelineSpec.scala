@@ -273,6 +273,31 @@ class WideningSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(n <= 2, s"expected <=2 exchanges, got $n\n" + plan.take(800))
   }
 
+  test("dd_intra: repeats after the first occurrence drop, order preserved, zero shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val k = dedup.Dedup.chunkWords
+    // three chunks: A, B, A — cleaned form must be "A B" (first-occurrence
+    // order), counted as 3 chunks / 2 unique
+    val a = (1 to k).map(i => s"a$i").mkString(" ")
+    val b = (1 to k).map(i => s"b$i").mkString(" ")
+    val crafted = Seq((1L, s"$a $b $a")).toDF("doc_id", "text")
+    val ch = graft.plans.ShingleStrings.chunks(col("text"), k)
+    val row = crafted.select(col("doc_id"),
+        size(ch).cast("long").as("n_chunks"),
+        size(array_distinct(ch)).cast("long").as("n_unique"),
+        md5(array_join(array_distinct(ch), " ")).as("clean_md5"))
+      .head()
+    assert(row.getAs[Long]("n_chunks") == 3L && row.getAs[Long]("n_unique") == 2L)
+    val expectedMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$a $b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(row.getAs[String]("clean_md5") == expectedMd5)
+    // the corpus query is a pure projection — no exchange of any kind
+    spark.catalog.clearCache()
+    val plan = dedup.Dedup.intra(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
   test("pipe_curate: one plan — contamination anti-join broadcast, no cartesian") {
     val plan = pipeline.Curate.curate(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
