@@ -118,7 +118,7 @@ object UapCore {
          else Seq(regexp_extract(ua, p.javaRegex, refs(i - 1)))) ++
           (if (s.isEmpty) Seq.empty else Seq(lit(s)))
       }
-      concat(pieces: _*)
+      concat(pieces.toIndexedSeq: _*)
     case Some(t) => lit(t)
     case None => regexp_extract(ua, p.regex, 1)
   }
