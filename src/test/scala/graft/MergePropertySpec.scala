@@ -121,6 +121,27 @@ class MergePropertySpec extends AnyFunSuite {
     })
   }
 
+  test("CommandParser.parse: total on arbitrary input — classifies, never throws") {
+    // the DSL fronts an operator chat channel (command.rs): any garbage —
+    // control chars, stray backticks, half-typed commands — must come back
+    // as a Parsed (ok=false + error message), never an exception, and ok
+    // results must carry the fields their kind promises
+    val fragmentGen = Gen.oneOf(
+      Gen.oneOf("status", "namechk", "signup", "rules", "add", "if",
+        "if_susp_ip", "then", "email", "contains", "`x`", "`", "nodelay",
+        "noexpiry", "remove", "show", "list", "enable", "disable", "renew",
+        "3d", "2w", "seen", "test"),
+      Gen.asciiPrintableStr.map(_.take(12)),
+      Gen.listOf(Gen.chooseNum(0, 127)).map(_.map(_.toChar).mkString.take(12)))
+    val cmdGen = Gen.listOf(fragmentGen).map(_.mkString(" "))
+    check(Prop.forAll(cmdGen) { cmd =>
+      val p = graft.commands.CommandParser.parse(cmd)
+      (p.ok || p.error.nonEmpty) &&
+        (!p.ok || p.kind != "error") &&
+        (p.kind != "namechk" || !p.ok || p.name.nonEmpty)
+    })
+  }
+
   test("rlFold: any ordered event split — including mid-minute — equals one pass") {
     import streaming.StreamOps.{RlState, Throttled, rlFold}
     // events are raw timestamps (several per minute) so a cut can land
