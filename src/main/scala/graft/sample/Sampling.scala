@@ -166,6 +166,59 @@ object Sampling {
       |    / round(CAST(mass AS DOUBLE) / sum(mass) OVER (), 6), 6) AS boost
       |FROM k""".stripMargin
 
+  // ---- DSIR importance weighting (target-domain likelihood ratio) ---------
+
+  /** Sources standing in for the target domain (production feeds a real
+    * target corpus — its counts flow through the same dims). */
+  val dsirTargetSources: Seq[String] = Seq("src0", "src1")
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023): weight
+    * every document by how much more likely its tokens are under the
+    * TARGET domain's unigram LM than under the whole-corpus LM — the
+    * principled version of "upsample what looks like the good stuff".
+    * Per-token ratio = ((ct+1)·(Nc+V)) / ((cc+1)·(Nt+V)) with Laplace
+    * smoothing: both operands are exact integer products (< 2^53 at bench
+    * scales — the 100 TB continuation moves to log-space sums), so each
+    * token contributes ONE portable double division; the document weight
+    * is their mean (tx_lm_score's rational-mean analog of the log-sum).
+    * Shapes: two Zipf-small count dims joined to the token stream, totals
+    * as a broadcast single row, one groupBy(doc_id) — same plan family as
+    * tx_lm_score. Sampling on the weight is [[stratified]]'s hash gate. */
+  def dsir(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("source"), explode(Portable.words(col("text"))).as("w"))
+    val corpus = words.groupBy(col("w")).agg(count(lit(1)).as("cc"))
+    val target = words.filter(col("source").isin(dsirTargetSources: _*))
+      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    val totals = corpus.agg(sum(col("cc")).as("nc"), count(lit(1)).as("v"))
+      .crossJoin(target.agg(sum(col("ct")).as("nt")))
+    words
+      .join(corpus, "w")
+      .join(target, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        round(avg(((coalesce(col("ct"), lit(0L)) + 1L) * (col("nc") + col("v"))) /
+          ((col("cc") + 1L) * (col("nt") + col("v")))), 6).as("dsir_weight"))
+  }
+
+  val dsirSql: String = {
+    val tgt = dsirTargetSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, source, unnest(${Portable.wordsSql}) AS w FROM documents),
+       |cc AS (SELECT w, count(*) AS cc FROM w GROUP BY 1),
+       |ct AS (SELECT w, count(*) AS ct FROM w WHERE source IN ($tgt) GROUP BY 1),
+       |tot AS (SELECT
+       |  (SELECT CAST(sum(cc) AS BIGINT) FROM cc) AS nc,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM cc) AS v,
+       |  (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS nt)
+       |SELECT doc_id, count(*) AS n_words,
+       |  round(avg(((coalesce(ct, 0) + 1) * (nc + v)) /
+       |    ((cc + 1) * (nt + v))), 6) AS dsir_weight
+       |FROM w JOIN cc USING (w) LEFT JOIN ct USING (w) CROSS JOIN tot
+       |GROUP BY doc_id""".stripMargin
+  }
+
   // ---- deterministic train/valid/test split -------------------------------
 
   /** Percent of the hash space per split: train 90 / valid 5 / test 5. */
@@ -203,12 +256,14 @@ object Sampling {
     "samp_stratified" -> (stratified _),
     "samp_reservoir" -> (reservoir _),
     "samp_mixture" -> (mixture _),
-    "samp_temperature" -> (temperature _))
+    "samp_temperature" -> (temperature _),
+    "samp_dsir" -> (dsir _))
 
   def oracleSql: Map[String, String] = Map(
     "samp_split" -> splitSql,
     "samp_stratified" -> stratifiedSql,
     "samp_reservoir" -> reservoirSql,
     "samp_mixture" -> mixtureSql,
-    "samp_temperature" -> temperatureSql)
+    "samp_temperature" -> temperatureSql,
+    "samp_dsir" -> dsirSql)
 }

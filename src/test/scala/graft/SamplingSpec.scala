@@ -65,6 +65,23 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("samp_dsir: weights positive; target-domain docs average higher weight") {
+    import org.apache.spark.sql.functions._
+    val w = sample.Sampling.dsir(spark, sf)
+    val rows = w.collect()
+    assert(rows.length == Tables(spark, sf).documents.count())
+    rows.foreach(r => assert(r.getAs[Double]("dsir_weight") > 0.0))
+    // the estimator's point: documents FROM the target sources must score
+    // higher under the target LM than the rest of the corpus on average
+    val bySrc = w.join(Tables(spark, sf).documents.select("doc_id", "source"), "doc_id")
+      .withColumn("is_target",
+        col("source").isin(sample.Sampling.dsirTargetSources: _*))
+      .groupBy(col("is_target")).agg(avg(col("dsir_weight")).as("mw"))
+      .collect().map(r => (r.getAs[Boolean]("is_target"), r.getAs[Double]("mw"))).toMap
+    assert(bySrc(true) > bySrc(false),
+      s"target mean ${bySrc(true)} must exceed non-target ${bySrc(false)}")
+  }
+
   test("tx_pii redacts every detected email and ip") {
     val rows = text.TextOps.pii(spark, sf).collect()
     assert(rows.nonEmpty)
