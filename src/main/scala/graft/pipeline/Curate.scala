@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.functions.Portable
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,14 +28,15 @@ object Curate {
   val qualityFloor = 0.4
   val minWords = 20
 
-  /** Survivor manifest: gated, deduped, decontaminated train-split docs
-    * with their per-source pack bin. */
-  def curate(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The four survivor frames, in pipeline order — shared by the manifest
+    * ([[curate]]) and the audit funnel ([[funnel]]) so both queries are the
+    * same subtrees. */
+  def stages(spark: SparkSession, sfDir: String): Seq[(String, DataFrame)] = {
     import graft.dedup.Dedup
     // 1. retention gate (quality + length floors) — a PROJECTION riding the
     //    scan (withQualityCols), so no verdict table is joined back
-    // n_words is carried through as the token count — stage 5 must not
-    // re-run the word split the gate already paid for
+    // n_words is carried through as the token count — the pack stage must
+    // not re-run the word split the gate already paid for
     val gated = graft.text.TextOps.withQualityCols(
         graft.Tables(spark, sfDir).documents)
       .filter(col("quality") >= qualityFloor && col("n_words") >= minWords)
@@ -56,6 +57,13 @@ object Curate {
     //    no seed, no shuffle, stable under corpus growth)
     val bucket = pmod(Portable.hash64(col("doc_id").cast("string"), salt = "split"), lit(100L))
     val train = clean.filter(bucket < graft.sample.Sampling.splitTrainPct)
+    Seq("gated" -> gated, "deduped" -> deduped, "clean" -> clean, "train" -> train)
+  }
+
+  /** Survivor manifest: gated, deduped, decontaminated train-split docs
+    * with their per-source pack bin. */
+  def curate(spark: SparkSession, sfDir: String): DataFrame = {
+    val train = stages(spark, sfDir).last._2
     // 5. per-source sequence packing of the survivors — tok was computed by
     //    the gate's projection; drop the fat text column here, before the
     //    pack shuffle carries it
@@ -67,43 +75,113 @@ object Curate {
         expr(s"(cum - tok) DIV ${graft.text.TextOps.packBudget}").as("bin"))
   }
 
+  /** The audit funnel every production pipeline logs next to its output:
+    * document and token counts surviving each stage (plus the raw corpus),
+    * in pipeline order. NOT a union of per-stage aggregates — that would
+    * re-execute the gate/dedup/decontamination chain once per row. Instead
+    * every stage's membership rides the gated frame as a FLAG column
+    * (later stages are conjunctions of earlier ones), ONE aggregation
+    * computes all four (docs, tokens) pairs, and a 4-struct explode of
+    * that single row yields the report: the whole funnel costs one pass
+    * over the gated corpus + the raw-corpus count. */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val raw = graft.Tables(spark, sfDir).documents
+      .agg(count(lit(1)).as("n_docs"), sum(size(Portable.words(col("text"))))
+        .cast("long").as("n_tokens"))
+      .select(lit(0L).as("stage"), lit("raw").as("name"), col("n_docs"), col("n_tokens"))
+    val gated = stages(spark, sfDir).head._2
+    val w = Window.partitionBy(md5(Dedup.normKey(col("text"))))
+    val contam = Dedup.contaminate(spark, sfDir).select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    val bucket = pmod(Portable.hash64(col("doc_id").cast("string"), salt = "split"), lit(100L))
+    val flagged = gated
+      .withColumn("is_dedup", col("doc_id") === min(col("doc_id")).over(w))
+      .join(broadcast(contam), Seq("doc_id"), "left")
+      .withColumn("is_clean", col("is_dedup") &&
+        col("doc_id") >= Dedup.contamBenchDocs && col("contaminated").isNull)
+      .withColumn("is_train", col("is_clean") && bucket < graft.sample.Sampling.splitTrainPct)
+    def pair(flag: Column): (Column, Column) = (
+      sum(when(flag, 1L).otherwise(0L)),
+      coalesce(sum(when(flag, col("tok")).otherwise(0L)), lit(0L)))
+    val (d1, t1) = (count(lit(1)).cast("long"), coalesce(sum(col("tok")), lit(0L)))
+    val (d2, t2) = pair(col("is_dedup"))
+    val (d3, t3) = pair(col("is_clean"))
+    val (d4, t4) = pair(col("is_train"))
+    val one = flagged.agg(d1.as("d1"), t1.as("t1"), d2.as("d2"), t2.as("t2"),
+      d3.as("d3"), t3.as("t3"), d4.as("d4"), t4.as("t4"))
+    val staged = one.select(explode(array(
+        struct(lit(1L).as("stage"), lit("gated").as("name"),
+          col("d1").as("n_docs"), col("t1").as("n_tokens")),
+        struct(lit(2L).as("stage"), lit("deduped").as("name"),
+          col("d2").as("n_docs"), col("t2").as("n_tokens")),
+        struct(lit(3L).as("stage"), lit("clean").as("name"),
+          col("d3").as("n_docs"), col("t3").as("n_tokens")),
+        struct(lit(4L).as("stage"), lit("train").as("name"),
+          col("d4").as("n_docs"), col("t4").as("n_tokens")))).as("r"))
+      .select(col("r.stage"), col("r.name"), col("r.n_docs"), col("r.n_tokens"))
+    raw.unionAll(staged)
+  }
+
   val curateSql: String = {
     import graft.dedup.Dedup
     val normMd5 = s"md5(${Dedup.normKeySql})"
     val bucket = s"""${Portable.hash64Sql("CAST(doc_id AS VARCHAR)", "split")} % 100"""
-    s"""WITH q AS (${graft.text.TextOps.qualitySql}),
-       |gated AS (
-       |  SELECT d.doc_id, d.text, d.source FROM documents d
-       |  JOIN q ON q.doc_id = d.doc_id
-       |  WHERE q.quality >= $qualityFloor AND q.n_words >= $minWords),
-       |dd AS (
-       |  SELECT doc_id, text, source FROM (
-       |    SELECT doc_id, text, source,
-       |      min(doc_id) OVER (PARTITION BY $normMd5) AS keep_id
-       |    FROM gated) n
-       |  WHERE doc_id = keep_id),
-       |contam AS (SELECT DISTINCT doc_id FROM (${Dedup.contaminateSql}) c0),
-       |cln AS (
-       |  SELECT dd.doc_id, dd.text, dd.source FROM dd
-       |  WHERE dd.doc_id >= ${Dedup.contamBenchDocs}
-       |    AND dd.doc_id NOT IN (SELECT doc_id FROM contam)),
-       |trn AS (SELECT * FROM cln WHERE $bucket < ${graft.sample.Sampling.splitTrainPct}),
-       |toks AS (
-       |  SELECT doc_id, source, CAST(len(${Portable.wordsSql}) AS BIGINT) AS tok
-       |  FROM trn),
+    s"""WITH $stageCtes,
        |c AS (
        |  SELECT doc_id, source, tok,
        |    sum(tok) OVER (PARTITION BY source ORDER BY doc_id
        |      ROWS UNBOUNDED PRECEDING) AS cum
-       |  FROM toks)
+       |  FROM trn)
        |SELECT doc_id, source, tok,
        |  CAST((cum - tok) // ${graft.text.TextOps.packBudget} AS BIGINT) AS bin
        |FROM c""".stripMargin
   }
 
+  /** Shared DuckDB CTE chain ending in the train survivors `trn
+    * (doc_id, text, source, tok)` — the oracle twin of [[stages]]. */
+  private lazy val stageCtes: String = {
+    import graft.dedup.Dedup
+    val normMd5 = s"md5(${Dedup.normKeySql})"
+    val bucket = s"""${Portable.hash64Sql("CAST(doc_id AS VARCHAR)", "split")} % 100"""
+    s"""q AS (${graft.text.TextOps.qualitySql}),
+       |gated AS (
+       |  SELECT d.doc_id, d.text, d.source, CAST(q.n_words AS BIGINT) AS tok
+       |  FROM documents d
+       |  JOIN q ON q.doc_id = d.doc_id
+       |  WHERE q.quality >= $qualityFloor AND q.n_words >= $minWords),
+       |dd AS (
+       |  SELECT doc_id, text, source, tok FROM (
+       |    SELECT doc_id, text, source, tok,
+       |      min(doc_id) OVER (PARTITION BY $normMd5) AS keep_id
+       |    FROM gated) n
+       |  WHERE doc_id = keep_id),
+       |contam AS (SELECT DISTINCT doc_id FROM (${Dedup.contaminateSql}) c0),
+       |cln AS (
+       |  SELECT dd.doc_id, dd.text, dd.source, dd.tok FROM dd
+       |  WHERE dd.doc_id >= ${Dedup.contamBenchDocs}
+       |    AND dd.doc_id NOT IN (SELECT doc_id FROM contam)),
+       |trn AS (SELECT * FROM cln WHERE $bucket < ${graft.sample.Sampling.splitTrainPct})""".stripMargin
+  }
+
+  val funnelSql: String =
+    s"""WITH $stageCtes
+       |SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS name, count(*) AS n_docs,
+       |  CAST(sum(len(${Portable.wordsSql})) AS BIGINT) AS n_tokens FROM documents
+       |UNION ALL SELECT CAST(1 AS BIGINT), 'gated', count(*),
+       |  CAST(coalesce(sum(tok), 0) AS BIGINT) FROM gated
+       |UNION ALL SELECT CAST(2 AS BIGINT), 'deduped', count(*),
+       |  CAST(coalesce(sum(tok), 0) AS BIGINT) FROM dd
+       |UNION ALL SELECT CAST(3 AS BIGINT), 'clean', count(*),
+       |  CAST(coalesce(sum(tok), 0) AS BIGINT) FROM cln
+       |UNION ALL SELECT CAST(4 AS BIGINT), 'train', count(*),
+       |  CAST(coalesce(sum(tok), 0) AS BIGINT) FROM trn""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipe_curate" -> (curate _))
+    "pipe_curate" -> (curate _),
+    "pipe_funnel" -> (funnel _))
 
   def oracleSql: Map[String, String] = Map(
-    "pipe_curate" -> curateSql)
+    "pipe_curate" -> curateSql,
+    "pipe_funnel" -> funnelSql)
 }

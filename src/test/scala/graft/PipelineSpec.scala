@@ -298,6 +298,20 @@ class WideningSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!plan.contains("Exchange"), plan.take(800))
   }
 
+  test("pipe_funnel: stage counts monotone non-increasing; train row equals the manifest") {
+    val rows = pipeline.Curate.funnel(spark, sf).collect()
+      .sortBy(_.getAs[Long]("stage"))
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+    assert(rows.map(_._1).toSeq == Seq("raw", "gated", "deduped", "clean", "train"))
+    rows.sliding(2).foreach { case Array((_, d1, t1), (_, d2, t2)) =>
+      assert(d2 <= d1 && t2 <= t1, s"funnel must shrink: $rows")
+    }
+    val (_, trainDocs, trainToks) = rows.last
+    val manifest = pipeline.Curate.curate(spark, sf)
+    assert(manifest.count() == trainDocs)
+    assert(manifest.agg(org.apache.spark.sql.functions.sum("tok")).head.getLong(0) == trainToks)
+  }
+
   test("pipe_curate: one plan — contamination anti-join broadcast, no cartesian") {
     val plan = pipeline.Curate.curate(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
