@@ -28,6 +28,18 @@ object Curate {
   val qualityFloor = 0.4
   val minWords = 20
 
+  // The shared stage expressions — ONE definition each, used by both the
+  // manifest chain (stages) and the funnel's flag columns, so the audit can
+  // never report a different pipeline than curate ships.
+  /** Dedup keeper window: first doc per normalized-text group. */
+  private def dedupWindow = Window.partitionBy(md5(graft.dedup.Dedup.normKey(col("text"))))
+  /** Distinct contaminated doc ids (bounded by the benchmark's reach). */
+  private def contamFrame(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.Dedup.contaminate(spark, sfDir).select(col("doc_id")).distinct()
+  /** Reproducible split bucket: pure hash of doc_id, salt-isolated. */
+  private def splitBucket: Column =
+    pmod(Portable.hash64(col("doc_id").cast("string"), salt = "split"), lit(100L))
+
   /** The four survivor frames, in pipeline order — shared by the manifest
     * ([[curate]]) and the audit funnel ([[funnel]]) so both queries are the
     * same subtrees. */
@@ -44,19 +56,16 @@ object Curate {
         col("n_words").cast("long").as("tok"))
     // 2. normalized-exact keeper over the GATED corpus (dedup after
     //    filtering — the cheap gate shrinks what the dedup shuffle carries)
-    val w = Window.partitionBy(md5(Dedup.normKey(col("text"))))
-    val deduped = gated.withColumn("keep_id", min(col("doc_id")).over(w))
+    val deduped = gated.withColumn("keep_id", min(col("doc_id")).over(dedupWindow))
       .filter(col("doc_id") === col("keep_id"))
     // 3. decontamination: drop the benchmark docs themselves and every
     //    training doc sharing n-grams with one (broadcast anti-join —
     //    the contaminated set is bounded by the benchmark's reach)
-    val contam = Dedup.contaminate(spark, sfDir).select(col("doc_id")).distinct()
     val clean = deduped.filter(col("doc_id") >= Dedup.contamBenchDocs)
-      .join(broadcast(contam), Seq("doc_id"), "left_anti")
+      .join(broadcast(contamFrame(spark, sfDir)), Seq("doc_id"), "left_anti")
     // 4. reproducible split: keep the train bucket (pure hash of doc_id —
     //    no seed, no shuffle, stable under corpus growth)
-    val bucket = pmod(Portable.hash64(col("doc_id").cast("string"), salt = "split"), lit(100L))
-    val train = clean.filter(bucket < graft.sample.Sampling.splitTrainPct)
+    val train = clean.filter(splitBucket < graft.sample.Sampling.splitTrainPct)
     Seq("gated" -> gated, "deduped" -> deduped, "clean" -> clean, "train" -> train)
   }
 
@@ -91,18 +100,15 @@ object Curate {
         .cast("long").as("n_tokens"))
       .select(lit(0L).as("stage"), lit("raw").as("name"), col("n_docs"), col("n_tokens"))
     val gated = stages(spark, sfDir).head._2
-    val w = Window.partitionBy(md5(Dedup.normKey(col("text"))))
-    val contam = Dedup.contaminate(spark, sfDir).select(col("doc_id")).distinct()
-      .withColumn("contaminated", lit(true))
-    val bucket = pmod(Portable.hash64(col("doc_id").cast("string"), salt = "split"), lit(100L))
+    val contam = contamFrame(spark, sfDir).withColumn("contaminated", lit(true))
     val flagged = gated
-      .withColumn("is_dedup", col("doc_id") === min(col("doc_id")).over(w))
+      .withColumn("is_dedup", col("doc_id") === min(col("doc_id")).over(dedupWindow))
       .join(broadcast(contam), Seq("doc_id"), "left")
       .withColumn("is_clean", col("is_dedup") &&
         col("doc_id") >= Dedup.contamBenchDocs && col("contaminated").isNull)
-      .withColumn("is_train", col("is_clean") && bucket < graft.sample.Sampling.splitTrainPct)
+      .withColumn("is_train", col("is_clean") && splitBucket < graft.sample.Sampling.splitTrainPct)
     def pair(flag: Column): (Column, Column) = (
-      sum(when(flag, 1L).otherwise(0L)),
+      coalesce(sum(when(flag, 1L).otherwise(0L)), lit(0L)),
       coalesce(sum(when(flag, col("tok")).otherwise(0L)), lit(0L)))
     val (d1, t1) = (count(lit(1)).cast("long"), coalesce(sum(col("tok")), lit(0L)))
     val (d2, t2) = pair(col("is_dedup"))
@@ -123,10 +129,7 @@ object Curate {
     raw.unionAll(staged)
   }
 
-  val curateSql: String = {
-    import graft.dedup.Dedup
-    val normMd5 = s"md5(${Dedup.normKeySql})"
-    val bucket = s"""${Portable.hash64Sql("CAST(doc_id AS VARCHAR)", "split")} % 100"""
+  val curateSql: String =
     s"""WITH $stageCtes,
        |c AS (
        |  SELECT doc_id, source, tok,
@@ -136,7 +139,6 @@ object Curate {
        |SELECT doc_id, source, tok,
        |  CAST((cum - tok) // ${graft.text.TextOps.packBudget} AS BIGINT) AS bin
        |FROM c""".stripMargin
-  }
 
   /** Shared DuckDB CTE chain ending in the train survivors `trn
     * (doc_id, text, source, tok)` — the oracle twin of [[stages]]. */

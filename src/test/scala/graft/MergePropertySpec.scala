@@ -138,7 +138,7 @@ class MergePropertySpec extends AnyFunSuite {
       val p = graft.commands.CommandParser.parse(cmd)
       (p.ok || p.error.nonEmpty) &&
         (!p.ok || p.kind != "error") &&
-        (p.kind != "namechk" || !p.ok || p.name.nonEmpty)
+        (p.kind != "namechk" || !p.ok || p.name.exists(_.nonEmpty))
     })
   }
 
