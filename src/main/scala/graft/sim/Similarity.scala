@@ -747,8 +747,45 @@ object Similarity {
        |${methodSql(ivfTopKSql, "ivf")}""".stripMargin
   }
 
+  // ---- cluster-balanced sampling (diversity quota over semantic strata) ---
+
+  val clusterSampleK = 8
+
+  /** Cluster-balanced ("diversity") sampling: an exact-K quota from every
+    * SEMANTIC cluster rather than every label — the embedding-space
+    * counterpart of samp_stratified that keeps a mixture from collapsing
+    * onto its dominant modes (big clusters are capped at K, small clusters
+    * survive whole). Rides the shared coarse-assignment pass (O(n·K)
+    * broadcast + argmax window, same subtree as IVF/SemDeDup); the quota is
+    * samp_reservoir's hash-priority rank within each cluster — fully
+    * deterministic, no RNG, one shuffle on cluster id. */
+  def clusterSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = graft.functions.Portable.hash64(col("vec_id").cast("string"), salt = "clsamp")
+    val w = Window.partitionBy(col("cid")).orderBy(h.asc, col("vec_id").asc)
+    val cw = Window.partitionBy(col("cid"))
+    assignedLists(spark, sfDir)
+      .select(col("cid"), col("vec_id"))
+      .withColumn("cluster_size", count(lit(1)).over(cw))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= clusterSampleK)
+  }
+
+  val clusterSampleSql: String = {
+    val h = graft.functions.Portable.hash64Sql("CAST(vec_id AS VARCHAR)", "clsamp")
+    s"""WITH $embCte,
+       |$assignedCte,
+       |sampled AS (
+       |  SELECT cid, vec_id,
+       |    count(*) OVER (PARTITION BY cid) AS cluster_size,
+       |    row_number() OVER (PARTITION BY cid ORDER BY $h ASC, vec_id ASC) AS rank
+       |  FROM lists)
+       |SELECT cid, vec_id, cluster_size, CAST(rank AS BIGINT) AS rank
+       |FROM sampled WHERE rank <= $clusterSampleK""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall" -> (annRecall _),
+    "samp_cluster" -> (clusterSample _),
     "ann_quant_topk" -> (quantTopK _),
     "ann_pq_topk" -> (pqTopK _),
     "ann_brute_topk" -> (bruteTopK _),
@@ -761,6 +798,7 @@ object Similarity {
 
   def oracleSql: Map[String, String] = Map(
     "ann_recall" -> annRecallSql,
+    "samp_cluster" -> clusterSampleSql,
     "ann_quant_topk" -> quantTopKSql,
     "ann_pq_topk" -> pqTopKSql,
     "ann_brute_topk" -> bruteTopKSql,

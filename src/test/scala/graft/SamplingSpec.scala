@@ -82,6 +82,25 @@ class SamplingSpec extends AnyFunSuite {
       s"target mean ${bySrc(true)} must exceed non-target ${bySrc(false)}")
   }
 
+  test("samp_cluster: exact-K quota per semantic cluster, small clusters survive whole") {
+    val k = sim.Similarity.clusterSampleK
+    val rows = sim.Similarity.clusterSample(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Long]("rank")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cid, members) =>
+      val size = members.head._3
+      assert(members.forall(_._3 == size), s"cluster $cid size disagreement")
+      // kept count: whole cluster when under quota, exactly K otherwise
+      assert(members.length == math.min(size, k.toLong), s"cluster $cid quota")
+      // ranks are dense 1..kept — the quota is a rank cut, not a filter scan
+      assert(members.map(_._4).sorted.toSeq == (1L to members.length).toSeq)
+    }
+    // quota actually bites somewhere AND some cluster is under quota,
+    // or the corpus exercises only half the contract
+    assert(rows.groupBy(_._1).values.exists(_.head._3 > k))
+  }
+
   test("tx_pii redacts every detected email and ip") {
     val rows = text.TextOps.pii(spark, sf).collect()
     assert(rows.nonEmpty)
