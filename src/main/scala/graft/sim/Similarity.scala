@@ -759,16 +759,21 @@ object Similarity {
     * broadcast + argmax window, same subtree as IVF/SemDeDup); the quota is
     * samp_reservoir's hash-priority rank within each cluster — fully
     * deterministic, no RNG, one shuffle on cluster id. */
-  def clusterSample(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The quota itself, over any (cid, vec_id) assignment frame — separate
+    * from the corpus binding so the under-quota (small-cluster) branch is
+    * spec-testable on crafted clusters (the synthetic corpus has none). */
+  def quotaSample(assigned: DataFrame, k: Int): DataFrame = {
     val h = graft.functions.Portable.hash64(col("vec_id").cast("string"), salt = "clsamp")
     val w = Window.partitionBy(col("cid")).orderBy(h.asc, col("vec_id").asc)
     val cw = Window.partitionBy(col("cid"))
-    assignedLists(spark, sfDir)
-      .select(col("cid"), col("vec_id"))
+    assigned.select(col("cid"), col("vec_id"))
       .withColumn("cluster_size", count(lit(1)).over(cw))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= clusterSampleK)
+      .filter(col("rank") <= k)
   }
+
+  def clusterSample(spark: SparkSession, sfDir: String): DataFrame =
+    quotaSample(assignedLists(spark, sfDir), clusterSampleK)
 
   val clusterSampleSql: String = {
     val h = graft.functions.Portable.hash64Sql("CAST(vec_id AS VARCHAR)", "clsamp")

@@ -83,12 +83,14 @@ class SamplingSpec extends AnyFunSuite {
   }
 
   test("samp_cluster: exact-K quota per semantic cluster, small clusters survive whole") {
+    import spark.implicits._
     val k = sim.Similarity.clusterSampleK
     val rows = sim.Similarity.clusterSample(spark, sf).collect()
       .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("vec_id"),
         r.getAs[Long]("cluster_size"), r.getAs[Long]("rank")))
     assert(rows.nonEmpty)
-    rows.groupBy(_._1).foreach { case (cid, members) =>
+    val byCluster = rows.groupBy(_._1)
+    byCluster.foreach { case (cid, members) =>
       val size = members.head._3
       assert(members.forall(_._3 == size), s"cluster $cid size disagreement")
       // kept count: whole cluster when under quota, exactly K otherwise
@@ -96,9 +98,18 @@ class SamplingSpec extends AnyFunSuite {
       // ranks are dense 1..kept — the quota is a rank cut, not a filter scan
       assert(members.map(_._4).sorted.toSeq == (1L to members.length).toSeq)
     }
-    // quota actually bites somewhere AND some cluster is under quota,
-    // or the corpus exercises only half the contract
-    assert(rows.groupBy(_._1).values.exists(_.head._3 > k))
+    // the quota must actually bite somewhere on the corpus
+    assert(byCluster.values.exists(_.head._3 > k))
+    // every sf0.01 cluster is over quota, so the under-quota branch needs a
+    // crafted assignment: cluster 1 has 3 members (< K, survives whole),
+    // cluster 2 has K+12 (cut to exactly K)
+    val crafted = ((1 to 3).map(i => (1L, i.toLong)) ++
+      (1 to k + 12).map(i => (2L, 100L + i))).toDF("cid", "vec_id")
+    val quota = sim.Similarity.quotaSample(crafted, k).collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("vec_id")))
+    assert(quota.count(_._1 == 1L) == 3, "under-quota cluster must survive whole")
+    assert(quota.filter(_._1 == 1L).map(_._2).toSet == Set(1L, 2L, 3L))
+    assert(quota.count(_._1 == 2L) == k, "over-quota cluster cut to exactly K")
   }
 
   test("tx_pii redacts every detected email and ip") {
