@@ -226,4 +226,58 @@ class CommandToEngineSpec extends org.scalatest.funsuite.AnyFunSuite {
       .select("username").as[String].collect().toSet
     assert(matched == Set("short_susp"), "susp_only rule must skip non-susp signups")
   }
+
+  private def warcRecord(tpe: String, uri: String, body: String): Array[Byte] = {
+    val payload = body.getBytes("UTF-8")
+    val uriHdr = if (uri.isEmpty) "" else s"WARC-Target-URI: $uri\r\n"
+    (s"WARC/1.0\r\nWARC-Type: $tpe\r\n$uriHdr" +
+      s"Content-Type: text/plain\r\nContent-Length: ${payload.length}\r\n\r\n")
+      .getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  private def gzip(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close(); bos.toByteArray
+  }
+
+  test("Warc: parses plain and member-gzipped files, drops truncated tails") {
+    val recs = Array(
+      warcRecord("warcinfo", "", "isPartOf: test-crawl"),
+      warcRecord("response", "http://example.com/a", "hello warc world"),
+      warcRecord("request", "http://example.com/a", "GET /a"),
+      warcRecord("response", "http://example.com/b", "second page body"))
+    // plain concatenation
+    val plain = recs.flatten
+    val parsed = sources.Warc.parseFile("f1", plain)
+    assert(parsed.map(_.warcType) == Seq("warcinfo", "response", "request", "response"))
+    assert(parsed(1).targetUri == "http://example.com/a")
+    assert(new String(parsed(1).payload, "UTF-8") == "hello warc world")
+    assert(parsed.map(_.recordIndex) == Seq(0, 1, 2, 3))
+    assert(parsed.forall(r => r.nBytes == r.payload.length.toLong))
+    // Common Crawl layout: each record its own gzip member, concatenated
+    val gzipped = recs.flatMap(gzip)
+    assert(sources.Warc.parseFile("f2", gzipped).map(r =>
+      (r.warcType, new String(r.payload, "UTF-8"))) ==
+      parsed.map(r => (r.warcType, new String(r.payload, "UTF-8"))))
+    // truncated tail: the last record's payload cut mid-way parses the rest
+    val truncated = plain.dropRight(10)
+    assert(sources.Warc.parseFile("f3", truncated).map(_.warcType) ==
+      Seq("warcinfo", "response", "request"))
+    // full Spark binding: binaryFile -> records -> response projection
+    val dir = java.nio.file.Files.createTempDirectory("warc_spec")
+    java.nio.file.Files.write(dir.resolve("seg1.warc"), plain)
+    java.nio.file.Files.write(dir.resolve("seg2.warc.gz"), gzipped)
+    try {
+      val all = sources.Warc.read(spark, dir.toString).collect()
+      assert(all.length == 8, "both segments parse through the Spark binding")
+      val resp = sources.Warc.responses(spark, dir.toString).collect()
+      assert(resp.length == 4, "2 response records per segment")
+      assert(resp.toSet == Set(
+        ("http://example.com/a", "hello warc world"),
+        ("http://example.com/b", "second page body")))
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }
+  }
 }
