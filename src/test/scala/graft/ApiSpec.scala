@@ -241,18 +241,20 @@ class CommandToEngineSpec extends org.scalatest.funsuite.AnyFunSuite {
     g.write(b); g.close(); bos.toByteArray
   }
 
-  test("Warc: parses plain and member-gzipped files, drops truncated tails") {
+  test("Warc: plain + member-gzip parse, dirty-tail tolerance, HTTP envelope strip") {
+    def http(body: String) =
+      s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body"
     val recs = Array(
       warcRecord("warcinfo", "", "isPartOf: test-crawl"),
-      warcRecord("response", "http://example.com/a", "hello warc world"),
-      warcRecord("request", "http://example.com/a", "GET /a"),
-      warcRecord("response", "http://example.com/b", "second page body"))
+      warcRecord("response", "http://example.com/a", http("hello warc world")),
+      warcRecord("request", "http://example.com/a", "GET /a HTTP/1.1\r\n"),
+      warcRecord("response", "http://example.com/b", http("second page body")))
     // plain concatenation
     val plain = recs.flatten
     val parsed = sources.Warc.parseFile("f1", plain)
     assert(parsed.map(_.warcType) == Seq("warcinfo", "response", "request", "response"))
     assert(parsed(1).targetUri == "http://example.com/a")
-    assert(new String(parsed(1).payload, "UTF-8") == "hello warc world")
+    assert(new String(parsed(1).payload, "UTF-8") == http("hello warc world"))
     assert(parsed.map(_.recordIndex) == Seq(0, 1, 2, 3))
     assert(parsed.forall(r => r.nBytes == r.payload.length.toLong))
     // Common Crawl layout: each record its own gzip member, concatenated
@@ -261,9 +263,21 @@ class CommandToEngineSpec extends org.scalatest.funsuite.AnyFunSuite {
       (r.warcType, new String(r.payload, "UTF-8"))) ==
       parsed.map(r => (r.warcType, new String(r.payload, "UTF-8"))))
     // truncated tail: the last record's payload cut mid-way parses the rest
-    val truncated = plain.dropRight(10)
-    assert(sources.Warc.parseFile("f3", truncated).map(_.warcType) ==
+    assert(sources.Warc.parseFile("f3", plain.dropRight(10)).map(_.warcType) ==
       Seq("warcinfo", "response", "request"))
+    // truncated GZIP MEMBER (the dirty-dump case): earlier members survive
+    assert(sources.Warc.parseFile("f4", gzipped.dropRight(25)).length >= 2)
+    assert(sources.Warc.parseFile("f4b", gzipped.dropRight(25)).forall(r =>
+      r.nBytes == r.payload.length.toLong))
+    // negative Content-Length: unwalkable record ends the file, tail dropped
+    val negative = recs.take(2).flatten ++
+      ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -5\r\n\r\n" +
+        "junk").getBytes("UTF-8") ++ recs(3)
+    assert(sources.Warc.parseFile("f5", negative).map(_.warcType) ==
+      Seq("warcinfo", "response"))
+    // HTTP envelope strip: body only; non-HTTP payloads pass through whole
+    assert(new String(sources.Warc.httpBody(http("x y z").getBytes("UTF-8")), "UTF-8") == "x y z")
+    assert(new String(sources.Warc.httpBody("no envelope".getBytes("UTF-8")), "UTF-8") == "no envelope")
     // full Spark binding: binaryFile -> records -> response projection
     val dir = java.nio.file.Files.createTempDirectory("warc_spec")
     java.nio.file.Files.write(dir.resolve("seg1.warc"), plain)
