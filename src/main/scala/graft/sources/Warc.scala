@@ -11,19 +11,25 @@ import org.apache.spark.sql.functions.col
   * Common Crawl, the canonical 100 TB training-data source. The reference
   * ingests NDJSON over HTTP (eventstream.rs); a corpus build ingests WARC
   * dumps through the same engine, so the format gets first-class plumbing:
-  * a pure streaming record parser plus a Spark binding.
+  * a lazy streaming record parser plus a Spark binding.
   *
   * Scale shape: the FILE is the parallelism unit (Common Crawl ships ~1 GB
   * segments, tens of thousands per dump — ample partitions), read via the
   * built-in `binaryFile` source so Spark's file listing/scheduling applies.
-  * The COMPRESSED segment rides the binaryFile row; decoding is STREAMING —
-  * gzip members decompress through `GZIPInputStream` (which walks Common
-  * Crawl's record-per-member concatenation) and live memory is bounded by
-  * ONE record's header block + payload, never the multi-GiB decompressed
+  * The COMPRESSED segment rides the binaryFile row; decoding is a lazy
+  * ITERATOR — gzip members decompress through the stream (buffered on both
+  * sides) and [[read]] consumes one record at a time, so live decompressed
+  * memory is one header block + payload, never the multi-GiB decompressed
   * file. Dirty dumps are the norm: a truncated gzip member, cut-off
-  * payload, or negative/absent Content-Length ends that FILE's stream with
-  * the records parsed so far instead of failing the task — losing a
-  * segment to one bad record is worse than dropping its tail. */
+  * payload, or negative/absent Content-Length ends that FILE's iteration
+  * with the records parsed so far (logged loud, never silent) instead of
+  * failing the task — losing a segment to one bad record is worse than
+  * dropping its tail.
+  *
+  * Multi-member gzip caveat: the JDK's `GZIPInputStream` probes for a
+  * following member only while `available()` is positive, so feed
+  * [[parseIterator]] byte-array or buffered-FILE streams (the Spark path
+  * is one); a raw network stream may end early at a member boundary. */
 object Warc {
 
   /** One parsed WARC record: envelope headers + raw payload bytes. */
@@ -52,104 +58,211 @@ object Warc {
     new String(arr, 0, n, StandardCharsets.UTF_8)
   }
 
-  /** Streaming parse of one WARC file (plain or gzip-member-concatenated).
-    * Pure — spec-testable without a SparkSession. Malformed or truncated
-    * input yields the records parsed so far (see class doc). */
-  def parseStream(file: String, raw: InputStream): Seq[WarcRecord] = {
-    val out = Vector.newBuilder[WarcRecord]
-    try {
-      val pb = new PushbackInputStream(new BufferedInputStream(raw, 1 << 16), 2)
-      val b1 = pb.read()
-      if (b1 < 0) return out.result()
-      val b2 = pb.read()
-      if (b2 >= 0) pb.unread(b2)
-      pb.unread(b1)
-      val in: InputStream =
-        if (b1 == 0x1f && b2 == 0x8b) new GZIPInputStream(pb, 1 << 16) else pb
-      var idx = 0
-      var done = false
-      while (!done) {
-        // seek the next record head; skips inter-record CRLF padding (and,
-        // tolerantly, any garbage between records)
-        var line = readLine(in)
-        while (line != null && !line.startsWith("WARC/")) line = readLine(in)
-        if (line == null) done = true
-        else {
-          val headers = scala.collection.mutable.Map.empty[String, String]
-          var h = readLine(in)
-          while (h != null && h.nonEmpty) {
-            val c = h.indexOf(':')
-            if (c > 0)
-              headers += h.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT) ->
-                h.substring(c + 1).trim
-            h = readLine(in)
+  /** Lazy streaming parse of one WARC file (plain or gzip-member-
+    * concatenated). Owns `raw`: the stream (and the gzip inflater's native
+    * memory) is closed when iteration ends — exhaustion, malformed tail,
+    * or IO error all close it. A dropped tail is LOGGED with the file and
+    * the count parsed so far; it is never a silent truncation. */
+  def parseIterator(file: String, raw: InputStream): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private var done = false
+      private var pending: WarcRecord = _
+      private var idx = 0
+      private val in: InputStream =
+        try {
+          val pb = new PushbackInputStream(new BufferedInputStream(raw, 1 << 16), 2)
+          val b1 = pb.read()
+          if (b1 < 0) { finish(pb); pb }
+          else {
+            val b2 = pb.read()
+            if (b2 >= 0) pb.unread(b2)
+            pb.unread(b1)
+            if (b1 == 0x1f && b2 == 0x8b)
+              // buffer the DECOMPRESSED side too: header parsing reads
+              // byte-at-a-time, and an unbuffered inflater pays a JNI
+              // inflate call per byte
+              new BufferedInputStream(new GZIPInputStream(pb, 1 << 16), 1 << 16)
+            else pb
           }
-          if (h == null) done = true // truncated header block: drop tail
-          else headers.get("content-length").flatMap(_.toLongOption) match {
-            case Some(len) if len >= 0 && len < Int.MaxValue - 8 =>
-              val payload = in.readNBytes(len.toInt)
-              if (payload.length < len) done = true // truncated payload
-              else {
-                out += WarcRecord(
-                  file = file,
-                  recordIndex = idx,
-                  warcType = headers.getOrElse("warc-type", ""),
-                  targetUri = headers.getOrElse("warc-target-uri", ""),
-                  contentType = headers.getOrElse("content-type", ""),
-                  nBytes = len,
-                  payload = payload)
-                idx += 1
-              }
-            case _ => done = true // absent, negative, or absurd length: unwalkable
-          }
+        } catch {
+          case e: java.io.IOException => dirty(raw, e); raw
         }
-      }
-    } catch {
-      case _: java.io.IOException => () // truncated/corrupt member: keep what parsed
-    }
-    out.result()
-  }
 
-  /** Byte-array convenience over [[parseStream]]. */
+      private def finish(s: InputStream): Unit = {
+        done = true
+        try s.close() catch { case _: java.io.IOException => () }
+      }
+      private def dirty(s: InputStream, e: java.io.IOException): Unit = {
+        // loud tail-drop: a crawl must be able to tell "clean file" from
+        // "segment lost 90% past a corrupt member"
+        System.err.println(s"[warc] $file: stopping after $idx records: ${e.getMessage}")
+        finish(s)
+      }
+
+      /** Next record, or null at end-of-walkable-input. */
+      private def fetch(): WarcRecord =
+        try {
+          var line = readLine(in)
+          while (line != null && !line.startsWith("WARC/")) line = readLine(in)
+          if (line == null) { finish(in); null }
+          else {
+            val headers = scala.collection.mutable.Map.empty[String, String]
+            var h = readLine(in)
+            while (h != null && h.nonEmpty) {
+              val c = h.indexOf(':')
+              if (c > 0)
+                headers += h.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT) ->
+                  h.substring(c + 1).trim
+              h = readLine(in)
+            }
+            if (h == null) { finish(in); null } // truncated header block
+            else headers.get("content-length").flatMap(_.toLongOption) match {
+              case Some(len) if len >= 0 && len < Int.MaxValue - 8 =>
+                val payload = in.readNBytes(len.toInt)
+                if (payload.length < len) { finish(in); null } // truncated payload
+                else {
+                  val r = WarcRecord(
+                    file = file,
+                    recordIndex = idx,
+                    warcType = headers.getOrElse("warc-type", ""),
+                    targetUri = headers.getOrElse("warc-target-uri", ""),
+                    contentType = headers.getOrElse("content-type", ""),
+                    nBytes = len,
+                    payload = payload)
+                  idx += 1
+                  r
+                }
+              case _ => finish(in); null // absent/negative/absurd length: unwalkable
+            }
+          }
+        } catch {
+          case e: java.io.IOException => dirty(in, e); null
+        }
+
+      override def hasNext: Boolean = {
+        if (!done && pending == null) pending = fetch()
+        pending != null
+      }
+      override def next(): WarcRecord =
+        if (hasNext) { val r = pending; pending = null; r }
+        else Iterator.empty.next()
+    }
+
+  /** Materialized convenience over [[parseIterator]] (specs, small files). */
   def parseFile(file: String, bytes: Array[Byte]): Seq[WarcRecord] =
-    parseStream(file, new ByteArrayInputStream(bytes))
+    parseIterator(file, new ByteArrayInputStream(bytes)).toVector
 
   /** All records under `path` as a typed Dataset. `binaryFile` carries the
     * whole (compressed) segment to its executor — the split unit; record
-    * extraction is shuffle-free, streaming, per-partition work. */
+    * extraction is shuffle-free per-partition work consuming the LAZY
+    * iterator, one decompressed record live at a time. */
   def read(spark: SparkSession, path: String): Dataset[WarcRecord] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (p, b) => parseFile(p, b) })
+      .mapPartitions(_.flatMap { case (p, b) =>
+        parseIterator(p, new ByteArrayInputStream(b))
+      })
   }
 
-  /** Body of an HTTP message payload: a WARC `response` record holds the
-    * raw HTTP response — status line, headers, blank line, body. Strips
-    * the envelope when present; anything else passes through whole. */
-  def httpBody(payload: Array[Byte]): Array[Byte] = {
+  /** Split an HTTP message payload into (lower-cased headers, body).
+    * Tolerates CRLF and bare-LF line endings (dirty captures use both);
+    * a payload that is not an HTTP message (or whose headers never
+    * terminate) comes back whole with no headers. */
+  def httpMessage(payload: Array[Byte]): (Map[String, String], Array[Byte]) = {
     val head = new String(payload, 0, math.min(payload.length, 5), StandardCharsets.US_ASCII)
-    if (!head.startsWith("HTTP/")) return payload
+    if (!head.startsWith("HTTP/")) return (Map.empty, payload)
     var i = 0
-    val last = payload.length - 4
-    while (i <= last) {
-      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
-        payload(i + 2) == '\r' && payload(i + 3) == '\n')
-        return java.util.Arrays.copyOfRange(payload, i + 4, payload.length)
+    var bodyAt = -1
+    var hdrEnd = -1
+    while (bodyAt < 0 && i < payload.length - 1) {
+      if (payload(i) == '\n') {
+        if (payload(i + 1) == '\n') { hdrEnd = i; bodyAt = i + 2 }
+        else if (payload(i + 1) == '\r' && i + 2 < payload.length && payload(i + 2) == '\n') {
+          hdrEnd = i; bodyAt = i + 3
+        }
+      }
       i += 1
     }
-    payload // headers never terminated: surface the raw bytes
+    if (bodyAt < 0) return (Map.empty, payload)
+    val headers = new String(payload, 0, hdrEnd, StandardCharsets.UTF_8)
+      .split("\n").iterator.map(_.stripSuffix("\r")).drop(1)
+      .flatMap { line =>
+        line.indexOf(':') match {
+          case -1 => None
+          case c => Some(line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT) ->
+            line.substring(c + 1).trim)
+        }
+      }.toMap
+    (headers, java.util.Arrays.copyOfRange(payload, bodyAt, payload.length))
   }
 
+  /** Body bytes of an HTTP message payload (headers dropped). */
+  def httpBody(payload: Array[Byte]): Array[Byte] = httpMessage(payload)._2
+
+  /** Decode HTTP chunked transfer encoding; malformed framing returns the
+    * input unchanged (tolerance over loss, like the record parser). */
+  private[graft] def dechunk(body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var i = 0
+    while (true) {
+      // chunk-size line: hex, optional ";ext", CRLF/LF
+      var j = i
+      while (j < body.length && body(j) != '\n') j += 1
+      if (j >= body.length) return body
+      val sizeLine = new String(body, i, j - i, StandardCharsets.US_ASCII)
+        .stripSuffix("\r").takeWhile(_ != ';').trim
+      val size =
+        try java.lang.Long.parseLong(sizeLine, 16)
+        catch { case _: NumberFormatException => return body }
+      if (size < 0 || size > Int.MaxValue) return body
+      if (size == 0) return out.toByteArray // terminal chunk
+      val start = j + 1
+      if (start + size > body.length) return body
+      out.write(body, start, size.toInt)
+      i = start + size.toInt
+      // skip the chunk's trailing CRLF / LF
+      if (i < body.length && body(i) == '\r') i += 1
+      if (i < body.length && body(i) == '\n') i += 1
+    }
+    body // unreachable
+  }
+
+  /** Decompress a gzip HTTP body (bounded by one record's payload);
+    * corrupt data returns the input unchanged. */
+  private[graft] def gunzipBody(body: Array[Byte]): Array[Byte] =
+    try {
+      val in = new GZIPInputStream(new ByteArrayInputStream(body), 1 << 16)
+      try {
+        val out = new java.io.ByteArrayOutputStream(math.min(body.length * 4, 1 << 24))
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+    } catch { case _: java.io.IOException => body }
+
   /** The corpus-build projection: HTTP response records only, the HTTP
-    * envelope stripped, body decoded as UTF-8 (lossy for foreign charsets —
-    * charset sniffing is a downstream concern) — the (uri, text) frame the
+    * envelope stripped, chunked transfer framing and gzip content encoding
+    * decoded, body as UTF-8 text (lossy for foreign charsets — charset
+    * sniffing is a downstream concern) — the (uri, text) frame the
     * documents pipeline starts from. */
   def responses(spark: SparkSession, path: String): Dataset[(String, String)] = {
     import spark.implicits._
     read(spark, path)
       .filter(col("warcType") === "response")
-      .map(r => (r.targetUri, new String(httpBody(r.payload), StandardCharsets.UTF_8)))
+      .map { r =>
+        val (headers, raw) = httpMessage(r.payload)
+        val unchunked =
+          if (headers.get("transfer-encoding")
+            .exists(_.toLowerCase(java.util.Locale.ROOT).contains("chunked"))) dechunk(raw)
+          else raw
+        val body =
+          if (headers.get("content-encoding")
+            .exists(_.toLowerCase(java.util.Locale.ROOT).contains("gzip"))) gunzipBody(unchunked)
+          else unchunked
+        (r.targetUri, new String(body, StandardCharsets.UTF_8))
+      }
   }
 }

@@ -278,6 +278,26 @@ class CommandToEngineSpec extends org.scalatest.funsuite.AnyFunSuite {
     // HTTP envelope strip: body only; non-HTTP payloads pass through whole
     assert(new String(sources.Warc.httpBody(http("x y z").getBytes("UTF-8")), "UTF-8") == "x y z")
     assert(new String(sources.Warc.httpBody("no envelope".getBytes("UTF-8")), "UTF-8") == "no envelope")
+    // bare-LF envelope (dirty captures): headers still stripped
+    assert(new String(sources.Warc.httpBody(
+      "HTTP/1.1 200 OK\nContent-Type: text/html\n\nbare lf body".getBytes("UTF-8")), "UTF-8")
+      == "bare lf body")
+    // chunked transfer framing decodes; malformed framing passes through
+    assert(new String(sources.Warc.dechunk(
+      "5\r\nhello\r\n6\r\n chunk\r\n0\r\n\r\n".getBytes("UTF-8")), "UTF-8") == "hello chunk")
+    assert(new String(sources.Warc.dechunk("zz\r\nnope".getBytes("UTF-8")), "UTF-8") == "zz\r\nnope")
+    // gzip content encoding decodes; corrupt gzip passes through
+    assert(new String(sources.Warc.gunzipBody(gzip("deflated doc".getBytes("UTF-8"))), "UTF-8")
+      == "deflated doc")
+    val corrupt = gzip("x".getBytes("UTF-8")).dropRight(3)
+    assert(sources.Warc.gunzipBody(corrupt).sameElements(corrupt))
+    // lazy iterator: owns and closes its stream once exhausted
+    val closed = Array(false)
+    val tracking = new java.io.ByteArrayInputStream(plain) {
+      override def close(): Unit = { closed(0) = true; super.close() }
+    }
+    val it = sources.Warc.parseIterator("f6", tracking)
+    assert(it.size == 4 && closed(0), "stream must close at exhaustion")
     // full Spark binding: binaryFile -> records -> response projection
     val dir = java.nio.file.Files.createTempDirectory("warc_spec")
     java.nio.file.Files.write(dir.resolve("seg1.warc"), plain)
