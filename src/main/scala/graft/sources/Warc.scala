@@ -243,6 +243,15 @@ object Warc {
       } finally in.close()
     } catch { case _: java.io.IOException => body }
 
+  /** WET projection: `conversion` records (Common Crawl's extracted-text
+    * sidecar files) carry bare text payloads — no HTTP envelope to strip. */
+  def conversions(spark: SparkSession, path: String): Dataset[(String, String)] = {
+    import spark.implicits._
+    read(spark, path)
+      .filter(col("warcType") === "conversion")
+      .map(r => (r.targetUri, new String(r.payload, StandardCharsets.UTF_8)))
+  }
+
   /** The corpus-build projection: HTTP response records only, the HTTP
     * envelope stripped, chunked transfer framing and gzip content encoding
     * decoded, body as UTF-8 text (lossy for foreign charsets — charset

@@ -310,6 +310,11 @@ class CommandToEngineSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(resp.toSet == Set(
         ("http://example.com/a", "hello warc world"),
         ("http://example.com/b", "second page body")))
+      // WET sidecar: conversion records are bare extracted text
+      java.nio.file.Files.write(dir.resolve("seg3.warc.wet"),
+        warcRecord("conversion", "http://example.com/a", "extracted text only"))
+      val conv = sources.Warc.conversions(spark, dir.toString).collect()
+      assert(conv.toSeq == Seq(("http://example.com/a", "extracted text only")))
     } finally {
       dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
     }
