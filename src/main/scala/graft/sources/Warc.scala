@@ -61,10 +61,13 @@ object Warc {
   /** Lazy streaming parse of one WARC file (plain or gzip-member-
     * concatenated). Owns `raw`: the stream (and the gzip inflater's native
     * memory) is closed when iteration ends — exhaustion, malformed tail,
-    * or IO error all close it. A dropped tail is LOGGED with the file and
-    * the count parsed so far; it is never a silent truncation. */
-  def parseIterator(file: String, raw: InputStream): Iterator[WarcRecord] =
-    new Iterator[WarcRecord] {
+    * or IO error all close it — and `close()` covers early abandonment
+    * (the Spark binding hooks it to task completion; standalone callers
+    * that stop early should call it). Every dropped tail — structural or
+    * IO — is LOGGED with the file and the count parsed so far; it is
+    * never a silent truncation. */
+  def parseIterator(file: String, raw: InputStream): Iterator[WarcRecord] with AutoCloseable =
+    new Iterator[WarcRecord] with AutoCloseable {
       private var done = false
       private var pending: WarcRecord = _
       private var idx = 0
@@ -92,12 +95,20 @@ object Warc {
         done = true
         try s.close() catch { case _: java.io.IOException => () }
       }
-      private def dirty(s: InputStream, e: java.io.IOException): Unit = {
-        // loud tail-drop: a crawl must be able to tell "clean file" from
-        // "segment lost 90% past a corrupt member"
-        System.err.println(s"[warc] $file: stopping after $idx records: ${e.getMessage}")
+      // loud tail-drop (EVERY truncation path, structural or IO): a crawl
+      // must be able to tell "clean file" from "segment lost 90% past a
+      // corrupt member"
+      private def truncated(s: InputStream, reason: String): Unit = {
+        System.err.println(s"[warc] $file: stopping after $idx records: $reason")
         finish(s)
       }
+      private def dirty(s: InputStream, e: java.io.IOException): Unit =
+        truncated(s, String.valueOf(e.getMessage))
+
+      /** Abandonment hook: closes the stream (and the gzip inflater's
+        * native memory) when a consumer stops early — limit/take in the
+        * Spark binding, or any standalone caller bailing out. Idempotent. */
+      override def close(): Unit = finish(in)
 
       /** Next record, or null at end-of-walkable-input. */
       private def fetch(): WarcRecord =
@@ -115,11 +126,11 @@ object Warc {
                   h.substring(c + 1).trim
               h = readLine(in)
             }
-            if (h == null) { finish(in); null } // truncated header block
+            if (h == null) { truncated(in, "truncated header block"); null }
             else headers.get("content-length").flatMap(_.toLongOption) match {
               case Some(len) if len >= 0 && len < Int.MaxValue - 8 =>
                 val payload = in.readNBytes(len.toInt)
-                if (payload.length < len) { finish(in); null } // truncated payload
+                if (payload.length < len) { truncated(in, "truncated payload"); null }
                 else {
                   val r = WarcRecord(
                     file = file,
@@ -132,7 +143,8 @@ object Warc {
                   idx += 1
                   r
                 }
-              case _ => finish(in); null // absent/negative/absurd length: unwalkable
+              case _ => // absent/negative/absurd length: unwalkable
+                truncated(in, "missing or invalid Content-Length"); null
             }
           }
         } catch {
@@ -161,9 +173,17 @@ object Warc {
     spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (p, b) =>
-        parseIterator(p, new ByteArrayInputStream(b))
-      })
+      .mapPartitions { rows =>
+        val tc = org.apache.spark.TaskContext.get()
+        rows.flatMap { case (p, b) =>
+          val it = parseIterator(p, new ByteArrayInputStream(b))
+          // a downstream limit/take abandons the iterator mid-file; the
+          // task-completion hook still frees the gzip inflater's native
+          // memory (close is idempotent — a no-op for consumed files)
+          if (tc != null) tc.addTaskCompletionListener[Unit](_ => it.close())
+          it
+        }
+      }
   }
 
   /** Split an HTTP message payload into (lower-cased headers, body).
@@ -235,7 +255,9 @@ object Warc {
     try {
       val in = new GZIPInputStream(new ByteArrayInputStream(body), 1 << 16)
       try {
-        val out = new java.io.ByteArrayOutputStream(math.min(body.length * 4, 1 << 24))
+        // long math: an Int `length * 4` wraps negative at >= 512 MiB bodies
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(body.length.toLong * 4, 1L << 24).toInt)
         val buf = new Array[Byte](1 << 16)
         var n = in.read(buf)
         while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }

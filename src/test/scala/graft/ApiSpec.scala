@@ -293,11 +293,16 @@ class CommandToEngineSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(sources.Warc.gunzipBody(corrupt).sameElements(corrupt))
     // lazy iterator: owns and closes its stream once exhausted
     val closed = Array(false)
-    val tracking = new java.io.ByteArrayInputStream(plain) {
+    def tracking = new java.io.ByteArrayInputStream(plain) {
       override def close(): Unit = { closed(0) = true; super.close() }
     }
     val it = sources.Warc.parseIterator("f6", tracking)
     assert(it.size == 4 && closed(0), "stream must close at exhaustion")
+    // early abandonment: close() frees the stream mid-iteration
+    closed(0) = false
+    val it2 = sources.Warc.parseIterator("f7", tracking)
+    assert(it2.hasNext); it2.next(); it2.close()
+    assert(closed(0), "close() must release an abandoned iterator's stream")
     // full Spark binding: binaryFile -> records -> response projection
     val dir = java.nio.file.Files.createTempDirectory("warc_spec")
     java.nio.file.Files.write(dir.resolve("seg1.warc"), plain)
