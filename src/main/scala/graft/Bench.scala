@@ -63,5 +63,15 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (metricJson + "\n").getBytes("UTF-8"))
     spark.stop()
+    // The full line above is ~5.5 KB (122 per-query timings) and a bounded
+    // stdout-tail capture truncates it MID-LINE, losing the metric prefix.
+    // Emit a compact summary (~150 bytes, no queries map) as the LAST stdout
+    // line, after spark.stop() so no shutdown logging can follow it — any
+    // tail window large enough to hold one line now contains a parseable
+    // metric object.
+    val summaryJson =
+      f"""{"metric":"headline_total","value":$headlineTotal%.3f,"unit":"sec","all_total":$total%.3f,"n_queries":${results.size},"errors":$errors,"sf":"$sfDir"}"""
+    println(summaryJson)
+    System.out.flush()
   }
 }

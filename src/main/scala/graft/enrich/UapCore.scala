@@ -120,7 +120,10 @@ object UapCore {
       }
       concat(pieces.toIndexedSeq: _*)
     case Some(t) => lit(t)
-    case None => regexp_extract(ua, p.regex, 1)
+    // javaRegex (not raw regex) so a `regex_flag: 'i'` pattern extracts
+    // with the same case-insensitivity the rlike match guard used —
+    // otherwise the guard matches but the extract returns '' as the family
+    case None => regexp_extract(ua, p.javaRegex, 1)
   }
 
   /** (device, os, client) columns from a loaded db — the dim-driven analog

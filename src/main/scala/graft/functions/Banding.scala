@@ -30,7 +30,12 @@ object Banding {
             shiftright(col(sigCol), bandBits * b).bitwiseAND(mask).as("bv"))
         }: _*)).as("bk"): _*)
       .select(base :+ col("bk.band").as("band") :+ col("bk.bv").as("bv"): _*)
-      .persist() // both self-join sides
+      // Feeds both self-join sides. The caller owns the lifetime: the frame
+      // is lazy, so unpersisting here would race the join's first execution.
+      // Query harnesses (Bench/Verify) clearCache() after each query; a
+      // long-lived session embedding this should do the same or unpersist
+      // via spark.catalog once the join has materialized.
+      .persist()
     val firstShared = coalesce((0 until bands).map { b =>
       when((shiftright(expr(s"a.$sigCol"), bandBits * b).bitwiseAND(mask) ===
             shiftright(expr(s"b.$sigCol"), bandBits * b).bitwiseAND(mask)), lit(b))

@@ -205,12 +205,27 @@ class HttpNdjsonMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[HttpLineOffset].n, end.asInstanceOf[HttpLineOffset].n)
     val slice = lock.synchronized {
-      // fail LOUD on an unservable window (start below the trimmed base):
-      // silently returning an empty slice would let commit() discard the
-      // buffered lines the batch never delivered
-      require(s >= baseOffset,
-        s"offset $s below trimmed base $baseOffset — non-replayable source")
-      buffer.slice((s - baseOffset).toInt, (e - baseOffset).toInt).toArray
+      if (e <= baseOffset) {
+        // Checkpoint restart re-runs the last UNCOMMITTED batch, whose
+        // window sits entirely below the rebased base (deserializeOffset
+        // adopted the restored end as the numbering base for the fresh
+        // buffer). A live tap cannot replay those lines — they died with
+        // the previous process. Deliver the batch empty, loudly, so the
+        // query commits past it and resumes on live data instead of
+        // crash-looping on the require below.
+        logWarning(s"http-ndjson: restart re-ran pre-restart window [$s,$e) " +
+          s"below base $baseOffset on a non-replayable source — delivering " +
+          "empty (those lines were lost with the previous process)")
+        Array.empty[(String, Long)]
+      } else {
+        // fail LOUD on a PARTIALLY-overlapping window (start below the
+        // trimmed base but end above it): that means commit() trimmed lines
+        // a batch still addresses — a bookkeeping bug, not a restart; an
+        // empty slice here would silently discard buffered lines
+        require(s >= baseOffset,
+          s"offset window [$s,$e) straddles trimmed base $baseOffset — non-replayable source")
+        buffer.slice((s - baseOffset).toInt, (e - baseOffset).toInt).toArray
+      }
     }
     if (slice.isEmpty) return Array.empty
     val k = math.max(1, math.min(numPartitions, slice.length))

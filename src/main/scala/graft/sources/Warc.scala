@@ -175,12 +175,18 @@ object Warc {
       .as[(String, Array[Byte])]
       .mapPartitions { rows =>
         val tc = org.apache.spark.TaskContext.get()
+        // flatMap drains each file's iterator before opening the next, so at
+        // most ONE is live; a single per-partition listener closing whichever
+        // is current at task end covers downstream limit/take abandonment
+        // (close is idempotent — a no-op for consumed files) without
+        // accumulating a listener per FILE on a partition of many small files
+        var current: AutoCloseable = null
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          if (current != null) current.close()
+        }
         rows.flatMap { case (p, b) =>
           val it = parseIterator(p, new ByteArrayInputStream(b))
-          // a downstream limit/take abandons the iterator mid-file; the
-          // task-completion hook still frees the gzip inflater's native
-          // memory (close is idempotent — a no-op for consumed files)
-          if (tc != null) tc.addTaskCompletionListener[Unit](_ => it.close())
+          current = it
           it
         }
       }

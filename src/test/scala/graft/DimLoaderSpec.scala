@@ -156,6 +156,8 @@ class DimLoaderSpec extends AnyFunSuite {
         |    device_replacement: 'SmartTV'
         |  - regex: '; ?(LG-?([\dA-Za-z]+))'
         |    device_replacement: 'LG $2'
+        |  - regex: '(roku) ?(\d)'
+        |    regex_flag: 'i'
         |""".stripMargin
     val db = enrich.UapCore.parse(yaml)
     assert(db.devices.head.caseInsensitive, "regex_flag: 'i' must be honored")
@@ -164,12 +166,18 @@ class DimLoaderSpec extends AnyFunSuite {
       Some("Mozilla/5.0 (HbbTV/1.1.1)"),  // matches only case-insensitively
       Some("Mozilla/5.0 (Linux; LG-K420) Browser"), // $2 = inner group
       Some("nothing-known/1.0"),
-      None).toDF("ua")
+      None,
+      // regex_flag 'i' + NO replacement: the guard matches case-
+      // insensitively and group-1 extraction must use the SAME flagged
+      // regex — with a case-sensitive extract this returned '' (regression)
+      Some("Roku 4 (DVP-7.70)")).toDF("ua")
     val fams = uas.select(enrich.UapCore.family(col("ua"), db.devices).as("f"))
       .collect().map(r => Option(r.getString(0)))
     assert(fams(0).contains("SmartTV"))
     assert(fams(1).contains("LG K420"), s"got ${fams(1)} — $$2 must substitute group 2")
     assert(fams(2).contains("Other"))
     assert(fams(3).isEmpty, "null UA parses to null, never the default")
+    assert(fams(4).contains("Roku"),
+      s"got ${fams(4)} — flagged no-replacement extract must stay case-insensitive")
   }
 }

@@ -105,6 +105,27 @@ class HttpSourceSpec extends AnyFunSuite {
     } finally { q.stop(); server.stop(0) }
   }
 
+  test("checkpoint restart: re-running the uncommitted batch delivers empty, not a crash-loop") {
+    // No live server needed: the restart path is pure offset bookkeeping.
+    val s = new sources.HttpNdjsonMicroBatchStream("http://localhost:1/none",
+      sse = false, reconnectDelayMs = 60000, readTimeoutMs = 0,
+      numPartitions = 2, maxLinesPerTrigger = Long.MaxValue)
+    try {
+      // offset-log restore: committed batch ended at 3, uncommitted at 5 —
+      // deserializeOffset rebases the fresh (empty) buffer to the max (5)
+      s.deserializeOffset("3")
+      s.deserializeOffset("5")
+      // Spark re-runs the uncommitted batch [3,5): those lines died with
+      // the previous process — it must come back empty so the query can
+      // commit past it, not fail the require and crash-loop
+      assert(s.planInputPartitions(sources.HttpLineOffset(3), sources.HttpLineOffset(5)).isEmpty)
+      // a window STRADDLING the base is a bookkeeping bug, still loud
+      intercept[IllegalArgumentException] {
+        s.planInputPartitions(sources.HttpLineOffset(3), sources.HttpLineOffset(6))
+      }
+    } finally s.stop()
+  }
+
   test("silent-stream watchdog: a stalled connection times out and reconnects") {
     val (server, url) = serve("/stall") { (hit, ex) =>
       if (hit == 1) {
