@@ -10,27 +10,98 @@ import org.apache.spark.sql.functions._
   * Media are opaque `binary` columns + typed metadata; decode/feature
   * extraction runs as batched per-partition functions (the Scala analog of
   * `mapInPandas`): a typed Dataset, explicit batch shape (`grouped(64)`,
-  * standing in for Arrow record batches), and a deterministic STUB decoder —
-  * the container ships no image/audio codecs, so the decode body is fake by
-  * design while every Spark-side concern (schema, encoders, partitioning,
-  * batch iteration) is real. Swap [[decodeStub]] for a real codec to
-  * productionize.
+  * standing in for Arrow record batches), and a REAL image decode —
+  * `javax.imageio` ships in every JDK, so no external codec is needed. The
+  * testdata carries no media column, so each document's media payload is a
+  * deterministic real BMP synthesized from (doc_id, text) by [[imageFor]];
+  * [[decodeImage]] then decodes it with ImageIO and downstream operators
+  * consume the DECODED width/height/format/pixels. The oracle predicts the
+  * decoded values because a correct decode returns exactly what was
+  * encoded — including a full pixel checksum, so a decoder that parsed
+  * only the header would fail the row.
   */
 object Multimodal {
 
   final case class Payload(doc_id: Long, payload: Array[Byte])
-  final case class Meta(doc_id: Long, n_bytes: Long, width: Int, height: Int, fmt: String)
+  final case class Meta(doc_id: Long, n_bytes: Long, width: Int, height: Int,
+      fmt: String, pixel_sum: Long)
 
-  /** Deterministic fake decode: "width" = first byte, "height" = size mod
-    * 256, "format" keyed on size mod 3. */
-  def decodeStub(p: Payload): Meta = {
-    val n = p.payload.length.toLong
-    val fmt = (n % 3) match {
-      case 0 => "img"
-      case 1 => "audio"
-      case _ => "video"
+  // Synthesized image dimensions, derived from doc_id: w in [12,95], h in
+  // [8,47] — max dimension exceeds resizeMax so the resize stage does real
+  // work, and w*h stays small enough that per-pixel ops are cheap at bench
+  // scale. The SAME formulas appear in `dimsSqlCte` for the oracle.
+  private[graft] def dimsFor(docId: Long): (Int, Int) =
+    ((12 + docId % 84).toInt, (8 + (docId / 5) % 40).toInt)
+
+  /** A real 24-bpp uncompressed BMP (BITMAPINFOHEADER): grayscale pixels
+    * cycled from the document's text bytes in row-major top-down order —
+    * pixel (x,y) = text[(y*w + x) mod len]. Deterministic in (doc_id,
+    * text), so every decoded property is oracle-predictable. */
+  private[graft] def imageFor(docId: Long, text: Array[Byte]): Array[Byte] = {
+    val (w, h) = dimsFor(docId)
+    val gray = new Array[Byte](w * h)
+    if (text.nonEmpty) {
+      var p = 0
+      while (p < gray.length) { gray(p) = text(p % text.length); p += 1 }
     }
-    Meta(p.doc_id, n, p.payload.headOption.map(_ & 0xff).getOrElse(0), (n % 256).toInt, fmt)
+    encodeBmp(w, h, gray)
+  }
+
+  private[graft] def encodeBmp(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == w * h, "gray buffer must be w*h")
+    val rowSize = (w * 3 + 3) & ~3 // rows pad to 4-byte multiples
+    val imgSize = rowSize * h
+    val fileSize = 54 + imgSize
+    val b = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(imgSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var r = 0
+    while (r < h) {
+      val y = h - 1 - r // positive-height BMP stores rows bottom-up
+      var x = 0
+      while (x < w) {
+        val v = gray(y * w + x)
+        b.put(v).put(v).put(v) // BGR; grayscale so all channels equal
+        x += 1
+      }
+      var pad = rowSize - w * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      r += 1
+    }
+    b.array()
+  }
+
+  final case class Decoded(width: Int, height: Int, fmt: String, gray: Array[Byte])
+
+  /** REAL decode via `javax.imageio`: format detected from the bytes (not
+    * assumed), full raster read, gray = channel-0 samples in row-major
+    * top-down order. Works for any ImageIO-readable format (BMP/PNG/GIF/
+    * JPEG); the pipeline synthesizes BMP because its byte size is
+    * closed-form for the oracle. */
+  private[graft] def decodeImage(payload: Array[Byte]): Decoded = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext)
+        throw new java.io.IOException(s"no ImageIO reader for payload (${payload.length} bytes)")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+        val img = reader.read(0)
+        val w = img.getWidth
+        val h = img.getHeight
+        val samples = img.getRaster.getSamples(0, 0, w, h, 0, null: Array[Int])
+        val gray = new Array[Byte](w * h)
+        var i = 0
+        while (i < gray.length) { gray(i) = samples(i).toByte; i += 1 }
+        Decoded(w, h, fmt, gray)
+      } finally reader.dispose()
+    } finally iis.close()
   }
 
   def mmMeta(spark: SparkSession, sfDir: String): DataFrame = {
@@ -40,18 +111,43 @@ object Multimodal {
       .as[Payload]
       .mapPartitions { it =>
         // batched decode loop — the Arrow-batch shape a real codec needs
-        it.grouped(64).flatMap(batch => batch.map(decodeStub))
+        it.grouped(64).flatMap(_.map { p =>
+          val media = imageFor(p.doc_id, p.payload)
+          val d = decodeImage(media)
+          var s = 0L
+          d.gray.foreach(g => s += (g & 0xff))
+          Meta(p.doc_id, media.length.toLong, d.width, d.height, d.fmt, s)
+        })
       }
       .toDF()
   }
 
+  /** The synthesized dimensions — the single SQL source of the w/h formulas
+    * (mirrors [[dimsFor]]); every mm oracle builds on this CTE. */
+  private val dimsSqlCte: String =
+    """dims AS (
+      |  SELECT doc_id, text,
+      |    12 + doc_id % 84 AS w,
+      |    8 + (doc_id // 5) % 40 AS h
+      |  FROM documents)""".stripMargin
+
+  /** Expected decode output: BMP size is closed-form (54-byte headers +
+    * 4-byte-padded BGR rows); pixel_sum replays the pixel-cycling rule over
+    * the text — a header-only "decode" cannot produce it. */
   val mmMetaSql: String =
-    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
-      |  ascii(substr(text, 1, 1)) AS width,
-      |  CAST(length(text) % 256 AS INTEGER) AS height,
-      |  CASE length(text) % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio'
-      |    ELSE 'video' END AS fmt
-      |FROM documents""".stripMargin
+    s"""WITH $dimsSqlCte,
+       |px AS (
+       |  SELECT doc_id,
+       |    CAST(sum(ascii(substr(text, CAST(p % length(text) AS INTEGER) + 1, 1))) AS BIGINT) AS pixel_sum
+       |  FROM dims, LATERAL unnest(range(0, w * h)) t(p)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(54 + h * ((w * 3 + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+       |  CAST(w AS INTEGER) AS width,
+       |  CAST(h AS INTEGER) AS height,
+       |  'bmp' AS fmt,
+       |  px.pixel_sum
+       |FROM dims d JOIN px ON px.doc_id = d.doc_id""".stripMargin
 
   // ---- frame sampling ------------------------------------------------------
 
@@ -108,12 +204,13 @@ object Multimodal {
 
   val resizeMax = 64
 
-  /** Resize stage: fit the (stub-decoded) dimensions into a `resizeMax` box
-    * preserving aspect ratio. All-integer math ((d·max) DIV longest side) so
-    * the plan is exact on both engines — the actual pixel resample is the
-    * codec stub's job; this op is the dimension planning every image
-    * pipeline runs before batching GPU work. Carries `fmt` for the batch
-    * packer; the `mm_resize` query drops it (stable output schema). */
+  /** Resize stage: fit the DECODED dimensions ([[mmMeta]]'s real ImageIO
+    * read) into a `resizeMax` box preserving aspect ratio. All-integer math
+    * ((d·max) DIV longest side) so the plan is exact on both engines — the
+    * actual pixel resample belongs to the codec stage; this op is the
+    * dimension planning every image pipeline runs before batching GPU work.
+    * Carries `fmt` for the batch packer; the `mm_resize` query drops it
+    * (stable output schema). */
   private def resized(spark: SparkSession, sfDir: String): DataFrame =
     mmMeta(spark, sfDir)
       .withColumn("longest", greatest(col("width"), col("height")))
@@ -128,12 +225,16 @@ object Multimodal {
   def mmResize(spark: SparkSession, sfDir: String): DataFrame =
     resized(spark, sfDir).drop("fmt")
 
-  /** Shared resize CTE chain (`meta`→`m`→`rsz`), the single SQL source of
-    * the fit-into-box math — mm_resize and mm_batchpack must pack from the
-    * SAME dimensions or a drift between two copies would pass mm_resize's
-    * oracle while packing different batches. */
+  /** Shared resize CTE chain (`dims`→`meta`→`m`→`rsz`), the single SQL
+    * source of the fit-into-box math — mm_resize and mm_batchpack must pack
+    * from the SAME dimensions or a drift between two copies would pass
+    * mm_resize's oracle while packing different batches. (Builds on
+    * `dimsSqlCte` directly: resize needs only width/height/fmt, not the
+    * pixel checksum.) */
   private val resizedSqlCtes: String =
-    s"""meta AS ($mmMetaSql),
+    s"""$dimsSqlCte,
+       |meta AS (SELECT doc_id, CAST(w AS INTEGER) AS width,
+       |  CAST(h AS INTEGER) AS height, 'bmp' AS fmt FROM dims),
        |m AS (SELECT *, greatest(width, height) AS longest FROM meta),
        |rsz AS (SELECT doc_id, fmt, width, height,
        |  CASE WHEN longest <= $resizeMax THEN width
@@ -280,39 +381,44 @@ object Multimodal {
   val phashSalt = "mp"
 
   /** Perceptual signature per payload: SimHash over the DISTINCT hashes of
-    * all `phashWindow`-byte sliding windows of the raw payload. Byte-window
-    * features make the signature shift-invariant (an insertion perturbs
-    * only the windows it touches, unlike positional sampling) yet
-    * content-discriminative (unlike global byte statistics — a byte
-    * HISTOGRAM gradient put ~99% of this corpus within hamming 3 of each
-    * other, and positional dHash put 0%; the window-simhash form lands the
-    * informative middle). This is the byte-stream analog of pHash's DCT
-    * bits: with a real codec the features become decoded-pixel blocks;
-    * here the decode is the documented stub, so windows run over the raw
-    * bytes. Works on any binary modality — no tokenization assumed.
-    * (Oracle parity note: DuckDB windows over CHARACTERS — byte = char on
-    * this corpus, the same equivalence mm_framesample's oracle relies on.)
+    * all `phashWindow`-pixel sliding windows of the DECODED raster — the
+    * media payload is a real BMP ([[imageFor]]) and the features run over
+    * [[decodeImage]]'s gray pixels, the real-codec form of pHash's
+    * DCT-over-decoded-pixels (not raw container bytes, which would hash
+    * compression artifacts). Pixel-window features make the signature
+    * shift-invariant (an insertion perturbs only the windows it touches,
+    * unlike positional sampling) yet content-discriminative (unlike global
+    * statistics — a byte HISTOGRAM gradient put ~99% of this corpus within
+    * hamming 3 of each other, and positional dHash put 0%; the
+    * window-simhash form lands the informative middle).
+    * (Oracle parity: the decoded pixel stream IS the text cycled to w·h
+    * chars — `substr(repeat(text,…),1,w*h)` — so DuckDB replays the same
+    * windows; byte = char on this ASCII corpus.)
     * Computed in the same batched decode loop as [[mmMeta]]; payloads
-    * shorter than one window have no features and are filtered out
-    * (mirroring the oracle's absent groups — dd_simhash's zero-word rule). */
+    * decoding to fewer than one window of pixels are filtered out
+    * (mirroring the oracle's absent groups — dd_simhash's zero-word rule;
+    * min dims 12×8 means none are on this corpus). */
   def mmPhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val saltBytes = phashSalt.getBytes("UTF-8")
     Tables(spark, sfDir).documents
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .filter(length(col("payload")) >= phashWindow)
+      .filter(length(col("payload")) > 0)
       .as[Payload]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.grouped(64).flatMap(_.map { p =>
-          val n = p.payload.length
+        it.grouped(64).flatMap(_.flatMap { p =>
+          val px = decodeImage(imageFor(p.doc_id, p.payload)).gray
+          if (px.length < phashWindow) None
+          else Some {
+          val n = px.length
           val seen = new java.util.HashSet[java.lang.Long]()
           val votes = new Array[Int](phashBits)
           var i = 0
           while (i <= n - phashWindow) {
             md.reset()
             md.update(saltBytes)
-            md.update(p.payload, i, phashWindow)
+            md.update(px, i, phashWindow)
             val d = md.digest()
             // the engine's portable 60-bit hash: first 15 md5 hex digits =
             // the top 60 bits of the first 8 digest bytes
@@ -336,6 +442,7 @@ object Multimodal {
             b += 1
           }
           PHash(p.doc_id, sig)
+          }
         })
       }
       .toDF()
@@ -344,8 +451,8 @@ object Multimodal {
   /** Perceptual near-dup pairs: hamming ≤ 3 over the 64-bit signature via
     * the shared banded-hamming equi-join
     * ([[graft.functions.Banding.hammingPairs]], dd_simhash's machinery —
-    * here with no blocking key: modality is stub-derived and
-    * length-unstable, so near-identical payloads must stay pairable). */
+    * here with no blocking key: near-identical images can differ in
+    * container size or format, so pairs must not be blocked on either). */
   def mmPhash(spark: SparkSession, sfDir: String): DataFrame =
     graft.functions.Banding.hammingPairs(
       mmPhashSigs(spark, sfDir), "phash", "doc_id", Nil,
@@ -359,10 +466,18 @@ object Multimodal {
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(",\n    ")
     val sig = (0 until phashBits).map(j =>
       s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-    s"""WITH kg AS (
+    s"""WITH $dimsSqlCte,
+       |ps AS (
+       |  -- the decoded raster: pixel p = text[(p mod len)], so the pixel
+       |  -- stream is the text cycled out to w*h characters
+       |  SELECT doc_id,
+       |    substr(repeat(text, CAST((w * h + length(text) - 1) // length(text) AS INTEGER)),
+       |           1, CAST(w * h AS INTEGER)) AS pstr
+       |  FROM dims WHERE length(text) > 0),
+       |kg AS (
        |  SELECT DISTINCT doc_id,
-       |    CAST('0x' || substr(md5('$phashSalt' || substr(text, CAST(i AS INTEGER), $phashWindow)), 1, 15) AS BIGINT) AS h
-       |  FROM documents, LATERAL unnest(range(1, length(text) - ${phashWindow - 2})) t(i)),
+       |    CAST('0x' || substr(md5('$phashSalt' || substr(pstr, CAST(i AS INTEGER), $phashWindow)), 1, 15) AS BIGINT) AS h
+       |  FROM ps, LATERAL unnest(range(1, length(pstr) - ${phashWindow - 2})) t(i)),
        |votes AS (
        |  SELECT doc_id,
        |    $votes

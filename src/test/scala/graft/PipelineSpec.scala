@@ -91,13 +91,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(total == 1000L, s"every event in exactly one session, got $total")
   }
 
-  test("mm_meta stub decode is deterministic and complete") {
+  test("mm_meta: real ImageIO decode round-trips the synthesized dimensions") {
     val rows = multimodal.Multimodal.mmMeta(spark, sf).collect()
     assert(rows.length == 500)
     rows.foreach { r =>
-      assert(Set("img", "audio", "video").contains(r.getAs[String]("fmt")))
-      assert(r.getAs[Int]("width") > 0)
+      // fmt comes from ImageIO's reader detection, not an assumption
+      assert(r.getAs[String]("fmt") == "bmp")
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      assert(w >= 12 && w <= 95 && h >= 8 && h <= 47)
+      // BMP size is closed-form in the decoded dims: headers + padded rows
+      assert(r.getAs[Long]("n_bytes") == 54L + h.toLong * ((w * 3 + 3) & ~3))
+      assert(r.getAs[Long]("pixel_sum") > 0L)
     }
+  }
+
+  test("decodeImage: known-answer BMP decode reads every pixel, not just the header") {
+    val gray = Array[Byte](10, 20, 30, 40, 50, 60) // 3×2, row-major top-down
+    val bmp = multimodal.Multimodal.encodeBmp(3, 2, gray)
+    val d = multimodal.Multimodal.decodeImage(bmp)
+    assert(d.fmt == "bmp" && d.width == 3 && d.height == 2)
+    assert(d.gray.toSeq == gray.toSeq, "decoded raster must match encoded pixels in order")
+  }
+
+  test("decodeImage is format-agnostic: a PNG round-trips through the same path") {
+    val img = new java.awt.image.BufferedImage(5, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 5) {
+      val v = (x * 37 + y * 11) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val d = multimodal.Multimodal.decodeImage(bos.toByteArray)
+    assert(d.fmt == "png" && d.width == 5 && d.height == 4)
+    val expected = for (y <- 0 until 4; x <- 0 until 5) yield ((x * 37 + y * 11) % 256).toByte
+    assert(d.gray.toSeq == expected)
   }
 
   test("mm_framesample keeps every 4th frame with a content hash") {
