@@ -584,9 +584,13 @@ object TextOps {
     * bottleneck, while per-shard packing (what real pipelines do — each
     * writer packs its own shard) keeps every partition independent. One
     * shuffle on source; the cumsum is a within-partition running sum. */
-  def pack(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Packing with a pluggable token accounting: `tokCol` is the per-doc
+    * token count the bins budget against — whitespace words for the
+    * SQL-oracled tx_pack row, [[Bpe.tokenCount]] for real BPE budgets
+    * (packWithBpe; parity-spec'd, not SQL-expressible). */
+  def packWith(spark: SparkSession, sfDir: String, tokCol: Column): DataFrame = {
     val d = docs(spark, sfDir).select(col("doc_id"), col("source"),
-      size(Portable.words(col("text"))).cast("long").as("tok"))
+      tokCol.cast("long").as("tok"))
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d.withColumn("cum", sum(col("tok")).over(w))
@@ -594,6 +598,17 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc_id"),
         sum(col("tok")).as("total_tokens"))
   }
+
+  def pack(spark: SparkSession, sfDir: String): DataFrame =
+    packWith(spark, sfDir, size(Portable.words(col("text"))))
+
+  /** tx_pack with REAL tokenization: bins budget against BPE token counts
+    * ([[Bpe.tokenCount]], merge-rank tokenization) instead of the
+    * whitespace-word approximation. Same plan shape — the fused count
+    * expression evaluates inside the scan projection, so the only extra
+    * cost is the (cached) merge loop itself. */
+  def packWithBpe(spark: SparkSession, sfDir: String): DataFrame =
+    packWith(spark, sfDir, Bpe.tokenCount(col("text")))
 
   val packSql: String =
     s"""WITH d AS (
@@ -742,7 +757,8 @@ object TextOps {
     "tx_repetition" -> (repetition _),
     "tx_gopher" -> (gopher _),
     "tx_pack" -> (pack _),
-    "tx_profile_train" -> (profileTrain _))
+    "tx_profile_train" -> (profileTrain _),
+    "tx_bpe_tokens" -> (BpeQueries.bpeTokens _))
 
   def oracleSql: Map[String, String] = Map(
     "tx_search" -> searchSql,
@@ -760,5 +776,6 @@ object TextOps {
     "tx_repetition" -> repetitionSql,
     "tx_gopher" -> gopherSql,
     "tx_pack" -> packSql,
-    "tx_profile_train" -> profileTrainSql)
+    "tx_profile_train" -> profileTrainSql,
+    "tx_bpe_tokens" -> BpeQueries.bpeTokensSql)
 }

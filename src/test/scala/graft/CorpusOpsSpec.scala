@@ -181,6 +181,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(800))
   }
 
+  test("pack parity: BPE-budgeted packing matches a sequential reference fold") {
+    // the distributed window/agg plan, budgeting on REAL BPE token counts
+    val got = text.TextOps.packWithBpe(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // reference: a plain per-source sequential fold over the same counts
+    val docs = Tables(spark, sf).documents.select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expect = scala.collection.mutable.Map.empty[(String, Long), (Long, Long, Long)]
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).foreach { case (id, _, txt) =>
+        val tok = text.Bpe.encode(txt, text.Bpe.builtin).length.toLong
+        val bin = cum / text.TextOps.packBudget // doc lands where it STARTS
+        val (n, first, tot) = expect.getOrElse((src, bin), (0L, Long.MaxValue, 0L))
+        expect((src, bin)) = (n + 1, math.min(first, id), tot + tok)
+        cum += tok
+      }
+    }
+    assert(got == expect.toMap)
+    // the BPE counts genuinely differ from the whitespace approximation
+    // (otherwise this parity would be vacuous)
+    val regexPack = text.TextOps.pack(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(regexPack != got.map { case (k, v) => (k, v._3) },
+      "BPE totals should not collapse to word counts")
+    // same plan shape: still exactly one exchange
+    val p = text.TextOps.packWithBpe(spark, sf).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(800))
+  }
+
   test("dd_spans: both self-join sides read one cached positional index") {
     val p = dedup.Dedup.spans(spark, sf).queryExecution.executedPlan.toString
     assert("InMemoryTableScan".r.findAllIn(p).size == 2, p.take(1200))
