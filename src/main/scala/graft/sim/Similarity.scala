@@ -241,9 +241,12 @@ object Similarity {
   /** Every vector assigned to its max-cosine centroid: (vec_id, v, nrm,
     * cid). One O(n·K) broadcast pass + a per-vector argmax window — the
     * coarse-quantization step shared by IVF probing and SemDeDup. */
-  private def assignedLists(spark: SparkSession, sfDir: String): DataFrame = {
+  private def assignedLists(spark: SparkSession, sfDir: String): DataFrame =
+    assignedListsWith(spark, sfDir, centroids(spark, sfDir))
+
+  private def assignedListsWith(spark: SparkSession, sfDir: String,
+      cents: DataFrame): DataFrame = {
     val e = emb(spark, sfDir)
-    val cents = centroids(spark, sfDir)
     val simToCent = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
         round(graft.plans.VectorDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
@@ -274,11 +277,16 @@ object Similarity {
     * queries probe the `nprobe` nearest centroid lists only — the candidate
     * set shrinks by ~n_clusters/nprobe vs brute force, the classic
     * recall/throughput dial. */
-  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame =
+    ivfTopKWith(spark, sfDir, centroids(spark, sfDir))
+
+  /** The probe pipeline over an arbitrary coarse quantizer `(cid, cv,
+    * cnrm)` — the first-N default and the k-means-trained table run the
+    * identical plan. */
+  def ivfTopKWith(spark: SparkSession, sfDir: String, cents: DataFrame): DataFrame = {
     val e = emb(spark, sfDir)
-    val cents = centroids(spark, sfDir)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
-    val lists = assignedLists(spark, sfDir).persist()
+    val lists = assignedListsWith(spark, sfDir, cents).persist()
     // probe assignment depends only on the query row itself — recompute it
     // on just the `numQueries` rows instead of re-running the corpus-wide
     // assignment window a second time
@@ -462,14 +470,16 @@ object Similarity {
       .select(col("cid"), col("n_members"), col("dim"), col("m"))
   }
 
-  val kmeansSql: String = {
+  /** The Lloyd-iteration CTE chain (seeds → assign → means, ×2) — shared by
+    * the ann_kmeans oracle and the ann_ivf_trained oracle, which probes
+    * against the SAME trained means (`m2`). */
+  private val kmeansCtes: String = {
     def assignCte(scored: String) =
       s"""(SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
          |    FROM $scored) t WHERE rn = 1)""".stripMargin
-    s"""WITH $embCte,
-       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $kmK),
+    s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $kmK),
        |s0 AS (SELECT e.vec_id, c0.cid,
        |  round(${Portable.cosineSql("e.v", "cv")}, 6) AS ccos FROM e CROSS JOIN c0),
        |a0 AS ${assignCte("s0")},
@@ -482,10 +492,66 @@ object Similarity {
        |  round(${Portable.cosineSql("e.v", "cv")}, 6) AS ccos FROM e CROSS JOIN c1),
        |a1 AS ${assignCte("s1")},
        |m2 AS (SELECT cid, dim, round(avg(x), 6) AS m
-       |  FROM ev JOIN a1 USING (vec_id) GROUP BY 1, 2),
+       |  FROM ev JOIN a1 USING (vec_id) GROUP BY 1, 2)""".stripMargin
+  }
+
+  val kmeansSql: String =
+    s"""WITH $embCte,
+       |$kmeansCtes,
        |counts AS (SELECT cid, count(*) AS n_members FROM a1 GROUP BY 1)
        |SELECT m2.cid, n_members, dim, m FROM m2 JOIN counts USING (cid)""".stripMargin
-  }
+
+  // ---- IVF over TRAINED centroids -----------------------------------------
+
+  /** [[kmeans]] output repacked into the `(cid, cv, cnrm)` coarse-quantizer
+    * shape the IVF probe consumes — consuming the ann_kmeans frame itself,
+    * so the row proves the "trained centroids drop in identically" claim
+    * end-to-end rather than asserting it in a comment. Persisted: three
+    * probe-path references must not re-run the Lloyd iterations. */
+  private def trainedCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    kmeans(spark, sfDir)
+      .groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cid"), transform(col("dm"), x => x.getField("m")).as("cv"))
+      .withColumn("cnrm", sqrt(graft.plans.VectorDot(col("cv"), col("cv"))))
+      .persist()
+
+  /** IVF with the training step: identical probe plan to [[ivfTopK]], coarse
+    * quantizer swapped for the k-means-trained centroids. */
+  def ivfTrainedTopK(spark: SparkSession, sfDir: String): DataFrame =
+    ivfTopKWith(spark, sfDir, trainedCentroids(spark, sfDir))
+
+  val ivfTrainedSql: String =
+    s"""WITH $embCte,
+       |$kmeansCtes,
+       |tc AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m2 GROUP BY 1),
+       |tsims AS (
+       |  SELECT e.vec_id, cid,
+       |    round(${Portable.cosineSql("e.v", "cv")}, 6) AS ccos
+       |  FROM e CROSS JOIN tc),
+       |tassigned AS (
+       |  SELECT vec_id, cid, ccos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crn
+       |  FROM tsims),
+       |tlists AS (
+       |  SELECT a.vec_id, e.v, a.cid FROM tassigned a JOIN e ON a.vec_id = e.vec_id
+       |  WHERE a.crn = 1),
+       |tprobes AS (
+       |  SELECT vec_id AS qid, cid AS pcid FROM tassigned
+       |  WHERE vec_id < $numQueries AND crn <= $nprobe),
+       |tq AS (
+       |  SELECT l.vec_id AS qid, l.v AS qv, p.pcid
+       |  FROM tlists l JOIN tprobes p ON l.vec_id = p.qid
+       |  WHERE l.vec_id < $numQueries),
+       |tscored AS (
+       |  SELECT tq.qid, l.vec_id AS cand,
+       |    round(${Portable.cosineSql("l.v", "qv")}, 6) AS cos
+       |  FROM tlists l JOIN tq ON l.cid = tq.pcid AND l.vec_id <> tq.qid)
+       |SELECT qid, cand, cos, rank FROM (
+       |  SELECT qid, cand, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand ASC) AS rank
+       |  FROM tscored) t
+       |WHERE rank <= 3""".stripMargin
 
   // ---- int8-quantized ANN (the storage/bandwidth path) --------------------
 
@@ -796,6 +862,7 @@ object Similarity {
     "ann_brute_topk" -> (bruteTopK _),
     "ann_lsh_topk" -> (lshTopK _),
     "ann_ivf_topk" -> (ivfTopK _),
+    "ann_ivf_trained" -> (ivfTrainedTopK _),
     "ann_knn_join" -> (knnJoin _),
     "dd_embed" -> (embedNearDup _),
     "dd_semdedup" -> (semDedup _),
@@ -809,6 +876,7 @@ object Similarity {
     "ann_brute_topk" -> bruteTopKSql,
     "ann_lsh_topk" -> lshTopKSql,
     "ann_ivf_topk" -> ivfTopKSql,
+    "ann_ivf_trained" -> ivfTrainedSql,
     "ann_knn_join" -> knnJoinSql,
     "dd_embed" -> embedNearDupSql,
     "dd_semdedup" -> semDedupSql,
