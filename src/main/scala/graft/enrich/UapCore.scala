@@ -41,6 +41,27 @@ object UapCore {
     * or any string of the same format — the dim file is driver-side config,
     * like the reference's parser database). */
   def parse(yaml: String): Db = {
+    val sections = parseSections(yaml)
+    def patterns(section: String): Seq[Pattern] = {
+      val replKey = sectionKeys(section)
+      sections.getOrElse(section, mutable.ListBuffer.empty).toSeq
+        .flatMap(m => m.get("regex").map(r =>
+          Pattern(r, m.get(replKey), m.get("regex_flag").contains("i"))))
+    }
+    Db(patterns("user_agent_parsers"), patterns("os_parsers"), patterns("device_parsers"))
+  }
+
+  /** uap-core test-fixture loader (`tests/test_device.yaml` /
+    * `test_ua.yaml` format — same one-level YAML subset): the `test_cases`
+    * items as key→value maps (`user_agent_string`, `family`, …), for
+    * replaying the project's published conformance cases through the
+    * compiled cascade. */
+  def parseFixtures(yaml: String): Seq[Map[String, String]] =
+    parseSections(yaml).getOrElse("test_cases", mutable.ListBuffer.empty)
+      .toSeq.map(_.toMap)
+
+  private def parseSections(
+      yaml: String): mutable.Map[String, mutable.ListBuffer[mutable.Map[String, String]]] = {
     val sections = mutable.Map.empty[String, mutable.ListBuffer[mutable.Map[String, String]]]
     var current: String = ""
     var item: mutable.Map[String, String] = null
@@ -64,13 +85,7 @@ object UapCore {
         }
       }
     }
-    def patterns(section: String): Seq[Pattern] = {
-      val replKey = sectionKeys(section)
-      sections.getOrElse(section, mutable.ListBuffer.empty).toSeq
-        .flatMap(m => m.get("regex").map(r =>
-          Pattern(r, m.get(replKey), m.get("regex_flag").contains("i"))))
-    }
-    Db(patterns("user_agent_parsers"), patterns("os_parsers"), patterns("device_parsers"))
+    sections
   }
 
   private def putKv(item: mutable.Map[String, String], kv: String): Unit = {

@@ -180,4 +180,47 @@ class DimLoaderSpec extends AnyFunSuite {
     assert(fams(4).contains("Roku"),
       s"got ${fams(4)} — flagged no-replacement extract must stay case-insensitive")
   }
+
+  test("uap-core fixture runner: test_device.yaml-format cases replay through the cascade") {
+    // the published uap-core conformance-fixture format: a `test_cases`
+    // section of (user_agent_string, expected family) items. The db below
+    // uses real uap-core pattern shapes (template substitution, bare
+    // group-1, regex_flag, first-match-wins ordering); pointing the same
+    // runner at the project's full regexes.yaml + tests/test_device.yaml
+    // needs no code change.
+    val db = enrich.UapCore.parse(
+      """device_parsers:
+        |  - regex: '\((iPad|iPhone|iPod)( Simulator)?;'
+        |    device_replacement: '$1'
+        |  - regex: '; ?(LG-?[\dA-Za-z]+)[ )]'
+        |    device_replacement: 'LG $1'
+        |  - regex: 'hbbtv'
+        |    regex_flag: 'i'
+        |    device_replacement: 'SmartTV'
+        |  - regex: '(Samsung)[- ]([A-Za-z0-9]+)'
+        |""".stripMargin)
+    val fixtures = enrich.UapCore.parseFixtures(
+      """test_cases:
+        |  - user_agent_string: 'Mozilla/5.0 (iPhone; CPU iPhone OS 10_3 like Mac OS X) Safari'
+        |    family: 'iPhone'
+        |  - user_agent_string: 'Mozilla/5.0 (iPad; CPU OS 9_3 like Mac OS X) Mobile'
+        |    family: 'iPad'
+        |  - user_agent_string: 'Mozilla/5.0 (Linux; U; Android 4.2.2; LG-D802 Build) Mobile'
+        |    family: 'LG LG-D802'
+        |  - user_agent_string: 'Opera/9.80 (Linux mips; HbbTV/1.1.1) SmartTvA/3.0.0'
+        |    family: 'SmartTV'
+        |  - user_agent_string: 'Mozilla/5.0 (SMART-TV; Samsung GT-I9505 Build) Mobile'
+        |    family: 'Samsung'
+        |  - user_agent_string: 'curl/7.88.1'
+        |    family: 'Other'
+        |""".stripMargin)
+    assert(fixtures.length == 6)
+    assert(fixtures.forall(c => c.contains("user_agent_string") && c.contains("family")))
+    import spark.implicits._
+    val df = fixtures.map(_("user_agent_string")).toDF("ua")
+    val got = df.select(enrich.UapCore.family(col("ua"), db.devices).as("f"))
+      .collect().map(_.getString(0)).toSeq
+    val expected = fixtures.map(_("family"))
+    assert(got == expected, s"cascade diverged from fixtures: $got vs $expected")
+  }
 }
