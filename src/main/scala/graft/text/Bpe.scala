@@ -186,6 +186,55 @@ object Bpe {
     out.toArray
   }
 
+  /** Learn `k` merges from pre-token frequencies — the standard BPE
+    * trainer: count adjacent symbol pairs weighted by pre-token frequency,
+    * fuse the most frequent everywhere (ties: lexicographically smallest
+    * pair, so training is deterministic and input-order-independent),
+    * repeat. Input pre-tokens are RAW text (the byte→unicode mapping
+    * happens here), so the learned pairs drop straight into [[BpeTable]]
+    * and [[encode]] consumes them unchanged — the tokenizer twin of
+    * ann_kmeans' trained-centroid contract. */
+  def trainMerges(preTokenFreqs: Seq[(String, Long)], k: Int): Seq[(String, String)] = {
+    var words: Seq[(Array[String], Long)] = preTokenFreqs.map { case (w, f) =>
+      val bytes = w.getBytes(StandardCharsets.UTF_8)
+      (bytes.map(b => String.valueOf(byteToUnicode(b & 0xff))), f)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (out.length < k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        out += best
+        words = words.map { case (syms, f) =>
+          val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+              merged += best._1 + best._2; i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          (merged.toArray, f)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** The pre-tokenizer pattern for distributed word counting (same regex
+    * [[encode]] splits with — trainer and encoder must agree). */
+  val preTokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
   // ---- static entry points for generated code ------------------------------
 
   def evalTokens(input: UTF8String, table: BpeTable): GenericArrayData =
@@ -213,7 +262,7 @@ object Bpe {
   * oracle pattern, [[graft.commands.CommandQueries]]). */
 object BpeQueries {
   import org.apache.spark.sql.{DataFrame, SparkSession}
-  import org.apache.spark.sql.functions.{array_join, col}
+  import org.apache.spark.sql.functions.{array_join, col, count, explode, lit, regexp_extract_all}
 
   val corpus: Seq[String] = Seq(
     "the theatre",
@@ -234,6 +283,59 @@ object BpeQueries {
         Bpe.tokenCount(col("text")).as("n_tokens"),
         array_join(Bpe.tokens(col("text")), "|").as("tokens"))
   }
+
+  // ---- BPE merge training (tx_bpe_train) -----------------------------------
+
+  /** Fixed training corpus (th-heavy so merge chains go deep quickly). */
+  val trainCorpus: Seq[String] = Seq(
+    "the theme of the thesis is thin",
+    "then the theory of the thermal threshold",
+    "this thin thing is the thing",
+    "in the inn the innkeeper sings",
+    "a thing of things and the rest")
+
+  val trainK = 12
+
+  /** BPE merge training as a query: DISTRIBUTED pre-token counting (the
+    * corpus-sized pass — `regexp_extract_all` explode + one hash agg, the
+    * shape that runs at 100 TB), then driver-side merge learning over the
+    * BOUNDED vocab (Zipf-small — the MaxMind-dim-loader collect pattern;
+    * real BPE trainers work exactly this way: one corpus pass to word
+    * frequencies, then local iteration). Output: the learned (rank, lhs,
+    * rhs) merge list — [[Bpe.trainMerges]]'s contract means it drops into
+    * [[BpeTable]] unchanged (spec'd). */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wf = trainCorpus.toDF("text")
+      .select(explode(regexp_extract_all(
+        col("text"), lit(Bpe.preTokenPattern), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .collect() // bounded: pre-token vocab, not the corpus
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    Bpe.trainMerges(wf, trainK).zipWithIndex
+      .map { case ((a, b), r) => (r.toLong, a, b) }
+      .toDF("merge_rank", "lhs", "rhs")
+  }
+
+  /** Expected merge sequence, derived with an independent implementation of
+    * the published trainer over the same corpus (ties: count desc, then
+    * lexicographic pair). */
+  val bpeTrainSql: String =
+    """SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs
+      |FROM (VALUES
+      |  (0, 't', 'h'),
+      |  (1, 'Ġ', 'th'),
+      |  (2, 'Ġth', 'e'),
+      |  (3, 'i', 'n'),
+      |  (4, 'Ġth', 'in'),
+      |  (5, 'i', 's'),
+      |  (6, 'Ġthin', 'g'),
+      |  (7, 'o', 'f'),
+      |  (8, 'Ġ', 'of'),
+      |  (9, 'e', 's'),
+      |  (10, 'in', 'n'),
+      |  (11, 'r', 'es')
+      |) t(merge_rank, lhs, rhs)""".stripMargin
 
   /** Expected tokenizations, hand-verified against the merge table (tokens
     * print in byte-unicode space: 'Ġ' = space, 'Ã¯' = the UTF-8 bytes of

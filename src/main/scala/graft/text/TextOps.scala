@@ -758,7 +758,8 @@ object TextOps {
     "tx_gopher" -> (gopher _),
     "tx_pack" -> (pack _),
     "tx_profile_train" -> (profileTrain _),
-    "tx_bpe_tokens" -> (BpeQueries.bpeTokens _))
+    "tx_bpe_tokens" -> (BpeQueries.bpeTokens _),
+    "tx_bpe_train" -> (BpeQueries.bpeTrain _))
 
   def oracleSql: Map[String, String] = Map(
     "tx_search" -> searchSql,
@@ -777,5 +778,6 @@ object TextOps {
     "tx_gopher" -> gopherSql,
     "tx_pack" -> packSql,
     "tx_profile_train" -> profileTrainSql,
-    "tx_bpe_tokens" -> BpeQueries.bpeTokensSql)
+    "tx_bpe_tokens" -> BpeQueries.bpeTokensSql,
+    "tx_bpe_train" -> BpeQueries.bpeTrainSql)
 }
