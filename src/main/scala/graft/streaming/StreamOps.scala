@@ -181,20 +181,27 @@ object StreamOps {
     }
   }
 
+  // Both windows share ONE deterministic total order (ts_us, event_id).
+  // With duplicate timestamps (the sf1 10× replica sweep has 10 events per
+  // (user, ts) point) an inconsistent tie order between the lag window and
+  // the cumulative-sum window lets the new_sess=1 row land mid-tie-group,
+  // splitting a session that the engine (which sorts the event multiset)
+  // never splits — caught as a 3-row drift at sf1.
   val sessionizeSql: String =
     """WITH o AS (
-      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-      |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
-      |      - lag(epoch_us(CAST(ts AS TIMESTAMP)))
-      |        OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
-      |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-      |      THEN 1 ELSE 0 END AS new_sess
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
       |  FROM events),
+      |o2 AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000
+      |      OR lag(ts_us) OVER w IS NULL
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
       |s AS (
       |  SELECT user_id, ts_us,
-      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
       |      ROWS UNBOUNDED PRECEDING) AS sess_id
-      |  FROM o)
+      |  FROM o2)
       |SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
       |  count(*) AS n_events
       |FROM s GROUP BY user_id, sess_id""".stripMargin
