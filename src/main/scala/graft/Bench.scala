@@ -69,8 +69,11 @@ object Bench {
     // line, after spark.stop() so no shutdown logging can follow it — any
     // tail window large enough to hold one line now contains a parseable
     // metric object.
+    // Locale.ROOT: the default-locale f-interpolator renders comma decimals
+    // on e.g. de_DE JVMs, which would break the JSON this line exists for.
+    def sec3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val summaryJson =
-      f"""{"metric":"headline_total","value":$headlineTotal%.3f,"unit":"sec","all_total":$total%.3f,"n_queries":${results.size},"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"headline_total","value":${sec3(headlineTotal)},"unit":"sec","all_total":${sec3(total)},"n_queries":${results.size},"errors":$errors,"sf":"$sfDir"}"""
     println(summaryJson)
     System.out.flush()
   }

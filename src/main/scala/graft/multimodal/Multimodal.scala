@@ -76,6 +76,26 @@ object Multimodal {
 
   final case class Decoded(width: Int, height: Int, fmt: String, gray: Array[Byte])
 
+  /** Header-only decode: dimensions + detected format from the ImageIO
+    * reader WITHOUT reading the raster — all a resize planner needs. Keeps
+    * the resize/batch-pack stages on a real decode while skipping the
+    * per-pixel work that only [[mmMeta]]'s checksum requires. */
+  private[graft] def decodeDims(payload: Array[Byte]): (Int, Int, String) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext)
+        throw new java.io.IOException(s"no ImageIO reader for payload (${payload.length} bytes)")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        (reader.getWidth(0), reader.getHeight(0),
+          reader.getFormatName.toLowerCase(java.util.Locale.ROOT))
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
   /** REAL decode via `javax.imageio`: format detected from the bytes (not
     * assumed), full raster read, gray = channel-0 samples in row-major
     * top-down order. Works for any ImageIO-readable format (BMP/PNG/GIF/
@@ -133,12 +153,14 @@ object Multimodal {
 
   /** Expected decode output: BMP size is closed-form (54-byte headers +
     * 4-byte-padded BGR rows); pixel_sum replays the pixel-cycling rule over
-    * the text — a header-only "decode" cannot produce it. */
+    * the text — a header-only "decode" cannot produce it. An empty text
+    * leaves the raster all-zero (pixel_sum 0); `p % length('')` is NULL in
+    * SQL, so the sum coalesces to 0 to match the engine. */
   val mmMetaSql: String =
     s"""WITH $dimsSqlCte,
        |px AS (
        |  SELECT doc_id,
-       |    CAST(sum(ascii(substr(text, CAST(p % length(text) AS INTEGER) + 1, 1))) AS BIGINT) AS pixel_sum
+       |    CAST(coalesce(sum(ascii(substr(text, CAST(p % length(text) AS INTEGER) + 1, 1))), 0) AS BIGINT) AS pixel_sum
        |  FROM dims, LATERAL unnest(range(0, w * h)) t(p)
        |  GROUP BY doc_id)
        |SELECT d.doc_id,
@@ -204,15 +226,26 @@ object Multimodal {
 
   val resizeMax = 64
 
-  /** Resize stage: fit the DECODED dimensions ([[mmMeta]]'s real ImageIO
-    * read) into a `resizeMax` box preserving aspect ratio. All-integer math
-    * ((d·max) DIV longest side) so the plan is exact on both engines — the
-    * actual pixel resample belongs to the codec stage; this op is the
-    * dimension planning every image pipeline runs before batching GPU work.
-    * Carries `fmt` for the batch packer; the `mm_resize` query drops it
-    * (stable output schema). */
-  private def resized(spark: SparkSession, sfDir: String): DataFrame =
-    mmMeta(spark, sfDir)
+  /** Resize stage: fit the DECODED dimensions (a real ImageIO header read,
+    * [[decodeDims]] — no raster materialization, which only mm_meta's
+    * checksum needs) into a `resizeMax` box preserving aspect ratio.
+    * All-integer math ((d·max) DIV longest side) so the plan is exact on
+    * both engines — the actual pixel resample belongs to the codec stage;
+    * this op is the dimension planning every image pipeline runs before
+    * batching GPU work. Carries `fmt` for the batch packer; the `mm_resize`
+    * query drops it (stable output schema). */
+  private def resized(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[Payload]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap(_.map { p =>
+          val (w, h, fmt) = decodeDims(imageFor(p.doc_id, p.payload))
+          (p.doc_id, w, h, fmt)
+        })
+      }
+      .toDF("doc_id", "width", "height", "fmt")
       .withColumn("longest", greatest(col("width"), col("height")))
       .select(col("doc_id"), col("fmt"), col("width"), col("height"),
         when(col("longest") <= resizeMax, col("width"))
@@ -221,6 +254,7 @@ object Multimodal {
         when(col("longest") <= resizeMax, col("height"))
           .otherwise(greatest(lit(1),
             expr(s"CAST(height * $resizeMax DIV longest AS INT)"))).as("out_h"))
+  }
 
   def mmResize(spark: SparkSession, sfDir: String): DataFrame =
     resized(spark, sfDir).drop("fmt")

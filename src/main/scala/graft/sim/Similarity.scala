@@ -257,9 +257,12 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
   }
 
-  private val assignedCte: String =
-    s"""cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $numCentroids),
-       |sims AS (
+  /** sims→assigned→lists over a coarse-quantizer CTE named `cents(cid,
+    * cv)` — shared verbatim by the first-N and trained-centroid oracles, so
+    * a probe-logic fix cannot drift between them (mirrors the Scala
+    * factoring: [[assignedListsWith]] is quantizer-agnostic). */
+  private val assignChainCte: String =
+    s"""sims AS (
        |  SELECT e.vec_id, cid,
        |    round(${Portable.cosineSql("e.v", "cv")}, 6) AS ccos
        |  FROM e CROSS JOIN cents),
@@ -270,6 +273,10 @@ object Similarity {
        |lists AS (
        |  SELECT a.vec_id, e.v, a.cid FROM assigned a JOIN e ON a.vec_id = e.vec_id
        |  WHERE a.crn = 1)""".stripMargin
+
+  private val assignedCte: String =
+    s"""cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $numCentroids),
+       |$assignChainCte""".stripMargin
 
   /** IVF without the training step: the first `numCentroids` corpus vectors
     * serve as centroids ("trained" centroids drop in identically). Vectors
@@ -309,10 +316,10 @@ object Similarity {
     scored.withColumn("rank", row_number().over(wRank)).filter(col("rank") <= 3)
   }
 
-  val ivfTopKSql: String =
-    s"""WITH $embCte,
-       |$assignedCte,
-       |probes AS (
+  /** probes→q→scored + final top-3 cut over the [[assignChainCte]] names —
+    * the second quantizer-agnostic half of the shared probe pipeline. */
+  private val probeSelectSql: String =
+    s"""probes AS (
        |  SELECT vec_id AS qid, cid AS pcid FROM assigned
        |  WHERE vec_id < $numQueries AND crn <= $nprobe),
        |q AS (
@@ -328,6 +335,11 @@ object Similarity {
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand ASC) AS rank
        |  FROM scored) t
        |WHERE rank <= 3""".stripMargin
+
+  val ivfTopKSql: String =
+    s"""WITH $embCte,
+       |$assignedCte,
+       |$probeSelectSql""".stripMargin
 
   // ---- SemDeDup: cluster-bucketed semantic dedup --------------------------
 
@@ -521,37 +533,14 @@ object Similarity {
   def ivfTrainedTopK(spark: SparkSession, sfDir: String): DataFrame =
     ivfTopKWith(spark, sfDir, trainedCentroids(spark, sfDir))
 
+  /** Same [[assignChainCte]]+[[probeSelectSql]] chain; only the `cents`
+    * quantizer differs (k-means means from `m2` instead of first-N rows). */
   val ivfTrainedSql: String =
     s"""WITH $embCte,
        |$kmeansCtes,
-       |tc AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m2 GROUP BY 1),
-       |tsims AS (
-       |  SELECT e.vec_id, cid,
-       |    round(${Portable.cosineSql("e.v", "cv")}, 6) AS ccos
-       |  FROM e CROSS JOIN tc),
-       |tassigned AS (
-       |  SELECT vec_id, cid, ccos,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crn
-       |  FROM tsims),
-       |tlists AS (
-       |  SELECT a.vec_id, e.v, a.cid FROM tassigned a JOIN e ON a.vec_id = e.vec_id
-       |  WHERE a.crn = 1),
-       |tprobes AS (
-       |  SELECT vec_id AS qid, cid AS pcid FROM tassigned
-       |  WHERE vec_id < $numQueries AND crn <= $nprobe),
-       |tq AS (
-       |  SELECT l.vec_id AS qid, l.v AS qv, p.pcid
-       |  FROM tlists l JOIN tprobes p ON l.vec_id = p.qid
-       |  WHERE l.vec_id < $numQueries),
-       |tscored AS (
-       |  SELECT tq.qid, l.vec_id AS cand,
-       |    round(${Portable.cosineSql("l.v", "qv")}, 6) AS cos
-       |  FROM tlists l JOIN tq ON l.cid = tq.pcid AND l.vec_id <> tq.qid)
-       |SELECT qid, cand, cos, rank FROM (
-       |  SELECT qid, cand, cos,
-       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand ASC) AS rank
-       |  FROM tscored) t
-       |WHERE rank <= 3""".stripMargin
+       |cents AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m2 GROUP BY 1),
+       |$assignChainCte,
+       |$probeSelectSql""".stripMargin
 
   // ---- int8-quantized ANN (the storage/bandwidth path) --------------------
 

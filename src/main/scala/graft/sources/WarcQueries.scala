@@ -77,14 +77,21 @@ object WarcQueries {
       record("response", "http://example.com/b",
         "application/http;msgtype=response", p1, crlf = false)
 
-  /** Parse the fixture through the real Spark binding and emit one row per
-    * surviving record. Fresh temp files per call keep the query
-    * deterministic and re-runnable in one session. */
-  def warcRecords(spark: SparkSession, sfDir: String): DataFrame = {
+  /** One fixture directory per JVM (the blobs are deterministic, so reuse
+    * is sound); files registered deleteOnExit so repeated bench/verify runs
+    * don't accumulate temp directories. */
+  private lazy val fixtureDir: java.nio.file.Path = {
     val dir = Files.createTempDirectory("graft_warcq")
-    Files.write(dir.resolve("multi.warc.gz"), multiBlob)
-    Files.write(dir.resolve("plain.warc"), plainBlob)
-    Warc.read(spark, dir.toString).toDF()
+    val multi = Files.write(dir.resolve("multi.warc.gz"), multiBlob)
+    val plain = Files.write(dir.resolve("plain.warc"), plainBlob)
+    Seq(multi, plain, dir).foreach(_.toFile.deleteOnExit())
+    dir
+  }
+
+  /** Parse the fixture through the real Spark binding and emit one row per
+    * surviving record. */
+  def warcRecords(spark: SparkSession, sfDir: String): DataFrame = {
+    Warc.read(spark, fixtureDir.toString).toDF()
       .select(
         element_at(split(col("file"), "/"), -1).as("file"),
         col("recordIndex").cast("long").as("record_index"),

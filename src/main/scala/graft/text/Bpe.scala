@@ -49,9 +49,13 @@ object Bpe {
 
   /** GPT-2's pre-tokenizer: contractions, optional-space letter runs,
     * digit runs, punctuation runs, then whitespace (trailing-whitespace
-    * lookahead keeps one space attached to the following word). */
-  private val preTokenRe = java.util.regex.Pattern.compile(
-    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
+    * lookahead keeps one space attached to the following word). Single
+    * source of truth — the distributed trainer (tx_bpe_train) splits with
+    * this same string, so trainer and encoder cannot desynchronize. */
+  val preTokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  private val preTokenRe = java.util.regex.Pattern.compile(preTokenPattern)
 
   /** The byte → printable-unicode alphabet (public GPT-2 construction):
     * visible latin-1 bytes map to themselves; the rest shift above U+0100
@@ -230,11 +234,6 @@ object Bpe {
     out.toSeq
   }
 
-  /** The pre-tokenizer pattern for distributed word counting (same regex
-    * [[encode]] splits with — trainer and encoder must agree). */
-  val preTokenPattern: String =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
-
   // ---- static entry points for generated code ------------------------------
 
   def evalTokens(input: UTF8String, table: BpeTable): GenericArrayData =
@@ -242,8 +241,20 @@ object Bpe {
       encode(input.toString, table).map(UTF8String.fromString(_)): Array[Any])
 
   def evalCount(input: UTF8String, table: BpeTable): Long = {
-    // count without materializing token strings: same loop, same cache
-    encode(input.toString, table).length.toLong
+    // Count without collecting a token array: sum per-pre-token merge-result
+    // lengths straight off bpeWord's cache.
+    val text = input.toString
+    if (text.isEmpty) return 0L
+    var n = 0L
+    val m = preTokenRe.matcher(text)
+    while (m.find()) {
+      val bytes = m.group().getBytes(StandardCharsets.UTF_8)
+      val mapped = new Array[Char](bytes.length)
+      var i = 0
+      while (i < bytes.length) { mapped(i) = byteToUnicode(bytes(i) & 0xff); i += 1 }
+      n += bpeWord(new String(mapped), table).length
+    }
+    n
   }
 
   def tokens(c: Column, table: BpeTable = builtin): Column =
