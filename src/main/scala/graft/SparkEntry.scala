@@ -18,7 +18,8 @@ object SparkEntry {
     (streaming.StreamOps.queries, streaming.StreamOps.oracleSql),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracleSql),
     (pipeline.Curate.queries, pipeline.Curate.oracleSql),
-    (sources.WarcQueries.queries, sources.WarcQueries.oracleSql))
+    (sources.WarcQueries.queries, sources.WarcQueries.oracleSql),
+    (web.WebOps.queries, web.WebOps.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's identity in one plan: signups × broadcast rule dim →

@@ -1,0 +1,348 @@
+package graft.web
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Web-crawl curation operators: URL canonicalization (the key every
+  * crawl-frontier and URL-level dedup stage groups on), HTML→text
+  * extraction (the WET-conversion step downstream of [[graft.sources.Warc]]),
+  * and link-graph PageRank (the quality prior crawl schedulers and corpus
+  * filters rank by — reference pipelines publish exactly such per-host
+  * ranks for Common Crawl).
+  *
+  * Both scalar ops are fused codegen'd expressions (the
+  * [[graft.text.BpeTokens]] static-call pattern) so at corpus scale they
+  * run inside the WholeStageCodegen span of whatever scan feeds them; the
+  * driver-checked queries run them over fixed fixture corpora with
+  * hand-verified VALUES oracles (the cmd_parse pattern) because the
+  * synthetic tables carry no URLs or markup.
+  */
+object WebOps {
+
+  // ---- URL canonicalization ------------------------------------------------
+
+  /** Tracking parameters every pipeline strips (utm_* plus the common
+    * click-id params). */
+  private def isTrackingParam(key: String): Boolean = {
+    val k = key.toLowerCase(java.util.Locale.ROOT)
+    k.startsWith("utm_") || k == "fbclid" || k == "gclid" || k == "ref"
+  }
+
+  /** Canonical form — the documented, hand-verifiable rule set:
+    *  1. scheme and host lowercase;
+    *  2. default ports dropped (`:80` for http, `:443` for https);
+    *  3. fragment dropped;
+    *  4. tracking params (`utm_*`, `fbclid`, `gclid`, `ref`) dropped,
+    *     remaining `k=v` params sorted lexicographically (full-string
+    *     sort, duplicates kept), empty segments from `&&` dropped;
+    *  5. repeated path slashes collapsed, trailing slash dropped except
+    *     for the root path, empty path becomes `/`.
+    * Percent-decoding is deliberately NOT performed (decoding can change
+    * meaning; conservative canonicalizers leave escapes alone). Inputs
+    * without a `://` pass through unchanged (not a URL — never invent
+    * structure on garbage). */
+  def canonicalUrl(url: String): String = {
+    val sep = url.indexOf("://")
+    if (sep < 0) return url
+    val scheme = url.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
+    var rest = url.substring(sep + 3)
+    // fragment first: everything after '#' is client-side only
+    val hash = rest.indexOf('#')
+    if (hash >= 0) rest = rest.substring(0, hash)
+    val q = rest.indexOf('?')
+    val (authorityPath, query) =
+      if (q >= 0) (rest.substring(0, q), rest.substring(q + 1)) else (rest, "")
+    val slash = authorityPath.indexOf('/')
+    val (authority, rawPath) =
+      if (slash >= 0) (authorityPath.substring(0, slash), authorityPath.substring(slash))
+      else (authorityPath, "")
+    val colon = authority.lastIndexOf(':')
+    val (host, port) =
+      if (colon >= 0 && authority.drop(colon + 1).forall(_.isDigit))
+        (authority.substring(0, colon), authority.substring(colon + 1))
+      else (authority, "")
+    val lhost = host.toLowerCase(java.util.Locale.ROOT)
+    val keepPort = port.nonEmpty &&
+      !((scheme == "http" && port == "80") || (scheme == "https" && port == "443"))
+    var path = rawPath.replaceAll("/{2,}", "/")
+    if (path.isEmpty) path = "/"
+    if (path.length > 1 && path.endsWith("/")) path = path.dropRight(1)
+    val params = query.split("&").filter(_.nonEmpty)
+      .filterNot(p => isTrackingParam(p.takeWhile(_ != '=')))
+      .sorted
+    val sb = new StringBuilder(scheme).append("://").append(lhost)
+    if (keepPort) sb.append(':').append(port)
+    sb.append(path)
+    if (params.nonEmpty) sb.append('?').append(params.mkString("&"))
+    sb.toString
+  }
+
+  def evalCanonical(input: UTF8String): UTF8String =
+    UTF8String.fromString(canonicalUrl(input.toString))
+
+  def urlCanonical(c: Column): Column =
+    GraftBridge.column(UrlCanonicalize(GraftBridge.expression(c)))
+
+  // ---- HTML → text ---------------------------------------------------------
+
+  private val scriptStyleRe = java.util.regex.Pattern.compile(
+    "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>")
+  private val commentRe = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
+  private val tagRe = java.util.regex.Pattern.compile("<[^>]+>")
+  private val numEntityRe = java.util.regex.Pattern.compile("&#(\\d{1,7});")
+  private val wsRe = java.util.regex.Pattern.compile("\\s+")
+
+  /** Extract visible text from HTML — the WET conversion step:
+    * script/style blocks and comments removed WITH their content, remaining
+    * tags replaced by a space (block boundaries must not glue words
+    * together), named entities for the XML five + nbsp decoded, decimal
+    * numeric entities decoded, whitespace runs collapsed, ends trimmed. */
+  def htmlToText(html: String): String = {
+    var s = scriptStyleRe.matcher(html).replaceAll(" ")
+    s = commentRe.matcher(s).replaceAll(" ")
+    s = tagRe.matcher(s).replaceAll(" ")
+    val m = numEntityRe.matcher(s)
+    val nb = new java.lang.StringBuilder
+    while (m.find()) {
+      val cp = m.group(1).toLong
+      val rep = if (cp > 0 && cp <= Character.MAX_CODE_POINT)
+        new String(Character.toChars(cp.toInt)) else m.group()
+      m.appendReplacement(nb, java.util.regex.Matcher.quoteReplacement(rep))
+    }
+    m.appendTail(nb)
+    s = nb.toString
+      .replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&apos;", "'").replace("&amp;", "&")
+    wsRe.matcher(s).replaceAll(" ").trim
+  }
+
+  def evalHtmlText(input: UTF8String): UTF8String =
+    UTF8String.fromString(htmlToText(input.toString))
+
+  def htmlText(c: Column): Column =
+    GraftBridge.column(HtmlToText(GraftBridge.expression(c)))
+
+  // ---- fixture queries -----------------------------------------------------
+
+  /** URL fixtures covering every canonicalization rule (and the non-URL
+    * passthrough). Duplicate groups are intentional: 0/1/2 and 4/5
+    * canonicalize together. */
+  val urlCorpus: Seq[String] = Seq(
+    "https://Example.COM:443/a/b?utm_source=x&id=1#frag",     // 0
+    "https://example.com/a/b?id=1",                           // 1 same as 0
+    "https://example.com//a//b/?id=1&utm_campaign=y",         // 2 same as 0
+    "http://example.com:8080/a?z=2&a=1",                      // 3 kept port, sorted params
+    "HTTP://WWW.Example.org:80/index.html?b=2&a=1&fbclid=abc",// 4
+    "http://www.example.org/index.html?a=1&b=2",              // 5 same as 4
+    "https://example.com",                                    // 6 empty path -> /
+    "https://example.com/?ref=hn&gclid=g",                    // 7 all params tracking -> none
+    "https://example.com/path/",                              // 8 trailing slash dropped
+    "https://example.com/path?a=2&a=1",                       // 9 duplicate key kept, sorted
+    "not a url at all",                                       // 10 passthrough
+    "ftp://Files.Example.net:21/pub/data.txt")                // 11 non-http port kept
+
+  def urlNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val urls = urlCorpus.zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("url_id", "url")
+      .select(col("url_id"), urlCanonical(col("url")).as("canonical"))
+    // URL-level dedup: min url_id per canonical form keeps (whole-partition
+    // frame — no orderBy, min is frame-order-independent)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("canonical"))
+    urls.withColumn("keeper", min(col("url_id")).over(w))
+      .select(col("url_id"), col("canonical"),
+        (col("url_id") === col("keeper")).as("keep"))
+  }
+
+  /** Hand-verified canonical forms (each traced through the rule list in
+    * [[canonicalUrl]]'s doc — rules are numbered in the comments). */
+  val urlNormSql: String =
+    """SELECT CAST(url_id AS BIGINT) AS url_id, canonical, keep
+      |FROM (VALUES
+      |  (0,  'https://example.com/a/b?id=1', true),
+      |  (1,  'https://example.com/a/b?id=1', false),
+      |  (2,  'https://example.com/a/b?id=1', false),
+      |  (3,  'http://example.com:8080/a?a=1&z=2', true),
+      |  (4,  'http://www.example.org/index.html?a=1&b=2', true),
+      |  (5,  'http://www.example.org/index.html?a=1&b=2', false),
+      |  (6,  'https://example.com/', true),
+      |  (7,  'https://example.com/', false),
+      |  (8,  'https://example.com/path', true),
+      |  (9,  'https://example.com/path?a=1&a=2', true),
+      |  (10, 'not a url at all', true),
+      |  (11, 'ftp://files.example.net:21/pub/data.txt', true)
+      |) t(url_id, canonical, keep)""".stripMargin
+
+  /** HTML fixtures: nested markup, script/style with content, comments,
+    * all decoded entity forms, attribute noise, whitespace runs. */
+  val htmlCorpus: Seq[String] = Seq(
+    "<html><body><h1>Title</h1><p>Hello   world</p></body></html>",
+    "<div><script type=\"text/javascript\">var x = \"<p>not text</p>\";</script>Visible</div>",
+    "<style>.a { color: red; }</style><span class=\"x\">styled&nbsp;text</span>",
+    "<!-- a comment --><b>bold</b> and <i>italic</i>",
+    "Fish &amp; chips &lt;cheap&gt; &quot;daily&quot; &#65;&#66;!",
+    "<ul><li>one</li><li>two</li></ul>",
+    "no markup here",
+    "")
+
+  def htmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    htmlCorpus.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("doc_id", "html")
+      .select(col("doc_id"), htmlText(col("html")).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** Hand-verified extraction (tags → space, collapse, trim; script/style
+    * content gone; entities decoded). */
+  val htmlExtractSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+      |FROM (VALUES
+      |  (0, 'Title Hello world'),
+      |  (1, 'Visible'),
+      |  (2, 'styled text'),
+      |  (3, 'bold and italic'),
+      |  (4, 'Fish & chips <cheap> "daily" AB!'),
+      |  (5, 'one two'),
+      |  (6, 'no markup here'),
+      |  (7, '')
+      |) t(doc_id, text)""".stripMargin
+
+  // ---- PageRank over a deterministic link graph ----------------------------
+
+  /** Per-node out-links in the synthesized graph: doc d links to
+    * `(d*7 + k) mod n` for k = 1..linksPerDoc (self-loops dropped). The
+    * multiplier-7 stride makes in-degree non-uniform enough that ranks
+    * actually differ. */
+  val linksPerDoc = 3
+
+  /** Damping in parts-per-thousand and rank mass in nano-units: ALL the
+    * arithmetic is BIGINT (floor division), so iteration results are
+    * bit-exact and addend-order-independent on both engines — the
+    * exact-integer trick from samp_dsir. pr₀ = 10⁹/n; one step is
+    * pr' = 0.15·10⁹/n + Σ_in (850·pr_src) DIV (1000·outdeg_src). */
+  val dampingPpt = 850
+  val prIters = 3
+  val topRanks = 20
+
+  /** Distributed PageRank, the canonical iterative shape: a fixed number
+    * of (join on src → shuffle-agg on dst) rounds over an edge table. At
+    * scale the edge frame is the big input — it is built once, persisted,
+    * and both sides of every iteration join on the SAME key column, so the
+    * shuffle partitioning established in round 1 is reused; ranks are
+    * O(nodes) per round. A production run pre-partitions edges by src
+    * (Staging.bucketize) and checkpoints every ~10 rounds to cut lineage. */
+  def pageRank(spark: SparkSession, sfDir: String): DataFrame =
+    fullRanks(spark, sfDir)
+      .orderBy(col("pr").desc, col("doc_id").asc).limit(topRanks)
+      .select(col("doc_id"), col("pr"))
+
+  /** Every node's rank after [[prIters]] rounds (spec surface: total mass
+    * stays within the floor-division loss bound of 10⁹). */
+  private[graft] def fullRanks(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables(spark, sfDir).documents.select(col("doc_id"))
+    val n = docs.count()
+    val edges = docs
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(1), lit(linksPerDoc))).as("k"))
+      .select(col("src"), ((col("src") * 7 + col("k")) % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .persist()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges.join(outdeg, "src").persist()
+    var ranks = docs.select(col("doc_id"), lit(1000000000L / n).as("pr"))
+    val teleport = 150000000L / n
+    (1 to prIters).foreach { _ =>
+      val contrib = withDeg
+        .join(ranks, col("src") === col("doc_id"))
+        // DIV, not /: all rank math stays in exact BIGINT so iteration
+        // results are addend-order-independent on both engines
+        .select(col("dst"),
+          expr(s"(pr * $dampingPpt) DIV (1000 * outdeg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      // left join: nodes with no in-links keep only the teleport mass
+      ranks = docs.select(col("doc_id"))
+        .join(contrib, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          (lit(teleport) + coalesce(col("inflow"), lit(0L))).as("pr"))
+    }
+    ranks
+  }
+
+  /** The same integer recurrence unrolled: r0→r1→r2→r3 CTEs (one per
+    * iteration — `prIters` and this chain length must agree). */
+  val pageRankSql: String = {
+    def step(prev: String, next: String): String =
+      s"""$next AS (
+         |  SELECT d.doc_id, $teleportSql + coalesce(f.inflow, 0) AS pr
+         |  FROM docs d LEFT JOIN (
+         |    SELECT e.dst, sum(($dampingPpt * p.pr) // (1000 * e.outdeg)) AS inflow
+         |    FROM ewd e JOIN $prev p ON e.src = p.doc_id
+         |    GROUP BY e.dst) f ON d.doc_id = f.dst)""".stripMargin
+    s"""WITH docs AS (SELECT doc_id FROM documents),
+       |n AS (SELECT count(*) AS n FROM docs),
+       |edges AS (
+       |  SELECT doc_id AS src, (doc_id * 7 + k) % (SELECT n FROM n) AS dst
+       |  FROM docs, LATERAL unnest(range(1, $linksPerDoc + 1)) t(k)
+       |  WHERE doc_id <> (doc_id * 7 + k) % (SELECT n FROM n)),
+       |ewd AS (
+       |  SELECT src, dst, count(*) OVER (PARTITION BY src) AS outdeg FROM edges),
+       |r0 AS (SELECT doc_id, 1000000000 // (SELECT n FROM n) AS pr FROM docs),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")}
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pr AS BIGINT) AS pr
+       |FROM r3 ORDER BY pr DESC, doc_id ASC LIMIT $topRanks""".stripMargin
+  }
+
+  private def teleportSql: String = s"150000000 // (SELECT n FROM n)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "web_urlnorm" -> (urlNorm _),
+    "web_html" -> (htmlExtract _),
+    "web_pagerank" -> (pageRank _))
+
+  def oracleSql: Map[String, String] = Map(
+    "web_urlnorm" -> urlNormSql,
+    "web_html" -> htmlExtractSql,
+    "web_pagerank" -> pageRankSql)
+}
+
+/** `url → canonical url` (rules in [[WebOps.canonicalUrl]]); static-call
+  * codegen keeps the scan's WholeStageCodegen span intact. */
+case class UrlCanonicalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "url_canonicalize"
+
+  override def nullSafeEval(input: Any): Any =
+    WebOps.evalCanonical(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.web.WebOps.evalCanonical($c);""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `html → visible text` (rules in [[WebOps.htmlToText]]). */
+case class HtmlToText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "html_to_text"
+
+  override def nullSafeEval(input: Any): Any =
+    WebOps.evalHtmlText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.web.WebOps.evalHtmlText($c);""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
