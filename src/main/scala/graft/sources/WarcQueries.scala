@@ -26,7 +26,7 @@ object WarcQueries {
     * blank line, payload, two record-terminator newlines. `crlf=false`
     * emits bare-LF line endings (dirty captures use both; the parser
     * tolerates either). */
-  private def record(warcType: String, uri: String, ctype: String,
+  private[graft] def record(warcType: String, uri: String, ctype: String,
       payload: Array[Byte], crlf: Boolean = true): Array[Byte] = {
     val nl = if (crlf) "\r\n" else "\n"
     val sb = new StringBuilder
@@ -38,7 +38,7 @@ object WarcQueries {
     sb.toString.getBytes(US_ASCII) ++ payload ++ (nl + nl).getBytes(US_ASCII)
   }
 
-  private def gz(b: Array[Byte]): Array[Byte] = {
+  private[graft] def gz(b: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val g = new GZIPOutputStream(bos)
     g.write(b); g.close()

@@ -759,7 +759,8 @@ object TextOps {
     "tx_pack" -> (pack _),
     "tx_profile_train" -> (profileTrain _),
     "tx_bpe_tokens" -> (BpeQueries.bpeTokens _),
-    "tx_bpe_train" -> (BpeQueries.bpeTrain _))
+    "tx_bpe_train" -> (BpeQueries.bpeTrain _),
+    "tx_wordpiece" -> (WordPieceQueries.wordpiece _))
 
   def oracleSql: Map[String, String] = Map(
     "tx_search" -> searchSql,
@@ -779,5 +780,6 @@ object TextOps {
     "tx_pack" -> packSql,
     "tx_profile_train" -> profileTrainSql,
     "tx_bpe_tokens" -> BpeQueries.bpeTokensSql,
-    "tx_bpe_train" -> BpeQueries.bpeTrainSql)
+    "tx_bpe_train" -> BpeQueries.bpeTrainSql,
+    "tx_wordpiece" -> WordPieceQueries.wordpieceSql)
 }

@@ -212,6 +212,71 @@ object WebOps {
       |  (7, '')
       |) t(doc_id, text)""".stripMargin
 
+  // ---- WET generation: WARC responses → extracted text ---------------------
+
+  /** Response payloads for the WET fixture: full HTTP messages, as captured
+    * (the WARC `response` payload IS the HTTP message — WET generation
+    * strips the header block, then extracts text from the HTML body). */
+  private val wetPayloads: Seq[(String, String)] = Seq(
+    ("http://example.com/one",
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        "<html><head><title>T1</title></head><body><h1>Alpha</h1>" +
+        "<p>beta &amp; gamma</p></body></html>"),
+    ("http://example.com/two",
+      "HTTP/1.1 200 OK\r\n\r\n" +
+        "<body><script>var x = 1;</script><p>Only&nbsp;visible</p></body>"),
+    ("http://example.com/three",
+      "HTTP/1.1 200 OK\r\n\r\nplain body text"))
+
+  private lazy val wetFixtureDir: java.nio.file.Path = {
+    import java.nio.charset.StandardCharsets.US_ASCII
+    import graft.sources.WarcQueries.{gz, record}
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet")
+    val blob =
+      gz(record("warcinfo", "", "application/warc-fields",
+        "software: graft-warc/1.0\r\n".getBytes(US_ASCII))) ++
+        wetPayloads.map { case (uri, http) =>
+          gz(record("response", uri, "application/http;msgtype=response",
+            http.getBytes(US_ASCII)))
+        }.reduce(_ ++ _)
+    val f = java.nio.file.Files.write(dir.resolve("wet.warc.gz"), blob)
+    Seq(f, dir).foreach(_.toFile.deleteOnExit())
+    dir
+  }
+
+  /** Common Crawl WET generation end-to-end: the REAL WARC reader feeds
+    * `response` records, the HTTP header block is stripped declaratively
+    * (everything after the first blank line), [[HtmlToText]] extracts the
+    * visible text — the composition row proving the ingestion source and
+    * the extraction expression work TOGETHER (the pipe_curate pattern:
+    * composed operators get their own driver row). */
+  def wetExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val http = graft.sources.Warc.read(spark, wetFixtureDir.toString).toDF()
+      .filter(col("warcType") === "response")
+      .select(col("recordIndex").cast("long").as("record_index"),
+        col("targetUri").as("target_uri"),
+        col("payload").cast("string").as("msg"))
+      // header/body split at the first CRLFCRLF; a header-only or malformed
+      // message yields an empty body, never the headers as "text"
+      .withColumn("body",
+        when(instr(col("msg"), "\r\n\r\n") > 0,
+          expr("substring(msg, instr(msg, '\r\n\r\n') + 4)")).otherwise(lit("")))
+    http.select(col("record_index"), col("target_uri"),
+        htmlText(col("body")).as("wet_text"))
+      .withColumn("n_chars", length(col("wet_text")).cast("long"))
+  }
+
+  /** Hand-verified extractions (traced through the [[htmlToText]] rules
+    * against the payload literals above). */
+  val wetExtractSql: String =
+    """SELECT CAST(record_index AS BIGINT) AS record_index, target_uri, wet_text,
+      |  CAST(length(wet_text) AS BIGINT) AS n_chars
+      |FROM (VALUES
+      |  (1, 'http://example.com/one', 'T1 Alpha beta & gamma'),
+      |  (2, 'http://example.com/two', 'Only visible'),
+      |  (3, 'http://example.com/three', 'plain body text')
+      |) t(record_index, target_uri, wet_text)""".stripMargin
+
   // ---- PageRank over a deterministic link graph ----------------------------
 
   /** Per-node out-links in the synthesized graph: doc d links to
@@ -304,11 +369,13 @@ object WebOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "web_urlnorm" -> (urlNorm _),
     "web_html" -> (htmlExtract _),
+    "web_wet" -> (wetExtract _),
     "web_pagerank" -> (pageRank _))
 
   def oracleSql: Map[String, String] = Map(
     "web_urlnorm" -> urlNormSql,
     "web_html" -> htmlExtractSql,
+    "web_wet" -> wetExtractSql,
     "web_pagerank" -> pageRankSql)
 }
 

@@ -97,6 +97,15 @@ class WebOpsSpec extends AnyFunSuite {
     assert(df.collect().length == 3)
   }
 
+  // ---- web_wet -------------------------------------------------------------
+
+  test("web_wet: non-response records filtered, header-only message yields empty text") {
+    val rows = WebOps.wetExtract(spark, sf).collect()
+    assert(rows.length == 3) // warcinfo record excluded
+    assert(rows.forall(!_.getAs[String]("wet_text").contains("HTTP/1.1")),
+      "HTTP headers leaked into extracted text")
+  }
+
   // ---- pageRank ------------------------------------------------------------
 
   test("web_pagerank conserves rank mass within the floor-division loss bound") {
