@@ -490,7 +490,64 @@ object Relational {
       |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, tier ASC) AS valid_to_us
       |FROM c""".stripMargin
 
+  /** MERGE INTO semantics (the lakehouse upsert/CDC-apply primitive Spark
+    * OSS leaves to table formats) as ONE co-partitioned full outer join:
+    * a deterministic delta (keys %7 → updates, %21 of those → deletes,
+    * %11 re-keyed +1M → inserts) merged into the customer dim —
+    * matched+update rewrites the balance, matched+delete drops the row,
+    * unmatched-target rows carry over, unmatched-source rows insert. Both
+    * sides shuffle ONCE on the merge key and nothing else; at 100 TB the
+    * target is bucketed on the key (Staging.bucketize) so the target-side
+    * exchange disappears and the merge costs one delta-sized shuffle.
+    * Money math in exact decimal (the q1 pattern). */
+  def qMergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables(spark, sfDir).customer
+      .select(col("c_custkey"), col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    val delta = cust
+      .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 0)
+      .select(
+        when(col("c_custkey") % 7 === 0, col("c_custkey"))
+          .otherwise(col("c_custkey") + 1000000L).as("k"),
+        when(col("c_custkey") % 21 === 0, lit("delete"))
+          .when(col("c_custkey") % 7 === 0, lit("update"))
+          .otherwise(lit("insert")).as("op"),
+        (col("bal") + lit(100).cast("decimal(5,2)")).as("new_bal"))
+    cust.join(delta, col("c_custkey") === col("k"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "delete")
+      .select(
+        coalesce(col("c_custkey"), col("k")).as("c_custkey"),
+        when(col("op") === "update", col("new_bal"))
+          .when(col("op") === "insert", col("new_bal"))
+          .otherwise(col("bal")).cast("double").as("c_acctbal"),
+        when(col("op") === "update", "U")
+          .when(col("op") === "insert", "I")
+          .otherwise("K").as("action"))
+  }
+
+  val qMergeUpsertSql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer),
+      |delta AS (
+      |  SELECT
+      |    CASE WHEN c_custkey % 7 = 0 THEN c_custkey
+      |         ELSE c_custkey + 1000000 END AS k,
+      |    CASE WHEN c_custkey % 21 = 0 THEN 'delete'
+      |         WHEN c_custkey % 7 = 0 THEN 'update'
+      |         ELSE 'insert' END AS op,
+      |    bal + CAST(100 AS DECIMAL(5,2)) AS new_bal
+      |  FROM cust WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0)
+      |SELECT
+      |  CAST(coalesce(c.c_custkey, d.k) AS BIGINT) AS c_custkey,
+      |  CAST(CASE WHEN d.op IN ('update', 'insert') THEN d.new_bal
+      |            ELSE c.bal END AS DOUBLE) AS c_acctbal,
+      |  CASE WHEN d.op = 'update' THEN 'U'
+      |       WHEN d.op = 'insert' THEN 'I'
+      |       ELSE 'K' END AS action
+      |FROM cust c FULL OUTER JOIN delta d ON c.c_custkey = d.k
+      |WHERE coalesce(d.op, '') <> 'delete'""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge_upsert" -> (qMergeUpsert _),
     "q_scd2" -> (qScd2 _),
     "q_running" -> (qRunning _),
     "q_cube" -> (qCube _),
@@ -508,6 +565,7 @@ object Relational {
     "ev_topk_users" -> (evTopkUsers _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_merge_upsert" -> qMergeUpsertSql,
     "q_scd2" -> qScd2Sql,
     "q_running" -> qRunningSql,
     "q_cube" -> qCubeSql,

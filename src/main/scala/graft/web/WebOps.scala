@@ -277,6 +277,95 @@ object WebOps {
       |  (3, 'http://example.com/three', 'plain body text')
       |) t(record_index, target_uri, wet_text)""".stripMargin
 
+  // ---- robots.txt evaluation -----------------------------------------------
+
+  /** Parsed robots rules (one row per Allow/Disallow line, already grouped
+    * to an agent): the crawl-policy dim every fetcher joins against. The
+    * fixture covers nested prefixes, the Allow-wins-ties case, a root
+    * Disallow, and an agent with no rules. */
+  val robotsRules: Seq[(String, String, Boolean)] = Seq(
+    // (agent, path_prefix, allow)
+    ("graftbot", "/", false),
+    ("graftbot", "/public/", true),
+    ("graftbot", "/public/tmp/", false),
+    ("graftbot", "/api", false),
+    ("graftbot", "/api/docs", true),
+    ("graftbot", "/dual", true),
+    ("graftbot", "/dual", false),
+    ("*", "/private/", false),
+    ("*", "/priv", false))
+
+  val robotsUrls: Seq[(Long, String, String)] = Seq(
+    (0L, "graftbot", "/public/page.html"),      // allow  (/public/ beats /)
+    (1L, "graftbot", "/public/tmp/x"),           // deny   (/public/tmp/ longest)
+    (2L, "graftbot", "/index.html"),             // deny   (only / matches)
+    (3L, "graftbot", "/api/v1/users"),           // deny   (/api)
+    (4L, "graftbot", "/api/docs/intro"),         // allow  (/api/docs longest)
+    (5L, "otherbot", "/private/secret"),         // deny   (* group)
+    (6L, "otherbot", "/public/page.html"),       // allow  (no matching rule)
+    (7L, "otherbot", "/priva"),                  // deny   (/priv prefix)
+    (8L, "graftbot", "/"),                       // deny   (root Disallow)
+    (9L, "quietbot", "/anything"),               // allow  (agent has no rules; * /priv doesn't match)
+    (10L, "graftbot", "/dual/page"))             // allow  (equal-length rules tie -> Allow wins)
+
+  /** Google-documented robots semantics: among the matching rules of the
+    * url's agent group (falling back to `*` when the agent has its OWN
+    * group — here modeled per-row: a url's group is its agent's rules if
+    * any exist, else the `*` rules), the LONGEST path prefix wins; a
+    * length tie goes to Allow. No matching rule → allowed. Entirely
+    * declarative — a broadcast rules dim + `startswith` + one max_by per
+    * url; no UDF, and the oracle is the SAME relational query in DuckDB,
+    * not a VALUES transcript. */
+  def robotsCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rules = robotsRules.toDF("agent", "prefix", "allow")
+    val urls = robotsUrls.toDF("url_id", "agent", "path")
+    val agentsWithRules = rules.select(col("agent").as("ra")).distinct()
+    val grouped = urls
+      .join(broadcast(agentsWithRules), col("agent") === col("ra"), "left")
+      .select(col("url_id"), col("path"),
+        coalesce(col("ra"), lit("*")).as("group_agent"))
+    val matches = grouped.join(broadcast(rules),
+        col("group_agent") === rules("agent") &&
+          expr("startswith(path, prefix)"), "left")
+      .select(col("url_id"), col("path"),
+        col("prefix"), col("allow"))
+    // longest prefix wins, tie → allow (rank allow=true first at equal length)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url_id"))
+      .orderBy(length(col("prefix")).desc, col("allow").desc)
+    matches.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("url_id"), col("path"),
+        coalesce(col("allow"), lit(true)).as("allowed"),
+        coalesce(col("prefix"), lit("")).as("matched_prefix"))
+  }
+
+  private def robotsFixtureSql: String = {
+    val ruleRows = robotsRules.map { case (a, p, al) => s"('$a', '$p', $al)" }
+    val urlRows = robotsUrls.map { case (i, a, p) => s"($i, '$a', '$p')" }
+    s"""rules AS (SELECT * FROM (VALUES
+       |  ${ruleRows.mkString(",\n  ")}) r(agent, prefix, allow)),
+       |urls AS (SELECT * FROM (VALUES
+       |  ${urlRows.mkString(",\n  ")}) u(url_id, agent, path))""".stripMargin
+  }
+
+  val robotsCheckSql: String =
+    s"""WITH ${robotsFixtureSql},
+       |grouped AS (
+       |  SELECT u.url_id, u.path,
+       |    coalesce(g.agent, '*') AS group_agent
+       |  FROM urls u LEFT JOIN (SELECT DISTINCT agent FROM rules) g
+       |    ON u.agent = g.agent),
+       |matches AS (
+       |  SELECT g.url_id, g.path, r.prefix, r.allow,
+       |    row_number() OVER (PARTITION BY g.url_id
+       |      ORDER BY length(r.prefix) DESC, r.allow DESC) AS rn
+       |  FROM grouped g LEFT JOIN rules r
+       |    ON g.group_agent = r.agent AND starts_with(g.path, r.prefix))
+       |SELECT CAST(url_id AS BIGINT) AS url_id, path,
+       |  coalesce(allow, true) AS allowed,
+       |  coalesce(prefix, '') AS matched_prefix
+       |FROM matches WHERE rn = 1""".stripMargin
+
   // ---- PageRank over a deterministic link graph ----------------------------
 
   /** Per-node out-links in the synthesized graph: doc d links to
@@ -370,12 +459,14 @@ object WebOps {
     "web_urlnorm" -> (urlNorm _),
     "web_html" -> (htmlExtract _),
     "web_wet" -> (wetExtract _),
+    "web_robots" -> (robotsCheck _),
     "web_pagerank" -> (pageRank _))
 
   def oracleSql: Map[String, String] = Map(
     "web_urlnorm" -> urlNormSql,
     "web_html" -> htmlExtractSql,
     "web_wet" -> wetExtractSql,
+    "web_robots" -> robotsCheckSql,
     "web_pagerank" -> pageRankSql)
 }
 

@@ -189,6 +189,15 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_merge_upsert: one co-partitioned full outer join, one exchange per side") {
+    spark.catalog.clearCache()
+    val plan = relational.Relational.qMergeUpsert(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"), plan.take(600))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 2, s"expected 2 hash exchanges (one per merge side), got $shuffles:\n${plan.take(900)}")
+  }
+
   test("q1_agg: partial aggregation with exactly one exchange") {
     val p = planOf("q1_agg")
     assert(p.contains("partial_sum"), "map-side combine required")

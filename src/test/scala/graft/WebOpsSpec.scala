@@ -106,6 +106,28 @@ class WebOpsSpec extends AnyFunSuite {
       "HTTP headers leaked into extracted text")
   }
 
+  // ---- web_robots ----------------------------------------------------------
+
+  test("web_robots: one verdict per url, rules dims broadcast") {
+    spark.catalog.clearCache()
+    val df = WebOps.robotsCheck(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == WebOps.robotsUrls.length)
+    assert(rows.map(_.getAs[Long]("url_id")).distinct.length == rows.length)
+    // the rules dim rides broadcast joins; the only hash exchange is the
+    // per-url window
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+  }
+
+  test("web_robots: allow wins an equal-length tie, absent rules allow") {
+    val byId = WebOps.robotsCheck(spark, sf).collect()
+      .map(r => r.getAs[Long]("url_id") -> r.getAs[Boolean]("allowed")).toMap
+    assert(byId(10L), "equal-length Allow/Disallow tie must resolve to allow")
+    assert(byId(9L), "agent with no rules and no * match must be allowed")
+    assert(!byId(8L), "root Disallow must deny /")
+  }
+
   // ---- pageRank ------------------------------------------------------------
 
   test("web_pagerank conserves rank mass within the floor-division loss bound") {
