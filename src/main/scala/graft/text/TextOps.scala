@@ -159,6 +159,50 @@ object TextOps {
        |FROM m""".stripMargin
   }
 
+  // ---- readability scoring -------------------------------------------------
+
+  /** Flesch reading-ease + Flesch-Kincaid grade — the classic readability
+    * prior corpus filters stack next to the Gopher/C4 gates. Heuristics,
+    * documented exactly: syllables = vowel-group (`[aeiouy]+`) runs over
+    * the lowercased text, floored at 1; sentences = `[.!?]+` runs, floored
+    * at 1. Pure per-row column math (zero shuffle); both engines evaluate
+    * the SAME literal arithmetic in the same operation order, so the
+    * doubles agree bit-for-bit before the 4dp round. */
+  def readability(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docs(spark, sfDir)
+      .select(col("doc_id"),
+        size(Portable.words(col("text"))).cast("long").as("n_words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+            .cast("long")).as("n_syllables"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+            .cast("long")).as("n_sentences"))
+      .filter(col("n_words") > 0)
+    val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    base.select(col("doc_id"), col("n_words"), col("n_syllables"), col("n_sentences"),
+      round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4).as("flesch"),
+      round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4).as("fk_grade"))
+  }
+
+  val readabilitySql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len(${Portable.wordsSql}) AS BIGINT) AS n_words,
+       |    greatest(1, CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)) AS n_syllables,
+       |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_words, n_syllables, n_sentences,
+       |    CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) AS wps,
+       |    CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) AS spw
+       |  FROM m WHERE n_words > 0)
+       |SELECT doc_id, n_words, n_syllables, n_sentences,
+       |  round(206.835 - 1.015 * wps - 84.6 * spw, 4) AS flesch,
+       |  round(0.39 * wps + 11.8 * spw - 15.59, 4) AS fk_grade
+       |FROM r""".stripMargin
+
   // ---- #31 token counting -------------------------------------------------
 
   val bpeRegex = "[a-z]+|[0-9]|[^a-z0-9\\s]"
@@ -760,7 +804,8 @@ object TextOps {
     "tx_profile_train" -> (profileTrain _),
     "tx_bpe_tokens" -> (BpeQueries.bpeTokens _),
     "tx_bpe_train" -> (BpeQueries.bpeTrain _),
-    "tx_wordpiece" -> (WordPieceQueries.wordpiece _))
+    "tx_wordpiece" -> (WordPieceQueries.wordpiece _),
+    "tx_readability" -> (readability _))
 
   def oracleSql: Map[String, String] = Map(
     "tx_search" -> searchSql,
@@ -781,5 +826,6 @@ object TextOps {
     "tx_profile_train" -> profileTrainSql,
     "tx_bpe_tokens" -> BpeQueries.bpeTokensSql,
     "tx_bpe_train" -> BpeQueries.bpeTrainSql,
-    "tx_wordpiece" -> WordPieceQueries.wordpieceSql)
+    "tx_wordpiece" -> WordPieceQueries.wordpieceSql,
+    "tx_readability" -> readabilitySql)
 }

@@ -49,6 +49,11 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan.take(400))
   }
 
+  test("tx_readability is a pure projection: zero exchanges") {
+    val plan = text.TextOps.readability(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
+  }
+
   test("ev_spike: one count shuffle + one series-window shuffle, nothing else") {
     val plan = events.EventOps.spikes(spark, sf).queryExecution.executedPlan.toString
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
