@@ -750,6 +750,7 @@ object Dedup {
     "dd_source_matrix" -> (sourceMatrix _),
     "dd_contam" -> (contaminate _),
     "dd_exact" -> (exact _),
+    "dd_fuzzy_join" -> (FuzzyJoin.fuzzyJoin _),
     "dd_normalized" -> (normalized _),
     "dd_weighted" -> (weighted _),
     "dd_spans" -> (spans _),
@@ -767,6 +768,7 @@ object Dedup {
     "dd_source_matrix" -> sourceMatrixSql,
     "dd_contam" -> contaminateSql,
     "dd_exact" -> exactSql,
+    "dd_fuzzy_join" -> FuzzyJoin.fuzzyJoinSql,
     "dd_normalized" -> normalizedSql,
     "dd_weighted" -> weightedSql,
     "dd_spans" -> spansSql,

@@ -307,4 +307,17 @@ class CorpusOpsSpec extends AnyFunSuite {
     // a k-copy group contributes k docs on the weighted side
     assert(byCopies == exactByCopies)
   }
+
+  test("dd_fuzzy_join: every dirty record recovers its origin (index is exact for d=1)") {
+    val rows = dedup.FuzzyJoin.fuzzyJoin(spark, sf).collect()
+    val nDirty = Tables(spark, sf).customer
+      .filter(col("c_custkey") % 5 === 0).count()
+    assert(rows.length == nDirty)
+    rows.foreach { r =>
+      // best match is the smallest key within distance 1 — never above the
+      // origin key, and the origin is always reachable
+      assert(r.getAs[Long]("best_ck") <= r.getAs[Long]("dk"), r.toString)
+      assert(r.getAs[Long]("n_matches") >= 1L)
+    }
+  }
 }

@@ -194,6 +194,13 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("dd_fuzzy_join: deletion-neighborhood equi-join, no cartesian or BNLJ") {
+    spark.catalog.clearCache()
+    val plan = dedup.FuzzyJoin.fuzzyJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(700))
+  }
+
   test("q_merge_upsert: one co-partitioned full outer join, one exchange per side") {
     spark.catalog.clearCache()
     val plan = relational.Relational.qMergeUpsert(spark, sf)
