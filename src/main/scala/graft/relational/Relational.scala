@@ -490,6 +490,34 @@ object Relational {
       |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, tier ASC) AS valid_to_us
       |FROM c""".stripMargin
 
+  /** GROUPING SETS — arbitrary grouping combinations in one pass (rollup
+    * and cube are fixed lattices; real reporting picks its own sets). One
+    * shuffle computes per-returnflag totals, per-linestatus totals, and
+    * the grand total via Expand; NULL markers coalesced to 'ALL' so the
+    * oracle is null-ambiguity-free (the dims are never null in the data).
+    * Money math in exact decimal (the q1 pattern). */
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir).lineitem
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("sum_qty"), col("n_rows"))
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+      |  coalesce(l_linestatus, 'ALL') AS lstatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
   /** MERGE INTO semantics (the lakehouse upsert/CDC-apply primitive Spark
     * OSS leaves to table formats) as ONE co-partitioned full outer join:
     * a deterministic delta (keys %7 → updates, %21 of those → deletes,
@@ -548,6 +576,7 @@ object Relational {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_merge_upsert" -> (qMergeUpsert _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_scd2" -> (qScd2 _),
     "q_running" -> (qRunning _),
     "q_cube" -> (qCube _),
@@ -566,6 +595,7 @@ object Relational {
 
   def oracleSql: Map[String, String] = Map(
     "q_merge_upsert" -> qMergeUpsertSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_scd2" -> qScd2Sql,
     "q_running" -> qRunningSql,
     "q_cube" -> qCubeSql,

@@ -805,7 +805,8 @@ object TextOps {
     "tx_bpe_tokens" -> (BpeQueries.bpeTokens _),
     "tx_bpe_train" -> (BpeQueries.bpeTrain _),
     "tx_wordpiece" -> (WordPieceQueries.wordpiece _),
-    "tx_readability" -> (readability _))
+    "tx_readability" -> (readability _),
+    "tx_textrank" -> (TextRank.textrank _))
 
   def oracleSql: Map[String, String] = Map(
     "tx_search" -> searchSql,
@@ -827,5 +828,6 @@ object TextOps {
     "tx_bpe_tokens" -> BpeQueries.bpeTokensSql,
     "tx_bpe_train" -> BpeQueries.bpeTrainSql,
     "tx_wordpiece" -> WordPieceQueries.wordpieceSql,
-    "tx_readability" -> readabilitySql)
+    "tx_readability" -> readabilitySql,
+    "tx_textrank" -> TextRank.textrankSql)
 }

@@ -201,6 +201,25 @@ class ScaleSpec extends AnyFunSuite {
       plan.take(700))
   }
 
+  test("q_grouping_sets: one Expand + one aggregation shuffle") {
+    spark.catalog.clearCache()
+    val plan = relational.Relational.qGroupingSets(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan.take(500))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n${plan.take(900)}")
+  }
+
+  test("tx_textrank: top-k distinct ranked words, all mass positive") {
+    val rows = text.TextRank.textrank(spark, sf).collect()
+    assert(rows.length == text.TextRank.trTop)
+    assert(rows.map(_.getAs[String]("word")).distinct.length == rows.length)
+    assert(rows.forall(_.getAs[Long]("pr") > 0L))
+    // ranked output is non-increasing
+    val prs = rows.map(_.getAs[Long]("pr"))
+    assert(prs.zip(prs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q_merge_upsert: one co-partitioned full outer join, one exchange per side") {
     spark.catalog.clearCache()
     val plan = relational.Relational.qMergeUpsert(spark, sf)
