@@ -779,7 +779,76 @@ object StreamOps {
        |FROM (${graft.relational.Relational.qScd2Sql})
        |WHERE valid_to_us IS NOT NULL""".stripMargin
 
+  // ---- streaming CDC apply (change journal with pre-images) ---------------
+
+  final case class CdcEvent(user_id: Long, ts_us: Long, event_id: Long, v: Long)
+  final case class CdcState(value: Long) // -1 = absent / deleted
+  final case class CdcOut(user_id: Long, ts_us: Long, event_id: Long,
+    op: String, before_value: Long, after_value: Long)
+
+  /** Per-key CDC apply fold: each op lands on the carried current value and
+    * emits a (before, after) image — the Debezium-shaped change journal.
+    * Ops derive deterministically from the payload (`v % 10 == 0` →
+    * delete/tombstone, else last-write-wins upsert). State is ONE value per
+    * key — O(keys) forever. Pure and split-invariant by construction. */
+  def cdcFold(userId: Long, prior: Option[CdcState],
+      events: Seq[CdcEvent]): (Seq[CdcOut], Option[CdcState]) = {
+    if (events.isEmpty) return (Seq.empty, prior) // identity on empty batch
+    var cur = prior.map(_.value).getOrElse(-1L)
+    val out = events.map { e =>
+      val isDelete = e.v % 10 == 0
+      val after = if (isDelete) -1L else e.v
+      val row = CdcOut(userId, e.ts_us, e.event_id,
+        if (isDelete) "delete" else "upsert", cur, after)
+      cur = after
+      row
+    }
+    (out, Some(CdcState(cur)))
+  }
+
+  /** Streaming CDC apply over the purchase stream: the current-state table
+    * lives in O(keys) state; the emitted journal rows carry pre-images, so
+    * a downstream can both audit and reconstruct state at any point. The
+    * batch oracle replays the same journal with a lag window over the
+    * global (ts, event_id) order. */
+  def stCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runToTable(spark, sfDir, OutputMode.Append()) { src =>
+      src.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          floor(col("value")).cast("long").as("v"))
+        .as[CdcEvent]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[CdcState, CdcOut](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (uid, events, state) =>
+            val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val prior = if (state.exists) Some(state.get) else None
+            val (rows, next) = cdcFold(uid, prior, sorted)
+            next.foreach(state.update)
+            rows.iterator
+        }.toDF()
+    }
+  }
+
+  val stCdcSql: String =
+    """WITH pe AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+      |    CAST(floor(value) AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT user_id, ts_us, event_id,
+      |    CASE WHEN v % 10 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+      |    CASE WHEN v % 10 = 0 THEN -1 ELSE v END AS after_value
+      |  FROM pe)
+      |SELECT user_id, ts_us, event_id, op,
+      |  coalesce(lag(after_value) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us ASC, event_id ASC), -1) AS before_value,
+      |  after_value
+      |FROM j""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_cdc" -> (stCdc _),
     "st_scd2" -> (stScd2 _),
     "st_spike" -> (stSpike _),
     "st_hll_users" -> (hllUsers _),
@@ -798,6 +867,7 @@ object StreamOps {
     "st_seen_state" -> (seenState _))
 
   def oracleSql: Map[String, String] = Map(
+    "st_cdc" -> stCdcSql,
     "st_scd2" -> stScd2Sql,
     "st_spike" -> stSpikeSql,
     "st_hll_users" -> hllUsersSql,

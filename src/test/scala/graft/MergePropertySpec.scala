@@ -169,6 +169,34 @@ class MergePropertySpec extends AnyFunSuite {
     })
   }
 
+  test("cdcFold: any ordered event split = one pass; pre-images chain exactly") {
+    import streaming.StreamOps.{CdcEvent, CdcOut, CdcState, cdcFold}
+    val gen = for {
+      vs <- Gen.listOf(Gen.chooseNum(0L, 40L))
+      cuts <- Gen.listOf(Gen.chooseNum(0, 100))
+    } yield (vs, cuts)
+    check(Prop.forAll(gen) { case (vs, cuts) =>
+      val events = vs.zipWithIndex.map { case (v, i) =>
+        CdcEvent(5L, i * 1000L, i.toLong, v)
+      }
+      val (whole, endSt) = cdcFold(5L, None, events)
+      val points = (cuts.map(c => math.min(c, events.size)) :+ 0 :+ events.size)
+        .distinct.sorted
+      val (rows, st) = points.zip(points.tail).foldLeft(
+        (Vector.empty[CdcOut], None: Option[CdcState])) {
+        case ((acc, s), (from, to)) =>
+          val (out, s2) = cdcFold(5L, s, events.slice(from, to))
+          (acc ++ out, s2)
+      }
+      // split equivalence AND the journal invariant: each row's before is
+      // the previous row's after
+      val chained = whole.zip(whole.drop(1)).forall { case (a, b) =>
+        b.before_value == a.after_value
+      }
+      rows == whole.toVector && st == endSt && chained
+    })
+  }
+
   test("scd2Fold: any ordered event split = one pass; state is one version") {
     import streaming.StreamOps.{Scd2Event, Scd2Out, scd2Fold}
     val gen = for {
