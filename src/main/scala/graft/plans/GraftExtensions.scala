@@ -11,6 +11,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   vector_dot(a, b)                        → double
   *   int8_quantize(v)                        → array<double>
   *   is_in_ip_range(ip, lo, hi)              → boolean
+  *   zorder_key(x, y)                        → bigint
   *
   * plus the [[RangeJoinRewrite]] optimizer rule (BETWEEN joins against
   * plan-time interval dims → RangeLookup projections).
@@ -27,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vectorDotFn)
     ext.injectFunction(GraftExtensions.int8QuantizeFn)
     ext.injectFunction(GraftExtensions.isInIpRangeFn)
+    ext.injectFunction(GraftExtensions.zorderKeyFn)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }
 }
@@ -88,6 +90,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[IsInIpRange].getName, "is_in_ip_range"),
     args => IsInIpRange(args(0), args(1), args(2)))
 
+  val zorderKeyFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("zorder_key"),
+    new ExpressionInfo(classOf[ZorderKey].getName, "zorder_key"),
+    args => ZorderKey(args(0), args(1)))
+
   /** Register on a live session (the extensions path needs builder-time
     * configuration; this covers driver-provided sessions). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -97,6 +104,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("vector_dot", vectorDotFn._3, "scala_udf")
     reg.createOrReplaceTempFunction("int8_quantize", int8QuantizeFn._3, "scala_udf")
     reg.createOrReplaceTempFunction("is_in_ip_range", isInIpRangeFn._3, "scala_udf")
+    reg.createOrReplaceTempFunction("zorder_key", zorderKeyFn._3, "scala_udf")
     // optimizer rules can't be injected on a live session through the
     // extensions API — experimental.extraOptimizations is the public hook
     if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))

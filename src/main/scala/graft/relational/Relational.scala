@@ -574,7 +574,59 @@ object Relational {
       |FROM cust c FULL OUTER JOIN delta d ON c.c_custkey = d.k
       |WHERE coalesce(d.op, '') <> 'delete'""".stripMargin
 
+  /** Z-order data layout audit: key every lineitem row on the Morton
+    * interleave of (partkey, suppkey) via the fused [[graft.plans.ZorderKey]]
+    * expression, bucket rows by the top 16 z-bits (a 256×256 quadtree cell —
+    * the "file" a z-ordered writer would emit), and report each cell's
+    * min/max along BOTH dimensions. Those are exactly the footer stats a
+    * reader prunes on; tight per-cell spans in both dims are the property
+    * that makes z-order layout skip-friendly where a linear sort skips on
+    * one dim only. Zero-shuffle key math + one bounded aggregation
+    * (≤65,536 cells regardless of corpus size, map-side partials). At
+    * 100 TB the same key drives `repartitionByRange(z)` +
+    * `sortWithinPartitions(z)` in the writer — this query audits the
+    * resulting layout without rewriting anything. */
+  def qZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir).lineitem
+    li.select(
+        col("l_partkey").bitwiseAND(lit(65535L)).as("px"),
+        col("l_suppkey").bitwiseAND(lit(65535L)).as("sx"))
+      .withColumn("cell", shiftright(
+        graft.plans.ZorderKey(col("px"), col("sx")), 16))
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("px")).as("min_px"), max(col("px")).as("max_px"),
+        min(col("sx")).as("min_sx"), max(col("sx")).as("max_sx"))
+  }
+
+  /** The oracle replays the mask-shift spread cascade stage by stage in
+    * plain BIGINT ops — bit-identical to both the interpreted and generated
+    * forms of [[graft.plans.ZorderKey]]. */
+  val qZorderSql: String =
+    """WITH base AS (
+      |  SELECT (l_partkey & 65535) AS px, (l_suppkey & 65535) AS sx
+      |  FROM lineitem),
+      |s1 AS (SELECT px, sx,
+      |  ((px | (px << 8)) & 16711935) AS ax,
+      |  ((sx | (sx << 8)) & 16711935) AS ay FROM base),
+      |s2 AS (SELECT px, sx,
+      |  ((ax | (ax << 4)) & 252645135) AS ax,
+      |  ((ay | (ay << 4)) & 252645135) AS ay FROM s1),
+      |s3 AS (SELECT px, sx,
+      |  ((ax | (ax << 2)) & 858993459) AS ax,
+      |  ((ay | (ay << 2)) & 858993459) AS ay FROM s2),
+      |s4 AS (SELECT px, sx,
+      |  ((ax | (ax << 1)) & 1431655765) AS ax,
+      |  ((ay | (ay << 1)) & 1431655765) AS ay FROM s3)
+      |SELECT ((ax | (ay << 1)) >> 16) AS cell,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(px) AS min_px, max(px) AS max_px,
+      |  min(sx) AS min_sx, max(sx) AS max_sx
+      |FROM s4 GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder" -> (qZorder _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_scd2" -> (qScd2 _),
@@ -594,6 +646,7 @@ object Relational {
     "ev_topk_users" -> (evTopkUsers _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_zorder" -> qZorderSql,
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_scd2" -> qScd2Sql,

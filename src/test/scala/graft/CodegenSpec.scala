@@ -92,6 +92,28 @@ class CodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("ZorderKey generated interleave matches eval and hand-traced Morton codes") {
+    withStrictCodegen { s =>
+      import s.implicits._
+      val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L), (65535L, 65535L),
+        (3L, 5L), (70000L, 70000L)).toDF("x", "y")
+      val got = df.select(graft.plans.ZorderKey(col("x"), col("y")).as("z"))
+        .collect().map(_.getLong(0)).toSeq
+      // hand-traced: x on even bits, y on odd; (3,5)=0b11⊕0b101→0b100111=39;
+      // inputs mask to 16 bits (70000 & 65535 = 4464)
+      val m = graft.plans.ZorderKey.interleave(4464L, 4464L)
+      assert(got == Seq(0L, 1L, 2L, 0x55555555L, 0xFFFFFFFFL, 39L, m))
+      // generated path agrees with the interpreted helper on every row
+      assert(got.take(6) == Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L),
+        (65535L, 65535L), (3L, 5L)).map { case (x, y) =>
+        graft.plans.ZorderKey.interleave(x, y) })
+      // adjacent cells share prefixes: z-sorted order clusters both dims
+      val cellOf = (x: Long, sy: Long) => graft.plans.ZorderKey.interleave(x, sy) >> 16
+      assert(cellOf(256L, 256L) == cellOf(300L, 300L)) // same 256×256 cell
+      assert(cellOf(256L, 256L) != cellOf(256L, 512L))
+    }
+  }
+
   test("ANN + dedup pipelines run under strict codegen at sf0.001") {
     withStrictCodegen { s =>
       assert(sim.Similarity.bruteTopK(s, sf).count() > 0)

@@ -54,6 +54,13 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan.take(400))
   }
 
+  test("q_zorder: one agg shuffle; key math never leaves the scan project") {
+    val plan = relational.Relational.qZorder(spark, sf).queryExecution.executedPlan.toString
+    val shuffles = "Exchange".r.findAllIn(plan).size
+    assert(shuffles == 1, s"z-key must be per-row math + ONE bounded agg:\n${plan.take(900)}")
+    assert(!plan.contains("Sort"), "layout audit must not sort:\n" + plan.take(600))
+  }
+
   test("ev_spike: one count shuffle + one series-window shuffle, nothing else") {
     val plan = events.EventOps.spikes(spark, sf).queryExecution.executedPlan.toString
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
