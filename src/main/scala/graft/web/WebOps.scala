@@ -126,6 +126,90 @@ object WebOps {
   def htmlText(c: Column): Column =
     GraftBridge.column(HtmlToText(GraftBridge.expression(c)))
 
+  // ---- link extraction + relative-URL resolution ---------------------------
+
+  private val hrefRe = java.util.regex.Pattern.compile(
+    "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>]+))")
+
+  /** All `<a href=...>` values in document order (double-quoted,
+    * single-quoted, and bare attribute forms; tag/attr case-insensitive).
+    * Extraction only — resolution is [[resolveUrl]]'s job. */
+  def htmlLinkList(html: String): Array[String] = {
+    val m = hrefRe.matcher(html)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (m.find()) {
+      val v = if (m.group(1) != null) m.group(1)
+        else if (m.group(2) != null) m.group(2) else m.group(3)
+      out += v
+    }
+    out.toArray
+  }
+
+  def evalLinks(input: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      htmlLinkList(input.toString).map(UTF8String.fromString(_)))
+
+  def htmlLinks(c: Column): Column =
+    GraftBridge.column(HtmlLinks(GraftBridge.expression(c)))
+
+  /** Resolve an href against its page URL — the simplified RFC 3986 merge
+    * every frontier builder needs, documented rule by rule:
+    *  1. empty or `#...` → null (intra-page);
+    *  2. explicit scheme: http(s) refs pass through, anything else
+    *     (`mailto:`, `javascript:`, `ftp://`, ...) → null — crawl
+    *     frontiers only follow web links;
+    *  3. `//host/...` (protocol-relative) → base scheme prepended;
+    *  4. `/abs/path` → base scheme+authority prepended;
+    *  5. relative path → merged onto the base path's directory, then `.`
+    *     segments dropped and `..` pops one segment (never above root);
+    *     the ref's fragment is dropped, its query kept.
+    * Whitespace around the href is trimmed (markup reality). Returns null
+    * for a base without `://` — garbage in, no edge out. */
+  def resolveUrl(base: String, ref0: String): String = {
+    val ref = ref0.trim
+    if (ref.isEmpty || ref.startsWith("#")) return null
+    val colon = ref.indexOf(':')
+    val slash = ref.indexOf('/')
+    if (colon > 0 && (slash < 0 || colon < slash)) {
+      val lower = ref.toLowerCase(java.util.Locale.ROOT)
+      return if (lower.startsWith("http://") || lower.startsWith("https://")) ref
+      else null
+    }
+    val sep = base.indexOf("://")
+    if (sep < 0) return null
+    val scheme = base.substring(0, sep)
+    if (ref.startsWith("//")) return scheme + ":" + ref
+    val rest = base.substring(sep + 3)
+    val pathIdx = rest.indexOf('/')
+    val authority = if (pathIdx < 0) rest else rest.substring(0, pathIdx)
+    val basePath =
+      (if (pathIdx < 0) "/" else rest.substring(pathIdx))
+        .takeWhile(c => c != '?' && c != '#')
+    val merged =
+      if (ref.startsWith("/")) ref
+      else basePath.substring(0, basePath.lastIndexOf('/') + 1) + ref
+    val noFrag = { val h = merged.indexOf('#'); if (h >= 0) merged.substring(0, h) else merged }
+    val qIdx = noFrag.indexOf('?')
+    val (pth, qry) = if (qIdx >= 0) (noFrag.substring(0, qIdx), noFrag.substring(qIdx))
+      else (noFrag, "")
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    pth.split("/", -1).foreach {
+      case "." => ()
+      case ".." => if (out.size > 1) out.remove(out.size - 1) // index 0 is the root ""
+      case s => out += s
+    }
+    val path = out.mkString("/")
+    scheme + "://" + authority + (if (path.isEmpty) "/" else path) + qry
+  }
+
+  def evalResolve(base: UTF8String, ref: UTF8String): UTF8String = {
+    val r = resolveUrl(base.toString, ref.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  def urlResolve(base: Column, ref: Column): Column =
+    GraftBridge.column(UrlResolve(GraftBridge.expression(base), GraftBridge.expression(ref)))
+
   // ---- fixture queries -----------------------------------------------------
 
   /** URL fixtures covering every canonicalization rule (and the non-URL
@@ -276,6 +360,61 @@ object WebOps {
       |  (2, 'http://example.com/two', 'Only visible'),
       |  (3, 'http://example.com/three', 'plain body text')
       |) t(record_index, target_uri, wet_text)""".stripMargin
+
+  /** Link-extraction fixtures: every resolution rule exercised, plus the
+    * three href quoting forms, a non-link anchor, dot-segment chains, and
+    * non-web schemes. */
+  val linkCorpus: Seq[(Long, String, String)] = Seq(
+    (0L, "https://example.com/dir/page.html",
+      """<html><body><a href="a.html">A</a><a href="/root.html">R</a>
+        |<a href="../up.html">U</a>
+        |<a href="https://other.org/x?utm_source=t&id=2">O</a>
+        |<a href="#frag">F</a><a href="//cdn.example.net/lib/app.js">C</a>
+        |<a href="mailto:x@example.com">M</a><a href="a.html#sec2">A2</a>
+        |</body></html>""".stripMargin),
+    (1L, "HTTP://Example.COM",
+      "<div><A HREF='single.html'>s</A><a class=\"x\" href=bare.html>b</a>" +
+        "<a name=\"anchor\">n</a><a href=\"./rel/./x/../y.html\">y</a></div>"),
+    (2L, "https://example.com/p", "no links <b>here</b>"),
+    (3L, "https://example.com/q/",
+      "<a href=\" /sp.html \">s</a><a href=\"\">e</a>" +
+        "<a href=\"javascript:void(0)\">j</a>"))
+
+  /** Crawl-frontier edge extraction: page → outbound canonical URLs.
+    * Three fused expressions compose per row — [[HtmlLinks]] explodes the
+    * hrefs, [[UrlResolve]] absolutizes them against the page URL,
+    * [[UrlCanonicalize]] normalizes — then a distinct on (page, link)
+    * dedups same-target anchors. At corpus scale this is per-row codegen'd
+    * work plus ONE shuffle (the distinct), and its output IS the edge
+    * table web_pagerank iterates over. */
+  def linkExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    linkCorpus.toDF("page_id", "base_url", "html")
+      .select(col("page_id"), col("base_url"),
+        explode(htmlLinks(col("html"))).as("href"))
+      .select(col("page_id"), urlResolve(col("base_url"), col("href")).as("abs"))
+      .filter(col("abs").isNotNull)
+      .select(col("page_id"), urlCanonical(col("abs")).as("link"))
+      .distinct()
+  }
+
+  /** Hand-traced through [[resolveUrl]]'s numbered rules + the
+    * canonicalizer: rel/abs/protocol-relative/dot-segments resolve; frag,
+    * mailto:, javascript:, and empty hrefs drop; other.org keeps id=2 but
+    * loses utm_source; a.html and a.html#sec2 collapse via distinct. */
+  val linkExtractSql: String =
+    """SELECT CAST(page_id AS BIGINT) AS page_id, link
+      |FROM (VALUES
+      |  (0, 'https://example.com/dir/a.html'),
+      |  (0, 'https://example.com/root.html'),
+      |  (0, 'https://example.com/up.html'),
+      |  (0, 'https://other.org/x?id=2'),
+      |  (0, 'https://cdn.example.net/lib/app.js'),
+      |  (1, 'http://example.com/single.html'),
+      |  (1, 'http://example.com/bare.html'),
+      |  (1, 'http://example.com/rel/y.html'),
+      |  (3, 'https://example.com/sp.html')
+      |) t(page_id, link)""".stripMargin
 
   // ---- robots.txt evaluation -----------------------------------------------
 
@@ -459,6 +598,7 @@ object WebOps {
     "web_urlnorm" -> (urlNorm _),
     "web_html" -> (htmlExtract _),
     "web_wet" -> (wetExtract _),
+    "web_links" -> (linkExtract _),
     "web_robots" -> (robotsCheck _),
     "web_pagerank" -> (pageRank _))
 
@@ -466,6 +606,7 @@ object WebOps {
     "web_urlnorm" -> urlNormSql,
     "web_html" -> htmlExtractSql,
     "web_wet" -> wetExtractSql,
+    "web_links" -> linkExtractSql,
     "web_robots" -> robotsCheckSql,
     "web_pagerank" -> pageRankSql)
 }
@@ -486,6 +627,47 @@ case class UrlCanonicalize(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `html → array of raw href values` (doc order; rules in
+  * [[WebOps.htmlLinkList]]). */
+case class HtmlLinks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "html_links"
+
+  override def nullSafeEval(input: Any): Any =
+    WebOps.evalLinks(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.web.WebOps.evalLinks($c);""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `(page url, href) → absolute url or null` (rules in
+  * [[WebOps.resolveUrl]]); null marks refs a frontier never follows. */
+case class UrlResolve(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "url_resolve"
+
+  override def nullSafeEval(base: Any, ref: Any): Any =
+    WebOps.evalResolve(base.asInstanceOf[UTF8String], ref.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, r) =>
+      s"""
+         |${ev.value} = graft.web.WebOps.evalResolve($b, $r);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** `html → visible text` (rules in [[WebOps.htmlToText]]). */

@@ -97,6 +97,54 @@ class WebOpsSpec extends AnyFunSuite {
     assert(df.collect().length == 3)
   }
 
+  test("htmlLinkList: all three quoting forms in doc order, non-href anchors skipped") {
+    val html = "<A HREF='one'>1</A><a name=\"x\">n</a>" +
+      "<a rel=\"nofollow\" href=\"two\">2</a><a href=three>3</a>"
+    assert(WebOps.htmlLinkList(html).toSeq == Seq("one", "two", "three"))
+    assert(WebOps.htmlLinkList("no anchors").isEmpty)
+  }
+
+  test("resolveUrl: each documented rule") {
+    val base = "https://example.com/dir/page.html"
+    assert(WebOps.resolveUrl(base, "") == null)                       // rule 1
+    assert(WebOps.resolveUrl(base, "#sec") == null)                   // rule 1
+    assert(WebOps.resolveUrl(base, "http://a.org/x") == "http://a.org/x") // rule 2
+    assert(WebOps.resolveUrl(base, "mailto:a@b") == null)             // rule 2
+    assert(WebOps.resolveUrl(base, "javascript:void(0)") == null)     // rule 2
+    assert(WebOps.resolveUrl(base, "//cdn.net/l.js") == "https://cdn.net/l.js") // rule 3
+    assert(WebOps.resolveUrl(base, "/abs.html") == "https://example.com/abs.html") // rule 4
+    assert(WebOps.resolveUrl(base, "rel.html") == "https://example.com/dir/rel.html") // rule 5
+    assert(WebOps.resolveUrl(base, "../up.html") == "https://example.com/up.html")
+    assert(WebOps.resolveUrl(base, "../../../over.html") == "https://example.com/over.html")
+    assert(WebOps.resolveUrl(base, "./a/./b/../c?q=1#f") == "https://example.com/dir/a/c?q=1")
+    assert(WebOps.resolveUrl("https://example.com", "x.html") == "https://example.com/x.html")
+    assert(WebOps.resolveUrl("not a url", "x.html") == null)
+  }
+
+  test("resolveUrl output is absolute: resolving it against any base is identity") {
+    val bases = Gen.oneOf("https://example.com/a/b.html", "http://h.net", "https://x.io/d/")
+    val refs = Gen.oneOf("p.html", "../q", "/r/s", "//cdn.net/t", "a/../b", "./c")
+    check(Prop.forAll(bases, refs, bases) { (b, r, b2) =>
+      val abs = WebOps.resolveUrl(b, r)
+      abs != null && WebOps.resolveUrl(b2, abs) == abs
+    })
+  }
+
+  test("link expressions keep the WholeStageCodegen span; null ref handling") {
+    val df = spark.range(3).select(
+      explode(WebOps.htmlLinks(
+        concat(lit("<a href=\"/p"), col("id"), lit("\">x</a>")))).as("href"))
+      .select(WebOps.urlResolve(lit("https://e.com/d/"), col("href")).as("abs"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan.take(500))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("https://e.com/p0", "https://e.com/p1", "https://e.com/p2"))
+    // a frontier-dropped ref is SQL null end to end (generated path)
+    val dropped = spark.range(1).select(
+      WebOps.urlResolve(lit("https://e.com/"), lit("#top")).as("abs")).collect()
+    assert(dropped.head.isNullAt(0))
+  }
+
   // ---- web_wet -------------------------------------------------------------
 
   test("web_wet: non-response records filtered, header-only message yields empty text") {
