@@ -625,7 +625,59 @@ object Relational {
       |  min(sx) AS min_sx, max(sx) AS max_sx
       |FROM s4 GROUP BY 1""".stripMargin
 
+  /** Snapshot diff — the INVERSE of q_merge_upsert: given two table
+    * versions, derive the delta (the time-travel `table_changes` primitive;
+    * also how you CDC a source that only gives you full dumps). The new
+    * snapshot is a deterministic mutation of the dim (%13 keys dropped,
+    * %7 balances bumped, %17 keys re-keyed +2M as inserts); the diff is ONE
+    * co-partitioned full outer join classifying each key into U/D/I with
+    * before/after images — unchanged rows are filtered OUT, so the output
+    * (and everything downstream) is delta-sized, not table-sized. Both
+    * sides shuffle once on the key; with the snapshots bucketed on it
+    * (Staging.bucketize) the diff is exchange-free. Money in exact decimal
+    * (the q1 pattern); nulls mark the absent side's image. */
+  def qSnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables(spark, sfDir).customer
+      .select(col("c_custkey"), col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    val newSnap = cust
+      .filter(col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey").as("k"),
+        when(col("c_custkey") % 7 === 0,
+          col("bal") + lit(100).cast("decimal(5,2)")).otherwise(col("bal")).as("nbal"))
+      .unionAll(cust.filter(col("c_custkey") % 17 === 0)
+        .select((col("c_custkey") + 2000000L).as("k"),
+          (col("bal") + lit(50).cast("decimal(5,2)")).as("nbal")))
+    cust.join(newSnap, col("c_custkey") === col("k"), "full_outer")
+      .filter(col("c_custkey").isNull || col("k").isNull || col("bal") =!= col("nbal"))
+      .select(
+        coalesce(col("c_custkey"), col("k")).as("key"),
+        when(col("c_custkey").isNull, "I")
+          .when(col("k").isNull, "D").otherwise("U").as("op"),
+        col("bal").cast("double").as("before_bal"),
+        col("nbal").cast("double").as("after_bal"))
+  }
+
+  val qSnapshotDiffSql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer),
+      |news AS (
+      |  SELECT c_custkey AS k,
+      |    CASE WHEN c_custkey % 7 = 0 THEN bal + CAST(100 AS DECIMAL(5,2))
+      |         ELSE bal END AS nbal
+      |  FROM cust WHERE c_custkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 2000000 AS k, bal + CAST(50 AS DECIMAL(5,2)) AS nbal
+      |  FROM cust WHERE c_custkey % 17 = 0)
+      |SELECT CAST(coalesce(c.c_custkey, n.k) AS BIGINT) AS key,
+      |  CASE WHEN c.c_custkey IS NULL THEN 'I'
+      |       WHEN n.k IS NULL THEN 'D' ELSE 'U' END AS op,
+      |  CAST(c.bal AS DOUBLE) AS before_bal,
+      |  CAST(n.nbal AS DOUBLE) AS after_bal
+      |FROM cust c FULL OUTER JOIN news n ON c.c_custkey = n.k
+      |WHERE c.c_custkey IS NULL OR n.k IS NULL OR c.bal <> n.nbal""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_zorder" -> (qZorder _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -646,6 +698,7 @@ object Relational {
     "ev_topk_users" -> (evTopkUsers _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_zorder" -> qZorderSql,
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_grouping_sets" -> qGroupingSetsSql,

@@ -236,6 +236,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(shuffles == 2, s"expected 2 hash exchanges (one per merge side), got $shuffles:\n${plan.take(900)}")
   }
 
+  test("q_snapshot_diff: applying the derived delta to OLD reconstructs NEW exactly") {
+    import org.apache.spark.sql.functions._
+    val old = graft.Tables(spark, sf).customer
+      .select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("decimal(12,2)").cast("double").as("bal"))
+    val diff = relational.Relational.qSnapshotDiff(spark, sf)
+    // replay: drop D and U keys from old, add back U and I after-images
+    val applied = old.join(diff.filter(col("op").isin("D", "U")).select("key"),
+        Seq("key"), "left_anti")
+      .unionAll(diff.filter(col("op").isin("U", "I"))
+        .select(col("key"), col("after_bal").as("bal")))
+    val fresh = old
+      .filter(col("key") % 13 =!= 0)
+      .select(col("key"), when(col("key") % 7 === 0, col("bal") + 100.0)
+        .otherwise(col("bal")).as("bal"))
+      .unionAll(old.filter(col("key") % 17 === 0)
+        .select((col("key") + 2000000L).as("key"), (col("bal") + 50.0).as("bal")))
+    // the data is 2dp money: re-round both sides so decimal-then-cast vs
+    // double-sum representation noise can't fail a true match
+    val normA = applied.select(col("key"), round(col("bal"), 2).as("bal"))
+    val normF = fresh.select(col("key"), round(col("bal"), 2).as("bal"))
+    assert(normA.count() == normF.count())
+    assert(normA.exceptAll(normF).isEmpty && normF.exceptAll(normA).isEmpty)
+  }
+
   test("q1_agg: partial aggregation with exactly one exchange") {
     val p = planOf("q1_agg")
     assert(p.contains("partial_sum"), "map-side combine required")
