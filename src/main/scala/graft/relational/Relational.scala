@@ -676,7 +676,70 @@ object Relational {
       |FROM cust c FULL OUTER JOIN news n ON c.c_custkey = n.k
       |WHERE c.c_custkey IS NULL OR n.k IS NULL OR c.bal <> n.nbal""".stripMargin
 
+  /** ANALYZE-style table profiling: per-column row/null/NDV counts and
+    * min/max in ONE scan — the stats pass a CBO (and every data-quality
+    * monitor) runs before planning 100 TB joins. Multiple exact
+    * count(distinct) in one aggregation compiles to a single Expand
+    * (3× row multiplication, one pass, two-phase agg) — not one scan per
+    * column; the single stats row is then unpivoted driver-free with
+    * `stack`. min/max surface as strings so heterogeneous columns share a
+    * schema (long→string renders identically on both engines; doubles are
+    * deliberately excluded from this fixture — profiling them exactly
+    * means exact-decimal casts first, the q1 pattern). At 100 TB you'd
+    * swap exact NDV for the mergeable [[graft.plans.HllSketch]]
+    * (ev_hll_users) and lose the Expand entirely. */
+  def qProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir).orders
+    o.agg(
+        count(lit(1)).as("n"),
+        sum(col("o_custkey").isNull.cast("long")).as("nn_ck"),
+        countDistinct(col("o_custkey")).as("ndv_ck"),
+        min(col("o_custkey")).cast("string").as("min_ck"),
+        max(col("o_custkey")).cast("string").as("max_ck"),
+        sum(col("o_orderkey").isNull.cast("long")).as("nn_ok"),
+        countDistinct(col("o_orderkey")).as("ndv_ok"),
+        min(col("o_orderkey")).cast("string").as("min_ok"),
+        max(col("o_orderkey")).cast("string").as("max_ok"),
+        sum(col("o_orderstatus").isNull.cast("long")).as("nn_st"),
+        countDistinct(col("o_orderstatus")).as("ndv_st"),
+        min(col("o_orderstatus")).as("min_st"),
+        max(col("o_orderstatus")).as("max_st"))
+      .selectExpr(
+        """stack(3,
+          |  'o_custkey',    n, nn_ck, ndv_ck, min_ck, max_ck,
+          |  'o_orderkey',   n, nn_ok, ndv_ok, min_ok, max_ok,
+          |  'o_orderstatus',n, nn_st, ndv_st, min_st, max_st
+          |) AS (col_name, n_rows, n_nulls, ndv, min_v, max_v)""".stripMargin)
+  }
+
+  val qProfileSql: String =
+    """WITH a AS (
+      |  SELECT count(*) AS n,
+      |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_ck,
+      |    count(DISTINCT o_custkey) AS ndv_ck,
+      |    CAST(min(o_custkey) AS VARCHAR) AS min_ck,
+      |    CAST(max(o_custkey) AS VARCHAR) AS max_ck,
+      |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn_ok,
+      |    count(DISTINCT o_orderkey) AS ndv_ok,
+      |    CAST(min(o_orderkey) AS VARCHAR) AS min_ok,
+      |    CAST(max(o_orderkey) AS VARCHAR) AS max_ok,
+      |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_st,
+      |    count(DISTINCT o_orderstatus) AS ndv_st,
+      |    min(o_orderstatus) AS min_st,
+      |    max(o_orderstatus) AS max_st
+      |  FROM orders)
+      |SELECT 'o_custkey' AS col_name, CAST(n AS BIGINT) AS n_rows,
+      |  CAST(nn_ck AS BIGINT) AS n_nulls, CAST(ndv_ck AS BIGINT) AS ndv,
+      |  min_ck AS min_v, max_ck AS max_v FROM a
+      |UNION ALL
+      |SELECT 'o_orderkey', CAST(n AS BIGINT), CAST(nn_ok AS BIGINT),
+      |  CAST(ndv_ok AS BIGINT), min_ok, max_ok FROM a
+      |UNION ALL
+      |SELECT 'o_orderstatus', CAST(n AS BIGINT), CAST(nn_st AS BIGINT),
+      |  CAST(ndv_st AS BIGINT), min_st, max_st FROM a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile" -> (qProfile _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_zorder" -> (qZorder _),
     "q_merge_upsert" -> (qMergeUpsert _),
@@ -698,6 +761,7 @@ object Relational {
     "ev_topk_users" -> (evTopkUsers _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_profile" -> qProfileSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_zorder" -> qZorderSql,
     "q_merge_upsert" -> qMergeUpsertSql,

@@ -261,6 +261,14 @@ class ScaleSpec extends AnyFunSuite {
     assert(normA.exceptAll(normF).isEmpty && normF.exceptAll(normA).isEmpty)
   }
 
+  test("q_profile: one scan — multi-column NDV via a single Expand, not N passes") {
+    val plan = relational.Relational.qProfile(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"profiling must read the table once, got $scans scans:\n${plan.take(900)}")
+    assert(plan.contains("Expand"), "multi-distinct should compile to Expand:\n" + plan.take(600))
+  }
+
   test("q1_agg: partial aggregation with exactly one exchange") {
     val p = planOf("q1_agg")
     assert(p.contains("partial_sum"), "map-side combine required")
