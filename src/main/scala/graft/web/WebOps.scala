@@ -378,7 +378,11 @@ object WebOps {
     (2L, "https://example.com/p", "no links <b>here</b>"),
     (3L, "https://example.com/q/",
       "<a href=\" /sp.html \">s</a><a href=\"\">e</a>" +
-        "<a href=\"javascript:void(0)\">j</a>"))
+        "<a href=\"javascript:void(0)\">j</a>"),
+    (4L, "https://example.com/public/idx.html",
+      "<a href=\"a.html\">1</a><a href=\"tmp/x.html\">2</a>" +
+        "<a href=\"/api/docs/ref.html\">3</a><a href=\"/api/v1/z\">4</a>" +
+        "<a href=\"https://example.com/dual/d\">5</a>"))
 
   /** Crawl-frontier edge extraction: page → outbound canonical URLs.
     * Three fused expressions compose per row — [[HtmlLinks]] explodes the
@@ -413,7 +417,12 @@ object WebOps {
       |  (1, 'http://example.com/single.html'),
       |  (1, 'http://example.com/bare.html'),
       |  (1, 'http://example.com/rel/y.html'),
-      |  (3, 'https://example.com/sp.html')
+      |  (3, 'https://example.com/sp.html'),
+      |  (4, 'https://example.com/public/a.html'),
+      |  (4, 'https://example.com/public/tmp/x.html'),
+      |  (4, 'https://example.com/api/docs/ref.html'),
+      |  (4, 'https://example.com/api/v1/z'),
+      |  (4, 'https://example.com/dual/d')
       |) t(page_id, link)""".stripMargin
 
   // ---- robots.txt evaluation -----------------------------------------------
@@ -504,6 +513,58 @@ object WebOps {
        |  coalesce(allow, true) AS allowed,
        |  coalesce(prefix, '') AS matched_prefix
        |FROM matches WHERE rn = 1""".stripMargin
+
+  // ---- crawl-frontier gate: links ∘ scope ∘ robots --------------------------
+
+  /** The crawl loop's next-fetch decision END-TO-END: extracted+resolved+
+    * canonicalized links (the real [[linkExtract]] operators, not a
+    * transcript) are scoped to the crawl host, their paths robots-checked
+    * for `graftbot` with the same longest-prefix/tie-to-Allow semantics as
+    * web_robots. The composition row proving extraction and policy work
+    * TOGETHER (the pipe_curate pattern). Per-row fused expressions + one
+    * broadcast prefix join + one per-link window; the oracle replays the
+    * scope/robots stages RELATIONALLY in DuckDB from the traced link
+    * VALUES — only the expression stage is transcribed, the policy is not. */
+  def frontier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val scoped = linkExtract(spark, sfDir)
+      .filter(col("link").startsWith("https://example.com/") ||
+        col("link").startsWith("http://example.com/"))
+      .withColumn("path",
+        regexp_extract(col("link"), "^[a-z]+://[^/]+(/.*)$", 1))
+    val rules = robotsRules.toDF("agent", "prefix", "allow")
+      .filter(col("agent") === "graftbot")
+    val matched = scoped.join(broadcast(rules),
+      expr("startswith(path, prefix)"), "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("page_id"), col("link"))
+      .orderBy(length(col("prefix")).desc, col("allow").desc)
+    matched.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("page_id"), col("link"),
+        coalesce(col("allow"), lit(true)).as("allowed"))
+  }
+
+  val frontierSql: String = {
+    val ruleRows = robotsRules.collect {
+      case ("graftbot", p, al) => s"('$p', $al)"
+    }
+    s"""WITH links AS (${linkExtractSql.replace("\n", "\n  ")}),
+       |rules AS (SELECT * FROM (VALUES
+       |  ${ruleRows.mkString(",\n  ")}) r(prefix, allow)),
+       |scoped AS (
+       |  SELECT page_id, link,
+       |    regexp_extract(link, '^[a-z]+://[^/]+(/.*)$$', 1) AS path
+       |  FROM links
+       |  WHERE starts_with(link, 'https://example.com/')
+       |     OR starts_with(link, 'http://example.com/')),
+       |matched AS (
+       |  SELECT s.page_id, s.link, r.allow,
+       |    row_number() OVER (PARTITION BY s.page_id, s.link
+       |      ORDER BY length(r.prefix) DESC, r.allow DESC) AS rn
+       |  FROM scoped s LEFT JOIN rules r ON starts_with(s.path, r.prefix))
+       |SELECT page_id, link, coalesce(allow, true) AS allowed
+       |FROM matched WHERE rn = 1""".stripMargin
+  }
 
   // ---- PageRank over a deterministic link graph ----------------------------
 
@@ -599,6 +660,7 @@ object WebOps {
     "web_html" -> (htmlExtract _),
     "web_wet" -> (wetExtract _),
     "web_links" -> (linkExtract _),
+    "web_frontier" -> (frontier _),
     "web_robots" -> (robotsCheck _),
     "web_pagerank" -> (pageRank _))
 
@@ -607,6 +669,7 @@ object WebOps {
     "web_html" -> htmlExtractSql,
     "web_wet" -> wetExtractSql,
     "web_links" -> linkExtractSql,
+    "web_frontier" -> frontierSql,
     "web_robots" -> robotsCheckSql,
     "web_pagerank" -> pageRankSql)
 }

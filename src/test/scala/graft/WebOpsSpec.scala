@@ -145,6 +145,21 @@ class WebOpsSpec extends AnyFunSuite {
     assert(dropped.head.isNullAt(0))
   }
 
+  test("web_frontier: real extraction feeds the policy; rules dim broadcast") {
+    val f = WebOps.frontier(spark, SparkTest.sf)
+    val plan = f.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "rules must broadcast:\n" + plan.take(600))
+    val verdicts = f.collect().map(r =>
+      (r.getLong(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(verdicts((4L, "https://example.com/public/a.html")))       // /public/ beats /
+    assert(!verdicts((4L, "https://example.com/public/tmp/x.html")))  // longest prefix denies
+    assert(verdicts((4L, "https://example.com/dual/d")))              // tie -> Allow
+    assert(!verdicts((0L, "https://example.com/root.html")))          // only / matches
+    // out-of-scope hosts never reach the policy
+    assert(!verdicts.keySet.exists(_._2.contains("other.org")))
+  }
+
   // ---- web_wet -------------------------------------------------------------
 
   test("web_wet: non-response records filtered, header-only message yields empty text") {
