@@ -35,8 +35,15 @@ object TextRank {
           " i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .filter(col("a") =!= col("b"))
-    val und = bigrams.union(bigrams.select(col("b").as("a"), col("a").as("b")))
-    val edges = und.groupBy(col("a"), col("b")).agg(count(lit(1)).as("wt"))
+    // aggregate DIRECTED pairs first, then mirror the vocab²-bounded edge
+    // table: the corpus-sized explode is scanned and shuffled ONCE —
+    // mirroring raw occurrence rows would double both (and recompute the
+    // explode per union branch). wt(a,b) = dir(a,b) + dir(b,a) either way.
+    val dir = bigrams.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("wt")).persist()
+    val edges = dir
+      .union(dir.select(col("b").as("a"), col("a").as("b"), col("wt")))
+      .groupBy(col("a"), col("b")).agg(sum(col("wt")).as("wt"))
     val outw = edges.groupBy(col("a")).agg(sum(col("wt")).as("ow"))
     val ewd = edges.join(outw, "a").persist()
     val nodes = edges.select(col("a").as("word")).distinct().persist()
