@@ -473,7 +473,68 @@ object EventOps {
       |  round(round(sum(value), 2) / count(*), 6) AS avg_v
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Time-RANGE window frames — value-based, not row-count-based: each
+    * event's trailing-hour activity (count + exact integer sum) per user.
+    * ROWS frames (q_running) can't express "the last hour"; RANGE frames
+    * are also tie-safe BY CONSTRUCTION (all peers at the same ts_us are in
+    * every frame that includes the boundary, whatever their shuffle order —
+    * no (ts, event_id) tie-break needed). ONE shuffle on user_id serves
+    * both window aggregates; sums run on floor(value) BIGINT so both
+    * engines fold exactly. */
+  def rolling(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"),
+        graft.epochUs(col("ts")).as("ts_us"),
+        floor(col("value")).cast("long").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    ev.select(col("event_id"), col("user_id"), col("ts_us"),
+      count(lit(1)).over(w).as("n_1h"),
+      sum(col("v")).over(w).as("sum_v_1h"))
+  }
+
+  val rollingSql: String =
+    """SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+      |  CAST(sum(CAST(floor(value) AS BIGINT)) OVER w AS BIGINT) AS sum_v_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id
+      |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Behavioral transition matrix (first-order Markov over the event
+    * stream): per user, each event's successor in deterministic
+    * (ts, event_id) order, counted into (from, to) cells. ONE user_id
+    * window shuffle + ONE bounded aggregation (≤ |types|² cells at any
+    * corpus size) — the analytics view product teams read as a funnel
+    * graph, and the transition prior a sessionization QA job checks
+    * against. */
+  def paths(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.epochUs(col("ts")).as("ts_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    ev.withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val pathsSql: String =
+    """WITH o AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC, event_id ASC) AS to_type
+      |  FROM events)
+      |SELECT event_type AS from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_rolling" -> (rolling _),
+    "ev_paths" -> (paths _),
     "ev_incr_agg" -> (incrAgg _),
     "ev_gapfill" -> (gapfill _),
     "ev_spike" -> (spikes _),
@@ -488,6 +549,8 @@ object EventOps {
     "ev_quantiles" -> (quantiles _))
 
   def oracleSql: Map[String, String] = Map(
+    "ev_rolling" -> rollingSql,
+    "ev_paths" -> pathsSql,
     "ev_incr_agg" -> incrAggSql,
     "ev_gapfill" -> gapfillSql,
     "ev_spike" -> spikesSql,
