@@ -806,6 +806,7 @@ object TextOps {
     "tx_bpe_train" -> (BpeQueries.bpeTrain _),
     "tx_wordpiece" -> (WordPieceQueries.wordpiece _),
     "tx_readability" -> (readability _),
+    "tx_stem" -> (PorterStem.stemQuery _),
     "tx_textrank" -> (TextRank.textrank _))
 
   def oracleSql: Map[String, String] = Map(
@@ -829,5 +830,6 @@ object TextOps {
     "tx_bpe_train" -> BpeQueries.bpeTrainSql,
     "tx_wordpiece" -> WordPieceQueries.wordpieceSql,
     "tx_readability" -> readabilitySql,
+    "tx_stem" -> PorterStem.stemQuerySql,
     "tx_textrank" -> TextRank.textrankSql)
 }
