@@ -514,6 +514,59 @@ object WebOps {
        |  coalesce(prefix, '') AS matched_prefix
        |FROM matches WHERE rn = 1""".stripMargin
 
+  // ---- sitemap.xml ingestion ------------------------------------------------
+
+  /** Sitemap fixtures: a two-entry sitemap with lastmod/priority, an entry
+    * missing the optional fields, and whitespace/attribute noise. */
+  val sitemapCorpus: Seq[(Long, String)] = Seq(
+    (0L,
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc>https://example.com/</loc>
+        |    <lastmod>2024-01-15</lastmod><priority>0.8</priority></url>
+        |  <url><loc>https://example.com/news</loc>
+        |    <lastmod>2024-02-01</lastmod><priority>1.0</priority></url>
+        |</urlset>""".stripMargin),
+    (1L,
+      "<urlset><url><loc>https://other.org/a</loc></url>" +
+        "<url>\n  <loc> https://other.org/b </loc>\n  " +
+        "<lastmod>2023-12-31</lastmod>\n</url></urlset>"))
+
+  /** Sitemap → frontier entries: the third crawl-scheduling input next to
+    * links and robots. ENTIRELY declarative — `regexp_extract_all` over
+    * `<url>` blocks, explode, per-field `regexp_extract` (missing optional
+    * fields surface as '') — and the oracle is the SAME extraction run by
+    * DuckDB (both regex engines interpret these non-greedy/class patterns
+    * identically), not a transcript. Per-row codegen'd work, zero shuffle. */
+  def sitemap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    sitemapCorpus.toDF("sitemap_id", "xml")
+      .select(col("sitemap_id"),
+        explode(expr(
+          "regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)")).as("block"))
+      .select(col("sitemap_id"),
+        trim(regexp_extract(col("block"), "<loc>([^<]*)</loc>", 1)).as("loc"),
+        regexp_extract(col("block"), "<lastmod>([^<]*)</lastmod>", 1).as("lastmod"),
+        regexp_extract(col("block"), "<priority>([^<]*)</priority>", 1).as("priority"))
+  }
+
+  val sitemapSql: String = {
+    val rows = sitemapCorpus.map { case (i, x) =>
+      s"($i, '${x.replace("'", "''")}')"
+    }
+    s"""WITH sm AS (SELECT * FROM (VALUES
+       |  ${rows.mkString(",\n  ")}) t(sitemap_id, xml)),
+       |blocks AS (
+       |  SELECT sitemap_id, unnest(
+       |    regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS block
+       |  FROM sm)
+       |SELECT CAST(sitemap_id AS BIGINT) AS sitemap_id,
+       |  trim(regexp_extract(block, '<loc>([^<]*)</loc>', 1)) AS loc,
+       |  regexp_extract(block, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod,
+       |  regexp_extract(block, '<priority>([^<]*)</priority>', 1) AS priority
+       |FROM blocks""".stripMargin
+  }
+
   // ---- crawl-frontier gate: links ∘ scope ∘ robots --------------------------
 
   /** The crawl loop's next-fetch decision END-TO-END: extracted+resolved+
@@ -661,6 +714,7 @@ object WebOps {
     "web_wet" -> (wetExtract _),
     "web_links" -> (linkExtract _),
     "web_frontier" -> (frontier _),
+    "web_sitemap" -> (sitemap _),
     "web_robots" -> (robotsCheck _),
     "web_pagerank" -> (pageRank _))
 
@@ -670,6 +724,7 @@ object WebOps {
     "web_wet" -> wetExtractSql,
     "web_links" -> linkExtractSql,
     "web_frontier" -> frontierSql,
+    "web_sitemap" -> sitemapSql,
     "web_robots" -> robotsCheckSql,
     "web_pagerank" -> pageRankSql)
 }

@@ -54,6 +54,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan.take(400))
   }
 
+  test("writeZordered: per-file min/max rectangles are far tighter than a hash scatter") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables(spark, sf).lineitem.select(
+      col("l_partkey"), col("l_suppkey"))
+    val zdir = java.nio.file.Files.createTempDirectory("graft_zw").toString
+    val hdir = java.nio.file.Files.createTempDirectory("graft_hw").toString
+    sources.Staging.writeZordered(li, zdir, "l_partkey", "l_suppkey", 8)
+    li.repartition(8).write.mode("overwrite").parquet(hdir) // round-robin scatter
+    def area(dir: String): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+      files.map { f =>
+        val r = spark.read.parquet(f).agg(
+          min("l_partkey"), max("l_partkey"),
+          min("l_suppkey"), max("l_suppkey")).collect().head
+        (r.getLong(1) - r.getLong(0) + 1).toDouble *
+          (r.getLong(3) - r.getLong(2) + 1).toDouble
+      }.sum
+    }
+    val (za, ha) = (area(zdir), area(hdir))
+    // every scattered file spans ~the whole (partkey, suppkey) space; the
+    // z-ordered files tile it — their total footer-stat area must be a
+    // small fraction (each file prunable for point/range predicates)
+    assert(za < ha * 0.5, s"z-order area $za vs scatter $ha")
+  }
+
   test("q_zorder: one agg shuffle; key math never leaves the scan project") {
     val plan = relational.Relational.qZorder(spark, sf).queryExecution.executedPlan.toString
     val shuffles = "Exchange".r.findAllIn(plan).size
