@@ -807,6 +807,7 @@ object TextOps {
     "tx_wordpiece" -> (WordPieceQueries.wordpiece _),
     "tx_readability" -> (readability _),
     "tx_stem" -> (PorterStem.stemQuery _),
+    "tx_classify" -> (Classify.classify _),
     "tx_textrank" -> (TextRank.textrank _))
 
   def oracleSql: Map[String, String] = Map(
@@ -831,5 +832,6 @@ object TextOps {
     "tx_wordpiece" -> WordPieceQueries.wordpieceSql,
     "tx_readability" -> readabilitySql,
     "tx_stem" -> PorterStem.stemQuerySql,
+    "tx_classify" -> Classify.classifySql,
     "tx_textrank" -> TextRank.textrankSql)
 }

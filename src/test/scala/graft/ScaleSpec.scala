@@ -80,6 +80,13 @@ class ScaleSpec extends AnyFunSuite {
     assert(za < ha * 0.5, s"z-order area $za vs scatter $ha")
   }
 
+  test("tx_classify: model broadcast, one doc_id agg shuffle — corpus never shuffles against the model") {
+    val plan = text.Classify.classify(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "weights must broadcast:\n" + plan.take(600))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 hash exchange (score agg), got $shuffles:\n${plan.take(900)}")
+  }
+
   test("q_zorder: one agg shuffle; key math never leaves the scan project") {
     val plan = relational.Relational.qZorder(spark, sf).queryExecution.executedPlan.toString
     val shuffles = "Exchange".r.findAllIn(plan).size
