@@ -2,14 +2,24 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables.
   *
-  * `events.ts` is written as parquet INT64 TIMESTAMP(NANOS) which Spark's
-  * TimestampType (µs) cannot represent; we read it as raw nanos
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and expose both the raw long and
-  * a µs-truncated TimestampType column — the same truncation DuckDB applies
-  * when casting timestamp_ns to TIMESTAMP, so oracle comparisons agree.
+  * `events.ts` is driver-owned and its physical type has varied across data
+  * regenerations: parquet INT64 TIMESTAMP(NANOS) (unrepresentable in Spark's
+  * µs TimestampType — read as raw nanos via
+  * `spark.sql.legacy.parquet.nanosAsLong`) and TIMESTAMP(MICROS,
+  * isAdjustedToUTC=false) (surfacing as TIMESTAMP_NTZ). The loader branches
+  * on the LOADED dtype rather than hard-coding either contract, and exposes
+  * the same normalized pair everywhere downstream:
+  *
+  *   - `ts`    µs-precision TimestampType, UTC session zone — the same value
+  *             DuckDB produces for `CAST(ts AS TIMESTAMP)` on either flavor
+  *   - `ts_ns` epoch nanos as Long (µs flavor: exact µs×1000)
+  *
+  * Mirrors the reference's ingest posture (eventstream.rs:14-73): the feed
+  * owns the wire format; the consumer adapts.
   */
 final class Tables(spark: SparkSession, sfDir: String) {
   private def load(name: String): DataFrame = {
@@ -27,15 +37,46 @@ final class Tables(spark: SparkSession, sfDir: String) {
   def documents: DataFrame = load("documents")
   def embeddings: DataFrame = load("embeddings")
 
-  /** events with `ts` converted from raw nanos to µs TimestampType (UTC). */
-  def events: DataFrame = {
+  /** events with `ts` normalized to µs TimestampType (UTC) + raw `ts_ns`. */
+  def events: DataFrame = Tables.normalizeEventTs(load("events"))
+
+  /** events at `ts < cutoffNs`, the predicate applied to the RAW loaded
+    * column so it reaches `PushedFilters` in either flavor (a filter on the
+    * derived `ts_ns` would not fold through the µs branch's cast) — the
+    * incremental-refresh contract: O(delta) scan at 100 TB. */
+  def eventsBefore(cutoffNs: Long): DataFrame = splitEvents(cutoffNs, before = true)
+
+  /** events at `ts >= cutoffNs`; see [[eventsBefore]]. */
+  def eventsFrom(cutoffNs: Long): DataFrame = splitEvents(cutoffNs, before = false)
+
+  private def splitEvents(cutoffNs: Long, before: Boolean): DataFrame = {
     val raw = load("events")
-    raw
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val cut = raw.schema("ts").dataType match {
+      case LongType => lit(cutoffNs)
+      case dt => timestamp_micros(lit(cutoffNs / 1000L)).cast(dt)
+    }
+    Tables.normalizeEventTs(
+      if (before) raw.filter(col("ts") < cut) else raw.filter(col("ts") >= cut))
   }
 }
 
 object Tables {
   def apply(spark: SparkSession, sfDir: String): Tables = new Tables(spark, sfDir)
+
+  /** Schema-adaptive `ts` normalization — see class doc. Both branches yield
+    * identical (`ts`, `ts_ns`) for the same instant, which the both-flavor
+    * loader spec asserts. */
+  def normalizeEventTs(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case LongType => // INT64 TIMESTAMP(NANOS) read as raw nanos
+      raw
+        .withColumn("ts_ns", col("ts"))
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    case TimestampType | TimestampNTZType =>
+      raw
+        .withColumn("ts_ns", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+        .withColumn("ts", col("ts").cast(TimestampType))
+    case other: DataType =>
+      throw new IllegalStateException(
+        s"events.ts loaded as unsupported type $other; expected LongType (nanos) or TIMESTAMP[_NTZ]")
+  }
 }

@@ -444,20 +444,21 @@ object EventOps {
     * AFTER the merge), which is exactly Spark's partial-aggregation
     * contract, promoted to a cross-run maintenance strategy: at 100 TB the
     * daily refresh costs O(delta), and both scans here prune on the split
-    * predicate PUSHED into the parquet scan — the filter runs on the raw
-    * nanos column `ts_ns`, not the derived timestamp, precisely so it
-    * reaches `PushedFilters` (in prod the "old" branch is a read of the
-    * stored rollup, not a scan). The merged result hash-matches the full
-    * recompute — that equality IS the oracle check. */
+    * predicate PUSHED into the parquet scan — `Tables.eventsBefore/From`
+    * apply the cutoff to the RAW loaded `ts` column, whatever its physical
+    * flavor, precisely so it reaches `PushedFilters` (in prod the "old"
+    * branch is a read of the stored rollup, not a scan). The merged result
+    * hash-matches the full recompute — that equality IS the oracle check. */
   def incrAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables(spark, sfDir).events
-      .withColumn("day_us", graft.epochUs(date_trunc("day", col("ts"))))
+    val t = Tables(spark, sfDir)
+    def withDay(d: DataFrame): DataFrame =
+      d.withColumn("day_us", graft.epochUs(date_trunc("day", col("ts"))))
     def partials(d: DataFrame): DataFrame =
       d.groupBy(col("event_type"), col("day_us"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v_raw"),
           min(col("value")).as("min_v"), max(col("value")).as("max_v"))
-    val old = partials(ev.filter(col("ts_ns") < incrSplitNs))
-    val delta = partials(ev.filter(col("ts_ns") >= incrSplitNs))
+    val old = partials(withDay(t.eventsBefore(incrSplitNs)))
+    val delta = partials(withDay(t.eventsFrom(incrSplitNs)))
     old.unionByName(delta)
       .groupBy(col("event_type"), col("day_us"))
       .agg(sum(col("n")).as("n"), round(sum(col("sum_v_raw")), 2).as("sum_v"),

@@ -76,7 +76,15 @@ class HttpNdjsonTable(options: CaseInsensitiveStringMap) extends Table with Supp
             readTimeoutMs = options.getLong("silenceTimeoutMs",
               options.getLong("readTimeoutMs", 0L)).toInt,
             numPartitions = options.getInt("numPartitions", 2),
-            maxLinesPerTrigger = options.getLong("maxLinesPerTrigger", Long.MaxValue))
+            maxLinesPerTrigger = options.getLong("maxLinesPerTrigger", Long.MaxValue),
+            // EVENT-silence supervisor (status.rs:20-68): restart the
+            // connection when no event arrived for this long, checked on a
+            // fixed cadence (status.rs:73 pings every 15 s against a 90 s
+            // threshold). Distinct from readTimeoutMs: SSE keepalive
+            // comments reset a byte-level read timeout but are not events.
+            // 0 = disabled.
+            silenceRestartMs = options.getLong("silenceRestartMs", 0L),
+            silenceCheckMs = options.getLong("silenceCheckMs", 15000L))
       }
     }
 }
@@ -92,7 +100,9 @@ class HttpNdjsonMicroBatchStream(
     reconnectDelayMs: Long,
     readTimeoutMs: Int,
     numPartitions: Int,
-    maxLinesPerTrigger: Long) extends MicroBatchStream with Logging {
+    maxLinesPerTrigger: Long,
+    silenceRestartMs: Long = 0L,
+    silenceCheckMs: Long = 15000L) extends MicroBatchStream with Logging {
 
   private val lock = new Object
   // lines [baseOffset, baseOffset + buffer.size); commit(n) trims below n
@@ -111,6 +121,37 @@ class HttpNdjsonMicroBatchStream(
   /** Reconnect count — observable for tests and monitoring. */
   def connectCount: Int = lock.synchronized(connects)
 
+  // ---- event-silence supervisor (status.rs:20-68) --------------------------
+  // Tracks the last EVENT (offered line), not the last byte: a connection
+  // kept alive by SSE comments or TCP keepalives while the feed is dead is
+  // exactly the failure the reference's status loop restarts on.
+  @volatile private var lastEventAtMs = System.currentTimeMillis()
+  @volatile private var silenceRestartsCount = 0
+
+  /** Watchdog-forced restarts — observable for tests and monitoring. */
+  def silenceRestarts: Int = silenceRestartsCount
+
+  private val watchdog: Option[Thread] =
+    if (silenceRestartMs <= 0) None
+    else Some(new Thread(s"http-ndjson-watchdog-$url") {
+      setDaemon(true)
+      override def run(): Unit = {
+        while (!stopped) {
+          try Thread.sleep(silenceCheckMs)
+          catch { case _: InterruptedException => return }
+          if (!stopped &&
+              System.currentTimeMillis() - lastEventAtMs > silenceRestartMs) {
+            logWarning(s"http-ndjson: no event for >$silenceRestartMs ms — " +
+              "restarting event stream watcher")
+            silenceRestartsCount += 1
+            lastEventAtMs = System.currentTimeMillis() // status.rs:38 resets the clock
+            val c = conn
+            if (c != null) c.disconnect() // reader loop reconnects after backoff
+          }
+        }
+      }
+    })
+
   private val reader = new Thread(s"http-ndjson-$url") {
     setDaemon(true)
     override def run(): Unit = {
@@ -125,6 +166,7 @@ class HttpNdjsonMicroBatchStream(
             new InputStreamReader(c.getInputStream, StandardCharsets.UTF_8))
           lock.synchronized { connects += 1 }
           consecutiveFailures = 0
+          lastEventAtMs = System.currentTimeMillis() // fresh connection, fresh clock
           try {
             val dataAcc = new StringBuilder // SSE: accumulated data: lines
             var line = in.readLine()
@@ -162,9 +204,13 @@ class HttpNdjsonMicroBatchStream(
     }
   }
   reader.start()
+  watchdog.foreach(_.start())
 
-  private def offer(line: String): Unit = lock.synchronized {
-    buffer += ((line, System.currentTimeMillis() * 1000L))
+  private def offer(line: String): Unit = {
+    lastEventAtMs = System.currentTimeMillis()
+    lock.synchronized {
+      buffer += ((line, System.currentTimeMillis() * 1000L))
+    }
   }
 
   override def initialOffset(): Offset = HttpLineOffset(0L)
@@ -258,6 +304,7 @@ class HttpNdjsonMicroBatchStream(
     val c = conn
     if (c != null) c.disconnect() // unblocks a blocked readLine
     reader.interrupt()
+    watchdog.foreach(_.interrupt())
   }
 }
 

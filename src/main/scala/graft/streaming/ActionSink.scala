@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -37,6 +37,58 @@ object ActionSink {
           fresh.withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(logDir)
         } finally fresh.unpersist()
+        ()
+      }
+      .start()
+
+  /** Deterministic analog of the reference's randomized action delay
+    * (eventhandler.rs:115: `thread_rng().gen_range(30..100) * 1000` ms,
+    * drawn ONCE per event and shared by every action that event fires;
+    * +1500 ms when the action is `close`, eventhandler.rs:174-178; no delay
+    * at all when the rule sets no_delay or the action is not one of
+    * engine/boost/ipban/close, eventhandler.rs:167-172). A hash of the
+    * event id replaces the RNG draw so restarts, replays, and the oracle
+    * all see the same deadline — same [30,100) s distribution, zero state. */
+  def actionDelayUs(eventId: Column, action: Column, noDelay: Column): Column =
+    when(noDelay ||
+        !action.isInCollection(Seq("engine", "boost", "ipban", "close")), lit(0L))
+      .otherwise(
+        (lit(30L) + pmod(xxhash64(eventId), lit(70L))) * lit(1000000L) +
+          when(action === "close", lit(1500000L)).otherwise(lit(0L)))
+
+  /** Delayed effectively-once dispatch: rows are STAGED on arrival and only
+    * acted on once the event-time clock (max `ts_us` staged so far — the
+    * stream's own watermark) passes their `due_us` deadline. This executes
+    * the reference's randomized hold (eventhandler.rs:180-186 sleeps the
+    * spawned action task) without parking threads: at 100 TB the pending
+    * set is a partitioned parquet log and each micro-batch does one
+    * bounded anti-join + one due-filter, both pushed to the scan.
+    *
+    * `matched` must carry `event_id`, `rule_name`, `ts_us`, and `due_us`
+    * (= ts_us + [[actionDelayUs]]). Like the reference, an action with an
+    * unreached deadline survives a crash: it is re-staged from the pending
+    * log, not lost with the process. A tail event whose deadline no later
+    * event ever passes dispatches on the next batch after one arrives —
+    * the event-time clock is the batch analog of wall-clock sleeping. */
+  def dispatchDelayed(spark: SparkSession, matched: DataFrame, pendingDir: String,
+      logDir: String, checkpointDir: String)(act: DataFrame => Unit): StreamingQuery =
+    matched.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // stage fresh rows (replay-idempotent: anti-join the pending log)
+        undispatched(spark, batch, pendingDir).write.mode("append").parquet(pendingDir)
+        val pending = spark.read.parquet(pendingDir)
+        val clockRow = pending.agg(max(col("ts_us"))).head
+        if (!clockRow.isNullAt(0)) { // an all-empty pending log has no clock yet
+          val due = pending.filter(col("due_us") <= clockRow.getLong(0))
+          val fresh = undispatched(spark, due, logDir)
+            .persist() // evaluated twice: act + log append
+          try {
+            act(fresh)
+            fresh.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(logDir)
+          } finally fresh.unpersist()
+        }
         ()
       }
       .start()

@@ -20,10 +20,22 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
+  /** events schema template; `ts` is patched to the file's ACTUAL footer type
+    * before use (see [[runToTableUnscoped]]) — a forced-schema read that
+    * reinterprets the physical int64 under a different logical type would
+    * silently rescale the whole timeline. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Peek the events parquet footer via a batch read to learn the physical
+    * `ts` type (LongType when TIMESTAMP(NANOS) under nanosAsLong; TIMESTAMP
+    * or TIMESTAMP_NTZ when µs). One footer read, no data scan. */
+  private def eventsTsType(spark: SparkSession, sfDir: String): org.apache.spark.sql.types.DataType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+  }
 
   /** File-source → transform → memory-sink, run to completion.
     *
@@ -51,12 +63,21 @@ object StreamOps {
   private def runToTableUnscoped(spark: SparkSession, sfDir: String, mode: OutputMode)(
       build: DataFrame => DataFrame): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = eventsTsType(spark, sfDir)
+    val schema = StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
     // file-stream sources take a directory; select the events file by glob
-    val src = spark.readStream.schema(eventsSchema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts_us", expr("ts DIV 1000"))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val src = tsType match {
+      case LongType => // raw nanos
+        raw.withColumn("ts_us", expr("ts DIV 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case _ => // TIMESTAMP or TIMESTAMP_NTZ, already µs precision
+        raw.withColumn("ts_us", unix_micros(col("ts").cast(TimestampType)))
+          .withColumn("ts", col("ts").cast(TimestampType))
+    }
     runBuiltToTable(spark, build(src), mode)
   }
 

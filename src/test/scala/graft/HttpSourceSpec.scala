@@ -148,6 +148,33 @@ class HttpSourceSpec extends AnyFunSuite {
     } finally { q.stop(); server.stop(0) }
   }
 
+  test("event-silence supervisor: keepalives without events force a restart") {
+    // hit 1: one event, then only SSE comments — bytes keep flowing, so a
+    // byte-level read timeout never fires; only the event-silence watchdog
+    // (status.rs:20-68) can declare the feed dead and restart it.
+    val (server, url) = serve("/silent") { (hit, ex) =>
+      if (hit == 1) {
+        ex.sendResponseHeaders(200, 0)
+        val os = ex.getResponseBody
+        os.write("data: one\n\n".getBytes(StandardCharsets.UTF_8)); os.flush()
+        try (1 to 50).foreach { _ =>
+          os.write(": keepalive\n".getBytes(StandardCharsets.UTF_8)); os.flush()
+          Thread.sleep(100)
+        } catch { case _: Exception => () } // watchdog disconnected us — expected
+        try os.close() catch { case _: Exception => () }
+      } else chunked(ex, Seq("data: two", ""))
+    }
+    val q = spark.readStream.format("http-ndjson")
+      .option("url", url).option("mode", "sse").option("reconnectDelayMs", 100)
+      .option("silenceRestartMs", 400).option("silenceCheckMs", 100).load()
+      .writeStream.format("memory").queryName("http_silent").outputMode("append").start()
+    try {
+      val rows = collectUntil("http_silent", 2, q)
+      assert(rows.map(_.getAs[String]("value")).toSet == Set("one", "two"),
+        "supervisor must restart the silent-but-alive connection and pick up the fresh stream")
+    } finally { q.stop(); server.stop(0) }
+  }
+
   test("full reference program live: HTTP tap -> rule engine -> matched actions") {
     // r_email_contains ('@MAIL3', ci, no expiry) must fire for the first
     // signup; the second matches no standing rule

@@ -114,6 +114,51 @@ class RecoverySpec extends AnyFunSuite {
     assert(acted.sorted == Seq((1L, "r_a"), (2L, "r_b"), (3L, "r_a")))
   }
 
+  test("dispatchDelayed holds actions until the event-time clock passes their deadline") {
+    import spark.implicits._
+    val srcDir = tmp("delay_src")
+    val pendingDir = tmp("delay_pend") + "/pending"
+    val logDir = tmp("delay_log") + "/log"
+
+    def matchedStream() = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rule_name", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("action", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("no_delay", org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType)))
+      spark.readStream.schema(schema).parquet(srcDir)
+        .withColumn("due_us", col("ts_us") +
+          graft.streaming.ActionSink.actionDelayUs(col("event_id"), col("action"), col("no_delay")))
+    }
+    def run(ckpt: String): Unit = {
+      val q = graft.streaming.ActionSink.dispatchDelayed(
+        spark, matchedStream(), pendingDir, logDir, ckpt)(_ => ())
+      try q.processAllAvailable() finally q.stop()
+    }
+    // file 1: a delayed close at t=0 (deadline in [31.5, 101.5) s) and an
+    // undelayed notify at t=10 s — the clock reaches 10 s, so only the
+    // notify may dispatch; the close MUST still be pending
+    Seq((1L, "r_close", "close", false, 0L), (2L, "r_notify", "notify", false, 10000000L))
+      .toDF("event_id", "rule_name", "action", "no_delay", "ts_us")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run(tmp("delay_ckpt1"))
+    val after1 = spark.read.parquet(logDir).select("event_id").as[Long].collect().toSet
+    assert(after1 == Set(2L), s"no dispatch before its deadline — got $after1")
+
+    // file 2: a later event pushes the clock past every deadline
+    Seq((3L, "r_notify", "notify", true, 200000000L))
+      .toDF("event_id", "rule_name", "action", "no_delay", "ts_us")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run(tmp("delay_ckpt2"))
+    val after2 = spark.read.parquet(logDir).select("event_id").as[Long].collect().toSet
+    assert(after2 == Set(1L, 2L, 3L), s"deadline passed -> dispatch, got $after2")
+
+    // full replay on a FRESH checkpoint (at-least-once): nothing re-fires
+    run(tmp("delay_ckpt3"))
+    assert(spark.read.parquet(logDir).count() == 3, "effectively-once after restart")
+  }
+
   test("ActionSink.dispatch end-to-end over a streaming source") {
     val srcDir = splitEvents()
     val logDir = tmp("dispatch_e2e") + "/log"
