@@ -533,7 +533,56 @@ object EventOps {
       |SELECT event_type AS from_type, to_type, CAST(count(*) AS BIGINT) AS n
       |FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin
 
+  // ---- batch sessionization (gaps-and-islands) ----------------------------
+
+  /** Batch sessionization: 30-minute-gap sessions per user with per-session
+    * stats — the batch twin of `st_sessionize` (the canonical
+    * gaps-and-islands shape: lag → new-session flag → running-sum session
+    * id → per-session aggregation). ONE shuffle on user_id serves the lag
+    * window, the cumulative sum, AND the final (user_id, sess_id) group —
+    * HashPartitioning(user_id) satisfies the grouping's clustered
+    * distribution, so no second exchange at any scale. Ties share the
+    * deterministic (ts_us, event_id) total order the streaming oracle
+    * established (duplicate-(user, ts) events must never split a session
+    * differently between the two windows). */
+  def sessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), graft.epochUs(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > lit(1800000000L), 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+  }
+
+  val sessionsSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |o2 AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |      OR ts_us - lag(ts_us) OVER w > 1800000000
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |s AS (
+      |  SELECT user_id, ts_us,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+      |  FROM o2)
+      |SELECT user_id, sess_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+      |  count(*) AS n_events, max(ts_us) - min(ts_us) AS dur_us
+      |FROM s GROUP BY user_id, sess_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_sessions" -> (sessions _),
     "ev_rolling" -> (rolling _),
     "ev_paths" -> (paths _),
     "ev_incr_agg" -> (incrAgg _),
@@ -550,6 +599,7 @@ object EventOps {
     "ev_quantiles" -> (quantiles _))
 
   def oracleSql: Map[String, String] = Map(
+    "ev_sessions" -> sessionsSql,
     "ev_rolling" -> rollingSql,
     "ev_paths" -> pathsSql,
     "ev_incr_agg" -> incrAggSql,

@@ -738,7 +738,47 @@ object Relational {
       |SELECT 'o_orderstatus', CAST(n AS BIGINT), CAST(nn_st AS BIGINT),
       |  CAST(ndv_st AS BIGINT), min_st, max_st FROM a""".stripMargin
 
+  // ---- co-located bucketed join -------------------------------------------
+
+  /** Bucketed-staging co-located join — the layout answer to "this join
+    * runs every day on the same key": both sides staged via
+    * [[graft.sources.Staging.bucketize]] (bucketBy + sortBy on the join
+    * key), so the sort-merge join reads bucket-aligned files and needs NO
+    * Exchange on either side — at 100 TB the daily join cost drops from
+    * two full-corpus shuffles to a co-partitioned merge (the write
+    * amortizes over every subsequent keyed join/agg). The `merge` hint
+    * pins SMJ so the co-location (not a size-based broadcast) is what the
+    * plan exercises; ScaleSpec asserts zero shuffle exchanges. Money math
+    * in exact decimal (q1's scheme — a floating sum this wide is
+    * order-sensitive at the 2dp grid). */
+  def qBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    graft.sources.Staging.bucketize(
+      t.lineitem.select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      "graft_li_bkt", "l_orderkey", 8)
+    graft.sources.Staging.bucketize(
+      t.orders.select(col("o_orderkey"), col("o_orderdate")),
+      "graft_ord_bkt", "o_orderkey", 8)
+    val one = lit(1).cast("decimal(3,2)")
+    spark.table("graft_li_bkt").hint("merge")
+      .join(spark.table("graft_ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice").cast("decimal(12,2)")
+          * (one - col("l_discount").cast("decimal(4,2)"))), 2)
+          .cast("double").as("revenue"))
+  }
+
+  val qBucketedJoinSql: String =
+    """SELECT year(o_orderdate) AS o_year, count(*) AS n_items,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY year(o_orderdate)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucketed_join" -> (qBucketedJoin _),
     "q_profile" -> (qProfile _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_zorder" -> (qZorder _),
@@ -761,6 +801,7 @@ object Relational {
     "ev_topk_users" -> (evTopkUsers _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_bucketed_join" -> qBucketedJoinSql,
     "q_profile" -> qProfileSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_zorder" -> qZorderSql,

@@ -420,6 +420,49 @@ object TextOps {
        |CROSS JOIN v
        |GROUP BY doc_id""".stripMargin
 
+  // ---- CCNet perplexity bucketing (head/middle/tail) ----------------------
+
+  /** CCNet's defining output shape (Wenzek et al. 2020): per-language
+    * head/middle/tail buckets by LM quality — head feeds pre-training
+    * directly, middle is kept for diversity, tail is dropped or re-filtered.
+    * Cutoff-based on purpose: CCNet derives PERCENTILE CUTOFFS from the
+    * score distribution and assigns by comparison, which is also the only
+    * shape that scales — an exact per-language ntile needs a per-language
+    * TOTAL SORT of the corpus, while cutoffs are one aggregation (exact
+    * `percentile` here; `approx_percentile` is the 100 TB drop-in, the
+    * ev_quantiles trade) broadcast back over a second scan. Higher
+    * likelihood = better modeled = head. Cutoffs and scores are both
+    * 6dp-rounded before comparison so the bucket verdict can never flip on
+    * a last-ulp interpolation difference between engines. */
+  def ccnetBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = lmScore(spark, sfDir).select(col("doc_id"), col("lm_score"))
+      .join(docs(spark, sfDir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val cuts = scored.groupBy(col("lang")).agg(
+      round(expr("percentile(lm_score, CAST(1 AS DOUBLE)/3)"), 6).as("cut33"),
+      round(expr("percentile(lm_score, CAST(2 AS DOUBLE)/3)"), 6).as("cut66"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("lm_score"),
+        when(col("lm_score") > col("cut66"), "head")
+          .when(col("lm_score") > col("cut33"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  val ccnetBucketSql: String =
+    s"""WITH lm AS (${lmScoreSql.replace("\n", "\n  ")}),
+       |scored AS (
+       |  SELECT lm.doc_id, d.lang, lm.lm_score
+       |  FROM lm JOIN documents d ON lm.doc_id = d.doc_id),
+       |cuts AS (
+       |  SELECT lang,
+       |    round(quantile_cont(lm_score, CAST(1 AS DOUBLE)/3), 6) AS cut33,
+       |    round(quantile_cont(lm_score, CAST(2 AS DOUBLE)/3), 6) AS cut66
+       |  FROM scored GROUP BY lang)
+       |SELECT doc_id, scored.lang, lm_score,
+       |  CASE WHEN lm_score > cut66 THEN 'head'
+       |       WHEN lm_score > cut33 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM scored JOIN cuts ON scored.lang = cuts.lang""".stripMargin
+
   // ---- collocation mining (phrase detection) ------------------------------
 
   val collocMinCount = 10L
@@ -797,6 +840,7 @@ object TextOps {
     "tx_filter" -> (filterPass _),
     "tx_pii" -> (pii _),
     "tx_lm_score" -> (lmScore _),
+    "tx_ccnet_bucket" -> (ccnetBucket _),
     "tx_len_hist" -> (lenHist _),
     "tx_repetition" -> (repetition _),
     "tx_gopher" -> (gopher _),
@@ -822,6 +866,7 @@ object TextOps {
     "tx_filter" -> filterPassSql,
     "tx_pii" -> piiSql,
     "tx_lm_score" -> lmScoreSql,
+    "tx_ccnet_bucket" -> ccnetBucketSql,
     "tx_len_hist" -> lenHistSql,
     "tx_repetition" -> repetitionSql,
     "tx_gopher" -> gopherSql,

@@ -350,4 +350,55 @@ class ScaleSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(fast.sameElements(dist), "both component algorithms must agree exactly")
   }
+
+  test("q_bucketed_join: co-located SMJ — only the year-agg exchange shuffles") {
+    val q = relational.Relational.qBucketedJoin(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(800))
+    // the bucketed sides feed the join exchange-free; the single Exchange
+    // in the plan is the final (tiny, |years|-keyed) aggregation
+    val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges == 1, s"expected only the agg exchange, got $exchanges:\n${plan.take(1200)}")
+    assert(q.count() > 0)
+  }
+
+  test("ev_sessions: one user_id exchange serves lag, cumsum, and the session agg") {
+    val q = events.EventOps.sessions(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges == 1,
+      s"gaps-and-islands must reuse HashPartitioning(user_id), got $exchanges:\n${plan.take(1200)}")
+  }
+
+  test("tx_ccnet_bucket: cutoffs broadcast; head strictly outscores tail per language") {
+    val q = text.TextOps.ccnetBucket(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-lang cutoff dim must broadcast, never shuffle the corpus:\n${plan.take(800)}")
+    val rows = q.collect().map(r => (r.getString(1), r.getDouble(2), r.getString(3)))
+    rows.groupBy(_._1).foreach { case (lang, docs) =>
+      val byBucket = docs.groupBy(_._3)
+      for {
+        heads <- byBucket.get("head")
+        tails <- byBucket.get("tail")
+      } assert(heads.map(_._2).min > tails.map(_._2).max,
+        s"$lang: a head doc scored below a tail doc")
+      // cutoff-based terciles over a real score distribution populate all
+      // three buckets for every language in the fixture corpus
+      assert(byBucket.keySet == Set("head", "middle", "tail"),
+        s"$lang buckets: ${byBucket.keySet}")
+    }
+  }
+
+  test("web_hostgraph: intra/inter split is consistent and hosts never empty") {
+    val rows = web.WebOps.hostGraph(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (srcH, dstH) = (r.getString(0), r.getString(1))
+      assert(srcH.nonEmpty && dstH.nonEmpty)
+      assert(r.getBoolean(4) == (srcH == dstH))
+    }
+    // the fixture corpus links two external hosts from example.com
+    assert(rows.count(!_.getBoolean(4)) == 2)
+  }
 }
