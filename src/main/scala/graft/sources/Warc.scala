@@ -38,6 +38,7 @@ object Warc {
       recordIndex: Int,
       warcType: String,
       targetUri: String, // "" when absent (WARC-Target-URI is optional)
+      warcDate: String, // "" when absent (ISO 8601 in real archives)
       contentType: String, // "" when absent
       nBytes: Long,
       payload: Array[Byte])
@@ -137,6 +138,7 @@ object Warc {
                     recordIndex = idx,
                     warcType = headers.getOrElse("warc-type", ""),
                     targetUri = headers.getOrElse("warc-target-uri", ""),
+                    warcDate = headers.getOrElse("warc-date", ""),
                     contentType = headers.getOrElse("content-type", ""),
                     nBytes = len,
                     payload = payload)

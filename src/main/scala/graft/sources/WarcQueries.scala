@@ -27,12 +27,13 @@ object WarcQueries {
     * emits bare-LF line endings (dirty captures use both; the parser
     * tolerates either). */
   private[graft] def record(warcType: String, uri: String, ctype: String,
-      payload: Array[Byte], crlf: Boolean = true): Array[Byte] = {
+      payload: Array[Byte], crlf: Boolean = true, date: String = ""): Array[Byte] = {
     val nl = if (crlf) "\r\n" else "\n"
     val sb = new StringBuilder
     sb.append("WARC/1.0").append(nl)
     sb.append("WARC-Type: ").append(warcType).append(nl)
     if (uri.nonEmpty) sb.append("WARC-Target-URI: ").append(uri).append(nl)
+    if (date.nonEmpty) sb.append("WARC-Date: ").append(date).append(nl)
     if (ctype.nonEmpty) sb.append("Content-Type: ").append(ctype).append(nl)
     sb.append("Content-Length: ").append(payload.length).append(nl).append(nl)
     sb.toString.getBytes(US_ASCII) ++ payload ++ (nl + nl).getBytes(US_ASCII)

@@ -425,6 +425,99 @@ object WebOps {
       |  (4, 'https://example.com/dual/d')
       |) t(page_id, link)""".stripMargin
 
+  // ---- CDX index generation ------------------------------------------------
+
+  /** CDX fixture: response records with WARC-Date + HTTP envelopes covering
+    * a tracking-param URL, a default-port/trailing-slash URL, a 301 with an
+    * empty body, and a JSON mime — plus a request record and warcinfo the
+    * indexer must skip. */
+  private val cdxPayloads: Seq[(String, String, String)] = Seq(
+    ("http://Example.COM/one?utm_source=x&b=2", "2026-03-01T12:00:00Z",
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" +
+        "<html><body>one</body></html>"),
+    ("https://example.com:443/two/", "2026-03-01T12:05:30Z",
+      "HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\nmissing"),
+    ("http://sub.example.org/redir", "2026-03-02T00:01:02Z",
+      "HTTP/1.1 301 Moved Permanently\r\nLocation: http://example.org/final\r\n" +
+        "Content-Type: text/html\r\n\r\n"),
+    ("http://example.org/data.json", "2026-03-02T08:30:00Z",
+      "HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n\r\n{\"k\": 1}"))
+
+  private lazy val cdxFixtureDir: java.nio.file.Path = {
+    import java.nio.charset.StandardCharsets.US_ASCII
+    import graft.sources.WarcQueries.{gz, record}
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx")
+    val resp = cdxPayloads.map { case (uri, date, http) =>
+      gz(record("response", uri, "application/http;msgtype=response",
+        http.getBytes(US_ASCII), date = date))
+    }
+    val blob =
+      gz(record("warcinfo", "", "application/warc-fields",
+        "software: graft-warc/1.0\r\n".getBytes(US_ASCII))) ++
+        resp(0) ++ resp(1) ++
+        gz(record("request", "http://example.com/one",
+          "application/http;msgtype=request",
+          "GET /one HTTP/1.1\r\n\r\n".getBytes(US_ASCII))) ++
+        resp(2) ++ resp(3)
+    val f = java.nio.file.Files.write(dir.resolve("cdx.warc.gz"), blob)
+    Seq(f, dir).foreach(_.toFile.deleteOnExit())
+    dir
+  }
+
+  /** CDX index generation — the THIRD Common Crawl artifact next to WARC
+    * ingestion (`warc_records`) and WET extraction (`web_wet`): the lookup
+    * index replay/wayback systems and corpus samplers seek into. Per
+    * response record: the SURT key (reversed canonical host + path — the
+    * sort key that clusters one site's pages), the 14-digit timestamp from
+    * WARC-Date, and the fetch metadata a reader filters on (HTTP status,
+    * envelope mime, payload-body sha256, record byte length). Everything is
+    * per-row column math riding the record scan — canonicalizer expression,
+    * host-reverse via split/reverse/join, header regexes, `sha2` — so at
+    * archive scale indexing is an embarrassingly parallel single pass with
+    * ZERO shuffles (the production sort by surt_key is one final
+    * repartitionByRange, exactly the writeZordered layout pattern). */
+  def cdxIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val recs = graft.sources.Warc.read(spark, cdxFixtureDir.toString).toDF()
+      .filter(col("warcType") === "response" && col("targetUri") =!= "")
+      .select(col("recordIndex").cast("long").as("record_index"),
+        col("targetUri"), col("warcDate"), col("nBytes").as("n_bytes"),
+        col("payload").cast("string").as("msg"))
+    val canon = urlCanonical(col("targetUri"))
+    val host = regexp_extract(canon, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    val rest = regexp_replace(canon, "^[a-z][a-z0-9+.-]*://[^/?#]+", "")
+    val headerEnd = instr(col("msg"), "\r\n\r\n")
+    val headersPart = when(headerEnd > 0, expr("substring(msg, 1, instr(msg, '\r\n\r\n') - 1)"))
+      .otherwise(col("msg"))
+    val body = when(headerEnd > 0, expr("substring(msg, instr(msg, '\r\n\r\n') + 4)"))
+      .otherwise(lit(""))
+    recs.select(
+      col("record_index"),
+      concat(array_join(reverse(split(host, "\\.")), ","), lit(")"), rest).as("surt_key"),
+      regexp_replace(col("warcDate"), "[^0-9]", "").as("ts14"),
+      regexp_extract(col("msg"), "^HTTP/[0-9.]+ ([0-9]{3})", 1).cast("long").as("status"),
+      trim(regexp_extract(lower(headersPart), "(?m)^content-type:\\s*([^;\r\n]+)", 1)).as("mime"),
+      sha2(body, 256).as("digest"),
+      col("n_bytes"))
+  }
+
+  /** Oracle: hand-traced SURT/ts14/status/mime per payload literal;
+    * `digest` and `n_bytes` derived from the SAME byte strings with python
+    * hashlib/len, independently of the parser (the warc_records pattern).
+    * Indexes skip 0 (warcinfo) and 3 (request). */
+  val cdxIndexSql: String =
+    """SELECT CAST(record_index AS BIGINT) AS record_index, surt_key, ts14,
+      |  CAST(status AS BIGINT) AS status, mime, digest, CAST(n_bytes AS BIGINT) AS n_bytes
+      |FROM (VALUES
+      |  (1, 'com,example)/one?b=2', '20260301120000', 200, 'text/html',
+      |   '36953ed0104152c079439b84de8d3ef2dfbcc407be19a986bda864bf0b303a8c', 88),
+      |  (2, 'com,example)/two', '20260301120530', 404, 'text/plain',
+      |   'ffa63583dfa6706b87d284b86b0d693a161e4840aad2c5cf6b5d27c3b9621f7d', 59),
+      |  (4, 'org,example,sub)/redir', '20260302000102', 301, 'text/html',
+      |   'e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855', 95),
+      |  (5, 'org,example)/data.json', '20260302083000', 200, 'application/json',
+      |   '4514a0c66d60ecfeb7170caceddfb3d012a7ede1afea4863ba8bcc490ccf63b8', 59)
+      |) t(record_index, surt_key, ts14, status, mime, digest, n_bytes)""".stripMargin
+
   // ---- host-level link graph ----------------------------------------------
 
   /** Host regex over a CANONICAL URL (lowercased scheme/host, default port
@@ -762,6 +855,7 @@ object WebOps {
     "web_wet" -> (wetExtract _),
     "web_links" -> (linkExtract _),
     "web_hostgraph" -> (hostGraph _),
+    "web_cdx" -> (cdxIndex _),
     "web_frontier" -> (frontier _),
     "web_sitemap" -> (sitemap _),
     "web_robots" -> (robotsCheck _),
@@ -773,6 +867,7 @@ object WebOps {
     "web_wet" -> wetExtractSql,
     "web_links" -> linkExtractSql,
     "web_hostgraph" -> hostGraphSql,
+    "web_cdx" -> cdxIndexSql,
     "web_frontier" -> frontierSql,
     "web_sitemap" -> sitemapSql,
     "web_robots" -> robotsCheckSql,

@@ -390,6 +390,17 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("web_cdx: indexing is a single shuffle-free pass over the record scan") {
+    val q = web.WebOps.cdxIndex(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"CDX generation must be per-row column math on the scan:\n${plan.take(800)}")
+    // SURT keys cluster one site's pages: same host ⇒ same key prefix
+    val keys = q.collect().map(_.getString(1))
+    assert(keys.count(_.startsWith("com,example)")) == 2)
+    assert(keys.count(_.startsWith("org,example")) == 2)
+  }
+
   test("web_hostgraph: intra/inter split is consistent and hosts never empty") {
     val rows = web.WebOps.hostGraph(spark, sf).collect()
     assert(rows.nonEmpty)
