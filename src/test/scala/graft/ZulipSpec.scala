@@ -10,7 +10,7 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.zulip.{ZulipClient, ZulipConf, ZulipRtm}
+import graft.zulip.{ZulipClient, ZulipConf, ZulipRtm, ZulipSupervisor}
 
 /** Exercises the Zulip transport (reference zulip/rtm.rs + zulip/web.rs)
   * against a live local fake Zulip API: register → queue id, long-poll
@@ -163,6 +163,50 @@ class ZulipSpec extends AnyFunSuite {
 
       // pings: 2 messages + 1 heartbeat in batch 1, 1 message in batch 2
       assert(pings.get() == 4)
+    } finally server.stop(0)
+  }
+
+  test("supervisor restarts a silent connection with a fresh register (status.rs:47-66)") {
+    val registers = new AtomicInteger(0)
+    val pings = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("localhost", 0), 0)
+    server.createContext("/api/v1/register", (ex: HttpExchange) => {
+      try {
+        val n = registers.incrementAndGet()
+        respond(ex, s"""{"result":"success","queue_id":"q-$n"}""")
+      } finally ex.close()
+    })
+    val heartbeatServed = new AtomicBoolean(false)
+    server.createContext("/api/v1/events", (ex: HttpExchange) => {
+      try {
+        val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+        // the FIRST connection heartbeats once, then the feed goes silent
+        // (success responses keep coming — silence is no EVENTS, the case
+        // a transport-level liveness check cannot see)
+        val batch =
+          if (query.contains("queue_id=q-1") && heartbeatServed.compareAndSet(false, true))
+            """{"id":1,"type":"heartbeat"}"""
+          else { Thread.sleep(30); "" }
+        respond(ex, s"""{"result":"success","events":[$batch]}""")
+      } finally ex.close()
+    })
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val c = conf(port)
+      val client = new ZulipClient(c, Some(s"http://localhost:$port"))
+      val sup = new ZulipSupervisor(c, client, _ => None,
+        onPing = () => { pings.incrementAndGet(); () },
+        silenceRestartMs = 400L, checkMs = 60L)
+      val stop = new AtomicBoolean(false)
+      sup.start(stop)
+      val deadline = System.currentTimeMillis() + 15000
+      while (registers.get() < 2 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      stop.set(true)
+      assert(pings.get() >= 1, "the first connection must have delivered its heartbeat")
+      assert(sup.restartCount >= 1, "silence past the window must restart the connection")
+      assert(registers.get() >= 2, "a restart is a fresh register, not a resumed queue")
     } finally server.stop(0)
   }
 
