@@ -39,8 +39,38 @@ object TextOps {
         s"('${l.replace("'", "''")}', '${w.replace("'", "''")}')"
       }.mkString(", ") + ")"
 
-  def langId(spark: SparkSession, sfDir: String): DataFrame =
-    langIdWith(spark, sfDir, profilesDf(spark))
+  /** Fused literal-profile scoring: when the profile dim is a plan-time
+    * literal (the compiled-in [[profiles]] — tiny by construction), each
+    * language's score compiles to per-row column math
+    * (`array_contains` presence sums over the doc's word array) and the
+    * argmax to a when-chain in plang-ASC order (= the generic path's
+    * `score DESC, plang ASC` tie-break). The corpus-sized explode +
+    * broadcast join + (doc, lang) aggregation of the generic path
+    * disappear entirely — language ID becomes a ZERO-shuffle scan
+    * projection, which is also why the downstream gates (tx_filter,
+    * pipe_curate, samp_mixture) can carry `lang_pred` without a doc_id
+    * re-join. Returns (lang_pred, score); score 0 ⇔ no profile word
+    * present ⇔ the generic inner join would emit nothing. */
+  def langIdCols(textCol: Column): (Column, Column) = {
+    val w = Portable.words(textCol)
+    val scored = profiles.groupBy(_._1).toSeq.sortBy(_._1).map { case (l, ws) =>
+      l -> ws.map { case (_, word) =>
+        when(array_contains(w, word), 1).otherwise(0)
+      }.reduce(_ + _)
+    }
+    val best = greatest(scored.map(_._2): _*)
+    val pred = scored.foldRight(lit(null).cast("string")) { case ((l, s), acc) =>
+      when(s === best, l).otherwise(acc)
+    }
+    (pred, best.cast("long"))
+  }
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val (pred, score) = langIdCols(col("text"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), pred.as("lang_pred"), score.as("score"))
+      .filter(col("score") > 0)
+  }
 
   /** Language ID against an arbitrary profile dim `(plang, pword)` — the
     * built-in [[profiles]], or one trained in-engine by [[profileTrain]]
@@ -349,10 +379,11 @@ object TextOps {
     * aggregation) costs a join. */
   def filterPassCarrying(spark: SparkSession, sfDir: String,
       carry: Seq[String]): DataFrame = {
-    val d = withQualityCols(docs(spark, sfDir))
-      .select((Seq("doc_id", "lang", "n_words", "quality") ++ carry).map(col): _*)
-    val l = langId(spark, sfDir).select(col("doc_id"), col("lang_pred"))
-    d.join(l, Seq("doc_id"), "left")
+    val (pred, score) = langIdCols(col("text"))
+    withQualityCols(docs(spark, sfDir))
+      // fused langid rides the same scan (score 0 ⇒ null, the generic
+      // path's left-join miss) — the verdict table needs no join at all
+      .withColumn("lang_pred", when(score > 0, pred))
       .select(Seq(col("doc_id"), col("lang"), col("lang_pred"),
         col("n_words"), col("quality")) ++ carry.map(col) :+
         when(col("lang_pred").isNull || col("lang_pred") =!= col("lang"), "lang")

@@ -390,6 +390,17 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_langid: fused literal-profile scoring is zero-shuffle and equals the generic dim join") {
+    val fused = text.TextOps.langId(spark, sf)
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"literal-profile langid must be a scan projection:\n${plan.take(600)}")
+    val generic = text.TextOps.langIdWith(spark, sf, text.TextOps.profilesDf(spark))
+    val f = fused.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val g = generic.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(f.sameElements(g), "fused and generic language ID must agree exactly")
+  }
+
   test("web_cdx: indexing is a single shuffle-free pass over the record scan") {
     val q = web.WebOps.cdxIndex(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
