@@ -533,6 +533,40 @@ object EventOps {
       |SELECT event_type AS from_type, to_type, CAST(count(*) AS BIGINT) AS n
       |FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin
 
+  // ---- windowed trending top-k --------------------------------------------
+
+  /** Per-hour trending users (top-3 by event count per hour bucket) — the
+    * "what's hot NOW" windowed complement of `ev_topk_users`' global
+    * TakeOrdered. Two bounded exchanges: the (hour, user) count agg
+    * (map-side partials) and the per-hour rank window, where Spark's
+    * WindowGroupLimit pushes the rank≤k cutoff BELOW the window exchange —
+    * each map task ships only its local top-k per hour, so the shuffle
+    * volume is O(hours·k·tasks), independent of user cardinality (the
+    * plan-spec'd guarantee that makes this shape safe at 100 TB). Ties
+    * break by user_id for a deterministic result on both engines. */
+  def trending(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_epoch")).orderBy(col("n").desc, col("user_id").asc)
+    Tables(spark, sfDir).events
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+  }
+
+  val trendingSql: String =
+    """WITH c AS (
+      |  SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_epoch,
+      |    user_id, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT hour_epoch, user_id, n, rk FROM (
+      |  SELECT hour_epoch, user_id, n,
+      |    CAST(row_number() OVER (PARTITION BY hour_epoch
+      |      ORDER BY n DESC, user_id ASC) AS BIGINT) AS rk
+      |  FROM c) t
+      |WHERE rk <= 3""".stripMargin
+
   // ---- batch sessionization (gaps-and-islands) ----------------------------
 
   /** Batch sessionization: 30-minute-gap sessions per user with per-session
@@ -583,6 +617,7 @@ object EventOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_sessions" -> (sessions _),
+    "ev_trending" -> (trending _),
     "ev_rolling" -> (rolling _),
     "ev_paths" -> (paths _),
     "ev_incr_agg" -> (incrAgg _),
@@ -600,6 +635,7 @@ object EventOps {
 
   def oracleSql: Map[String, String] = Map(
     "ev_sessions" -> sessionsSql,
+    "ev_trending" -> trendingSql,
     "ev_rolling" -> rollingSql,
     "ev_paths" -> pathsSql,
     "ev_incr_agg" -> incrAggSql,

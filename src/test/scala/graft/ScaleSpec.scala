@@ -390,6 +390,18 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_trending: per-hour rank cutoff pushes below the window exchange (WindowGroupLimit)") {
+    val q = events.EventOps.trending(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must prune map-side, shipping O(hours*k) per task:\n${plan.take(1000)}")
+    // at most 3 per hour bucket (boundary hours can have fewer active users)
+    val byHour = q.collect().groupBy(_.getLong(0))
+    assert(byHour.nonEmpty)
+    byHour.foreach { case (h, rows) => assert(rows.length <= 3, s"hour $h: ${rows.length}") }
+    assert(byHour.values.exists(_.length == 3), "no hour reached the full top-3")
+  }
+
   test("tx_langid: fused literal-profile scoring is zero-shuffle and equals the generic dim join") {
     val fused = text.TextOps.langId(spark, sf)
     val plan = fused.queryExecution.executedPlan.toString
