@@ -533,6 +533,64 @@ object EventOps {
       |SELECT event_type AS from_type, to_type, CAST(count(*) AS BIGINT) AS n
       |FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin
 
+  // ---- schema-flexible extraction (Spark 4 VARIANT) ------------------------
+
+  /** Heterogeneous payloads: nested objects, type drift across records,
+    * missing paths, arrays, and one malformed line — the shapes a real
+    * event feed ships without warning. */
+  val variantCorpus: Seq[(Long, String)] = Seq(
+    (1L, """{"user": {"id": 7, "tags": ["mod", "new"]}, "score": 3.5}"""),
+    (2L, """{"user": {"id": 8}, "score": 12}"""),
+    (3L, """{"user": "anon", "score": "high"}"""),
+    (4L, """{"items": [1, 2, 3]}"""),
+    (5L, """not json"""))
+
+  /** Schema-flexible semi-structured extraction via Spark 4 VARIANT — the
+    * modern answer to `ev_parse_json`'s fixed-schema `from_json`: payloads
+    * parse ONCE into the binary variant encoding (`try_parse_json`,
+    * malformed → null, the reference's deserialize-error skip), then any
+    * number of typed paths extract lazily (`try_variant_get` — wrong-typed
+    * or absent paths yield null, never an error) and `schema_of_variant`
+    * reports each record's observed shape for drift monitoring. At 100 TB
+    * this is the schema-on-read posture: one parse per record regardless
+    * of how many fields downstream queries touch, no reprocessing when a
+    * producer adds a field. Per-row scan math, zero shuffles. */
+  def variantExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    variantCorpus.toDF("rec_id", "payload")
+      .withColumn("v", try_parse_json(col("payload")))
+      .select(col("rec_id"),
+        try_variant_get(col("v"), "$.user.id", "bigint").as("user_id"),
+        try_variant_get(col("v"), "$.user.tags[0]", "string").as("first_tag"),
+        try_variant_get(col("v"), "$.score", "double").as("score"),
+        try_variant_get(col("v"), "$.items[2]", "bigint").as("third_item"),
+        col("v").isNull.as("malformed"),
+        schema_of_variant(col("v")).as("vschema"))
+  }
+
+  /** Oracle: hand-traced VALUES over the corpus literals (the cmd_parse
+    * pattern) — typed-path verdicts follow the documented variant rules
+    * (absent path → null, incompatible type → null under `try_`), schema
+    * strings follow schema_of_variant's documented rendering (numeric
+    * literals type as the narrowest exact type: 12 → BIGINT, 3.5 →
+    * DECIMAL(2,1); null variant → VOID). */
+  val variantExtractSql: String =
+    """SELECT CAST(rec_id AS BIGINT) AS rec_id,
+      |  CAST(user_id AS BIGINT) AS user_id, first_tag,
+      |  CAST(score AS DOUBLE) AS score, CAST(third_item AS BIGINT) AS third_item,
+      |  malformed, vschema
+      |FROM (VALUES
+      |  (1, 7, 'mod', 3.5, NULL, false,
+      |   'OBJECT<score: DECIMAL(2,1), user: OBJECT<id: BIGINT, tags: ARRAY<STRING>>>'),
+      |  (2, 8, NULL, 12.0, NULL, false,
+      |   'OBJECT<score: BIGINT, user: OBJECT<id: BIGINT>>'),
+      |  (3, NULL, NULL, NULL, NULL, false,
+      |   'OBJECT<score: STRING, user: STRING>'),
+      |  (4, NULL, NULL, NULL, 3, false,
+      |   'OBJECT<items: ARRAY<BIGINT>>'),
+      |  (5, NULL, NULL, NULL, NULL, true, NULL)
+      |) t(rec_id, user_id, first_tag, score, third_item, malformed, vschema)""".stripMargin
+
   // ---- windowed trending top-k --------------------------------------------
 
   /** Per-hour trending users (top-3 by event count per hour bucket) — the
@@ -618,6 +676,7 @@ object EventOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_sessions" -> (sessions _),
     "ev_trending" -> (trending _),
+    "ev_variant" -> (variantExtract _),
     "ev_rolling" -> (rolling _),
     "ev_paths" -> (paths _),
     "ev_incr_agg" -> (incrAgg _),
@@ -636,6 +695,7 @@ object EventOps {
   def oracleSql: Map[String, String] = Map(
     "ev_sessions" -> sessionsSql,
     "ev_trending" -> trendingSql,
+    "ev_variant" -> variantExtractSql,
     "ev_rolling" -> rollingSql,
     "ev_paths" -> pathsSql,
     "ev_incr_agg" -> incrAggSql,

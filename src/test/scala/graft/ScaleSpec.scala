@@ -390,6 +390,16 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_variant: one parse serves every path; extraction is zero-shuffle scan math") {
+    val q = events.EventOps.variantExtract(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(600))
+    // schema-on-read: the malformed line nulls out instead of failing the job
+    val rows = q.collect()
+    assert(rows.length == 5)
+    assert(rows.count(_.getBoolean(5)) == 1)
+  }
+
   test("ev_trending: per-hour rank cutoff pushes below the window exchange (WindowGroupLimit)") {
     val q = events.EventOps.trending(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
