@@ -673,7 +673,189 @@ object EventOps {
       |  count(*) AS n_events, max(ts_us) - min(ts_us) AS dur_us
       |FROM s GROUP BY user_id, sess_id""".stripMargin
 
+  // ---- peak concurrency (sweep line) ---------------------------------------
+
+  /** Peak concurrent sessions per hour — the capacity-planning readout
+    * (how many users are on AT ONCE, not how many events arrive; the load
+    * number an ops team sizes streaming state and connection pools from).
+    * The naive form is an interval self-join (O(n²) at any real scale) or
+    * a single global ordered running sum (one task owns the whole
+    * timeline). This is the scalable two-level sweep line instead:
+    * sessions become ±1 boundary deltas, each HOUR sweeps its own deltas
+    * under a bounded window (partitioned running sum — ties resolve
+    * (ts, +1-before-−1, user, sess) so touching sessions count as
+    * concurrent and the prefix max is order-invariant), and hours chain
+    * through a cumulative baseline over the BOUNDED hour dim (the
+    * tx_textrank / ev_gapfill dim-window pattern — never the corpus).
+    * peak(h) = baseline(h) + max in-hour prefix = the global running
+    * concurrency's max, without any global order. Shuffles: one on
+    * user_id (the session windows), one on hour — both keyed, both
+    * partial-agg friendly. */
+  def concurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    val wSess = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val sess = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), graft.epochUs(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(wSess))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > lit(1800000000L), 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        wSess.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+    val deltas = sess.select(col("user_id"), col("sess_id"),
+        col("start_us").as("ts_us"), lit(1L).as("d"))
+      .unionAll(sess.select(col("user_id"), col("sess_id"),
+        col("end_us").as("ts_us"), lit(-1L).as("d")))
+      .withColumn("hour", expr("ts_us DIV 3600000000"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour"))
+      .orderBy(col("ts_us").asc, col("d").desc, col("user_id").asc, col("sess_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val perHour = deltas
+      .withColumn("rel", sum(col("d")).over(wIn))
+      .groupBy(col("hour"))
+      .agg(count(lit(1)).as("n_deltas"), sum(col("d")).as("tot"),
+        max(col("rel")).as("max_rel"))
+    val wHours = org.apache.spark.sql.expressions.Window
+      .orderBy(col("hour"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perHour
+      .withColumn("base", coalesce(sum(col("tot")).over(wHours), lit(0L)))
+      .select((col("hour") * 3600).as("hour_epoch"), col("n_deltas"),
+        (col("base") + col("max_rel")).as("peak"))
+  }
+
+  val concurrencySql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |o2 AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |      OR ts_us - lag(ts_us) OVER w > 1800000000
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |s AS (
+      |  SELECT user_id, ts_us,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+      |  FROM o2),
+      |sess AS (
+      |  SELECT user_id, sess_id, min(ts_us) AS start_us, max(ts_us) AS end_us
+      |  FROM s GROUP BY 1, 2),
+      |d AS (
+      |  SELECT user_id, sess_id, start_us AS ts_us, 1 AS d FROM sess
+      |  UNION ALL
+      |  SELECT user_id, sess_id, end_us AS ts_us, -1 AS d FROM sess),
+      |r AS (
+      |  SELECT ts_us,
+      |    CAST(sum(d) OVER (ORDER BY ts_us ASC, d DESC, user_id ASC, sess_id ASC
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rc
+      |  FROM d)
+      |SELECT (ts_us // 3600000000) * 3600 AS hour_epoch,
+      |  count(*) AS n_deltas, max(rc) AS peak
+      |FROM r GROUP BY 1""".stripMargin
+
+  // ---- A/B experiment readout ----------------------------------------------
+
+  /** Two-sample experiment readout — the analytics row every event platform
+    * ships: deterministic variant assignment (user_id parity — the
+    * hash-split samp_split generalizes), per-variant exposure (saw a view)
+    * and conversion (purchased within 1 h AFTER first view — an attribution
+    * window, so the rate is a real dial rather than saturating on dense
+    * streams), and the pooled two-proportion z-statistic. ONE shuffle on
+    * user_id serves both the first-view window and the per-user fold
+    * (HashPartitioning(user_id) satisfies the grouping), then a 2-row
+    * variant agg and a ONE-ROW readout — at 100 TB the only corpus-sized
+    * work is that first exchange. Rates and z are double divisions of
+    * exact integer operands evaluated in the same expression order on both
+    * engines (sqrt is IEEE-correctly-rounded), so the verdict is
+    * engine-stable without rounding slack; a degenerate experiment
+    * (se = 0) reads out z = null, significant = false on both. */
+  def abtest(spark: SparkSession, sfDir: String): DataFrame = {
+    val wU = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val perUser = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_type"), graft.epochUs(col("ts")).as("ts_us"))
+      .withColumn("fv", min(when(col("event_type") === "view", col("ts_us"))).over(wU))
+      .filter(col("fv").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(when(col("event_type") === "purchase"
+          && col("ts_us") > col("fv")
+          && col("ts_us") <= col("fv") + lit(3600000000L), 1)).as("np"))
+      .select(
+        when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B").as("variant"),
+        col("np"))
+    val byVariant = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_exp"),
+        count(when(col("np") > 0, 1)).as("n_conv"))
+    byVariant.agg(
+        max(when(col("variant") === "A", col("n_exp"))).as("n_exp_a"),
+        max(when(col("variant") === "A", col("n_conv"))).as("n_conv_a"),
+        max(when(col("variant") === "B", col("n_exp"))).as("n_exp_b"),
+        max(when(col("variant") === "B", col("n_conv"))).as("n_conv_b"))
+      .withColumn("ra", col("n_conv_a").cast("double") / col("n_exp_a"))
+      .withColumn("rb", col("n_conv_b").cast("double") / col("n_exp_b"))
+      .withColumn("p", (col("n_conv_a") + col("n_conv_b")).cast("double")
+        / (col("n_exp_a") + col("n_exp_b")))
+      .withColumn("se",
+        sqrt((col("p") * (lit(1).cast("double") - col("p"))) *
+          (lit(1).cast("double") / col("n_exp_a") + lit(1).cast("double") / col("n_exp_b"))))
+      .withColumn("z",
+        when(col("se") === 0, lit(null).cast("double"))
+          .otherwise((col("ra") - col("rb")) / col("se")))
+      .select(col("n_exp_a"), col("n_conv_a"), round(col("ra"), 6).as("rate_a"),
+        col("n_exp_b"), col("n_conv_b"), round(col("rb"), 6).as("rate_b"),
+        round(col("z"), 6).as("z"),
+        coalesce(abs(col("z")) > 1.96, lit(false)).as("significant"))
+  }
+
+  val abtestSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    min(CASE WHEN event_type = 'view'
+      |      THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+      |      OVER (PARTITION BY user_id) AS fv
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |    count(CASE WHEN event_type = 'purchase' AND ts_us > fv
+      |      AND ts_us <= fv + 3600000000 THEN 1 END) AS np
+      |  FROM e WHERE fv IS NOT NULL GROUP BY 1),
+      |bv AS (
+      |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+      |    count(*) AS n_exp,
+      |    count(CASE WHEN np > 0 THEN 1 END) AS n_conv
+      |  FROM u GROUP BY 1),
+      |one AS (
+      |  SELECT
+      |    max(CASE WHEN variant = 'A' THEN n_exp END) AS n_exp_a,
+      |    max(CASE WHEN variant = 'A' THEN n_conv END) AS n_conv_a,
+      |    max(CASE WHEN variant = 'B' THEN n_exp END) AS n_exp_b,
+      |    max(CASE WHEN variant = 'B' THEN n_conv END) AS n_conv_b
+      |  FROM bv),
+      |calc AS (
+      |  SELECT *, CAST(n_conv_a AS DOUBLE) / n_exp_a AS ra,
+      |    CAST(n_conv_b AS DOUBLE) / n_exp_b AS rb,
+      |    CAST(n_conv_a + n_conv_b AS DOUBLE) / (n_exp_a + n_exp_b) AS p
+      |  FROM one),
+      |sc AS (
+      |  SELECT *, sqrt((p * (CAST(1 AS DOUBLE) - p)) *
+      |      (CAST(1 AS DOUBLE) / n_exp_a + CAST(1 AS DOUBLE) / n_exp_b)) AS se
+      |  FROM calc),
+      |zc AS (
+      |  SELECT *, CASE WHEN se = 0 THEN NULL ELSE (ra - rb) / se END AS z
+      |  FROM sc)
+      |SELECT n_exp_a, n_conv_a, round(ra, 6) AS rate_a,
+      |  n_exp_b, n_conv_b, round(rb, 6) AS rate_b,
+      |  round(z, 6) AS z,
+      |  coalesce(abs(z) > 1.96, false) AS significant
+      |FROM zc""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_concurrency" -> (concurrency _),
+    "ev_abtest" -> (abtest _),
     "ev_sessions" -> (sessions _),
     "ev_trending" -> (trending _),
     "ev_variant" -> (variantExtract _),
@@ -693,6 +875,8 @@ object EventOps {
     "ev_quantiles" -> (quantiles _))
 
   def oracleSql: Map[String, String] = Map(
+    "ev_concurrency" -> concurrencySql,
+    "ev_abtest" -> abtestSql,
     "ev_sessions" -> sessionsSql,
     "ev_trending" -> trendingSql,
     "ev_variant" -> variantExtractSql,

@@ -777,7 +777,101 @@ object Relational {
       |JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY year(o_orderdate)""".stripMargin
 
+  /** Equi-width value histogram of a money column — the CBO/statistics pass
+    * next to [[qProfile]]'s per-column profile (`ANALYZE ... COMPUTE
+    * STATISTICS FOR COLUMNS` materializes exactly this shape for selectivity
+    * estimation, and data-quality monitors chart it per ingest batch).
+    * Two scans, both one-exchange partial aggs: a ONE-ROW min/max stats
+    * frame broadcast back (tx_search / q_skew_probe's shape — never a
+    * global sort), then the bucketed count/sum pass whose key space is
+    * CONSTANT (20 buckets) at any corpus size. All bucket math is exact
+    * integer cents (the q1 decimal trick: double→DECIMAL(12,2) is the one
+    * cast both engines round identically, ×100 and floor-DIV stay in
+    * BIGINT), so bucket boundaries can never flip on a float tie. */
+  def qHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir).lineitem
+      .select((col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("c"))
+    val stats = li.agg(min(col("c")).as("lo_c"), max(col("c")).as("hi_c"))
+    li.crossJoin(broadcast(stats))
+      .select(expr("least(19L, (c - lo_c) * 20 DIV (hi_c - lo_c))").as("bucket"),
+        col("c"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("c")).as("min_cents"),
+        max(col("c")).as("max_cents"), sum(col("c")).as("sum_cents"))
+  }
+
+  val qHistogramSql: String =
+    """WITH c AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      |  FROM lineitem),
+      |stats AS (SELECT min(c) AS lo_c, max(c) AS hi_c FROM c)
+      |SELECT least(19, (c - lo_c) * 20 // (hi_c - lo_c)) AS bucket,
+      |  count(*) AS n, min(c) AS min_cents, max(c) AS max_cents,
+      |  CAST(sum(c) AS BIGINT) AS sum_cents
+      |FROM c, stats
+      |GROUP BY 1""".stripMargin
+
+  /** Deequ-style data-quality constraint suite — the validation gate a
+    * production pipeline runs BEFORE training data ships (AWS Deequ /
+    * Great Expectations shape): completeness, primary-key uniqueness,
+    * domain/range/set membership, and referential integrity, each emitted
+    * as (check, observed, pass). ONE aggregation pass over the fact table
+    * computes every scan metric (the multi-distinct compiles to one Expand
+    * + two-phase agg, q_profile's audited shape); referential integrity is
+    * a single left-anti count (AQE picks the join strategy — at 100 TB
+    * against a bucketed dim this is the only real exchange). The metric
+    * rows unpivot from the one combined stats row via `stack` — the whole
+    * suite costs two scans regardless of how many constraints ride it. */
+  def qDqChecks(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val li = t.lineitem
+    val m = li.agg(
+      count(lit(1)).as("cnt"),
+      count(when(col("l_orderkey").isNull, 1)).as("n_null_ok"),
+      countDistinct(col("l_orderkey"), col("l_linenumber")).as("d_pk"),
+      count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)).as("n_qty_out"),
+      count(when(!col("l_returnflag").isin("A", "N", "R"), 1)).as("n_bad_flag"),
+      count(when(col("l_extendedprice") < 0, 1)).as("n_neg_price"))
+    val orphans = li.select(col("l_orderkey"))
+      .join(t.orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan"))
+    m.crossJoin(orphans).selectExpr(
+      """stack(7,
+        |  'rows_min_1000', cnt, cnt >= 1000,
+        |  'complete_orderkey', n_null_ok, n_null_ok = 0,
+        |  'unique_pk', cnt - d_pk, cnt - d_pk = 0,
+        |  'range_quantity_1_50', n_qty_out, n_qty_out = 0,
+        |  'set_returnflag', n_bad_flag, n_bad_flag = 0,
+        |  'nonneg_price', n_neg_price, n_neg_price = 0,
+        |  'fk_orders', n_orphan, n_orphan = 0
+        |) as (check, observed, pass)""".stripMargin)
+  }
+
+  val qDqChecksSql: String =
+    """WITH m AS (
+      |  SELECT count(*) AS cnt,
+      |    count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS n_null_ok,
+      |    (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber
+      |      FROM lineitem)) AS d_pk,
+      |    count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS n_qty_out,
+      |    count(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 END) AS n_bad_flag,
+      |    count(CASE WHEN l_extendedprice < 0 THEN 1 END) AS n_neg_price,
+      |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+      |      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphan
+      |  FROM lineitem)
+      |SELECT 'rows_min_1000' AS check, cnt AS observed, cnt >= 1000 AS pass FROM m
+      |UNION ALL SELECT 'complete_orderkey', n_null_ok, n_null_ok = 0 FROM m
+      |UNION ALL SELECT 'unique_pk', cnt - d_pk, cnt - d_pk = 0 FROM m
+      |UNION ALL SELECT 'range_quantity_1_50', n_qty_out, n_qty_out = 0 FROM m
+      |UNION ALL SELECT 'set_returnflag', n_bad_flag, n_bad_flag = 0 FROM m
+      |UNION ALL SELECT 'nonneg_price', n_neg_price, n_neg_price = 0 FROM m
+      |UNION ALL SELECT 'fk_orders', n_orphan, n_orphan = 0 FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_histogram" -> (qHistogram _),
+    "q_dq_checks" -> (qDqChecks _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_profile" -> (qProfile _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
@@ -801,6 +895,8 @@ object Relational {
     "ev_topk_users" -> (evTopkUsers _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_histogram" -> qHistogramSql,
+    "q_dq_checks" -> qDqChecksSql,
     "q_bucketed_join" -> qBucketedJoinSql,
     "q_profile" -> qProfileSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,

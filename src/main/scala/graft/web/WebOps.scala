@@ -566,6 +566,90 @@ object WebOps {
        |  src_host = dst_host AS intra_host
        |FROM e GROUP BY src_host, dst_host""".stripMargin
 
+  // ---- registrable-domain (eTLD+1) extraction ------------------------------
+
+  /** Public-suffix dim subset (publicsuffix.org list shape: one row per
+    * suffix; the real list is ~9k rows — still a broadcast dim). Covers
+    * single-label gTLDs and multi-label ccTLD suffixes so the longest-match
+    * rule is actually exercised. Wildcard/exception PSL rules are out of
+    * scope (documented simplification). */
+  val publicSuffixes: Seq[String] =
+    Seq("com", "org", "net", "uk", "co.uk", "org.uk", "jp", "ac.jp")
+
+  /** Fixture extension: the link-corpus hosts are all gTLD 2-label, so these
+    * add the cases that make eTLD+1 nontrivial — multi-label suffixes, deep
+    * subdomains, a dotless host, and a host that IS a public suffix. */
+  val etldExtraHosts: Seq[String] = Seq(
+    "www.example.co.uk", "news.bbc.co.uk", "shop.example.org.uk",
+    "keio.ac.jp", "sub.deep.example.com", "localhost", "co.uk")
+
+  /** Registrable-domain (eTLD+1) extraction — the key per-site crawl
+    * budgets, dedup scopes, and spam rollups operate on (raw hosts
+    * over-split: `a.blogspot.com` and `b.blogspot.com` are different
+    * SITES, while `news.bbc.co.uk` and `www.bbc.co.uk` are the same).
+    * Publicsuffix.org semantics, simplified: the LONGEST suffix in the dim
+    * matching a host's trailing labels wins (fallback: the last label);
+    * eTLD+1 = suffix plus one label, null when the host has no label to
+    * spare (dotless hosts, the suffix itself). Per-row label math + one
+    * bounded candidate explode (≤3 rows/host) against a BROADCAST suffix
+    * dim; the per-host argmax is a window over those ≤3 rows — the host
+    * frame shuffles once on itself and nothing scales with the dim. */
+  def etld(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hosts = linkExtract(spark, sfDir)
+      .select(hostOf(col("link")).as("host"))
+      .unionAll(etldExtraHosts.toDF("host"))
+      .distinct()
+    val dim = broadcast(publicSuffixes.toDF("sfx"))
+    val wHost = org.apache.spark.sql.expressions.Window.partitionBy(col("host"))
+    hosts
+      .withColumn("labels", split(col("host"), "\\."))
+      .withColumn("nl", size(col("labels")).cast("long"))
+      .select(col("host"), col("labels"), col("nl"),
+        explode(sequence(lit(1L), least(col("nl"), lit(3L)))).as("k"))
+      .withColumn("cand", array_join(expr("slice(labels, -k, k)"), "."))
+      .join(dim, col("cand") === col("sfx"), "left")
+      .withColumn("bk", max(when(col("sfx").isNotNull, col("k"))).over(wHost))
+      .filter(col("k") === 1)
+      .withColumn("fk", coalesce(col("bk"), lit(1L)))
+      .select(col("host"),
+        array_join(expr("slice(labels, -fk, fk)"), ".").as("suffix"),
+        when(col("nl") > col("fk"),
+          array_join(expr("slice(labels, -(fk + 1), fk + 1)"), ".")).as("etld1"),
+        (col("nl") > col("fk")).as("is_registrable"))
+  }
+
+  /** Oracle: the same longest-suffix rule replayed relationally in DuckDB
+    * (string_split + negative list_slice; candidates via a (1,2,3) cross
+    * join) over the traced link hosts ∪ the literal fixture extension. */
+  val etldSql: String =
+    s"""WITH links AS (${linkExtractSql.replace("\n", "\n  ")}),
+       |hosts AS (
+       |  SELECT DISTINCT regexp_extract(link, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host
+       |  FROM links
+       |  UNION
+       |  SELECT * FROM (VALUES ${etldExtraHosts.map(h => s"('$h')").mkString(", ")}) x(host)),
+       |dim(sfx) AS (VALUES ${publicSuffixes.map(s => s"('$s')").mkString(", ")}),
+       |l AS (
+       |  SELECT host, string_split(host, '.') AS labels,
+       |    CAST(len(string_split(host, '.')) AS BIGINT) AS nl
+       |  FROM hosts),
+       |c AS (
+       |  SELECT l.host, l.labels, l.nl, CAST(kk.k AS BIGINT) AS k
+       |  FROM l, (VALUES (1), (2), (3)) kk(k) WHERE kk.k <= least(l.nl, 3)),
+       |m AS (
+       |  SELECT host,
+       |    max(CASE WHEN array_to_string(list_slice(labels, -k, -1), '.')
+       |      IN (SELECT sfx FROM dim) THEN k END) AS bk
+       |  FROM c GROUP BY host)
+       |SELECT l.host,
+       |  array_to_string(list_slice(labels, -coalesce(bk, 1), -1), '.') AS suffix,
+       |  CASE WHEN nl > coalesce(bk, 1)
+       |    THEN array_to_string(list_slice(labels, -(coalesce(bk, 1) + 1), -1), '.')
+       |  END AS etld1,
+       |  nl > coalesce(bk, 1) AS is_registrable
+       |FROM l JOIN m ON l.host = m.host""".stripMargin
+
   // ---- robots.txt evaluation -----------------------------------------------
 
   /** Parsed robots rules (one row per Allow/Disallow line, already grouped
@@ -855,6 +939,7 @@ object WebOps {
     "web_wet" -> (wetExtract _),
     "web_links" -> (linkExtract _),
     "web_hostgraph" -> (hostGraph _),
+    "web_etld" -> (etld _),
     "web_cdx" -> (cdxIndex _),
     "web_frontier" -> (frontier _),
     "web_sitemap" -> (sitemap _),
@@ -867,6 +952,7 @@ object WebOps {
     "web_wet" -> wetExtractSql,
     "web_links" -> linkExtractSql,
     "web_hostgraph" -> hostGraphSql,
+    "web_etld" -> etldSql,
     "web_cdx" -> cdxIndexSql,
     "web_frontier" -> frontierSql,
     "web_sitemap" -> sitemapSql,

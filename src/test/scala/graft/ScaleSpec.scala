@@ -445,4 +445,96 @@ class ScaleSpec extends AnyFunSuite {
     // the fixture corpus links two external hosts from example.com
     assert(rows.count(!_.getBoolean(4)) == 2)
   }
+
+  test("q_histogram: constant 20-bucket key space; counts conserve the table") {
+    val q = relational.Relational.qHistogram(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"the one-row min/max stats frame must broadcast back:\n${plan.take(800)}")
+    val rows = q.collect()
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 19))
+    assert(rows.map(_.getLong(1)).sum == Tables(spark, sf).lineitem.count())
+    // per-bucket observed min/max nest inside the bucket's value range
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(3)))
+  }
+
+  test("q_dq_checks: the whole suite rides two scans and passes on clean data") {
+    val q = relational.Relational.qDqChecks(spark, sf)
+    val rows = q.collect()
+    assert(rows.length == 7)
+    val byName = rows.map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // verdicts are consistent with their observed metric
+    Seq("complete_orderkey", "unique_pk", "range_quantity_1_50", "set_returnflag",
+      "nonneg_price", "fk_orders").foreach { c =>
+      assert(byName(c)._2 == (byName(c)._1 == 0L), s"$c verdict inconsistent: ${byName(c)}")
+    }
+    // the synthetic fact table is referentially intact (the driver generates
+    // lineitem FROM orders) — but is NOT PK-unique: the generator reuses
+    // (orderkey, linenumber) pairs, and the suite's whole point is to
+    // SURFACE that, so pin the detection rather than assume cleanliness
+    assert(byName("fk_orders")._1 == 0L)
+    assert(byName("unique_pk")._1 > 0L, "expected the generator's duplicate PK pairs to be detected")
+  }
+
+  test("ev_concurrency: two-level sweep equals the global running-sum reference") {
+    import org.apache.spark.sql.expressions.Window
+    val q = events.EventOps.concurrency(spark, sf)
+    // reference: the SAME deltas under one global ordered cumsum (the plan
+    // that does NOT scale — one task owns the timeline — but defines truth)
+    val wSess = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val sess = Tables(spark, sf).events
+      .select(col("user_id"), col("event_id"), graft.epochUs(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(wSess))
+      .withColumn("new_sess", when(col("prev_us").isNull ||
+        col("ts_us") - col("prev_us") > lit(1800000000L), 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        wSess.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+    val deltas = sess.select(col("user_id"), col("sess_id"),
+        col("start_us").as("ts_us"), lit(1L).as("d"))
+      .unionAll(sess.select(col("user_id"), col("sess_id"),
+        col("end_us").as("ts_us"), lit(-1L).as("d")))
+    val wAll = Window.orderBy(col("ts_us").asc, col("d").desc,
+        col("user_id").asc, col("sess_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ref = deltas.withColumn("rc", sum(col("d")).over(wAll))
+      .groupBy((expr("ts_us DIV 3600000000") * 3600).as("hour_epoch"))
+      .agg(count(lit(1)).as("n_deltas"), max(col("rc")).as("peak"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.sameElements(ref), "hour-decomposed sweep diverged from the global reference")
+    // peaks are post-application concurrency at delta points: an hour whose
+    // only delta closes the last open session legitimately reads 0
+    assert(got.forall(_._3 >= 0))
+    assert(got.exists(_._3 >= 1))
+  }
+
+  test("ev_abtest: one-row readout is internally consistent") {
+    val r = events.EventOps.abtest(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val exposed = Tables(spark, sf).events
+      .filter(col("event_type") === "view").select(col("user_id")).distinct().count()
+    assert(row.getLong(0) + row.getLong(3) == exposed, "exposure must partition the viewers")
+    assert(row.getLong(1) <= row.getLong(0) && row.getLong(4) <= row.getLong(3))
+    if (!row.isNullAt(6))
+      assert(row.getBoolean(7) == (math.abs(row.getDouble(6)) > 1.96))
+  }
+
+  test("web_etld: longest public suffix wins; dotless and bare-suffix hosts are unregistrable") {
+    val q = web.WebOps.etld(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"the suffix dim must broadcast:\n${plan.take(800)}")
+    val m = q.collect().map(r => r.getString(0) ->
+      (r.getString(1), Option(r.getString(2)))).toMap
+    assert(m("news.bbc.co.uk") == ("co.uk", Some("bbc.co.uk")))
+    assert(m("www.example.co.uk") == ("co.uk", Some("example.co.uk")))
+    assert(m("sub.deep.example.com") == ("com", Some("example.com")))
+    assert(m("keio.ac.jp") == ("ac.jp", Some("keio.ac.jp")))
+    assert(m("localhost") == ("localhost", None))
+    assert(m("co.uk") == ("co.uk", None))
+    assert(m("cdn.example.net") == ("net", Some("example.net")))
+  }
 }
