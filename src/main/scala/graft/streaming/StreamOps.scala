@@ -599,6 +599,53 @@ object StreamOps {
        |  ${graft.events.EventOps.hllEstimateSql} AS est
        |FROM inv""".stripMargin
 
+  // ---- chained windowed aggregation: streaming trending top-k --------------
+
+  /** Streaming per-hour trending top-k — ev_trending's live twin and the
+    * chained-stateful-aggregation showcase: TWO stateful aggregations in
+    * ONE append-mode query (per-(window, user) counts, then a per-window
+    * `TopKByScore` over those counts — `window_time()` keys the second agg
+    * off the first's windows, the Spark 3.5+/4 multiple-stateful-operator
+    * contract). State is bounded at BOTH levels: the count agg holds only
+    * OPEN windows × their active users, the top-k agg holds ≤k entries per
+    * open hour (TopKByScore's O(k) buffer); both evict as the watermark
+    * passes. Append semantics: an hour emits its FINAL top-k exactly once
+    * when the watermark (max event time − 1 h) passes its end — so a
+    * bounded replay never finalizes the trailing open hour(s), which the
+    * oracle pins with the same cutoff. Ties break (n desc, user asc) —
+    * TopKByScore's (score desc, id asc), identical to the batch
+    * row_number in ev_trending. */
+  def stTrending(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(spark, sfDir, OutputMode.Append()) { src =>
+      src.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(window(window_time(col("window")), "1 hour"))
+        .agg(graft.plans.TopKAgg.topK(col("n").cast("double"), col("user_id"), 3)
+          .as("top"))
+        .select(graft.epochUs(col("window.start")).as("window_start_us"),
+          posexplode(col("top")))
+        .select(col("window_start_us"), col("col.cand").as("user_id"),
+          col("col.score").cast("long").as("n"), (col("pos") + 1).cast("long").as("rk"))
+    }
+
+  /** Batch replay + the append-mode finalization cutoff: only hours whose
+    * end the final watermark (max ts − 1 h) passed ever emit. */
+  val stTrendingSql: String =
+    """WITH c AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, user_id,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |wm AS (
+      |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS w FROM events)
+      |SELECT epoch_us(h) AS window_start_us, user_id, n, rk
+      |FROM (
+      |  SELECT h, user_id, n,
+      |    CAST(row_number() OVER (PARTITION BY h ORDER BY n DESC, user_id ASC)
+      |      AS BIGINT) AS rk
+      |  FROM c) t, wm
+      |WHERE rk <= 3 AND h + INTERVAL 1 HOUR <= w""".stripMargin
+
   // ---- stream-stream interval join ----------------------------------------
 
   /** Stream-stream inner join with event-time bounds: signups joined to the
@@ -885,6 +932,7 @@ object StreamOps {
     "st_gapfill" -> (stGapfill _),
     "st_rate_limit" -> (rateLimit _),
     "st_silence" -> (silence _),
+    "st_trending" -> (stTrending _),
     "st_seen_state" -> (seenState _))
 
   def oracleSql: Map[String, String] = Map(
@@ -904,5 +952,6 @@ object StreamOps {
     "st_gapfill" -> stGapfillSql,
     "st_rate_limit" -> rateLimitSql,
     "st_silence" -> silenceSql,
+    "st_trending" -> stTrendingSql,
     "st_seen_state" -> seenStateSql)
 }

@@ -91,6 +91,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(total == 1000L, s"every event in exactly one session, got $total")
   }
 
+  test("st_trending: chained stateful aggs equal the batch top-k on watermark-closed hours") {
+    import org.apache.spark.sql.functions._
+    val st = streaming.StreamOps.stTrending(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(st.nonEmpty)
+    // batch truth restricted to hours the final watermark (max ts - 1 h)
+    // closed: append mode finalizes an hour exactly once, never the
+    // trailing open hour(s)
+    val maxUs = Tables(spark, sf).events
+      .agg(max(graft.epochUs(col("ts")))).head.getLong(0)
+    val batch = events.EventOps.trending(spark, sf).collect()
+      .map(r => (r.getLong(0) * 1000000L, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter { case (hUs, _, _, _) => hUs + 3600000000L <= maxUs - 3600000000L }
+      .toSet
+    assert(st == batch, s"streaming ${st.size} rows vs batch-closed ${batch.size}")
+    // and the trailing hour really was withheld
+    val batchAll = events.EventOps.trending(spark, sf).count()
+    assert(st.size < batchAll)
+  }
+
   test("mm_meta: real ImageIO decode round-trips the synthesized dimensions") {
     val rows = multimodal.Multimodal.mmMeta(spark, sf).collect()
     assert(rows.length == 500)
