@@ -859,7 +859,92 @@ object TextOps {
        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
   }
 
+  // ---- dictionary entity tagging (gazetteer) -------------------------------
+
+  /** Gazetteer: phrase → entity type. Multi-word entries are what make
+    * dictionary tagging non-trivial (longest match must win over its
+    * constituent words). A production gazetteer is 10⁴-10⁶ entries —
+    * swap the literal arrays for a broadcast dim join on the same token
+    * stream; the plan shape below doesn't change. */
+  val gazetteerDict: Seq[(String, String)] = Seq(
+    "table scan" -> "ACCESS_PATH", "hash join" -> "JOIN_ALGO",
+    "sort merge" -> "JOIN_ALGO", "batch stream" -> "RUNTIME",
+    "spark" -> "ENGINE", "join" -> "OPERATOR", "merge" -> "OPERATOR",
+    "scan" -> "OPERATOR", "window" -> "OPERATOR", "filter" -> "OPERATOR",
+    "customer" -> "ENTITY", "vector" -> "TYPE")
+
+  /** Dictionary-based entity tagging — the gazetteer/PII-list pass every
+    * curation pipeline runs (Aho-Corasick at scale): emit every MAXIMAL
+    * dictionary match with per-doc count and first position. Semantics:
+    * all bigram occurrences match; a unigram occurrence matches unless it
+    * is a constituent of SOME bigram occurrence (starts one, or the word
+    * before it starts one) — deterministic, order-free, and exactly
+    * replayable relationally. The plan is the token-index shape: per-row
+    * array math builds (word, next, prev-pair) WITHOUT any window (the
+    * neighbors come from the un-exploded array), the literal dict fuses to
+    * `array_contains` scan math (the tx_langid fusion pattern — zero
+    * joins), and ONE aggregation on (doc, phrase) with map-side partials
+    * collapses the token stream. */
+  def gazetteer(spark: SparkSession, sfDir: String): DataFrame = {
+    val bigrams = gazetteerDict.filter(_._1.contains(' ')).map(_._1)
+    val unigrams = gazetteerDict.filterNot(_._1.contains(' ')).map(_._1)
+    val bgArr = array(bigrams.map(lit): _*)
+    val uniArr = array(unigrams.map(lit): _*)
+    val etype = gazetteerDict.tail.foldLeft(
+      when(col("phrase") === gazetteerDict.head._1, gazetteerDict.head._2)) {
+      case (acc, (p, t)) => acc.when(col("phrase") === p, t)
+    }
+    docs(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), posexplode(col("ws")))
+      .withColumnRenamed("pos", "pos0").withColumnRenamed("col", "w")
+      // neighbors from the carried array — no per-doc window needed
+      .withColumn("p2",
+        concat(col("w"), lit(" "), try_element_at(col("ws"), col("pos0") + 2)))
+      .withColumn("pprev",
+        when(col("pos0") >= 1,
+          concat(element_at(col("ws"), col("pos0")), lit(" "), col("w"))))
+      .withColumn("m2", coalesce(array_contains(bgArr, col("p2")), lit(false)))
+      .withColumn("covered", coalesce(array_contains(bgArr, col("pprev")), lit(false)))
+      .filter(col("m2") ||
+        (array_contains(uniArr, col("w")) && !col("m2") && !col("covered")))
+      .select(col("doc_id"),
+        when(col("m2"), col("p2")).otherwise(col("w")).as("phrase"),
+        col("pos0").cast("long").as("pos"))
+      .withColumn("etype", etype)
+      .groupBy(col("doc_id"), col("phrase"), col("etype"))
+      .agg(count(lit(1)).as("n"), min(col("pos")).as("first_pos"))
+  }
+
+  val gazetteerSql: String = {
+    val bgIn = gazetteerDict.filter(_._1.contains(' '))
+      .map(p => s"'${p._1}'").mkString(", ")
+    val uniIn = gazetteerDict.filterNot(_._1.contains(' '))
+      .map(p => s"'${p._1}'").mkString(", ")
+    val typeCase = gazetteerDict
+      .map { case (p, t) => s"WHEN '$p' THEN '$t'" }.mkString(" ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |tok AS (
+       |  SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos, ws[t.i] AS w,
+       |    ws[t.i] || ' ' || ws[t.i+1] AS p2,
+       |    CASE WHEN t.i > 1 THEN ws[t.i-1] || ' ' || ws[t.i] END AS pprev
+       |  FROM w, unnest(range(1, len(ws)+1)) AS t(i)),
+       |m AS (
+       |  SELECT doc_id, pos, w, p2,
+       |    coalesce(p2 IN ($bgIn), false) AS m2,
+       |    coalesce(pprev IN ($bgIn), false) AS covered
+       |  FROM tok),
+       |sel AS (
+       |  SELECT doc_id, CASE WHEN m2 THEN p2 ELSE w END AS phrase, pos
+       |  FROM m
+       |  WHERE m2 OR (w IN ($uniIn) AND NOT m2 AND NOT covered))
+       |SELECT doc_id, phrase, CASE phrase $typeCase END AS etype,
+       |  count(*) AS n, min(pos) AS first_pos
+       |FROM sel GROUP BY 1, 2, 3""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_gazetteer" -> (gazetteer _),
     "tx_search" -> (search _),
     "tx_langid" -> (langId _),
     "tx_quality" -> (quality _),
@@ -886,6 +971,7 @@ object TextOps {
     "tx_textrank" -> (TextRank.textrank _))
 
   def oracleSql: Map[String, String] = Map(
+    "tx_gazetteer" -> gazetteerSql,
     "tx_search" -> searchSql,
     "tx_langid" -> langIdSql,
     "tx_quality" -> qualitySql,

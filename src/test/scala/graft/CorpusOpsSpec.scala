@@ -320,4 +320,32 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_matches") >= 1L)
     }
   }
+
+  test("tx_gazetteer: zero joins, one agg exchange; maximal matches conserve word counts") {
+    val q = text.TextOps.gazetteer(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"literal dict must fuse, never join:\n${plan.take(600)}")
+    val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges == 1, s"token stream must collapse in one agg, got $exchanges")
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    // conservation: each 'scan' token is tagged exactly once — as the tail
+    // of a 'table scan' bigram or as the standalone unigram, never both
+    val byDoc = rows.groupBy(_.getLong(0))
+    val tokens = Tables(spark, sf).documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    var checkedSuppression = false
+    byDoc.foreach { case (docId, dr) =>
+      val n = dr.map(r => r.getString(1) -> r.getLong(3)).toMap
+      val ws = tokens(docId)
+      for ((uni, bi) <- Seq("scan" -> "table scan", "join" -> "hash join"))
+        if (n.contains(bi)) {
+          assert(n.getOrElse(uni, 0L) + n(bi) == ws.count(_ == uni),
+            s"doc $docId: $uni occurrences must split between '$bi' and standalone")
+          checkedSuppression = true
+        }
+    }
+    assert(checkedSuppression, "fixture corpus never exercised bigram suppression")
+  }
 }
