@@ -869,7 +869,31 @@ object Relational {
       |UNION ALL SELECT 'nonneg_price', n_neg_price, n_neg_price = 0 FROM m
       |UNION ALL SELECT 'fk_orders', n_orphan, n_orphan = 0 FROM m""".stripMargin
 
+  /** LISTAGG / STRING_AGG — the ordered string-aggregation surface (report
+    * feeds, per-entity event digests). The contract that makes it scale:
+    * ONLY bounded groups (a customer's order count is bounded by business
+    * reality; an unbounded-group listagg is the collect_list anti-pattern —
+    * its agg buffer IS the group). Determinism: collect_list order is
+    * partition-arbitrary, so the struct array is `array_sort`ed on the
+    * (date, orderkey) total order BEFORE projection — bit-identical to the
+    * oracle's `string_agg(... ORDER BY)` on any partitioning. One shuffle. */
+  def qListagg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).orders
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("o_orderdate"), col("o_orderkey"),
+              col("o_orderpriority")))),
+            x => x.getField("o_orderpriority")), ",").as("prios"))
+
+  val qListaggSql: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  string_agg(o_orderpriority, ',' ORDER BY o_orderdate, o_orderkey) AS prios
+      |FROM orders GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_listagg" -> (qListagg _),
     "q_histogram" -> (qHistogram _),
     "q_dq_checks" -> (qDqChecks _),
     "q_bucketed_join" -> (qBucketedJoin _),
@@ -895,6 +919,7 @@ object Relational {
     "ev_topk_users" -> (evTopkUsers _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_listagg" -> qListaggSql,
     "q_histogram" -> qHistogramSql,
     "q_dq_checks" -> qDqChecksSql,
     "q_bucketed_join" -> qBucketedJoinSql,

@@ -446,6 +446,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(rows.count(!_.getBoolean(4)) == 2)
   }
 
+  test("q_listagg: one exchange; csv arity matches the group count") {
+    val q = relational.Relational.qListagg(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges == 1, s"bounded-group listagg is one shuffle, got $exchanges")
+    q.collect().foreach { r =>
+      val n = r.getLong(1)
+      assert(r.getString(2).split(",", -1).length.toLong == n,
+        s"custkey ${r.getLong(0)}: csv arity != $n")
+    }
+  }
+
   test("q_histogram: constant 20-bucket key space; counts conserve the table") {
     val q = relational.Relational.qHistogram(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
