@@ -853,7 +853,71 @@ object EventOps {
       |  coalesce(abs(z) > 1.96, false) AS significant
       |FROM zc""".stripMargin
 
+  // ---- session entry paths -------------------------------------------------
+
+  /** Top session entry paths (the behavior-flow / user-journey readout:
+    * which first-3-event sequences open sessions — where ev_paths gives the
+    * first-order transition matrix, this gives the ordered path heads).
+    * ONE user_id exchange serves sessionization AND the in-session rank
+    * (every window + the session group share HashPartitioning(user_id));
+    * the path aggregation's key space is ≤ |types|³ (Zipf-tiny, bounded at
+    * any corpus size), and the final top-20 is TakeOrderedAndProject — no
+    * global sort. Path strings assemble via array_sort on (rk, type), so
+    * the csv is deterministic under any partitioning. */
+  def entryPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wSess = W.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val wIn = W.partitionBy(col("user_id"), col("sess_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.epochUs(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(wSess))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > lit(1800000000L), 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        wSess.rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("rk", row_number().over(wIn))
+      .filter(col("rk") <= 3)
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rk"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(20)
+  }
+
+  val entryPathsSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |o2 AS (
+      |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+      |      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, event_type, ts_us,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM o2),
+      |r AS (
+      |  SELECT user_id, sess_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id, sess_id
+      |      ORDER BY ts_us, event_id) AS rk
+      |  FROM s),
+      |p AS (
+      |  SELECT user_id, sess_id,
+      |    string_agg(event_type, '>' ORDER BY rk) AS path
+      |  FROM r WHERE rk <= 3 GROUP BY 1, 2)
+      |SELECT path, count(*) AS n_sessions, count(DISTINCT user_id) AS n_users
+      |FROM p GROUP BY 1
+      |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_entry_paths" -> (entryPaths _),
     "ev_concurrency" -> (concurrency _),
     "ev_abtest" -> (abtest _),
     "ev_sessions" -> (sessions _),
@@ -875,6 +939,7 @@ object EventOps {
     "ev_quantiles" -> (quantiles _))
 
   def oracleSql: Map[String, String] = Map(
+    "ev_entry_paths" -> entryPathsSql,
     "ev_concurrency" -> concurrencySql,
     "ev_abtest" -> abtestSql,
     "ev_sessions" -> sessionsSql,

@@ -446,6 +446,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(rows.count(!_.getBoolean(4)) == 2)
   }
 
+  test("ev_entry_paths: bounded path key space; top-20 without a global sort") {
+    val q = events.EventOps.entryPaths(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be a partial top-k, not a global sort:\n${plan.take(800)}")
+    val rows = q.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getString(0).split(">", -1).length <= 3)
+      assert(r.getLong(2) <= r.getLong(1), "distinct users cannot exceed sessions")
+    }
+    // descending by count with path tiebreak
+    assert(rows.sliding(2).forall(w => w.length < 2 ||
+      w(0).getLong(1) > w(1).getLong(1) ||
+      (w(0).getLong(1) == w(1).getLong(1) && w(0).getString(0) < w(1).getString(0))))
+  }
+
   test("q_listagg: one exchange; csv arity matches the group count") {
     val q = relational.Relational.qListagg(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
