@@ -251,7 +251,72 @@ object Sampling {
        |FROM documents""".stripMargin
   }
 
+  // ---- epoch materialization (repeat-and-shuffle) --------------------------
+
+  /** Materialize the temperature mixture into an actual repeated-copy
+    * stream — the "repeat and shuffle" step a pre-training data loader
+    * consumes after the weights are decided (UniMax epochs made concrete).
+    * Per-source boost = temp_share/raw_share; each doc replicates
+    * floor(boost) times plus one more iff its salted hash falls under the
+    * fractional part (samp_stratified's gate — deterministic across runs,
+    * partitionings, and engines; boosts < 1 downsample the same way).
+    * The copy explosion is per-row `sequence` math (output rows ∝ boost,
+    * never corpus²); the readout aggregates per source so the contract —
+    * achieved ratio ≈ boost — is itself the query result. Fractional
+    * parts quantize through an explicit floor(·×10⁶) so no
+    * double-rounding divergence can flip a copy decision. */
+  def upsample(spark: SparkSession, sfDir: String): DataFrame = {
+    val boosts = temperature(spark, sfDir)
+      .select(col("source"), col("n_docs").as("n_docs_orig"), col("boost"))
+    Tables(spark, sfDir).documents.select(col("doc_id"), col("source"))
+      .join(broadcast(boosts), "source")
+      .withColumn("base", floor(col("boost")).cast("long"))
+      .withColumn("fracm",
+        floor((col("boost") - floor(col("boost"))) * 1000000).cast("long"))
+      .withColumn("n_copies", col("base") +
+        when(Portable.hash64(col("doc_id").cast("string"), salt = "ups") % 1000000
+          < col("fracm"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("source"), col("doc_id"), col("n_docs_orig"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs_orig")).as("n_docs_orig"),
+        countDistinct(col("doc_id")).as("n_docs_kept"),
+        count(lit(1)).as("n_rows"),
+        sum(col("copy_id")).as("copy_checksum"))
+      .withColumn("achieved",
+        round(col("n_rows").cast("double") / col("n_docs_orig"), 6))
+  }
+
+  val upsampleSql: String =
+    s"""WITH k AS (
+       |  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS mass
+       |  FROM documents GROUP BY 1),
+       |b AS (
+       |  SELECT source, n_docs AS n_docs_orig,
+       |    round(round(sqrt(CAST(mass AS DOUBLE)) /
+       |        sum(sqrt(CAST(mass AS DOUBLE))) OVER (), 6)
+       |      / round(CAST(mass AS DOUBLE) / sum(mass) OVER (), 6), 6) AS boost
+       |  FROM k),
+       |d AS (
+       |  SELECT doc_id, dd.source, n_docs_orig,
+       |    CAST(floor(boost) AS BIGINT)
+       |      + CASE WHEN ${Portable.hash64Sql("CAST(doc_id AS VARCHAR)", "ups")} % 1000000
+       |          < CAST(floor((boost - floor(boost)) * 1000000) AS BIGINT)
+       |        THEN 1 ELSE 0 END AS n_copies
+       |  FROM documents dd JOIN b ON dd.source = b.source),
+       |e AS (
+       |  SELECT source, doc_id, n_docs_orig, CAST(t.copy_id AS BIGINT) AS copy_id
+       |  FROM d, unnest(range(1, n_copies + 1)) AS t(copy_id)
+       |  WHERE n_copies > 0)
+       |SELECT source, max(n_docs_orig) AS n_docs_orig,
+       |  count(DISTINCT doc_id) AS n_docs_kept, count(*) AS n_rows,
+       |  CAST(sum(copy_id) AS BIGINT) AS copy_checksum,
+       |  round(CAST(count(*) AS DOUBLE) / max(n_docs_orig), 6) AS achieved
+       |FROM e GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "samp_upsample" -> (upsample _),
     "samp_split" -> (split _),
     "samp_stratified" -> (stratified _),
     "samp_reservoir" -> (reservoir _),
@@ -260,6 +325,7 @@ object Sampling {
     "samp_dsir" -> (dsir _))
 
   def oracleSql: Map[String, String] = Map(
+    "samp_upsample" -> upsampleSql,
     "samp_split" -> splitSql,
     "samp_stratified" -> stratifiedSql,
     "samp_reservoir" -> reservoirSql,

@@ -122,4 +122,23 @@ class SamplingSpec extends AnyFunSuite {
       assert(!red.matches(".*[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+.*"), s"email survived: $red")
     }
   }
+
+  test("samp_upsample: copies bracketed by floor/ceil of the boost; fully deterministic") {
+    import org.apache.spark.sql.functions._
+    val boosts = sample.Sampling.temperature(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("boost")).toMap
+    def run() = sample.Sampling.upsample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val r1 = run()
+    assert(r1.nonEmpty)
+    r1.foreach { case (src, nOrig, nKept, nRows, _) =>
+      val b = boosts(src)
+      assert(nRows >= math.floor(b).toLong * nOrig && nRows <= math.ceil(b).toLong * nOrig,
+        s"$src: $nRows copies outside [floor, ceil]*$nOrig for boost $b")
+      assert(nKept <= nOrig)
+    }
+    // the hash gate makes the materialization run-invariant
+    assert(run().sameElements(r1))
+  }
 }
