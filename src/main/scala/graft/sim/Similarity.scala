@@ -843,6 +843,84 @@ object Similarity {
        |FROM sampled WHERE rank <= $clusterSampleK""".stripMargin
   }
 
+  // ---- filtered vector search ----------------------------------------------
+
+  /** Filtered ANN — metadata-constrained vector search (the "where
+    * label = X" retrieval every vector store advertises; RAG pipelines
+    * filter by tenant/source/date before similarity). This is the
+    * PRE-FILTER plan: the label predicate sits in the candidate JOIN
+    * condition, so non-matching vectors are discarded before any dot
+    * product is spent — the right choice when the filter is selective
+    * (post-filtering a top-k starves the result set; at 100 TB a
+    * label-bucketed layout additionally prunes the scan itself). Rides
+    * the IVF probe shape: same O(n·K) assignment, same nprobe lists,
+    * label carried through the assignment pass at zero extra cost. */
+  def filteredTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val cents = centroids(spark, sfDir)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
+    val lists = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("label"), col("cid"),
+        round(graft.plans.VectorDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+          .as("ccos"))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("label"), col("cid"))
+      .persist()
+    val probes = e.filter(col("vec_id") < numQueries).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        round(graft.plans.VectorDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+          .as("ccos"))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cid").as("pcid"))
+    val q = lists.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
+        col("label").as("qlabel"))
+      .join(probes, "qid")
+    val scored = lists.join(broadcast(q),
+        col("cid") === col("pcid") && col("vec_id") =!= col("qid")
+          && col("label") === col("qlabel"))
+      .select(col("qid"), col("qlabel").cast("long").as("qlabel"),
+        col("vec_id").as("cand"),
+        round(graft.plans.VectorDot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6)
+          .as("cos"))
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand").asc)
+    scored.withColumn("rank", row_number().over(wRank)).filter(col("rank") <= 3)
+  }
+
+  val filteredTopKSql: String =
+    s"""WITH $embCte,
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $numCentroids),
+       |sims AS (
+       |  SELECT e.vec_id, e.label, cid,
+       |    round(${Portable.cosineSql("e.v", "cv")}, 6) AS ccos
+       |  FROM e CROSS JOIN cents),
+       |assigned AS (
+       |  SELECT vec_id, label, cid, ccos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crn
+       |  FROM sims),
+       |lists AS (
+       |  SELECT a.vec_id, e.v, a.label, a.cid
+       |  FROM assigned a JOIN e ON a.vec_id = e.vec_id WHERE a.crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid AS pcid FROM assigned
+       |  WHERE vec_id < $numQueries AND crn <= $nprobe),
+       |q AS (
+       |  SELECT l.vec_id AS qid, l.v AS qv, l.label AS qlabel, p.pcid
+       |  FROM lists l JOIN probes p ON l.vec_id = p.qid
+       |  WHERE l.vec_id < $numQueries),
+       |scored AS (
+       |  SELECT q.qid, CAST(q.qlabel AS BIGINT) AS qlabel, l.vec_id AS cand,
+       |    round(${Portable.cosineSql("l.v", "qv")}, 6) AS cos
+       |  FROM lists l JOIN q ON l.cid = q.pcid AND l.vec_id <> q.qid
+       |    AND l.label = q.qlabel)
+       |SELECT qid, qlabel, cand, cos, rank FROM (
+       |  SELECT qid, qlabel, cand, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 3""".stripMargin
+
   // ---- MIPS via norm augmentation ------------------------------------------
 
   /** Raw dot product in DuckDB's list-fold order (the [[graft.plans.VectorDot]]
@@ -925,6 +1003,7 @@ object Similarity {
        |WHERE rank <= 3""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_filtered" -> (filteredTopK _),
     "ann_mips" -> (mipsTopK _),
     "ann_recall" -> (annRecall _),
     "samp_cluster" -> (clusterSample _),
@@ -940,6 +1019,7 @@ object Similarity {
     "ann_kmeans" -> (kmeans _))
 
   def oracleSql: Map[String, String] = Map(
+    "ann_filtered" -> filteredTopKSql,
     "ann_mips" -> mipsTopKSql,
     "ann_recall" -> annRecallSql,
     "samp_cluster" -> clusterSampleSql,

@@ -95,6 +95,23 @@ class SimilarityBucketSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_filtered: every candidate satisfies the label predicate (pre-filter, not post-trim)") {
+    val labels = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val rows = sim.Similarity.filteredTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qid, qlabel, cand) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(labels(qid) == qlabel, s"query $qid mislabeled")
+      assert(labels(cand) == qlabel, s"candidate $cand violates the label filter of query $qid")
+      assert(cand != qid)
+    }
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
   test("ann_mips: valid ranked dots per query; MIPS order genuinely differs from cosine") {
     val s = sim.Similarity
     val rows = s.mipsTopK(spark, sf).collect()
