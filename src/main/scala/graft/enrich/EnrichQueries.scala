@@ -111,7 +111,54 @@ object EnrichQueries {
       |FROM events
       |GROUP BY event_type""".stripMargin
 
+  // ---- impossible-travel / country-hop velocity ---------------------------
+
+  /** "Impossible travel" — the classic account-security velocity signal
+    * (same account appearing from two countries within a short window; the
+    * moderation-bot domain's natural next rule after per-IP matching):
+    * consecutive signups of a user from DIFFERENT countries less than 1 h
+    * apart. Composition row: the zero-join [[graft.plans.RangeLookup]] geo
+    * enrichment rides the scan, then ONE username exchange serves the
+    * lag window — at 100 TB the whole detector is one keyed shuffle.
+    * Country comparison, not distance, so no libm trig can diverge
+    * between engines; unresolvable IPs (null country) never alert. */
+  def geoVelocity(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("username")).orderBy(col("ts_us"), col("event_id"))
+    GeoIp.enrichFast(signups(spark, sfDir))
+      .select(col("username"), col("event_id"), col("ts_us"), col("country"))
+      .withColumn("prev_country", lag(col("country"), 1).over(w))
+      .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("prev_event_id", lag(col("event_id"), 1).over(w))
+      .filter(col("country").isNotNull && col("prev_country").isNotNull
+        && col("country") =!= col("prev_country")
+        && col("ts_us") - col("prev_ts_us") <= lit(3600000000L))
+      .select(col("username"), col("event_id"), col("prev_event_id"),
+        col("prev_country"), col("country"),
+        (col("ts_us") - col("prev_ts_us")).as("gap_us"))
+  }
+
+  val geoVelocitySql: String =
+    "WITH " + Signups.cte.stripSuffix("\n") + ",\n" + GeoIp.rangesValuesSql + ",\n" +
+      s"""s2 AS (SELECT username, event_id, ts_us, ${GeoIp.ipToIntSql} AS ip_int
+         |       FROM signups),
+         |enr AS (
+         |  SELECT s2.username, s2.event_id, s2.ts_us, g.country
+         |  FROM s2 LEFT JOIN geo g ON s2.ip_int BETWEEN g.lo AND g.hi),
+         |lagd AS (
+         |  SELECT username, event_id, ts_us, country,
+         |    lag(country) OVER w AS prev_country,
+         |    lag(ts_us) OVER w AS prev_ts_us,
+         |    lag(event_id) OVER w AS prev_event_id
+         |  FROM enr WINDOW w AS (PARTITION BY username ORDER BY ts_us, event_id))
+         |SELECT username, event_id, prev_event_id, prev_country, country,
+         |  ts_us - prev_ts_us AS gap_us
+         |FROM lagd
+         |WHERE country IS NOT NULL AND prev_country IS NOT NULL
+         |  AND country <> prev_country AND ts_us - prev_ts_us <= 3600000000""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ru_geo_velocity" -> (geoVelocity _),
     "geo_ip_range" -> (geoIpRange _),
     "geo_join_auto" -> (geoJoinAuto _),
     "ua_device" -> (uaDevice _),
@@ -119,6 +166,7 @@ object EnrichQueries {
     "status_watermark" -> (statusWatermark _))
 
   def oracleSql: Map[String, String] = Map(
+    "ru_geo_velocity" -> geoVelocitySql,
     "geo_ip_range" -> geoIpRangeSql,
     "geo_join_auto" -> geoJoinAutoSql,
     "ua_device" -> uaDeviceSql,

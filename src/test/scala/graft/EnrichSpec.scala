@@ -89,4 +89,19 @@ class EnrichSpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("silent") == expected)
     }
   }
+
+  test("ru_geo_velocity: zero join nodes; every alert is a sub-hour country change") {
+    val q = enrich.EnrichQueries.geoVelocity(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"geo enrichment must be the RangeLookup projection, not a join:\n${plan.take(600)}")
+    val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges == 1, s"the lag window is the only shuffle, got $exchanges")
+    val rows = q.collect()
+    assert(rows.nonEmpty, "fixture signups never hop countries — detector unexercised")
+    rows.foreach { r =>
+      assert(r.getAs[String]("country") != r.getAs[String]("prev_country"))
+      assert(r.getAs[Long]("gap_us") <= 3600000000L && r.getAs[Long]("gap_us") >= 0L)
+    }
+  }
 }
