@@ -321,6 +321,54 @@ object StreamOps {
        |  us - prev AS gap_us
        |FROM o WHERE us - prev > $silenceGapUs""".stripMargin
 
+  // ---- live impossible-travel detection (ru_geo_velocity's streaming twin) -
+
+  final case class GeoVelIn(username: String, event_id: Long, ts_us: Long,
+    country: String)
+  final case class GeoVelState(event_id: Long, ts_us: Long, country: String)
+  final case class GeoVelAlert(username: String, event_id: Long,
+    prev_event_id: Long, prev_country: String, country: String, gap_us: Long)
+
+  /** Live impossible-travel alerts — `ru_geo_velocity`'s streaming twin:
+    * the signup derivation and the zero-join `RangeLookup` geo enrichment
+    * run as per-row scan math ON THE STREAM (the same expressions as
+    * batch), then `flatMapGroupsWithState` keyed by username holds exactly
+    * ONE (event, ts, country) triple per account — O(users) state forever,
+    * each alert emitted the moment the hopping signup arrives. A
+    * null-country signup still takes the predecessor slot (exactly the
+    * batch lag semantics), it just never alerts on either side of itself.
+    * Same cross-batch event-time-order contract as [[silence]]. */
+  def stGeoVelocity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runToTable(spark, sfDir, OutputMode.Append()) { src =>
+      graft.enrich.GeoIp.enrichFast(graft.events.Signups.derive(src))
+        .select(col("username"), col("event_id"), col("ts_us"), col("country"))
+        .as[GeoVelIn]
+        .groupByKey(_.username)
+        .flatMapGroupsWithState[GeoVelState, GeoVelAlert](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (user, events, state) =>
+            val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+            val out = Vector.newBuilder[GeoVelAlert]
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              if (st != null && st.country != null && e.country != null
+                  && e.country != st.country
+                  && e.ts_us - st.ts_us <= 3600000000L)
+                out += GeoVelAlert(user, e.event_id, st.event_id,
+                  st.country, e.country, e.ts_us - st.ts_us)
+              st = GeoVelState(e.event_id, e.ts_us, e.country)
+            }
+            if (st != null) state.update(st)
+            out.result().iterator
+        }.toDF()
+    }
+  }
+
+  /** Oracle: the batch detector's SQL verbatim — streaming and batch must
+    * agree alert-for-alert. */
+  val stGeoVelocitySql: String = graft.enrich.EnrichQueries.geoVelocitySql
+
   // ---- live sparse→dense gap-fill (ev_gapfill's streaming twin) -----------
 
   final case class ZeroMinute(event_type: String, minute_epoch: Long, n: Long)
@@ -932,6 +980,7 @@ object StreamOps {
     "st_gapfill" -> (stGapfill _),
     "st_rate_limit" -> (rateLimit _),
     "st_silence" -> (silence _),
+    "st_geo_velocity" -> (stGeoVelocity _),
     "st_trending" -> (stTrending _),
     "st_seen_state" -> (seenState _))
 
@@ -952,6 +1001,7 @@ object StreamOps {
     "st_gapfill" -> stGapfillSql,
     "st_rate_limit" -> rateLimitSql,
     "st_silence" -> silenceSql,
+    "st_geo_velocity" -> stGeoVelocitySql,
     "st_trending" -> stTrendingSql,
     "st_seen_state" -> seenStateSql)
 }

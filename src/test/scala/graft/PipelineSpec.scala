@@ -91,6 +91,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(total == 1000L, s"every event in exactly one session, got $total")
   }
 
+  test("st_geo_velocity: streaming alerts equal the batch detector alert-for-alert") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("username"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("prev_event_id"), r.getAs[String]("prev_country"),
+        r.getAs[String]("country"), r.getAs[Long]("gap_us"))
+    val st = streaming.StreamOps.stGeoVelocity(spark, sf).collect().map(key).toSet
+    val b = enrich.EnrichQueries.geoVelocity(spark, sf).collect().map(key).toSet
+    assert(st.nonEmpty, "fixture produced no country hops")
+    assert(st == b, s"streaming ${st.size} vs batch ${b.size}")
+  }
+
   test("st_trending: chained stateful aggs equal the batch top-k on watermark-closed hours") {
     import org.apache.spark.sql.functions._
     val st = streaming.StreamOps.stTrending(spark, sf).collect()
