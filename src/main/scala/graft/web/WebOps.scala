@@ -792,6 +792,85 @@ object WebOps {
        |FROM blocks""".stripMargin
   }
 
+  // ---- RSS/Atom feed ingestion ---------------------------------------------
+
+  /** Feed fixtures: one RSS 2.0 channel and one Atom feed — CDATA titles,
+    * missing optional fields, attribute-form Atom links, whitespace noise,
+    * and channel/feed-level titles the item extraction must NOT leak. */
+  val feedCorpus: Seq[(Long, String)] = Seq(
+    (0L, """<?xml version="1.0"?><rss version="2.0"><channel>
+      |<title>Example Blog</title>
+      |<item><title>First post</title><link>https://Example.COM/posts/1?utm_source=rss</link><pubDate>Mon, 02 Mar 2026 08:00:00 GMT</pubDate></item>
+      |<item><title><![CDATA[Second <b>post</b>]]></title><link>https://example.com/posts/2</link></item>
+      |<item><link>https://example.com/posts/3</link><pubDate>Tue, 03 Mar 2026 09:30:00 GMT</pubDate></item>
+      |</channel></rss>""".stripMargin),
+    (1L, """<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">
+      |<title>Example Feed</title>
+      |<entry><title>Atom one</title><link href="https://example.com/a/1"/><updated>2026-03-01T12:00:00Z</updated></entry>
+      |<entry><title>  Atom two  </title><link rel="alternate" href="https://example.com/a/2"/></entry>
+      |</feed>""".stripMargin))
+
+  /** RSS/Atom feed ingestion — the third crawl-scheduling input next to
+    * sitemaps and robots (feeds are how a scheduler learns about NEW urls
+    * between full crawls). Both dialects normalize to one (title, url,
+    * published) shape: `<item>`/`<entry>` blocks explode, CDATA and plain
+    * titles coalesce, RSS `<link>text</link>` and Atom `<link href=…/>`
+    * unify, `pubDate`/`updated` unify; missing optionals surface as ''.
+    * Entirely declarative per-row regex work, ZERO shuffles at any corpus
+    * size (the sitemap pattern); the oracle is the SAME extraction run by
+    * DuckDB, not a transcript. Downstream the urls feed [[frontier]]'s
+    * canonicalize→scope→robots gate unchanged. */
+  def feed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val block = col("block")
+    val tCdata = regexp_extract(block, "(?s)<title><!\\[CDATA\\[(.*?)\\]\\]></title>", 1)
+    val tPlain = regexp_extract(block, "<title>([^<]*)</title>", 1)
+    val rssLink = regexp_extract(block, "<link>([^<]*)</link>", 1)
+    val atomLink = regexp_extract(block, "<link[^>]*href=\"([^\"]*)\"", 1)
+    val pub = regexp_extract(block, "<pubDate>([^<]*)</pubDate>", 1)
+    val upd = regexp_extract(block, "<updated>([^<]*)</updated>", 1)
+    feedCorpus.toDF("feed_id", "xml")
+      .select(col("feed_id"),
+        when(col("xml").contains("<rss"), "rss").otherwise("atom").as("kind"),
+        explode(concat(
+          regexp_extract_all(col("xml"), lit("(?s)<item>(.*?)</item>"), lit(1)),
+          regexp_extract_all(col("xml"), lit("(?s)<entry>(.*?)</entry>"), lit(1))))
+          .as("block"))
+      .select(col("feed_id"), col("kind"),
+        trim(when(tCdata =!= "", tCdata).otherwise(tPlain)).as("title"),
+        when(rssLink =!= "", rssLink).otherwise(atomLink).as("url"),
+        when(pub =!= "", pub).otherwise(upd).as("published"))
+  }
+
+  val feedSql: String = {
+    val rows = feedCorpus.map { case (i, x) =>
+      s"($i, '${x.replace("'", "''")}')"
+    }
+    s"""WITH f AS (SELECT * FROM (VALUES
+       |  ${rows.mkString(",\n  ")}) t(feed_id, xml)),
+       |blocks AS (
+       |  SELECT feed_id,
+       |    CASE WHEN xml LIKE '%<rss%' THEN 'rss' ELSE 'atom' END AS kind,
+       |    unnest(list_concat(
+       |      regexp_extract_all(xml, '(?s)<item>(.*?)</item>', 1),
+       |      regexp_extract_all(xml, '(?s)<entry>(.*?)</entry>', 1))) AS block
+       |  FROM f),
+       |x AS (
+       |  SELECT feed_id, kind, block,
+       |    regexp_extract(block, '(?s)<title><!\\[CDATA\\[(.*?)\\]\\]></title>', 1) AS t_cdata,
+       |    regexp_extract(block, '<title>([^<]*)</title>', 1) AS t_plain,
+       |    regexp_extract(block, '<link>([^<]*)</link>', 1) AS rss_link,
+       |    regexp_extract(block, '<link[^>]*href="([^"]*)"', 1) AS atom_link,
+       |    regexp_extract(block, '<pubDate>([^<]*)</pubDate>', 1) AS pub,
+       |    regexp_extract(block, '<updated>([^<]*)</updated>', 1) AS upd
+       |  FROM blocks)
+       |SELECT CAST(feed_id AS BIGINT) AS feed_id, kind,
+       |  trim(CASE WHEN t_cdata <> '' THEN t_cdata ELSE t_plain END) AS title,
+       |  CASE WHEN rss_link <> '' THEN rss_link ELSE atom_link END AS url,
+       |  CASE WHEN pub <> '' THEN pub ELSE upd END AS published
+       |FROM x""".stripMargin
+  }
+
   // ---- crawl-frontier gate: links ∘ scope ∘ robots --------------------------
 
   /** The crawl loop's next-fetch decision END-TO-END: extracted+resolved+
@@ -943,6 +1022,7 @@ object WebOps {
     "web_cdx" -> (cdxIndex _),
     "web_frontier" -> (frontier _),
     "web_sitemap" -> (sitemap _),
+    "web_feed" -> (feed _),
     "web_robots" -> (robotsCheck _),
     "web_pagerank" -> (pageRank _))
 
@@ -956,6 +1036,7 @@ object WebOps {
     "web_cdx" -> cdxIndexSql,
     "web_frontier" -> frontierSql,
     "web_sitemap" -> sitemapSql,
+    "web_feed" -> feedSql,
     "web_robots" -> robotsCheckSql,
     "web_pagerank" -> pageRankSql)
 }

@@ -210,4 +210,21 @@ class WebOpsSpec extends AnyFunSuite {
     val n = Tables(spark, sf).documents.count()
     assert(top.getAs[Long]("pr") > 1000000000L / n)
   }
+
+  test("web_feed: RSS and Atom normalize to one shape; zero shuffles") {
+    val q = WebOps.feed(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+    val rows = q.collect()
+      .map(r => (r.getString(2), r.getString(3), r.getString(4)))
+    assert(rows.length == 5)
+    // CDATA title decodes; feed/channel-level titles never leak into items
+    assert(rows.contains(("Second <b>post</b>", "https://example.com/posts/2", "")))
+    assert(!rows.exists(_._1 == "Example Blog") && !rows.exists(_._1 == "Example Feed"))
+    // Atom attribute-form link + whitespace-trimmed title; missing date is ''
+    assert(rows.contains(("Atom two", "https://example.com/a/2", "")))
+    // missing title is ''; both date dialects surface verbatim
+    assert(rows.contains(("", "https://example.com/posts/3", "Tue, 03 Mar 2026 09:30:00 GMT")))
+    assert(rows.contains(("Atom one", "https://example.com/a/1", "2026-03-01T12:00:00Z")))
+  }
 }
