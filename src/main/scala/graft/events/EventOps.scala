@@ -916,7 +916,74 @@ object EventOps {
       |FROM p GROUP BY 1
       |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin
 
+  // ---- mergeable histogram-sketch quantiles --------------------------------
+
+  /** Quantile labels as exact rationals — ceil(num·n/den) in BIGINT is the
+    * rank, so no 0.9·n double can round across an integer boundary. */
+  val sketchQuantiles: Seq[(String, Int, Int)] =
+    Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+  /** Approximate per-type quantiles from a MERGEABLE fixed-grid histogram
+    * sketch — the documented 100 TB drop-in for `ev_quantiles`' exact
+    * `percentile` (exact quantiles need a per-group sort; bin counts are
+    * order/partition-invariant SUMS that partial-aggregate and merge like
+    * the CMS/HLL sketches, so the same code runs batch, incremental, and
+    * under a streaming state store). 256 bins of width 4 over the value
+    * domain [0, 1024) (out-of-range clamps to the edge bins; error bound =
+    * one bin width). The estimate interpolates inside the bin where the
+    * cumulative count crosses rank ceil(p·n) — rank computed in exact
+    * BIGINT rational arithmetic, the interpolation ONE double division of
+    * exact-int operands. Plan: one (type, bin) partial agg (≤ types·256
+    * keys at any corpus size) + one bounded per-type window. */
+  def quantileSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val bins = Tables(spark, sfDir).events
+      .select(col("event_type"),
+        least(lit(255L), greatest(lit(0L), floor(col("value") / 4).cast("long")))
+          .as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = W.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val cumd = bins
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(W.partitionBy(col("event_type"))))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+    val ps = sketchQuantiles.toDF("p", "num", "den")
+    cumd.crossJoin(broadcast(ps))
+      .withColumn("rank", expr("(num * n + den - 1) DIV den"))
+      .filter(col("cum") >= col("rank") && col("cum_prev") < col("rank"))
+      .select(col("event_type"), col("p"), col("n"),
+        round(col("bin") * 4 +
+          lit(4.0) * (col("rank") - col("cum_prev")) / col("cnt"), 6).as("est"))
+  }
+
+  val quantileSketchSql: String = {
+    val pRows = sketchQuantiles.map { case (l, n, d) => s"('$l', $n, $d)" }.mkString(", ")
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |    least(255, greatest(0, CAST(floor(value / 4) AS BIGINT))) AS bin,
+       |    count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |c AS (
+       |  SELECT event_type, bin, cnt,
+       |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM b),
+       |ps(p, num, den) AS (VALUES $pRows),
+       |j AS (
+       |  SELECT event_type, p, n, bin, cnt, cum, cum - cnt AS cum_prev,
+       |    (num * n + den - 1) // den AS rank
+       |  FROM c, ps)
+       |SELECT event_type, p, n,
+       |  round(bin * 4 + CAST(4 AS DOUBLE) * (rank - cum_prev) / cnt, 6) AS est
+       |FROM j WHERE cum >= rank AND cum_prev < rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_quantile_sketch" -> (quantileSketch _),
     "ev_entry_paths" -> (entryPaths _),
     "ev_concurrency" -> (concurrency _),
     "ev_abtest" -> (abtest _),
@@ -939,6 +1006,7 @@ object EventOps {
     "ev_quantiles" -> (quantiles _))
 
   def oracleSql: Map[String, String] = Map(
+    "ev_quantile_sketch" -> quantileSketchSql,
     "ev_entry_paths" -> entryPathsSql,
     "ev_concurrency" -> concurrencySql,
     "ev_abtest" -> abtestSql,

@@ -446,6 +446,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(rows.count(!_.getBoolean(4)) == 2)
   }
 
+  test("ev_quantile_sketch: estimates within one bin width of the rank-th order statistic") {
+    val sk = events.EventOps.quantileSketch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(sk.nonEmpty)
+    // the sketch's contract is against the DISCRETE rank ceil(p·n) order
+    // statistic (its bin contains that value, so error ≤ one bin width);
+    // quantile_cont's between-order-stat interpolation can sit a whole
+    // value-gap away in sparse tails, which is not the sketch's claim
+    val byType = Tables(spark, sf).events
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    for (((tpe, p), est) <- sk) {
+      val vs = byType(tpe)
+      val (num, den) = p match {
+        case "p50" => (1L, 2L); case "p90" => (9L, 10L); case _ => (99L, 100L)
+      }
+      val rank = ((num * vs.length + den - 1) / den).toInt
+      val orderStat = vs(rank - 1)
+      assert(math.abs(est - orderStat) <= 4.0 + 1e-6,
+        s"($tpe,$p): sketch $est vs rank-$rank order stat $orderStat")
+    }
+  }
+
   test("ev_entry_paths: bounded path key space; top-20 without a global sort") {
     val q = events.EventOps.entryPaths(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
