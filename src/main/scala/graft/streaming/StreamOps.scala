@@ -694,6 +694,46 @@ object StreamOps {
       |  FROM c) t, wm
       |WHERE rk <= 3 AND h + INTERVAL 1 HOUR <= w""".stripMargin
 
+  // ---- histogram-sketch quantiles in streaming state -----------------------
+
+  /** The histogram quantile sketch maintained IN streaming state —
+    * `ev_quantile_sketch`'s live form and the quantile member of the
+    * sketch-under-the-state-store family (st_hll_users, st_minhash_dedup):
+    * the state is ≤256 bin counters per event type (bounded forever,
+    * order/partition/micro-batch-invariant SUMS), and the quantile
+    * estimate is the read-time view over the drained sketch (exactly how a
+    * serving layer reads a stored sketch — the annTopK post-drain
+    * pattern). Estimates hash-match the batch sketch bit-for-bit because
+    * every stage is exact-integer math plus one final division. */
+  def stQuantileSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val bins = runToTable(spark, sfDir, OutputMode.Complete()) { src =>
+      src.select(col("event_type"),
+          least(lit(255L), greatest(lit(0L), floor(col("value") / 4).cast("long")))
+            .as("bin"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+    val wCum = W.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val cumd = bins
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(W.partitionBy(col("event_type"))))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+    val ps = graft.events.EventOps.sketchQuantiles.toDF("p", "num", "den")
+    cumd.crossJoin(broadcast(ps))
+      .withColumn("rank", expr("(num * n + den - 1) DIV den"))
+      .filter(col("cum") >= col("rank") && col("cum_prev") < col("rank"))
+      .select(col("event_type"), col("p"), col("n"),
+        round(col("bin") * 4 +
+          lit(4.0) * (col("rank") - col("cum_prev")) / col("cnt"), 6).as("est"))
+  }
+
+  /** Oracle: the batch sketch SQL verbatim — state-store maintenance must
+    * not change a single bin. */
+  val stQuantileSketchSql: String = graft.events.EventOps.quantileSketchSql
+
   // ---- stream-stream interval join ----------------------------------------
 
   /** Stream-stream inner join with event-time bounds: signups joined to the
@@ -981,6 +1021,7 @@ object StreamOps {
     "st_rate_limit" -> (rateLimit _),
     "st_silence" -> (silence _),
     "st_geo_velocity" -> (stGeoVelocity _),
+    "st_quantile_sketch" -> (stQuantileSketch _),
     "st_trending" -> (stTrending _),
     "st_seen_state" -> (seenState _))
 
@@ -1002,6 +1043,7 @@ object StreamOps {
     "st_rate_limit" -> rateLimitSql,
     "st_silence" -> silenceSql,
     "st_geo_velocity" -> stGeoVelocitySql,
+    "st_quantile_sketch" -> stQuantileSketchSql,
     "st_trending" -> stTrendingSql,
     "st_seen_state" -> seenStateSql)
 }

@@ -91,6 +91,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(total == 1000L, s"every event in exactly one session, got $total")
   }
 
+  test("st_quantile_sketch: state-store sketch equals the batch sketch bit-for-bit") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+    val st = streaming.StreamOps.stQuantileSketch(spark, sf).collect().map(key).toSet
+    val b = events.EventOps.quantileSketch(spark, sf).collect().map(key).toSet
+    assert(st.nonEmpty && st == b, s"streaming ${st.size} vs batch ${b.size}")
+  }
+
   test("st_geo_velocity: streaming alerts equal the batch detector alert-for-alert") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[String]("username"), r.getAs[Long]("event_id"),
