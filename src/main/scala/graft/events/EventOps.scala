@@ -982,7 +982,69 @@ object EventOps {
        |FROM j WHERE cum >= rank AND cum_prev < rank""".stripMargin
   }
 
+  // ---- robust (median/MAD) anomaly detection -------------------------------
+
+  /** Robust rate-anomaly detection — ev_spike's outlier-resistant twin:
+    * z-scores break when the anomaly itself inflates the mean/stddev
+    * (masking); the production-robust detector scores each per-(type,
+    * hour) count against the MEDIAN and the median absolute deviation
+    * (robust score = (c − med)/(1.4826·MAD), the consistency constant
+    * making MAD σ-comparable under normality). Hour buckets because MAD
+    * needs a non-degenerate count distribution (per-minute counts of 0/1
+    * give MAD = 0 — the detector excludes zero-MAD types rather than score
+    * against a zero denominator). Scale shape: ONE corpus aggregation to
+    * (type, hour) counts; every median runs over that BOUNDED dim
+    * (hours × types — time-range-, not corpus-sized) and broadcasts back,
+    * so the detector adds zero corpus-sized passes beyond the count agg.
+    * Exact `percentile` keeps oracle parity (the proven quantile_cont
+    * interpolation match). Scores over OBSERVED hours; composing
+    * ev_gapfill in front adds the zero-count droughts. */
+  def anomalyMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables(spark, sfDir).events
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+      .agg(count(lit(1)).as("c"))
+    val med = counts.groupBy(col("event_type"))
+      .agg(expr("percentile(c, 0.5)").as("med"))
+    val dev = counts.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("c") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("mad") > 0)
+      .withColumn("score",
+        round((col("c") - col("med")) / (lit(1.4826) * col("mad")), 6))
+      .filter(abs(col("score")) > 3)
+      .select(col("event_type"), col("hour_epoch"), col("c"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        col("score"))
+  }
+
+  val anomalyMadSql: String =
+    """WITH counts AS (
+      |  SELECT event_type,
+      |    CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |      AS hour_epoch,
+      |    count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |med AS (
+      |  SELECT event_type, quantile_cont(c, 0.5) AS med FROM counts GROUP BY 1),
+      |dev AS (
+      |  SELECT counts.event_type, hour_epoch, c, med, abs(c - med) AS adev
+      |  FROM counts JOIN med ON counts.event_type = med.event_type),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1),
+      |scored AS (
+      |  SELECT dev.event_type, hour_epoch, c, med, mad,
+      |    round((c - med) / (1.4826 * mad), 6) AS score
+      |  FROM dev JOIN mad ON dev.event_type = mad.event_type
+      |  WHERE mad > 0)
+      |SELECT event_type, hour_epoch, c,
+      |  round(med, 6) AS med, round(mad, 6) AS mad, score
+      |FROM scored WHERE abs(score) > 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_anomaly_mad" -> (anomalyMad _),
     "ev_quantile_sketch" -> (quantileSketch _),
     "ev_entry_paths" -> (entryPaths _),
     "ev_concurrency" -> (concurrency _),
@@ -1006,6 +1068,7 @@ object EventOps {
     "ev_quantiles" -> (quantiles _))
 
   def oracleSql: Map[String, String] = Map(
+    "ev_anomaly_mad" -> anomalyMadSql,
     "ev_quantile_sketch" -> quantileSketchSql,
     "ev_entry_paths" -> entryPathsSql,
     "ev_concurrency" -> concurrencySql,
