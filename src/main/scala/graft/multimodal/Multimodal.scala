@@ -265,9 +265,11 @@ object Multimodal {
     * mm_resize's oracle while packing different batches. (Builds on
     * `dimsSqlCte` directly: resize needs only width/height/fmt, not the
     * pixel checksum.) */
-  private val resizedSqlCtes: String =
-    s"""$dimsSqlCte,
-       |meta AS (SELECT doc_id, CAST(w AS INTEGER) AS width,
+  /** meta→m→rsz chain WITHOUT the dims prefix, so compositions that
+    * already declare `dims` (pipe_mm) reuse the identical fit-into-box
+    * math instead of a second copy. */
+  private val metaChainCtes: String =
+    s"""meta AS (SELECT doc_id, CAST(w AS INTEGER) AS width,
        |  CAST(h AS INTEGER) AS height, 'bmp' AS fmt FROM dims),
        |m AS (SELECT *, greatest(width, height) AS longest FROM meta),
        |rsz AS (SELECT doc_id, fmt, width, height,
@@ -276,6 +278,10 @@ object Multimodal {
        |  CASE WHEN longest <= $resizeMax THEN height
        |       ELSE greatest(1, CAST(height * $resizeMax // longest AS INTEGER)) END AS out_h
        |  FROM m)""".stripMargin
+
+  private val resizedSqlCtes: String =
+    s"""$dimsSqlCte,
+       |$metaChainCtes""".stripMargin
 
   val mmResizeSql: String =
     s"""WITH $resizedSqlCtes
@@ -373,9 +379,12 @@ object Multimodal {
           "keep").otherwise("drop"))
   }
 
-  val mmPairSql: String = {
+  /** ch→cnt→hist→e→scored chain (no WITH), reused verbatim by pipe_mm so
+    * the gate score can never drift between the standalone and composed
+    * forms. */
+  private val pairChainCtes: String = {
     import graft.functions.Portable
-    s"""WITH ch AS (
+    s"""ch AS (
        |  -- length guard: split('','') is [''] and ascii('') is 0, which
        |  -- would hand an empty caption a phantom bin-0 count that the
        |  -- Spark byte path (correctly) never sees
@@ -396,12 +405,15 @@ object Multimodal {
        |    CASE WHEN sqrt(list_sum(list_transform(t, x -> x * x))) *
        |              sqrt(list_sum(list_transform(v, x -> x * x))) > 0
        |         THEN round(${Portable.cosineSql("t", "v")}, 6) END AS clip_score
-       |  FROM hist h JOIN e ON e.vec_id = h.doc_id)
+       |  FROM hist h JOIN e ON e.vec_id = h.doc_id)""".stripMargin
+  }
+
+  val mmPairSql: String =
+    s"""WITH $pairChainCtes
        |SELECT doc_id, label, clip_score,
        |  CASE WHEN clip_score IS NOT NULL AND clip_score >= $pairThreshold
        |       THEN 'keep' ELSE 'drop' END AS verdict
        |FROM scored""".stripMargin
-  }
 
   // ---- perceptual-hash near-dup (pHash/dHash over decoded media) -----------
 
@@ -492,7 +504,11 @@ object Multimodal {
       mmPhashSigs(spark, sfDir), "phash", "doc_id", Nil,
       phashBands, phashBandBits, phashMaxHamming)
 
-  val mmPhashSql: String = {
+  /** ps→kg→votes→sigs chain (no WITH; expects a `dims` CTE in scope).
+    * `keepJoin` restricts the signature pass to an upstream survivor set
+    * (pipe_mm passes `JOIN keep USING (doc_id)`) — one parameterization so
+    * the signature math exists in exactly one SQL copy. */
+  private def phashSigCtes(keepJoin: String): String = {
     // unrolled votes + signature sum (simhashSql's shape); bit 63's literal
     // is min-long, but the 60-bit hash never votes it set, so the sum stays
     // in int64 range
@@ -500,14 +516,13 @@ object Multimodal {
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(",\n    ")
     val sig = (0 until phashBits).map(j =>
       s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-    s"""WITH $dimsSqlCte,
-       |ps AS (
+    s"""ps AS (
        |  -- the decoded raster: pixel p = text[(p mod len)], so the pixel
        |  -- stream is the text cycled out to w*h characters
        |  SELECT doc_id,
        |    substr(repeat(text, CAST((w * h + length(text) - 1) // length(text) AS INTEGER)),
        |           1, CAST(w * h AS INTEGER)) AS pstr
-       |  FROM dims WHERE length(text) > 0),
+       |  FROM dims $keepJoin WHERE length(text) > 0),
        |kg AS (
        |  SELECT DISTINCT doc_id,
        |    CAST('0x' || substr(md5('$phashSalt' || substr(pstr, CAST(i AS INTEGER), $phashWindow)), 1, 15) AS BIGINT) AS h
@@ -516,12 +531,16 @@ object Multimodal {
        |  SELECT doc_id,
        |    $votes
        |  FROM kg GROUP BY 1),
-       |sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS phash FROM votes)
+       |sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS phash FROM votes)""".stripMargin
+  }
+
+  val mmPhashSql: String =
+    s"""WITH $dimsSqlCte,
+       |${phashSigCtes("")}
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  bit_count(xor(a.phash, b.phash)) AS hamming
        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.phash, b.phash)) <= $phashMaxHamming""".stripMargin
-  }
 
   // ---- GPU batch packing ---------------------------------------------------
 
@@ -541,10 +560,13 @@ object Multimodal {
     * the `packShardDocs` range bound caps any window partition at a fixed
     * row count, and batches never need to cross an input range (a real
     * packer works per input split anyway). */
-  def mmBatchPack(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The packing stage over an arbitrary resized frame — mm_batchpack's
+    * full-corpus form and pipe_mm's survivors-only form run the identical
+    * code. */
+  private def packFrom(rsz: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("fmt"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    resized(spark, sfDir)
+    rsz
       .select(col("doc_id"), col("fmt"),
         expr(s"doc_id DIV $packShardDocs").as("shard"),
         (col("out_w") * col("out_h")).cast("long").as("px"))
@@ -554,6 +576,9 @@ object Multimodal {
       .agg(count(lit(1)).as("n_items"), min(col("doc_id")).as("first_doc_id"),
         sum(col("px")).as("total_px"))
   }
+
+  def mmBatchPack(spark: SparkSession, sfDir: String): DataFrame =
+    packFrom(resized(spark, sfDir))
 
   val mmBatchPackSql: String =
     s"""WITH $resizedSqlCtes,
@@ -568,7 +593,60 @@ object Multimodal {
        |  CAST(sum(px) AS BIGINT) AS total_px
        |FROM c GROUP BY 1, 2, 3""".stripMargin
 
+  // ---- the multimodal curation pipeline as ONE plan ------------------------
+
+  /** The LAION-style media curation pipeline as ONE declarative plan —
+    * pipe_curate's multimodal sibling: CLIP-score pair gate → perceptual-
+    * hash near-dup dedup (min-id keeper over the GATED survivors — the
+    * signature pass and banded join see only gate survivors, so dedup cost
+    * shrinks with the gate's pass rate exactly as pipe_curate's dedup sees
+    * only gated text) → accelerator batch packing of the survivors. Every
+    * stage is the verified standalone operator (mm_pair's scored chain,
+    * mm_phash's banded-hamming machinery, mm_batchpack's shard-bounded
+    * cumsum) composed in one lineage; Catalyst sizes the dedup and pack
+    * exchanges from post-gate statistics. Output = the batch manifest the
+    * training loader consumes. */
+  def pipeMm(spark: SparkSession, sfDir: String): DataFrame = {
+    val kept = mmPair(spark, sfDir).filter(col("verdict") === "keep")
+      .select(col("doc_id"))
+    val sigs = mmPhashSigs(spark, sfDir).join(kept, "doc_id")
+    val pairs = graft.functions.Banding.hammingPairs(
+      sigs, "phash", "doc_id", Nil, phashBands, phashBandBits, phashMaxHamming)
+    // min-id keeper: a doc drops iff it has a LOWER-id perceptual near-dup
+    // among the gate survivors (id_a < id_b by construction)
+    val dups = pairs.select(col("id_b").as("doc_id")).distinct()
+    val survivors = kept.join(dups, Seq("doc_id"), "left_anti")
+    packFrom(resized(spark, sfDir).join(survivors, "doc_id"))
+  }
+
+  val pipeMmSql: String =
+    s"""WITH $dimsSqlCte,
+       |$pairChainCtes,
+       |keep AS (
+       |  SELECT doc_id FROM scored
+       |  WHERE clip_score IS NOT NULL AND clip_score >= $pairThreshold),
+       |${phashSigCtes("JOIN keep USING (doc_id)")},
+       |dups AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= $phashMaxHamming),
+       |surv AS (
+       |  SELECT doc_id FROM keep
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+       |$metaChainCtes,
+       |c AS (SELECT rsz.doc_id, fmt, rsz.doc_id // $packShardDocs AS shard,
+       |  CAST(out_w * out_h AS BIGINT) AS px,
+       |  sum(CAST(out_w * out_h AS BIGINT)) OVER (
+       |    PARTITION BY fmt, rsz.doc_id // $packShardDocs
+       |    ORDER BY rsz.doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM rsz JOIN surv ON rsz.doc_id = surv.doc_id)
+       |SELECT fmt, shard, CAST((cum - px) // $pixelBudget AS BIGINT) AS batch,
+       |  count(*) AS n_items, min(doc_id) AS first_doc_id,
+       |  CAST(sum(px) AS BIGINT) AS total_px
+       |FROM c GROUP BY 1, 2, 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_mm" -> (pipeMm _),
     "mm_meta" -> (mmMeta _),
     "mm_framesample" -> (mmFrameSample _),
     "mm_resize" -> (mmResize _),
@@ -578,6 +656,7 @@ object Multimodal {
     "mm_batchpack" -> (mmBatchPack _))
 
   def oracleSql: Map[String, String] = Map(
+    "pipe_mm" -> pipeMmSql,
     "mm_meta" -> mmMetaSql,
     "mm_framesample" -> mmFrameSampleSql,
     "mm_resize" -> mmResizeSql,

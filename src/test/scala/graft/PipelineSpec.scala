@@ -91,6 +91,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(total == 1000L, s"every event in exactly one session, got $total")
   }
 
+  test("pipe_mm: manifest packs exactly the gate survivors minus perceptual dups") {
+    import org.apache.spark.sql.functions._
+    val mm = multimodal.Multimodal
+    val kept = mm.mmPair(spark, sf).filter(col("verdict") === "keep")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // gated dups: pairs whose BOTH ends survived the gate (banding over the
+    // gated subset finds exactly the full-corpus pairs restricted to it)
+    val dups = mm.mmPhash(spark, sf).collect()
+      .filter(r => kept(r.getLong(0)) && kept(r.getLong(1)))
+      .map(_.getLong(1)).toSet
+    val manifest = mm.pipeMm(spark, sf).collect()
+    assert(manifest.nonEmpty)
+    val packed = manifest.map(_.getAs[Long]("n_items")).sum
+    assert(packed == (kept.size - dups.size).toLong,
+      s"packed $packed vs ${kept.size} kept - ${dups.size} dups")
+    // the composed pipeline packs strictly fewer items than the raw corpus
+    val full = mm.mmBatchPack(spark, sf).collect().map(_.getAs[Long]("n_items")).sum
+    assert(packed < full)
+  }
+
   test("st_quantile_sketch: state-store sketch equals the batch sketch bit-for-bit") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
