@@ -892,7 +892,36 @@ object Relational {
       |  string_agg(o_orderpriority, ',' ORDER BY o_orderdate, o_orderkey) AS prios
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** INTERSECT / EXCEPT — the set-operator SQL surface, in its canonical
+    * business form: year-over-year customer retention (retained = both
+    * years, churned = prior only, new = current only). Catalyst plans set
+    * ops as distinct aggregates + semi/anti joins on the SAME key
+    * partitioning — three segments cost one shuffle family, not three
+    * scans of a generic engine. Counts, not rosters, so the output is
+    * constant-size at any scale. */
+  def qSetops(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir).orders
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+    val prior = o.filter(col("y") === 1997).select(col("o_custkey")).distinct()
+    val cur = o.filter(col("y") === 1998).select(col("o_custkey")).distinct()
+    cur.intersect(prior).select(lit("retained").as("segment"))
+      .unionAll(prior.except(cur).select(lit("churned").as("segment")))
+      .unionAll(cur.except(prior).select(lit("new").as("segment")))
+      .groupBy(col("segment")).agg(count(lit(1)).as("n_customers"))
+  }
+
+  val qSetopsSql: String =
+    """WITH prior AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+      |cur AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+      |SELECT 'retained' AS segment,
+      |  (SELECT count(*) FROM (SELECT * FROM cur INTERSECT SELECT * FROM prior)) AS n_customers
+      |UNION ALL SELECT 'churned',
+      |  (SELECT count(*) FROM (SELECT * FROM prior EXCEPT SELECT * FROM cur))
+      |UNION ALL SELECT 'new',
+      |  (SELECT count(*) FROM (SELECT * FROM cur EXCEPT SELECT * FROM prior))""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_setops" -> (qSetops _),
     "q_listagg" -> (qListagg _),
     "q_histogram" -> (qHistogram _),
     "q_dq_checks" -> (qDqChecks _),
@@ -919,6 +948,7 @@ object Relational {
     "ev_topk_users" -> (evTopkUsers _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_setops" -> qSetopsSql,
     "q_listagg" -> qListaggSql,
     "q_histogram" -> qHistogramSql,
     "q_dq_checks" -> qDqChecksSql,

@@ -504,6 +504,18 @@ class ScaleSpec extends AnyFunSuite {
       (w(0).getLong(1) == w(1).getLong(1) && w(0).getString(0) < w(1).getString(0))))
   }
 
+  test("q_setops: segments partition the two-year customer universe") {
+    import org.apache.spark.sql.functions.{col, year, countDistinct}
+    val seg = relational.Relational.qSetops(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seg.keySet == Set("retained", "churned", "new"))
+    val o = Tables(spark, sf).orders
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+    val both = o.filter(col("y").isin(1997, 1998))
+      .agg(countDistinct(col("o_custkey"))).head.getLong(0)
+    assert(seg.values.sum == both, s"segments ${seg.values.sum} vs universe $both")
+  }
+
   test("q_listagg: one exchange; csv arity matches the group count") {
     val q = relational.Relational.qListagg(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
