@@ -444,11 +444,21 @@ object Multimodal {
     * decoding to fewer than one window of pixels are filtered out
     * (mirroring the oracle's absent groups — dd_simhash's zero-word rule;
     * min dims 12×8 means none are on this corpus). */
-  def mmPhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
+  def mmPhashSigs(spark: SparkSession, sfDir: String): DataFrame =
+    phashSigsFrom(
+      Tables(spark, sfDir).documents
+        .select(col("doc_id"), col("text").cast("binary").as("payload")))
+
+  /** The signature pass over an arbitrary payload frame — a typed
+    * `mapPartitions` is a boundary Catalyst cannot push a join below, so a
+    * caller that wants to decode ONLY a survivor subset (pipe_mm) must
+    * stage the restriction in front; this factoring makes that the same
+    * code path as the full-corpus form. */
+  private def phashSigsFrom(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
     import spark.implicits._
     val saltBytes = phashSalt.getBytes("UTF-8")
-    Tables(spark, sfDir).documents
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    payloads
       .filter(length(col("payload")) > 0)
       .as[Payload]
       .mapPartitions { it =>
@@ -609,7 +619,12 @@ object Multimodal {
   def pipeMm(spark: SparkSession, sfDir: String): DataFrame = {
     val kept = mmPair(spark, sfDir).filter(col("verdict") === "keep")
       .select(col("doc_id"))
-    val sigs = mmPhashSigs(spark, sfDir).join(kept, "doc_id")
+    // restriction staged BEFORE the decode mapPartitions (Catalyst cannot
+    // push a join below the typed boundary) — the signature pass really
+    // does decode only gate survivors
+    val sigs = phashSigsFrom(
+      Tables(spark, sfDir).documents.join(kept, "doc_id")
+        .select(col("doc_id"), col("text").cast("binary").as("payload")))
     val pairs = graft.functions.Banding.hammingPairs(
       sigs, "phash", "doc_id", Nil, phashBands, phashBandBits, phashMaxHamming)
     // min-id keeper: a doc drops iff it has a LOWER-id perceptual near-dup

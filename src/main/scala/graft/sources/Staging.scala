@@ -69,6 +69,38 @@ object Staging {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Small-file compaction (the OPTIMIZE / bin-packing maintenance pass):
+    * rewrite a parquet directory into ceil(totalBytes / targetBytes) files.
+    * Streaming sinks and fine-grained partitioned writes accumulate
+    * kilobyte files whose per-file open/footer overhead dominates scans at
+    * scale ("small-file problem"); compaction restores scan efficiency and
+    * is idempotent. File count derives from the directory's ACTUAL bytes
+    * (no row-count heuristics), the rewrite is one `repartition` (a
+    * round-robin exchange — compaction has no key semantics to preserve;
+    * key-aware layouts use [[bucketize]] / [[writeZordered]] instead), and
+    * the swap is write-new-then-replace so a failed rewrite never leaves
+    * the directory half-compacted. Returns the output file count. */
+  def compact(spark: SparkSession, path: String, targetBytes: Long): Int = {
+    val hpath = new org.apache.hadoop.fs.Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      hpath.toUri, spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(hpath)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val total = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, ((total + targetBytes - 1) / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // atomic-enough swap: the new files land fully before the old leave
+    val bak = new org.apache.hadoop.fs.Path(path + "._compact_old")
+    fs.delete(bak, true)
+    fs.rename(hpath, bak)
+    fs.rename(tmp, hpath)
+    fs.delete(bak, true)
+    nOut
+  }
+
   /** Equi-join with the left (large, skewed) side salted `factor` ways.
     * The salt is `mid % factor`: per-partition row ids are consecutive, so
     * a hot key's rows round-robin across all `factor` sub-keys — strictly

@@ -504,6 +504,26 @@ class ScaleSpec extends AnyFunSuite {
       (w(0).getLong(1) == w(1).getLong(1) && w(0).getString(0) < w(1).getString(0))))
   }
 
+  test("Staging.compact: many small files collapse to the byte-derived count, data intact") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val li = Tables(spark, sf).lineitem.select(col("l_orderkey"), col("l_quantity"))
+    li.repartition(64).write.mode("overwrite").parquet(dir) // the small-file mess
+    def files(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = files(dir)
+    assert(before >= 32, s"fixture did not produce small files: $before")
+    val reported = sources.Staging.compact(spark, dir, 8L * 1024 * 1024)
+    assert(files(dir) == reported && reported < before / 4,
+      s"$before files -> $reported")
+    // data survives byte-for-byte (row multiset)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == li.count())
+    assert(after.exceptAll(li).isEmpty && li.exceptAll(after).isEmpty)
+    // idempotent: a second pass keeps the count
+    assert(sources.Staging.compact(spark, dir, 8L * 1024 * 1024) == reported)
+  }
+
   test("q_setops: segments partition the two-year customer universe") {
     import org.apache.spark.sql.functions.{col, year, countDistinct}
     val seg = relational.Relational.qSetops(spark, sf).collect()
