@@ -484,6 +484,58 @@ object RuleQueries {
        |WHERE block IS NOT NULL
        |GROUP BY 1""".stripMargin)
 
+  // ---- behavioral bot detection (timing regularity) ------------------------
+
+  /** Behavioral bot detection by inter-event timing regularity — the
+    * moderation signal BEHIND the reference's rule engine (humans arrive
+    * bursty, cv ≈ 1 under Poisson; schedulers and scripts arrive regular,
+    * cv → 0): per user, the squared coefficient of variation of
+    * inter-event gaps, flagged below 0.81 (cv < 0.9) with ≥ 20 gaps of
+    * support. ONE user_id exchange serves the lag window AND the per-user
+    * fold. All moments in EXACT BIGINT (gaps in whole seconds keep n·Σg²
+    * inside int64 at any per-user history; cv² = (n·Σg²−(Σg)²)/(Σg)² —
+    * mean cancels, so ONE double division of exact-int operands decides
+    * the verdict identically on both engines, the ev_spike variance
+    * trick). */
+  def botTiming(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    graft.Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), graft.epochUs(col("ts")).as("ts_us"))
+      .withColumn("gap_s",
+        expr("(ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)) DIV 1000000"))
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("sg"),
+        sum(col("gap_s") * col("gap_s")).as("sg2"))
+      .filter(col("n_gaps") >= 20 && col("sg") > 0)
+      .select(col("user_id"), col("n_gaps"),
+        round(col("sg").cast("double") / col("n_gaps"), 6).as("mean_gap_s"),
+        round((col("n_gaps") * col("sg2") - col("sg") * col("sg")).cast("double")
+          / (col("sg") * col("sg")), 6).as("cv2"),
+        ((col("n_gaps") * col("sg2") - col("sg") * col("sg")).cast("double")
+          / (col("sg") * col("sg")) < 0.81).as("bot_like"))
+  }
+
+  val botTimingSql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) -
+      |     lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+      |       PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id))
+      |      // 1000000 AS gap_s
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, count(*) AS n_gaps,
+      |    CAST(sum(gap_s) AS BIGINT) AS sg,
+      |    CAST(sum(gap_s * gap_s) AS BIGINT) AS sg2
+      |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+      |SELECT user_id, n_gaps,
+      |  round(CAST(sg AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
+      |  round(CAST(n_gaps * sg2 - sg * sg AS DOUBLE) / (sg * sg), 6) AS cv2,
+      |  CAST(n_gaps * sg2 - sg * sg AS DOUBLE) / (sg * sg) < 0.81 AS bot_like
+      |FROM s WHERE n_gaps >= 20 AND sg > 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ru_bloom" -> (ruBloom _),
     "ru_notify_text" -> (ruNotifyText _),
@@ -496,6 +548,7 @@ object RuleQueries {
     "ru_exact" -> (ruExact _),
     "ru_ua_len" -> (ruUaLen _),
     "ru_engine" -> (ruEngine _),
+    "ru_bot_timing" -> (botTiming _),
     "ru_match_stats" -> (ruMatchStats _),
     "ru_lifecycle" -> (ruLifecycle _),
     "ru_expiry" -> (ruExpiry _),
@@ -513,6 +566,7 @@ object RuleQueries {
     "ru_exact" -> ruExactSql,
     "ru_ua_len" -> ruUaLenSql,
     "ru_engine" -> ruEngineSql,
+    "ru_bot_timing" -> botTimingSql,
     "ru_match_stats" -> ruMatchStatsSql,
     "ru_lifecycle" -> ruLifecycleSql,
     "ru_expiry" -> ruExpirySql,

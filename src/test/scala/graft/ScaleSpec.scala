@@ -504,6 +504,23 @@ class ScaleSpec extends AnyFunSuite {
       (w(0).getLong(1) == w(1).getLong(1) && w(0).getString(0) < w(1).getString(0))))
   }
 
+  test("ru_bot_timing: one user_id exchange; verdicts reconstruct from exact moments") {
+    val q = rules.RuleQueries.botTiming(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges == 1, s"lag window and per-user fold must share one shuffle, got $exchanges")
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 20)
+      assert(r.getDouble(3) >= 0, "cv^2 is a variance ratio, never negative")
+      assert(r.getBoolean(4) == (r.getDouble(3) < 0.81) ||
+        math.abs(r.getDouble(3) - 0.81) < 1e-6)
+    }
+    // the synthetic Poisson-ish arrivals should NOT look like bots wholesale
+    assert(rows.count(_.getBoolean(4)) < rows.length / 2)
+  }
+
   test("Staging.compact: many small files collapse to the byte-derived count, data intact") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
