@@ -1043,7 +1043,81 @@ object EventOps {
       |  round(med, 6) AS med, round(mad, 6) AS mad, score
       |FROM scored WHERE abs(score) > 3""".stripMargin
 
+  // ---- distribution drift monitor ------------------------------------------
+
+  /** The event-type universe as an explicit list — the drift L1 sums per
+    * type in THIS written order on both engines (a floating sum across an
+    * aggregation's nondeterministic row order would not hash-match; a
+    * fixed-order pivot makes the addend order part of the query text). */
+  val driftTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Day-over-day distribution drift — the data-drift monitor every ML
+    * pipeline runs between training and serving (a shift in the event-type
+    * mix is the first symptom of upstream breakage or behavior change):
+    * per day, the event-type share vector; drift(day) = L1 distance to the
+    * previous day's vector (total variation ×2). Scale shape: ONE corpus
+    * aggregation to (day, type) counts; the pivot to fixed-order share
+    * columns, the lag window, and the L1 fold all run over the BOUNDED day
+    * dim. Shares are single divisions of exact-int operands; the L1 sums
+    * its |Δshare| terms in the explicit [[driftTypes]] order, so the
+    * double is bit-identical across engines and partitionings. */
+  def drift(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wDay = W.orderBy(col("day_epoch"))
+    val counts = Tables(spark, sfDir).events
+      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val pivoted = counts.groupBy(col("day_epoch"))
+      .pivot("event_type", driftTypes)
+      .agg(first(col("c")))
+      .na.fill(0L, driftTypes)
+    val withN = pivoted.withColumn("n",
+      driftTypes.map(t => col(t)).reduce(_ + _))
+    val shares = driftTypes.foldLeft(withN) { (df, t) =>
+      df.withColumn(s"s_$t", col(t).cast("double") / col("n"))
+    }
+    val lagged = driftTypes.foldLeft(shares) { (df, t) =>
+      df.withColumn(s"p_$t", lag(col(s"s_$t"), 1).over(wDay))
+    }
+    lagged
+      .filter(col(s"p_${driftTypes.head}").isNotNull)
+      .withColumn("drift_l1", round(
+        driftTypes.map(t => abs(col(s"s_$t") - col(s"p_$t"))).reduce(_ + _), 6))
+      .select(col("day_epoch"), col("n"), col("drift_l1"),
+        (col("drift_l1") > 0.08).as("drifted"))
+  }
+
+  val driftSql: String = {
+    val pivotCols = driftTypes.map(t =>
+      s"count(CASE WHEN event_type = '$t' THEN 1 END) AS c_$t").mkString(",\n    ")
+    val nSum = driftTypes.map(t => s"c_$t").mkString(" + ")
+    val shareCols = driftTypes.map(t =>
+      s"CAST(c_$t AS DOUBLE) / n AS s_$t").mkString(",\n    ")
+    val lagCols = driftTypes.map(t =>
+      s"lag(s_$t) OVER (ORDER BY day_epoch) AS p_$t").mkString(",\n    ")
+    val l1 = driftTypes.map(t => s"abs(s_$t - p_$t)").mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT)
+       |      AS day_epoch,
+       |    $pivotCols
+       |  FROM events GROUP BY 1),
+       |withn AS (SELECT *, $nSum AS n FROM p),
+       |sh AS (
+       |  SELECT day_epoch, n,
+       |    $shareCols
+       |  FROM withn),
+       |lg AS (
+       |  SELECT *,
+       |    $lagCols
+       |  FROM sh)
+       |SELECT day_epoch, n, round($l1, 6) AS drift_l1,
+       |  round($l1, 6) > 0.08 AS drifted
+       |FROM lg WHERE p_${driftTypes.head} IS NOT NULL""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_drift" -> (drift _),
     "ev_anomaly_mad" -> (anomalyMad _),
     "ev_quantile_sketch" -> (quantileSketch _),
     "ev_entry_paths" -> (entryPaths _),
@@ -1068,6 +1142,7 @@ object EventOps {
     "ev_quantiles" -> (quantiles _))
 
   def oracleSql: Map[String, String] = Map(
+    "ev_drift" -> driftSql,
     "ev_anomaly_mad" -> anomalyMadSql,
     "ev_quantile_sketch" -> quantileSketchSql,
     "ev_entry_paths" -> entryPathsSql,

@@ -504,6 +504,20 @@ class ScaleSpec extends AnyFunSuite {
       (w(0).getLong(1) == w(1).getLong(1) && w(0).getString(0) < w(1).getString(0))))
   }
 
+  test("ev_drift: L1 bounded in [0,2]; day count matches the calendar minus the seed day") {
+    import org.apache.spark.sql.functions.{col, countDistinct, date_trunc}
+    val rows = events.EventOps.drift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val l1 = r.getDouble(2)
+      assert(l1 >= 0 && l1 <= 2.0, s"L1 out of total-variation bounds: $l1")
+      assert(r.getBoolean(3) == (l1 > 0.08))
+    }
+    val days = Tables(spark, sf).events
+      .agg(countDistinct(date_trunc("day", col("ts")))).head.getLong(0)
+    assert(rows.length.toLong == days - 1, "one drift row per day after the first")
+  }
+
   test("ru_bot_timing: one user_id exchange; verdicts reconstruct from exact moments") {
     val q = rules.RuleQueries.botTiming(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
