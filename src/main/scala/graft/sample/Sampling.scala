@@ -315,7 +315,51 @@ object Sampling {
        |  round(CAST(count(*) AS DOUBLE) / max(n_docs_orig), 6) AS achieved
        |FROM e GROUP BY 1""".stripMargin
 
+  // ---- train/test near-dup leakage audit -----------------------------------
+
+  /** Cross-split near-duplicate leakage — the eval-integrity audit exact
+    * splitting CANNOT give you: samp_split guarantees no document sits in
+    * two splits, but a NEAR-duplicate pair straddling train and test leaks
+    * the answer into training anyway (the quiet eval-inflation bug; why
+    * dedup-then-split is the production order). Composition row: the
+    * MinHash-LSH candidate pairs (dd_minhash's bounded band join) join the
+    * split assignment (zero-shuffle hash math) twice on the pair ends; the
+    * readout aggregates to the ≤6-cell (split, split) matrix with the
+    * dd_source_matrix least/greatest canonicalization. At 100 TB this
+    * costs the band join the dedup pass already runs — the audit is one
+    * extra broadcast-sized join family over its output. */
+  def leakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = split(spark, sfDir).select(col("doc_id"), col("split"))
+    graft.dedup.Dedup.minhashLsh(spark, sfDir)
+      .join(s.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(s.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+      .select(least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaky", col("split_lo") =!= col("split_hi"))
+  }
+
+  def leakageSql: String =
+    s"""WITH ${graft.dedup.Dedup.minhashCtes},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sp AS (
+       |  ${splitSql.replace("\n", "\n  ")}),
+       |j AS (
+       |  SELECT least(sa.split, sb.split) AS split_lo,
+       |    greatest(sa.split, sb.split) AS split_hi
+       |  FROM pairs
+       |  JOIN sp sa ON pairs.id_a = sa.doc_id
+       |  JOIN sp sb ON pairs.id_b = sb.doc_id)
+       |SELECT split_lo, split_hi, count(*) AS n_pairs,
+       |  split_lo <> split_hi AS leaky
+       |FROM j GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "samp_leakage" -> (leakage _),
     "samp_upsample" -> (upsample _),
     "samp_split" -> (split _),
     "samp_stratified" -> (stratified _),
@@ -325,6 +369,7 @@ object Sampling {
     "samp_dsir" -> (dsir _))
 
   def oracleSql: Map[String, String] = Map(
+    "samp_leakage" -> leakageSql,
     "samp_upsample" -> upsampleSql,
     "samp_split" -> splitSql,
     "samp_stratified" -> stratifiedSql,

@@ -123,6 +123,22 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("samp_leakage: pair mass conserved; cross-split rows are the leaks") {
+    val pairs = dedup.Dedup.minhashLsh(spark, sf).count()
+    val rows = sample.Sampling.leakage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every candidate pair lands in exactly one (split_lo, split_hi) cell
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == pairs)
+    rows.foreach { r =>
+      val (lo, hi) = (r.getString(0), r.getString(1))
+      assert(lo <= hi, "cells must be canonicalized")
+      assert(r.getAs[Boolean]("leaky") == (lo != hi))
+    }
+    // the 90/5/5 split over a near-dup-rich corpus should exhibit at least
+    // one real leak — otherwise the audit never exercises its reason to exist
+    assert(rows.exists(r => r.getAs[Boolean]("leaky") && r.getAs[Long]("n_pairs") > 0))
+  }
+
   test("samp_upsample: copies bracketed by floor/ceil of the boost; fully deterministic") {
     import org.apache.spark.sql.functions._
     val boosts = sample.Sampling.temperature(spark, sf).collect()
