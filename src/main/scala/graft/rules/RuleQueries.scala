@@ -484,6 +484,39 @@ object RuleQueries {
        |WHERE block IS NOT NULL
        |GROUP BY 1""".stripMargin)
 
+  // ---- alt-account rings (shared fingerprint) ------------------------------
+
+  /** Multi-account ("alt") ring detection by shared browser fingerprint —
+    * the analysis behind the reference's `Alt` action (rules.rs:286-331
+    * marks accounts as alts; PrintMatch matches one print — this finds the
+    * PRINTS worth acting on): accounts sharing a fingerprint, with ring
+    * size, account roster, and activity span. ONE aggregation on the
+    * fingerprint key (bounded listagg: ring sizes are capped by abuse
+    * economics, not corpus size — and the roster sorts before joining, so
+    * the csv is partition-order-proof); rings of one account drop out.
+    * The span columns feed triage: a ring whose accounts signed up within
+    * minutes is a script, one spanning months is a shared device. */
+  def altRings(spark: SparkSession, sfDir: String): DataFrame =
+    graft.events.Signups.derive(spark, sfDir)
+      .groupBy(col("fingerprint"))
+      .agg(countDistinct(col("username")).as("n_accounts"),
+        count(lit(1)).as("n_signups"),
+        min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"),
+        array_join(array_sort(collect_set(col("username"))), ",").as("accounts"))
+      .filter(col("n_accounts") >= 2)
+      .withColumn("span_us", col("last_us") - col("first_us"))
+
+  val altRingsSql: String = graft.events.Signups.sqlCte +
+    """SELECT fingerprint,
+      |  count(DISTINCT username) AS n_accounts,
+      |  count(*) AS n_signups,
+      |  min(ts_us) AS first_us, max(ts_us) AS last_us,
+      |  string_agg(DISTINCT username, ',' ORDER BY username) AS accounts,
+      |  max(ts_us) - min(ts_us) AS span_us
+      |FROM signups
+      |GROUP BY 1
+      |HAVING count(DISTINCT username) >= 2""".stripMargin
+
   // ---- behavioral bot detection (timing regularity) ------------------------
 
   /** Behavioral bot detection by inter-event timing regularity — the
@@ -549,6 +582,7 @@ object RuleQueries {
     "ru_ua_len" -> (ruUaLen _),
     "ru_engine" -> (ruEngine _),
     "ru_bot_timing" -> (botTiming _),
+    "ru_alt_rings" -> (altRings _),
     "ru_match_stats" -> (ruMatchStats _),
     "ru_lifecycle" -> (ruLifecycle _),
     "ru_expiry" -> (ruExpiry _),
@@ -567,6 +601,7 @@ object RuleQueries {
     "ru_ua_len" -> ruUaLenSql,
     "ru_engine" -> ruEngineSql,
     "ru_bot_timing" -> botTimingSql,
+    "ru_alt_rings" -> altRingsSql,
     "ru_match_stats" -> ruMatchStatsSql,
     "ru_lifecycle" -> ruLifecycleSql,
     "ru_expiry" -> ruExpirySql,

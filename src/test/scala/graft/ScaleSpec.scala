@@ -504,6 +504,27 @@ class ScaleSpec extends AnyFunSuite {
       (w(0).getLong(1) == w(1).getLong(1) && w(0).getString(0) < w(1).getString(0))))
   }
 
+  test("ru_alt_rings: rosters cover exactly the multi-account fingerprints") {
+    import org.apache.spark.sql.functions.col
+    // sf0.01: the 15 signup users of sf0.001 all land on distinct prints
+    // (fp = user % 50), so rings only exist from ~150 users up
+    val sf = "/root/testdata/sf0.01"
+    val rows = rules.RuleQueries.altRings(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val roster = r.getAs[String]("accounts").split(",")
+      assert(roster.length.toLong == r.getAs[Long]("n_accounts"))
+      assert(roster.sorted.sameElements(roster), "roster must be sorted (partition-order-proof)")
+      assert(r.getAs[Long]("n_accounts") >= 2 && r.getAs[Long]("span_us") >= 0)
+    }
+    // every account appears in at most... a username can share several
+    // prints? the derivation is fp(user % 50), so each user has ONE print:
+    // rings partition the multi-account print population
+    val printCount = graft.events.Signups.derive(spark, sf)
+      .select(col("fingerprint")).distinct().count()
+    assert(rows.length <= printCount)
+  }
+
   test("ev_drift: L1 bounded in [0,2]; day count matches the calendar minus the seed day") {
     import org.apache.spark.sql.functions.{col, countDistinct, date_trunc}
     val rows = events.EventOps.drift(spark, sf).collect()
