@@ -792,6 +792,66 @@ object WebOps {
        |FROM blocks""".stripMargin
   }
 
+  // ---- page-level index signals (rel=canonical + meta robots) --------------
+
+  /** Fixture pages: absolute and relative canonicals, attribute order
+    * reversed, uppercase robots content, a self-canonical with tracking
+    * params (the canonicalizer must collapse it), and a bare page. */
+  val canonicalCorpus: Seq[(Long, String, String)] = Seq(
+    (0L, "https://example.com/dup/page.html",
+      """<html><head><link rel="canonical" href="https://example.com/orig.html">
+        |<meta name="robots" content="noindex, nofollow"></head></html>""".stripMargin),
+    (1L, "https://example.com/dir/b.html",
+      """<head><link rel="canonical" href="./a.html"></head>"""),
+    (2L, "https://example.com/plain.html", "<html><body>no signals</body></html>"),
+    (3L, "https://example.com/rev.html",
+      """<link href="/master.html" rel="canonical"><meta name="robots" content="NOINDEX">"""),
+    (4L, "https://Example.COM/self.html?utm_source=x",
+      """<link rel="canonical" href="https://example.com/self.html">"""))
+
+  /** Page-level index signals — the dedup/crawl directives INSIDE the page
+    * that complement robots.txt's path rules: `rel=canonical` (the site's
+    * OWN declaration of which URL is the master copy — search dedup honors
+    * it before any content hash) and `meta robots` noindex/nofollow. The
+    * canonical href resolves and canonicalizes through the SAME fused
+    * expression chain as link extraction, so "is this page its own
+    * master?" is exact string equality in canonical space (fixture 4's
+    * tracking-param self-reference collapses correctly). Missing canonical
+    * ⇒ self. Per-row regex + expression work, zero shuffles. */
+  def canonicalTag(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val relFirst = regexp_extract(col("html"),
+      "<link[^>]*rel=\"canonical\"[^>]*href=\"([^\"]*)\"", 1)
+    val hrefFirst = regexp_extract(col("html"),
+      "<link[^>]*href=\"([^\"]*)\"[^>]*rel=\"canonical\"", 1)
+    val robots = lower(regexp_extract(col("html"),
+      "<meta[^>]*name=\"robots\"[^>]*content=\"([^\"]*)\"", 1))
+    canonicalCorpus.toDF("page_id", "url", "html")
+      .withColumn("href", when(relFirst =!= "", relFirst).otherwise(hrefFirst))
+      .withColumn("self_canon", urlCanonical(col("url")))
+      .withColumn("canonical",
+        when(col("href") =!= "", urlCanonical(urlResolve(col("url"), col("href"))))
+          .otherwise(col("self_canon")))
+      .select(col("page_id"),
+        col("canonical"),
+        (col("canonical") === col("self_canon")).as("is_self_canonical"),
+        robots.contains("noindex").as("noindex"),
+        robots.contains("nofollow").as("nofollow"))
+  }
+
+  /** Oracle: hand-traced through resolve+canonicalize (the linkExtract
+    * transcript pattern — the canonicalizer is not SQL-replayable). */
+  val canonicalTagSql: String =
+    """SELECT CAST(page_id AS BIGINT) AS page_id, canonical, is_self_canonical,
+      |  noindex, nofollow
+      |FROM (VALUES
+      |  (0, 'https://example.com/orig.html',   false, true,  true),
+      |  (1, 'https://example.com/dir/a.html',  false, false, false),
+      |  (2, 'https://example.com/plain.html',  true,  false, false),
+      |  (3, 'https://example.com/master.html', false, true,  false),
+      |  (4, 'https://example.com/self.html',   true,  false, false)
+      |) t(page_id, canonical, is_self_canonical, noindex, nofollow)""".stripMargin
+
   // ---- RSS/Atom feed ingestion ---------------------------------------------
 
   /** Feed fixtures: one RSS 2.0 channel and one Atom feed — CDATA titles,
@@ -1023,6 +1083,7 @@ object WebOps {
     "web_frontier" -> (frontier _),
     "web_sitemap" -> (sitemap _),
     "web_feed" -> (feed _),
+    "web_canonical" -> (canonicalTag _),
     "web_robots" -> (robotsCheck _),
     "web_pagerank" -> (pageRank _))
 
@@ -1037,6 +1098,7 @@ object WebOps {
     "web_frontier" -> frontierSql,
     "web_sitemap" -> sitemapSql,
     "web_feed" -> feedSql,
+    "web_canonical" -> canonicalTagSql,
     "web_robots" -> robotsCheckSql,
     "web_pagerank" -> pageRankSql)
 }

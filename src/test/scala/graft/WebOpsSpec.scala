@@ -211,6 +211,23 @@ class WebOpsSpec extends AnyFunSuite {
     assert(top.getAs[Long]("pr") > 1000000000L / n)
   }
 
+  test("web_canonical: canonicals are absolute-canonical; self iff equal in canonical space") {
+    val q = WebOps.canonicalTag(spark, sf)
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = q.collect()
+    assert(rows.length == WebOps.canonicalCorpus.length)
+    val urls = WebOps.canonicalCorpus.map { case (id, u, _) => id -> u }.toMap
+    rows.foreach { r =>
+      val canon = r.getString(1)
+      assert(canon.startsWith("https://") || canon.startsWith("http://"))
+      assert(canon == WebOps.canonicalUrl(canon), "canonical output must be a fixpoint")
+      assert(r.getBoolean(2) ==
+        (canon == WebOps.canonicalUrl(urls(r.getLong(0)))))
+    }
+    // the reversed-attribute form (fixture 3) really extracted
+    assert(rows.find(_.getLong(0) == 3L).get.getString(1).endsWith("/master.html"))
+  }
+
   test("web_feed: RSS and Atom normalize to one shape; zero shuffles") {
     val q = WebOps.feed(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
