@@ -859,6 +859,67 @@ object TextOps {
        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
   }
 
+  // ---- encoding sanity (mojibake filter) ------------------------------------
+
+  /** Dirty fixture rows unioned under negative ids: the corpus is clean
+    * ASCII, so the detector's failure branches need these to be exercised
+    * (U+FFFD replacement chars from a bad transcode, control-character
+    * soup from binary-as-text, a clean multilingual row that must PASS). */
+  val charsetDirty: Seq[(Long, String)] = Seq(
+    (-1L, "broken transcode �� here and � there"),
+    (-2L, "binary\u0001soup\u0007with\u0013controls"),
+    (-3L, "clean multilingual café 日本語 text"))
+
+  /** Encoding-sanity filter — the mojibake gate every web-text pipeline
+    * runs before tokenization (bad transcodes surface as U+FFFD
+    * replacement characters; binary-as-text surfaces as C0 control
+    * characters; both poison tokenizers and dedup): per doc, the
+    * replacement-char count, control-char count (tab/newline exempt), and
+    * their combined ratio, gated at 1%. Pure per-row column math (regex
+    * counts + one exact-int-operand division), ZERO shuffles at any corpus
+    * size; a clean non-ASCII row passes — the gate measures BREAKAGE, not
+    * foreignness (the C4 trap of equating non-ASCII with noise). */
+  def charset(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      .unionAll(charsetDirty.toDF("doc_id", "text"))
+    base.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        regexp_count(col("text"), lit("�")).cast("long").as("n_repl"),
+        regexp_count(col("text"), lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"))
+          .cast("long").as("n_ctrl"))
+      .withColumn("bad_ratio",
+        round((col("n_repl") + col("n_ctrl")).cast("double")
+          / greatest(col("n_chars"), lit(1L)), 6))
+      .withColumn("verdict",
+        when(col("bad_ratio") <= 0.01, "keep").otherwise("drop"))
+  }
+
+  val charsetSql: String = {
+    // control chars spelled via chr() — a raw \x01 inside a SQL literal
+    // would have to survive JSON + parser round-trips on the driver side
+    val dirtyRows =
+      "(-1, 'broken transcode ' || chr(65533) || chr(65533) || ' here and ' || chr(65533) || ' there'), " +
+        "(-2, 'binary' || chr(1) || 'soup' || chr(7) || 'with' || chr(19) || 'controls'), " +
+        "(-3, 'clean multilingual caf' || chr(233) || ' ' || chr(26085) || chr(26412) || chr(35486) || ' text')"
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $dirtyRows) d(doc_id, text)),
+       |m AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(length(text) - length(regexp_replace(text, '\\x{fffd}', '', 'g'))
+       |      AS BIGINT) AS n_repl,
+       |    CAST(length(text) - length(regexp_replace(text,
+       |      '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS BIGINT) AS n_ctrl
+       |  FROM base)
+       |SELECT doc_id, n_chars, n_repl, n_ctrl,
+       |  round(CAST(n_repl + n_ctrl AS DOUBLE) / greatest(n_chars, 1), 6)
+       |    AS bad_ratio,
+       |  CASE WHEN round(CAST(n_repl + n_ctrl AS DOUBLE) / greatest(n_chars, 1), 6)
+       |    <= 0.01 THEN 'keep' ELSE 'drop' END AS verdict
+       |FROM m""".stripMargin
+  }
+
   // ---- dictionary entity tagging (gazetteer) -------------------------------
 
   /** Gazetteer: phrase → entity type. Multi-word entries are what make
@@ -944,6 +1005,7 @@ object TextOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_charset" -> (charset _),
     "tx_gazetteer" -> (gazetteer _),
     "tx_search" -> (search _),
     "tx_langid" -> (langId _),
@@ -971,6 +1033,7 @@ object TextOps {
     "tx_textrank" -> (TextRank.textrank _))
 
   def oracleSql: Map[String, String] = Map(
+    "tx_charset" -> charsetSql,
     "tx_gazetteer" -> gazetteerSql,
     "tx_search" -> searchSql,
     "tx_langid" -> langIdSql,

@@ -321,6 +321,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_charset: zero shuffles; corruption drops, clean non-ASCII passes") {
+    val q = text.TextOps.charset(spark, sf)
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
+    val byId = q.collect().map(r => r.getLong(0) ->
+      (r.getLong(2), r.getLong(3), r.getString(5))).toMap
+    assert(byId(-1L)._1 == 3L && byId(-1L)._3 == "drop", "replacement chars must drop")
+    assert(byId(-2L)._2 == 3L && byId(-2L)._3 == "drop", "control chars must drop")
+    // the gate measures BREAKAGE, not foreignness — accents/CJK pass
+    assert(byId(-3L) == ((0L, 0L, "keep")))
+    assert(byId.filter(_._1 >= 0).values.forall(_._3 == "keep"),
+      "the clean ASCII corpus must pass wholesale")
+  }
+
   test("tx_gazetteer: zero joins, one agg exchange; maximal matches conserve word counts") {
     val q = text.TextOps.gazetteer(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
