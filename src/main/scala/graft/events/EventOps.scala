@@ -1116,7 +1116,50 @@ object EventOps {
        |FROM lg WHERE p_${driftTypes.head} IS NOT NULL""".stripMargin
   }
 
+  // ---- heavy hitters (two-pass Misra–Gries) --------------------------------
+
+  /** Counters in the MG summary; threshold = n/(k+1). 100 keeps the sketch
+    * comfortably above the heavy set at every test scale (the exponential
+    * value mix puts ~35 buckets over threshold) while the full bucket
+    * domain (~490 keys) exceeds it — the sketch genuinely prunes. */
+  val hhK = 100
+
+  /** Frequent-key detection, production two-pass shape: which value-buckets
+    * carry more than 1/(k+1) of all events. Pass 1 is ONE corpus scan into a
+    * [[graft.plans.MisraGries]] summary — O(k) state per partition, 16k
+    * bytes on the wire, candidates GUARANTEED to contain every true heavy
+    * hitter (no false negatives). Pass 2 recounts ONLY the ≤k candidates
+    * (an IN-filter that rides the scan; map-side partials over ≤k keys, so
+    * shuffle volume is O(k·tasks) — independent of key cardinality) and the
+    * exact counts discard the sketch's false positives. The naive form —
+    * global `groupBy(bucket)` then HAVING — shuffles every key at corpus
+    * scale; this shuffles 48. The ≤k-row candidate collect is
+    * driver-bounded by construction (same contract as the Bloom dim).
+    * `share` is ONE double division of exact-int operands. */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).events
+      .select(floor(col("value")).cast("long").as("bucket"))
+    val pass1 = ev.agg(
+      graft.plans.MisraGries.candidates(col("bucket"), hhK).as("cands"),
+      count(lit(1)).as("n")).head()
+    val cands = pass1.getSeq[Long](0)
+    val n = pass1.getLong(1)
+    ev.filter(col("bucket").isin(cands: _*))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(hhK + 1L) > lit(n))
+      .withColumn("share", round(col("cnt").cast("double") / lit(n.toDouble), 6))
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH b AS (SELECT CAST(floor(value) AS BIGINT) AS bucket FROM events),
+       |c AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+       |t AS (SELECT count(*) AS n FROM b)
+       |SELECT bucket, cnt, round(CAST(cnt AS DOUBLE) / n, 6) AS share
+       |FROM c, t WHERE cnt * ${hhK + 1} > n""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_heavy_hitters" -> (heavyHitters _),
     "ev_drift" -> (drift _),
     "ev_anomaly_mad" -> (anomalyMad _),
     "ev_quantile_sketch" -> (quantileSketch _),
@@ -1142,6 +1185,7 @@ object EventOps {
     "ev_quantiles" -> (quantiles _))
 
   def oracleSql: Map[String, String] = Map(
+    "ev_heavy_hitters" -> heavyHittersSql,
     "ev_drift" -> driftSql,
     "ev_anomaly_mad" -> anomalyMadSql,
     "ev_quantile_sketch" -> quantileSketchSql,

@@ -920,7 +920,46 @@ object Relational {
       |UNION ALL SELECT 'new',
       |  (SELECT count(*) FROM (SELECT * FROM cur EXCEPT SELECT * FROM prior))""".stripMargin
 
+  // ---- UNPIVOT (wide → long melt) ------------------------------------------
+
+  /** The melt surface: lineitem's four money/measure columns unpivoted to
+    * (metric, val) long form, then re-aggregated per (returnflag, metric) —
+    * the wide→long reshape every metrics warehouse does before generic
+    * per-metric processing. Spark's native `unpivot` (Expand under the
+    * hood: zero shuffle, zero join — each input row fans out to 4 in the
+    * same task), then ONE agg over the bounded (flag × metric) key space
+    * with map-side partials. Sums run in EXACT decimal (the q1 contract:
+    * 2dp money in, decimal sum is one rational number on both engines)
+    * and cast to double only at the end. */
+  def qUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    Tables(spark, sfDir).lineitem
+      .select(col("l_returnflag") +: measures.map(col): _*)
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = measures.map(col).toArray,
+        variableColumnName = "metric",
+        valueColumnName = "val")
+      .groupBy(col("l_returnflag"), col("metric"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("val").cast("decimal(12,2)")).cast("double").as("total"),
+        max(col("val")).as("mx"))
+  }
+
+  val qUnpivotSql: String =
+    """WITH u AS (
+      |  UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice,
+      |           l_discount, l_tax FROM lineitem)
+      |  ON l_quantity, l_extendedprice, l_discount, l_tax
+      |  INTO NAME metric VALUE val)
+      |SELECT l_returnflag, metric, count(*) AS n,
+      |  CAST(sum(CAST(val AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |  max(val) AS mx
+      |FROM u GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot" -> (qUnpivot _),
     "q_setops" -> (qSetops _),
     "q_listagg" -> (qListagg _),
     "q_histogram" -> (qHistogram _),
@@ -948,6 +987,7 @@ object Relational {
     "ev_topk_users" -> (evTopkUsers _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_unpivot" -> qUnpivotSql,
     "q_setops" -> qSetopsSql,
     "q_listagg" -> qListaggSql,
     "q_histogram" -> qHistogramSql,

@@ -1004,7 +1004,58 @@ object TextOps {
        |FROM sel GROUP BY 1, 2, 3""".stripMargin
   }
 
+  // ---- per-document TF-IDF keyword extraction ------------------------------
+
+  val keywordsK = 3
+
+  /** Per-document top-k keyword EXTRACTION — the inverse direction of
+    * tx_search's query→docs retrieval: tag EVERY document with its most
+    * distinctive terms (the metadata pass a pretraining pipeline runs to
+    * build topic facets / dedup features). Scale shape: ONE doc_id exchange
+    * serves the (doc, term) tf aggregation AND the per-doc top-k window
+    * (HashPartitioning(doc_id) satisfies both — the token explode never
+    * re-shuffles); df derives FROM the tf frame (the token stream is
+    * scanned once); N is a one-row broadcast; the df join keys on term
+    * (AQE broadcasts it when the vocab fits). idf is the raw rational
+    * N/df (the tx_search parity trick — order-preserving, libm-free):
+    * score = (tf·N)/df is ONE double division of exact-int operands, so
+    * both engines rank identical doubles; ties break on term asc.
+    * WindowGroupLimit pushes rk ≤ k below the window exchange. */
+  def keywords(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val tf = d
+      .select(col("doc_id"), explode(Portable.words(col("text"))).as("term"))
+      .repartition(col("doc_id"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dft, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= keywordsK)
+      .select(col("doc_id"), col("term"), col("tf"), col("score"))
+  }
+
+  val keywordsSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(${Portable.wordsSql}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |t AS (SELECT count(*) AS n_docs FROM documents),
+       |s AS (
+       |  SELECT doc_id, tf.term, tf,
+       |    CAST(tf * n_docs AS DOUBLE) / df AS score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, tf.term) AS rk
+       |  FROM tf JOIN dft USING (term), t)
+       |SELECT doc_id, term, tf, score FROM s WHERE rk <= $keywordsK""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_keywords" -> (keywords _),
     "tx_charset" -> (charset _),
     "tx_gazetteer" -> (gazetteer _),
     "tx_search" -> (search _),
@@ -1033,6 +1084,7 @@ object TextOps {
     "tx_textrank" -> (TextRank.textrank _))
 
   def oracleSql: Map[String, String] = Map(
+    "tx_keywords" -> keywordsSql,
     "tx_charset" -> charsetSql,
     "tx_gazetteer" -> gazetteerSql,
     "tx_search" -> searchSql,
