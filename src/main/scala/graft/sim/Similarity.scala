@@ -1002,7 +1002,117 @@ object Similarity {
        |  FROM scored) t
        |WHERE rank <= 3""".stripMargin
 
+  // ---- hybrid retrieval: lexical (TF-IDF) + vector (cosine) via RRF --------
+
+  /** Candidates each list contributes to the fusion. */
+  val hybridListK = 20
+  /** Final fused results. */
+  val hybridTopK = 10
+  /** Standard RRF damping constant (Cormack et al.). */
+  val rrfC = 60
+
+  /** Hybrid retrieval — the RAG-era flagship: a lexical ranked list (the
+    * tx_search TF-IDF scorer, rational idf) and a vector ranked list
+    * (cosine vs the query embedding) fused by Reciprocal Rank Fusion
+    * (score = Σ 1/(c + rank), the fusion that needs no score calibration
+    * between modalities — only ranks cross the boundary).
+    *
+    * Scale shape: each list is an independent bounded top-k pass over its
+    * OWN corpus (lexical: zero-shuffle per-row term counts + one-row stats
+    * broadcast + TakeOrderedAndProject; vector: one broadcast query row +
+    * TakeOrderedAndProject) — the corpora are never joined; fusion is a
+    * full-outer join of two ≤hybridListK-row lists, driver-scale by
+    * construction. RRF terms are single divisions of exact-int operands
+    * summed in fixed order; ranks tie-break on id so both lists are
+    * deterministic before fusion. */
+  def hybridTopKQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = graft.text.TextOps.searchTerms
+    // lexical list: tx_search's scorer, top-hybridListK with rank
+    val d = Tables(spark, sfDir).documents
+    val tf = d.select(
+      col("doc_id") +: terms.indices.map(i =>
+        regexp_count(col("text"), lit("\\b" + terms(i) + "\\b"))
+          .cast("long").as(s"tf$i")): _*)
+    val stats = tf.agg(
+      count(lit(1)).as("n_docs"),
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    val lexScore = terms.indices.map(i =>
+        col(s"tf$i") * (col("n_docs") / greatest(col(s"df$i"), lit(1L))))
+      .reduce(_ + _)
+    val lexList = tf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(lexScore, 6).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(hybridListK)
+      .withColumn("rank_lex",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("doc_id").as("id"), col("rank_lex"))
+    // vector list: cosine vs the query embedding (vec 0), top-hybridListK
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val vecList = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.plans.VectorDot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(hybridListK)
+      .withColumn("rank_vec",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id").asc)))
+      .select(col("vec_id").as("id"), col("rank_vec"))
+    // RRF fusion over the two bounded lists
+    lexList.join(vecList, Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfC) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfC) + col("rank_vec")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(hybridTopK)
+      .select(col("id"), col("rank_lex"), col("rank_vec"), col("rrf"))
+  }
+
+  val hybridSql: String = {
+    val terms = graft.text.TextOps.searchTerms
+    val tfCols = terms.indices.map(i =>
+      s"len(regexp_extract_all(text, '\\b${terms(i)}\\b')) AS tf$i").mkString(",\n    ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n    ")
+    val score = terms.indices.map(i =>
+      s"tf$i * (n_docs / greatest(df$i, 1))").mkString(" + ")
+    s"""WITH $embCte,
+       |tf AS (SELECT doc_id,
+       |    $tfCols
+       |  FROM documents),
+       |stats AS (SELECT count(*) AS n_docs,
+       |    $dfCols
+       |  FROM tf),
+       |lexs AS (
+       |  SELECT doc_id, round($score, 6) AS score
+       |  FROM tf CROSS JOIN stats
+       |  WHERE round($score, 6) > 0
+       |  ORDER BY score DESC, doc_id ASC LIMIT $hybridListK),
+       |lex AS (
+       |  SELECT doc_id AS id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_lex
+       |  FROM lexs),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |vecs AS (
+       |  SELECT vec_id, round(${Portable.cosineSql("e.v", "qv")}, 6) AS cos
+       |  FROM e CROSS JOIN q WHERE vec_id <> 0
+       |  ORDER BY cos DESC, vec_id ASC LIMIT $hybridListK),
+       |vec AS (
+       |  SELECT vec_id AS id,
+       |    row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank_vec
+       |  FROM vecs)
+       |SELECT coalesce(lex.id, vec.id) AS id, rank_lex, rank_vec,
+       |  coalesce(CAST(1 AS DOUBLE) / ($rrfC + rank_lex), 0) +
+       |    coalesce(CAST(1 AS DOUBLE) / ($rrfC + rank_vec), 0) AS rrf
+       |FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+       |ORDER BY rrf DESC, id ASC LIMIT $hybridTopK""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_hybrid" -> (hybridTopKQuery _),
     "ann_filtered" -> (filteredTopK _),
     "ann_mips" -> (mipsTopK _),
     "ann_recall" -> (annRecall _),
@@ -1019,6 +1129,7 @@ object Similarity {
     "ann_kmeans" -> (kmeans _))
 
   def oracleSql: Map[String, String] = Map(
+    "ann_hybrid" -> hybridSql,
     "ann_filtered" -> filteredTopKSql,
     "ann_mips" -> mipsTopKSql,
     "ann_recall" -> annRecallSql,

@@ -1003,7 +1003,62 @@ object StreamOps {
       |  after_value
       |FROM j""".stripMargin
 
+  // ---- streaming heavy hitters (Misra–Gries under the state store) ---------
+
+  /** Streaming frequent-key detection — ev_heavy_hitters' live form and the
+    * production pairing: a LIVE Misra–Gries summary per event_type under
+    * the state store (Complete-mode agg; state = the sketch's O(k) buffer
+    * per type, partial-merged across micro-batches by the same
+    * mergeable-summary construction the batch path uses), handed to a
+    * periodic EXACT confirm. The sketch's candidate SET is merge-order-
+    * dependent (a superset of the true heavies, never more than k per
+    * type); determinism comes from the confirm pass — candidates are
+    * broadcast back over the corpus, non-candidates collapse into one
+    * sentinel bucket (so the scan still yields per-type totals in the SAME
+    * single aggregation, ≤k+1 keys per type), and the exact threshold
+    * cnt·(k+1) > n keeps precisely the true heavy set whatever superset
+    * the sketch emitted. Shuffle volume O(types·k·tasks) end to end. */
+  def stHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = graft.events.EventOps.hhK
+    val sketch = runToTable(spark, sfDir, OutputMode.Complete()) { src =>
+      src.select(col("event_type"), floor(col("value")).cast("long").as("bucket"))
+        .groupBy(col("event_type"))
+        .agg(graft.plans.MisraGries.candidates(col("bucket"), k).as("cands"))
+    }
+    val candDim = sketch
+      .select(col("event_type").as("ct"), explode(col("cands")).as("cb"))
+      .withColumn("is_cand", lit(true))
+    val ev = graft.Tables(spark, sfDir).events
+      .select(col("event_type"), floor(col("value")).cast("long").as("bucket"))
+    val counts = ev
+      .join(broadcast(candDim),
+        col("event_type") === col("ct") && col("bucket") === col("cb"), "left_outer")
+      .select(col("event_type"),
+        when(col("is_cand"), col("bucket")).otherwise(lit(-1L)).as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    counts
+      .withColumn("n", sum(col("cnt")).over(w))
+      .filter(col("bucket") >= 0 && col("cnt") * lit(k + 1L) > col("n"))
+      .select(col("event_type"), col("bucket"), col("cnt"),
+        round(col("cnt").cast("double") / col("n"), 6).as("share"))
+  }
+
+  val stHeavyHittersSql: String = {
+    val k = graft.events.EventOps.hhK
+    s"""WITH b AS (
+       |  SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket FROM events),
+       |c AS (SELECT event_type, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+       |t AS (SELECT event_type, count(*) AS n FROM b GROUP BY 1)
+       |SELECT c.event_type, bucket, cnt,
+       |  round(CAST(cnt AS DOUBLE) / n, 6) AS share
+       |FROM c JOIN t ON c.event_type = t.event_type
+       |WHERE cnt * ${k + 1} > n""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_heavy_hitters" -> (stHeavyHitters _),
     "st_cdc" -> (stCdc _),
     "st_scd2" -> (stScd2 _),
     "st_spike" -> (stSpike _),
@@ -1026,6 +1081,7 @@ object StreamOps {
     "st_seen_state" -> (seenState _))
 
   def oracleSql: Map[String, String] = Map(
+    "st_heavy_hitters" -> stHeavyHittersSql,
     "st_cdc" -> stCdcSql,
     "st_scd2" -> stScd2Sql,
     "st_spike" -> stSpikeSql,
