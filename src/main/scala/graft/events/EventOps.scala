@@ -1158,7 +1158,151 @@ object EventOps {
        |SELECT bucket, cnt, round(CAST(cnt AS DOUBLE) / n, 6) AS share
        |FROM c, t WHERE cnt * ${hhK + 1} > n""".stripMargin
 
+  // ---- activity bitmaps (bitmap-index retention) ----------------------------
+
+  /** Per-user day-activity BITMAP — the bitmap-index pattern for
+    * activity/retention analytics: a user's whole month of presence is ONE
+    * int64 (bit i = active on day i from corpus start), built by a
+    * `bit_or` partial aggregation (order/partition-invariant like any
+    * sketch), after which every retention question is bit math on 8
+    * bytes/user — days_active = popcount, week-1 activity = `& 0x7F`,
+    * week-4 retention = two mask tests — with NO re-scan of the event
+    * corpus. The exploded form this replaces at 100 TB is a distinct
+    * (user, day) pair set: |users|·|days| rows shuffled per question
+    * vs |users| longs ONCE here. Corpus start is a one-row broadcast;
+    * offsets clamp at 62 so an out-of-window straggler can't overflow
+    * the bit index. */
+  def bitmapActivity(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val d0 = ev.agg(min(col("d")).as("d0"))
+    ev.crossJoin(broadcast(d0))
+      .select(col("user_id"),
+        least(datediff(col("d"), col("d0")).cast("long"), lit(62L)).as("off"))
+      .groupBy(col("user_id"))
+      .agg(
+        expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(off AS INT)))").as("bitmap"),
+        min(col("off")).as("first_day"),
+        max(col("off")).as("last_day"))
+      .select(col("user_id"), col("bitmap"),
+        bit_count(col("bitmap")).cast("long").as("days_active"),
+        col("first_day"), col("last_day"),
+        (col("bitmap").bitwiseAND(lit(127L)) =!= 0L).as("w1_active"),
+        ((col("bitmap").bitwiseAND(lit(127L)) =!= 0L) &&
+          (col("bitmap").bitwiseAND(lit(127L << 21)) =!= 0L)).as("w4_retained"))
+  }
+
+  val bitmapActivitySql: String =
+    s"""WITH d AS (
+       |  SELECT user_id,
+       |    CAST(date_diff('day',
+       |      (SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) FROM events),
+       |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS off
+       |  FROM events),
+       |b AS (
+       |  SELECT user_id,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(least(off, 62) AS INTEGER)) AS bitmap,
+       |    min(off) AS first_day, max(off) AS last_day
+       |  FROM d GROUP BY 1)
+       |SELECT user_id, bitmap, CAST(bit_count(bitmap) AS BIGINT) AS days_active,
+       |  first_day, last_day,
+       |  (bitmap & 127) <> 0 AS w1_active,
+       |  ((bitmap & 127) <> 0 AND (bitmap & ${127L << 21}) <> 0) AS w4_retained
+       |FROM b""".stripMargin
+
+  // ---- RFM segmentation (sort-free exact quartiles) -------------------------
+
+  /** Cents per monetary histogram bucket (100.00 currency units). */
+  val rfmMonetaryBucket = 10000L
+
+  /** RFM segmentation — the classic customer-value grid (Recency ×
+    * Frequency × Monetary, each quartiled) that marketing/retention teams
+    * read, produced WITHOUT the global `ntile` sort every textbook version
+    * uses (a no-partition window = one task owns all users). Quartile
+    * thresholds come from the exact discrete-percentile-over-value-histogram
+    * pattern instead: each metric's per-user values collapse to a BOUNDED
+    * (value → count) histogram (recency in days ≤ corpus span; frequency
+    * ≤ max events/user; monetary pre-bucketed to [[rfmMonetaryBucket]]
+    * cents), the cumulative window runs over that tiny dim — never the
+    * user corpus — and the threshold test is exact integer cross-multiply
+    * (`cum·4 ≥ k·n`, no division). Shuffles: ONE on user_id (the per-user
+    * agg); everything after is histogram-sized aggs and one-row broadcasts
+    * back onto the user frame. Money stays exact: cents BIGINT end-to-end,
+    * so segment totals hash-match at any partitioning. */
+  def rfm(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables(spark, sfDir).events
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        round(col("value") * lit(100), 0).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(max(col("d")).as("last_d"), count(lit(1)).as("f"),
+        sum(col("cents")).as("cents"))
+    val stats = u.agg(max(col("last_d")).as("d1"), count(lit(1)).as("n"))
+    val m = u.crossJoin(broadcast(stats))
+      .select(col("user_id"),
+        datediff(col("d1"), col("last_d")).cast("long").as("r"),
+        col("f"),
+        expr(s"cents DIV $rfmMonetaryBucket").as("mb"),
+        col("cents"), col("n"))
+    // exact discrete quartiles of metric `c`: smallest value whose cumulative
+    // user count reaches k/4 of the population, k = 1,2,3
+    def discQuartiles(c: String): DataFrame = {
+      val h = m.groupBy(col(c).as("v"), col("n")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("v"))))
+      h.agg(
+        min(when(col("cum") * 4 >= col("n"), col("v"))).as(s"${c}_q1"),
+        min(when(col("cum") * 2 >= col("n"), col("v"))).as(s"${c}_q2"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as(s"${c}_q3"))
+    }
+    def quartileOf(c: String): org.apache.spark.sql.Column =
+      lit(1L) + (col(c) > col(s"${c}_q1")).cast("long") +
+        (col(c) > col(s"${c}_q2")).cast("long") +
+        (col(c) > col(s"${c}_q3")).cast("long")
+    m.crossJoin(broadcast(discQuartiles("r")))
+      .crossJoin(broadcast(discQuartiles("f")))
+      .crossJoin(broadcast(discQuartiles("mb")))
+      .select(quartileOf("r").as("r_q"), quartileOf("f").as("f_q"),
+        quartileOf("mb").as("m_q"), col("f"), col("cents"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"), sum(col("f")).as("f_total"),
+        sum(col("cents")).as("cents_total"))
+  }
+
+  val rfmSql: String = {
+    def discQ(c: String): String =
+      s"""SELECT
+         |    min(CASE WHEN cum * 4 >= n THEN v END) AS ${c}_q1,
+         |    min(CASE WHEN cum * 2 >= n THEN v END) AS ${c}_q2,
+         |    min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS ${c}_q3
+         |  FROM (SELECT v, n, sum(cnt) OVER (ORDER BY v) AS cum
+         |        FROM (SELECT $c AS v, n, count(*) AS cnt FROM m GROUP BY 1, 2))""".stripMargin
+    def qOf(c: String): String =
+      s"1 + CAST($c > ${c}_q1 AS BIGINT) + CAST($c > ${c}_q2 AS BIGINT) + CAST($c > ${c}_q3 AS BIGINT)"
+    s"""WITH u AS (
+       |  SELECT user_id, max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS last_d,
+       |    CAST(count(*) AS BIGINT) AS f,
+       |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM events GROUP BY 1),
+       |s AS (SELECT max(last_d) AS d1, CAST(count(*) AS BIGINT) AS n FROM u),
+       |m AS (
+       |  SELECT user_id, CAST(date_diff('day', last_d, d1) AS BIGINT) AS r,
+       |    f, cents // $rfmMonetaryBucket AS mb, cents, n
+       |  FROM u, s),
+       |rq AS (${discQ("r")}),
+       |fq AS (${discQ("f")}),
+       |mq AS (${discQ("mb")}),
+       |lab AS (
+       |  SELECT ${qOf("r")} AS r_q, ${qOf("f")} AS f_q, ${qOf("mb")} AS m_q,
+       |    f, cents
+       |  FROM m, rq, fq, mq)
+       |SELECT r_q, f_q, m_q, count(*) AS n_users,
+       |  CAST(sum(f) AS BIGINT) AS f_total, CAST(sum(cents) AS BIGINT) AS cents_total
+       |FROM lab GROUP BY 1, 2, 3""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_rfm" -> (rfm _),
+    "ev_bitmap" -> (bitmapActivity _),
     "ev_heavy_hitters" -> (heavyHitters _),
     "ev_drift" -> (drift _),
     "ev_anomaly_mad" -> (anomalyMad _),
@@ -1185,6 +1329,8 @@ object EventOps {
     "ev_quantiles" -> (quantiles _))
 
   def oracleSql: Map[String, String] = Map(
+    "ev_rfm" -> rfmSql,
+    "ev_bitmap" -> bitmapActivitySql,
     "ev_heavy_hitters" -> heavyHittersSql,
     "ev_drift" -> driftSql,
     "ev_anomaly_mad" -> anomalyMadSql,

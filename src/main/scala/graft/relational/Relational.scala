@@ -958,7 +958,50 @@ object Relational {
       |  max(val) AS mx
       |FROM u GROUP BY 1, 2""".stripMargin
 
+  // ---- k-anonymity suppression ----------------------------------------------
+
+  /** Group-size floor for the quasi-identifier groups. */
+  val kAnonK = 8
+
+  /** k-anonymity with suppression — the data-governance gate run before a
+    * dataset (or its aggregates) leaves the boundary: every
+    * quasi-identifier group (nation × market segment) smaller than k is
+    * SUPPRESSED (quasi-ids nulled, rows pooled into one residual bucket),
+    * so no released group identifies fewer than k people. ONE aggregation
+    * to the bounded quasi-id key space (map-side partials), then the
+    * suppression fold runs over that tiny grouped frame — the release
+    * decision never re-touches row-level data. Output: each surviving
+    * group with its size, plus the pooled suppressed bucket with how many
+    * groups and rows it absorbed. */
+  def qKanon(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables(spark, sfDir).customer
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("grp_n"))
+    g.select(
+        when(col("grp_n") >= kAnonK, col("c_nationkey")).as("nationkey"),
+        when(col("grp_n") >= kAnonK, col("c_mktsegment")).as("mktsegment"),
+        (col("grp_n") < kAnonK).as("suppressed"),
+        col("grp_n"))
+      .groupBy(col("nationkey"), col("mktsegment"), col("suppressed"))
+      .agg(sum(col("grp_n")).as("n_rows"), count(lit(1)).as("n_groups"))
+  }
+
+  val qKanonSql: String =
+    s"""WITH g AS (
+       |  SELECT c_nationkey, c_mktsegment, count(*) AS grp_n
+       |  FROM customer GROUP BY 1, 2),
+       |s AS (
+       |  SELECT
+       |    CASE WHEN grp_n >= $kAnonK THEN c_nationkey END AS nationkey,
+       |    CASE WHEN grp_n >= $kAnonK THEN c_mktsegment END AS mktsegment,
+       |    grp_n < $kAnonK AS suppressed, grp_n
+       |  FROM g)
+       |SELECT nationkey, mktsegment, suppressed,
+       |  CAST(sum(grp_n) AS BIGINT) AS n_rows, count(*) AS n_groups
+       |FROM s GROUP BY 1, 2, 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kanon" -> (qKanon _),
     "q_unpivot" -> (qUnpivot _),
     "q_setops" -> (qSetops _),
     "q_listagg" -> (qListagg _),
@@ -987,6 +1030,7 @@ object Relational {
     "ev_topk_users" -> (evTopkUsers _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_kanon" -> qKanonSql,
     "q_unpivot" -> qUnpivotSql,
     "q_setops" -> qSetopsSql,
     "q_listagg" -> qListaggSql,

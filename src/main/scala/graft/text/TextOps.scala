@@ -1054,7 +1054,58 @@ object TextOps {
        |  FROM tf JOIN dft USING (term), t)
        |SELECT doc_id, term, tf, score FROM s WHERE rk <= $keywordsK""".stripMargin
 
+  // ---- Zipf rank-frequency audit ------------------------------------------
+
+  val zipfTopK = 100
+
+  /** Zipf rank-frequency audit — the corpus-statistics health check run on
+    * every new pretraining source: natural text follows cnt·rank ≈ const
+    * (Zipf's law), so a source whose top-of-vocabulary DEVIATES (boilerplate
+    * loops, template spam, machine-generated filler) shows up as a
+    * `zipf_ratio` drifting far from 1 within the first hundred ranks.
+    * Output per rank ≤ [[zipfTopK]]: the word, its exact count, its share of
+    * all tokens, and cnt·rank/c1 (the Zipf deviation, 1.0 = perfect fit).
+    *
+    * Scale shape: ONE token-count aggregation (map-side partials over the
+    * explode — the only corpus shuffle), top-k via TakeOrderedAndProject
+    * (per-partition heads, never a global sort), and the two scalars the
+    * ratios need (total tokens, rank-1 count) ride in as one-row
+    * broadcasts — total comes from a zero-shuffle `sum(size(words))` scan,
+    * NOT a second pass over the vocabulary. All inputs exact BIGINT; each
+    * emitted double is a single division rounded at source. */
+  def zipf(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val top = d.select(explode(Portable.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(zipfTopK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("w").asc)).cast("long"))
+    val tot = d.agg(sum(size(Portable.words(col("text"))).cast("long")).as("total"))
+    val c1 = top.filter(col("rank") === 1L).select(col("cnt").as("c1"))
+    top.crossJoin(broadcast(tot)).crossJoin(broadcast(c1))
+      .select(col("rank"), col("w"), col("cnt"),
+        round(col("cnt").cast("double") / col("total").cast("double"), 6).as("share"),
+        round((col("cnt") * col("rank")).cast("double") / col("c1").cast("double"), 4)
+          .as("zipf_ratio"))
+  }
+
+  val zipfSql: String =
+    s"""WITH w AS (SELECT unnest(${Portable.wordsSql}) AS w FROM documents),
+       |c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+       |r AS (
+       |  SELECT w, cnt,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, w ASC) AS BIGINT) AS rank
+       |  FROM c QUALIFY rank <= $zipfTopK),
+       |t AS (SELECT CAST(sum(len(${Portable.wordsSql})) AS BIGINT) AS total FROM documents),
+       |c1 AS (SELECT cnt AS c1 FROM r WHERE rank = 1)
+       |SELECT rank, w, cnt,
+       |  round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+       |  round(CAST(cnt * rank AS DOUBLE) / CAST(c1 AS DOUBLE), 4) AS zipf_ratio
+       |FROM r, t, c1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_zipf" -> (zipf _),
     "tx_keywords" -> (keywords _),
     "tx_charset" -> (charset _),
     "tx_gazetteer" -> (gazetteer _),
@@ -1084,6 +1135,7 @@ object TextOps {
     "tx_textrank" -> (TextRank.textrank _))
 
   def oracleSql: Map[String, String] = Map(
+    "tx_zipf" -> zipfSql,
     "tx_keywords" -> keywordsSql,
     "tx_charset" -> charsetSql,
     "tx_gazetteer" -> gazetteerSql,
