@@ -647,6 +647,46 @@ object StreamOps {
        |  ${graft.events.EventOps.hllEstimateSql} AS est
        |FROM inv""".stripMargin
 
+  // ---- lifecycle activity bitmap (self-anchoring sketch) -------------------
+
+  /** Streaming per-user LIFECYCLE bitmap — `ev_bitmap`'s live twin with a
+    * harder anchor problem: batch anchors every user at the corpus start
+    * (one pre-scan broadcast), but a stream can't pre-scan, and a user's
+    * own first day can arrive late and out of order across micro-batches.
+    * [[graft.plans.ShiftingBitmap]] solves it under the state store: the
+    * per-user state is 16 bytes of (anchor, bits) that RE-ANCHORS by a
+    * saturating shift whenever an earlier day shows up — canonical for the
+    * absorbed day set, so any arrival order yields the identical bitmap
+    * the batch oracle computes from min-day. Day ≥ first+62 saturates into
+    * bit 62 (the same clamp the batch form uses). `ret_w2` (active in days
+    * 7–13 after first seen) is the new-user week-2 retention readout. */
+  def stBitmap(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(spark, sfDir, OutputMode.Complete()) { src =>
+      src.select(col("user_id"), expr("ts_us DIV 86400000000").as("day"))
+        .groupBy(col("user_id"))
+        .agg(graft.plans.ShiftingBitmap.of(col("day")).as("s"),
+          max(col("day")).as("last_day"))
+        .select(col("user_id"), col("s.first_day").as("first_day"),
+          col("last_day"), col("s.bitmap").as("bitmap"),
+          bit_count(col("s.bitmap")).cast("long").as("days_active"),
+          (col("s.bitmap").bitwiseAND(lit(127L << 7)) =!= 0L).as("ret_w2"))
+    }
+
+  def stBitmapSql: String =
+    s"""WITH d AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+       |  FROM events),
+       |u AS (SELECT user_id, min(day) AS first_day, max(day) AS last_day
+       |      FROM d GROUP BY 1),
+       |b AS (
+       |  SELECT d.user_id,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(least(day - first_day, 62) AS INTEGER)) AS bitmap
+       |  FROM d JOIN u USING (user_id) GROUP BY 1)
+       |SELECT u.user_id, first_day, last_day, bitmap,
+       |  CAST(bit_count(bitmap) AS BIGINT) AS days_active,
+       |  (bitmap & ${127L << 7}) <> 0 AS ret_w2
+       |FROM b JOIN u USING (user_id)""".stripMargin
+
   // ---- chained windowed aggregation: streaming trending top-k --------------
 
   /** Streaming per-hour trending top-k — ev_trending's live twin and the
@@ -1063,6 +1103,7 @@ object StreamOps {
     "st_scd2" -> (stScd2 _),
     "st_spike" -> (stSpike _),
     "st_hll_users" -> (hllUsers _),
+    "st_bitmap" -> (stBitmap _),
     "st_stream_join" -> (streamJoin _),
     "st_minhash_dedup" -> (minhashDedup _),
     "st_reservoir" -> (stReservoir _),
@@ -1086,6 +1127,7 @@ object StreamOps {
     "st_scd2" -> stScd2Sql,
     "st_spike" -> stSpikeSql,
     "st_hll_users" -> hllUsersSql,
+    "st_bitmap" -> stBitmapSql,
     "st_stream_join" -> streamJoinSql,
     "st_minhash_dedup" -> minhashDedupSql,
     "st_reservoir" -> stReservoirSql,
