@@ -1210,6 +1210,75 @@ object EventOps {
        |  ((bitmap & 127) <> 0 AND (bitmap & ${127L << 21}) <> 0) AS w4_retained
        |FROM b""".stripMargin
 
+  // ---- multi-touch attribution ----------------------------------------------
+
+  /** Attribution lookback window: touches within 24 h before the conversion. */
+  val attribWindowUs = 86400000000L
+
+  /** Multi-touch attribution — the marketing-analytics staple: every
+    * `purchase` conversion credits the user's preceding touch events
+    * (within [[attribWindowUs]]) under the three standard models at once —
+    * first-touch, last-touch, and linear — per channel (event type).
+    *
+    * Scale shape: conversions join touches on user_id EQUI-key (the range
+    * predicate is a residual inside the co-partitioned hash join — never a
+    * cartesian), then ONE conv_id exchange serves all three window passes
+    * (first/last row_number + per-conversion touch count share the
+    * partitioning), and the final channel agg is bounded by |types|.
+    * Linear credit stays EXACT: each conversion splits 1,000,000 integer
+    * micro-credits per touch via round-half-up integer division — no
+    * double summation anywhere, so channel totals hash-match at any
+    * partitioning. Ties resolve on (ts_us, event_id) both directions. */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.epochUs(col("ts")).as("ts_us"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"), col("ts_us").as("cts"))
+    val touch = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("channel"), col("ts_us"))
+    val j = conv.join(touch, Seq("user_id"))
+      .filter(col("ts_us") <= col("cts") &&
+        col("ts_us") > col("cts") - lit(attribWindowUs))
+    val w = Window.partitionBy(col("conv_id"))
+    j.select(col("channel"),
+        row_number().over(w.orderBy(col("ts_us").asc, col("touch_id").asc)).as("ra"),
+        row_number().over(w.orderBy(col("ts_us").desc, col("touch_id").desc)).as("rd"),
+        count(lit(1)).over(w).as("n"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(col("ra") === 1, 1L).otherwise(0L)).as("conv_first"),
+        sum(when(col("rd") === 1, 1L).otherwise(0L)).as("conv_last"),
+        sum(expr("(1000000 + n DIV 2) DIV n")).as("credit_micros"))
+  }
+
+  val attributionSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+       |  FROM events),
+       |c AS (SELECT user_id, event_id AS conv_id, ts_us AS cts
+       |      FROM e WHERE event_type = 'purchase'),
+       |t AS (SELECT user_id, event_id AS touch_id, event_type AS channel, ts_us
+       |      FROM e WHERE event_type <> 'purchase'),
+       |j AS (
+       |  SELECT c.conv_id, t.channel, t.ts_us, t.touch_id
+       |  FROM c JOIN t ON c.user_id = t.user_id
+       |    AND t.ts_us <= c.cts AND t.ts_us > c.cts - $attribWindowUs),
+       |r AS (
+       |  SELECT channel,
+       |    row_number() OVER (PARTITION BY conv_id ORDER BY ts_us ASC, touch_id ASC) AS ra,
+       |    row_number() OVER (PARTITION BY conv_id ORDER BY ts_us DESC, touch_id DESC) AS rd,
+       |    count(*) OVER (PARTITION BY conv_id) AS n
+       |  FROM j)
+       |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+       |  CAST(sum(CASE WHEN ra = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_first,
+       |  CAST(sum(CASE WHEN rd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_last,
+       |  CAST(sum((1000000 + n // 2) // n) AS BIGINT) AS credit_micros
+       |FROM r GROUP BY 1""".stripMargin
+
   // ---- RFM segmentation (sort-free exact quartiles) -------------------------
 
   /** Cents per monetary histogram bucket (100.00 currency units). */
@@ -1302,6 +1371,7 @@ object EventOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_rfm" -> (rfm _),
+    "ev_attribution" -> (attribution _),
     "ev_bitmap" -> (bitmapActivity _),
     "ev_heavy_hitters" -> (heavyHitters _),
     "ev_drift" -> (drift _),
@@ -1330,6 +1400,7 @@ object EventOps {
 
   def oracleSql: Map[String, String] = Map(
     "ev_rfm" -> rfmSql,
+    "ev_attribution" -> attributionSql,
     "ev_bitmap" -> bitmapActivitySql,
     "ev_heavy_hitters" -> heavyHittersSql,
     "ev_drift" -> driftSql,
