@@ -1210,6 +1210,68 @@ object EventOps {
        |  ((bitmap & 127) <> 0 AND (bitmap & ${127L << 21}) <> 0) AS w4_retained
        |FROM b""".stripMargin
 
+  // ---- cohort lifetime value -------------------------------------------------
+
+  /** Cohort LTV curve — `ev_cohorts` counts who comes back; this accumulates
+    * what they're WORTH: per (signup-day cohort × week-of-life), active
+    * users, revenue, cumulative revenue, and cumulative LTV per cohort
+    * member — the payback-period readout growth teams plot cohort-by-cohort.
+    *
+    * Scale shape: first-day frame and event frame co-partition on user_id
+    * (one shuffle pair), then ONE bounded aggregation to (cohort × age)
+    * cells; the cumulative window runs over that bounded dim partitioned by
+    * cohort — never the corpus — and cohort sizes broadcast-join back onto
+    * it. Money is exact BIGINT cents through every sum; the per-user LTV is
+    * the only double — a single division rounded at source. */
+  def ltv(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, sfDir).events
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        round(col("value") * lit(100), 0).cast("long").as("cents"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
+    val cells = ev.join(first, "user_id")
+      .groupBy(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_day"),
+        expr("CAST(datediff(d, cohort_d) AS BIGINT) DIV 7").as("age_w"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        sum(col("cents")).as("cents"))
+    val sizes = first
+      .groupBy(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_day"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("age_w"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.join(broadcast(sizes), "cohort_day")
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .select(col("cohort_day"), col("age_w"), col("n_active"), col("cents"),
+        col("cum_cents"), col("n_cohort"),
+        round(col("cum_cents").cast("double") / col("n_cohort").cast("double"), 4)
+          .as("ltv_cents"))
+  }
+
+  val ltvSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |first AS (SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY 1),
+      |cells AS (
+      |  SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
+      |    CAST(date_diff('day', cohort_d, d) AS BIGINT) // 7 AS age_w,
+      |    count(DISTINCT ev.user_id) AS n_active,
+      |    CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM ev JOIN first ON ev.user_id = first.user_id
+      |  GROUP BY 1, 2),
+      |sizes AS (
+      |  SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
+      |    CAST(count(*) AS BIGINT) AS n_cohort
+      |  FROM first GROUP BY 1)
+      |SELECT cohort_day, age_w, n_active, cents,
+      |  CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY age_w
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+      |  n_cohort,
+      |  round(CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY age_w
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(n_cohort AS DOUBLE), 4) AS ltv_cents
+      |FROM cells JOIN sizes USING (cohort_day)""".stripMargin
+
   // ---- multi-touch attribution ----------------------------------------------
 
   /** Attribution lookback window: touches within 24 h before the conversion. */
@@ -1372,6 +1434,7 @@ object EventOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_rfm" -> (rfm _),
     "ev_attribution" -> (attribution _),
+    "ev_ltv" -> (ltv _),
     "ev_bitmap" -> (bitmapActivity _),
     "ev_heavy_hitters" -> (heavyHitters _),
     "ev_drift" -> (drift _),
@@ -1401,6 +1464,7 @@ object EventOps {
   def oracleSql: Map[String, String] = Map(
     "ev_rfm" -> rfmSql,
     "ev_attribution" -> attributionSql,
+    "ev_ltv" -> ltvSql,
     "ev_bitmap" -> bitmapActivitySql,
     "ev_heavy_hitters" -> heavyHittersSql,
     "ev_drift" -> driftSql,

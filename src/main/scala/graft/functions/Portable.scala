@@ -47,6 +47,15 @@ object Portable {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
+  /** Ordered-fold squared L2 distance of two double-array columns; callers
+    * round before comparing (same addend-order caveat as [[dot]]). */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** DuckDB squared L2 over double-list expressions. */
+  def dist2Sql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+
   /** Cosine similarity; callers round before emitting (summation order
     * differs across engines at the 1e-16 level). */
   def cosine(a: Column, b: Column): Column =

@@ -830,6 +830,77 @@ object Similarity {
   def clusterSample(spark: SparkSession, sfDir: String): DataFrame =
     quotaSample(assignedLists(spark, sfDir), clusterSampleK)
 
+  // ---- greedy k-center coreset (farthest-point traversal) -------------------
+
+  /** Picks after the seed (total centers = kcenterK + 1). */
+  val kcenterK = 3
+
+  /** Greedy k-center coreset — the diversity-selection pass a training-data
+    * pipeline runs to pick a small set of maximally-spread exemplars (and
+    * the classic 2-approximation to the k-center cover): seed at the
+    * smallest vec_id, then repeatedly take the point FARTHEST from its
+    * nearest chosen center (Gonzalez 1985 farthest-point traversal). Output:
+    * each pick with the distance² that earned it, plus the final coverage
+    * radius (max point-to-nearest-center distance² over the corpus — the
+    * quality number a curation run monitors as k grows).
+    *
+    * Scale shape: each pick is one corpus scan against a ≤k one-row
+    * broadcast of chosen centers, argmax via TakeOrderedAndProject
+    * (per-partition heads, no global sort); the running min-distance
+    * frontier is persisted per round so round i scans cost O(1) distance
+    * evals per point, O(n·k) total — the same bounded-linear-scans posture
+    * as ann_kmeans. Distances are ordered folds rounded at 6dp BEFORE every
+    * comparison (argmax and `least` alike), so the greedy trajectory is
+    * bit-identical across engines; ties break on vec_id asc. */
+  def kcenter(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val seed = e.orderBy(col("vec_id").asc).limit(1)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    var frontier = e.crossJoin(broadcast(seed))
+      .select(col("vec_id"), col("v"),
+        round(Portable.dist2(col("v"), col("cv")), 6).as("dmin"))
+      .persist()
+    var picks = seed.select(lit(0L).as("pick"), col("cid").as("vec_id"),
+      lit(0.0).as("r2"))
+    for (i <- 1 to kcenterK) {
+      val c = frontier.orderBy(col("dmin").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("dmin").as("r"))
+      picks = picks.unionAll(c.select(lit(i.toLong).as("pick"),
+        col("cid").as("vec_id"), col("r").as("r2")))
+      frontier = frontier.crossJoin(broadcast(c.drop("r")))
+        .select(col("vec_id"), col("v"),
+          least(col("dmin"), round(Portable.dist2(col("v"), col("cv")), 6)).as("dmin"))
+        .persist()
+    }
+    val coverage = frontier.agg(max(col("dmin")).as("r2"))
+      .select(lit(kcenterK + 1L).as("pick"), lit(null).cast("long").as("vec_id"),
+        col("r2"))
+    picks.unionAll(coverage)
+  }
+
+  val kcenterSql: String = {
+    def d2(c: String): String = s"round(${Portable.dist2Sql("f.v", c)}, 6)"
+    s"""WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM pts ORDER BY vec_id ASC LIMIT 1),
+       |f0 AS (SELECT f.vec_id, f.v, ${"round(" + Portable.dist2Sql("f.v", "cv") + ", 6)"} AS dmin
+       |       FROM pts f, c0),
+       |c1 AS (SELECT vec_id AS cid, v AS cv, dmin AS r FROM f0
+       |       ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+       |f1 AS (SELECT f.vec_id, f.v, least(f.dmin, ${d2("cv")}) AS dmin FROM f0 f, c1),
+       |c2 AS (SELECT vec_id AS cid, v AS cv, dmin AS r FROM f1
+       |       ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+       |f2 AS (SELECT f.vec_id, f.v, least(f.dmin, ${d2("cv")}) AS dmin FROM f1 f, c2),
+       |c3 AS (SELECT vec_id AS cid, v AS cv, dmin AS r FROM f2
+       |       ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+       |f3 AS (SELECT f.vec_id, f.v, least(f.dmin, ${d2("cv")}) AS dmin FROM f2 f, c3)
+       |SELECT CAST(0 AS BIGINT) AS pick, cid AS vec_id, CAST(0.0 AS DOUBLE) AS r2 FROM c0
+       |UNION ALL SELECT 1, cid, r FROM c1
+       |UNION ALL SELECT 2, cid, r FROM c2
+       |UNION ALL SELECT 3, cid, r FROM c3
+       |UNION ALL SELECT 4, CAST(NULL AS BIGINT), max(dmin) FROM f3""".stripMargin
+  }
+
   val clusterSampleSql: String = {
     val h = graft.functions.Portable.hash64Sql("CAST(vec_id AS VARCHAR)", "clsamp")
     s"""WITH $embCte,
@@ -1117,6 +1188,7 @@ object Similarity {
     "ann_mips" -> (mipsTopK _),
     "ann_recall" -> (annRecall _),
     "samp_cluster" -> (clusterSample _),
+    "samp_kcenter" -> (kcenter _),
     "ann_quant_topk" -> (quantTopK _),
     "ann_pq_topk" -> (pqTopK _),
     "ann_brute_topk" -> (bruteTopK _),
@@ -1134,6 +1206,7 @@ object Similarity {
     "ann_mips" -> mipsTopKSql,
     "ann_recall" -> annRecallSql,
     "samp_cluster" -> clusterSampleSql,
+    "samp_kcenter" -> kcenterSql,
     "ann_quant_topk" -> quantTopKSql,
     "ann_pq_topk" -> pqTopKSql,
     "ann_brute_topk" -> bruteTopKSql,
