@@ -160,6 +160,69 @@ object EventOps {
        |  $hllEstimateSql AS est
        |FROM inv JOIN ex ON inv.event_type = ex.event_type""".stripMargin
 
+  // ---- KMV theta sketch: distinct counts WITH set algebra ------------------
+
+  /** Pairwise audience overlap via the KMV theta sketch
+    * (graft.plans.KmvSketch, a TypedImperativeAggregate: ≤ k=256 longs of
+    * mergeable state). Where HLL only unions, KMV intersects — "distinct
+    * users who did BOTH A and B" from two O(k) sketches instead of a
+    * user-level join, which is what keeps cross-segment overlap matrices
+    * tractable at 100 TB (Beyer et al., SIGMOD'07). The diagonal
+    * (type_a = type_b) degenerates to the plain KMV distinct estimate; the
+    * exact intersection rides along to show the sketch error. Estimates are
+    * integer-exact up to one double multiply+divide, so the DuckDB replay
+    * hash-matches bit-for-bit. */
+  def thetaKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).events
+    val sk = ev.groupBy(col("event_type"))
+      .agg(graft.plans.KmvSketch.sketch(col("user_id").cast("string")).as("sk"))
+    // exact side: one shuffle by user_id; per-pair counts off the distinct set
+    val du = ev.select(col("event_type"), col("user_id")).distinct()
+    val exact = du.as("x").join(du.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") <= col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact"))
+    // sketch side: a handful of rows — broadcast the self-join both ways
+    val est = broadcast(sk.as("a")).join(broadcast(sk.as("b")),
+        col("a.event_type") <= col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        graft.plans.KmvSketch.intersectEstimate("a.sk", "b.sk").as("est"))
+    exact.join(broadcast(est), Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("exact"), col("est"))
+  }
+
+  val thetaKmvSql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM events),
+      |rk AS (SELECT event_type, h,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS r,
+      |         count(*) OVER (PARTITION BY event_type) AS nd FROM h),
+      |th AS (SELECT event_type,
+      |         CASE WHEN max(nd) < 256 THEN CAST(power(2.0, 60) AS BIGINT)
+      |              ELSE max(CASE WHEN r = 256 THEN h END) END AS theta
+      |       FROM rk GROUP BY 1),
+      |s AS (SELECT event_type, h FROM rk WHERE r <= 256),
+      |pair AS (SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+      |           least(ta.theta, tb.theta) AS theta
+      |         FROM th ta JOIN th tb ON ta.event_type <= tb.event_type),
+      |inter AS (SELECT p.type_a, p.type_b, p.theta,
+      |            (SELECT count(*) FROM s sa JOIN s sb ON sb.h = sa.h
+      |             WHERE sa.event_type = p.type_a AND sb.event_type = p.type_b
+      |               AND sa.h < p.theta) AS m
+      |          FROM pair p),
+      |ex AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |         count(*) AS exact
+      |       FROM (SELECT DISTINCT event_type, user_id FROM events) x
+      |       JOIN (SELECT DISTINCT event_type, user_id FROM events) y
+      |         ON x.user_id = y.user_id AND x.event_type <= y.event_type
+      |       GROUP BY 1, 2)
+      |SELECT ex.type_a, ex.type_b, ex.exact,
+      |  round(CAST(i.m AS DOUBLE) * power(2.0, 60) / i.theta, 4) AS est
+      |FROM ex JOIN inter i ON i.type_a = ex.type_a AND i.type_b = ex.type_b""".stripMargin
+
   // ---- latency/value quantiles --------------------------------------------
 
   /** Per-type value quantiles. Exact `percentile` (per-group sort) matches
@@ -1088,6 +1151,80 @@ object EventOps {
         (col("drift_l1") > 0.08).as("drifted"))
   }
 
+  /** EWMA lookback (days) and its fixed-point scale. Weights are the
+    * α = ½ geometric series 2^(W−r)/2^W truncated at W terms (tail mass
+    * 2^−W ≈ 1e−6 dropped) — so the weighted sum is an exact BIGINT and the
+    * single /2^W is an exact power-of-two double scale. */
+  val fcWindow = 20
+  private val fcScale = 1L << fcWindow // 2^20
+
+  /** Per-type next-day activity forecast — truncated-EWMA level (α = ½)
+    * plus an OLS trend over the last [[fcWindow]] observed days. The
+    * traffic-forecast / capacity-planning primitive, built ORDER-PROOF: the
+    * EWMA is an integer weighted sum (weights 2^19…2^0), the OLS slope's
+    * numerator and denominator are integer sums, and each output does ONE
+    * double division — so results are bit-identical across engines and
+    * partition orders, with no float-summation hazard. Scale shape: one
+    * corpus aggregation to the (type, day) dim; everything after runs over
+    * ≤ W rows per type. */
+  def forecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wr = W.partitionBy(col("event_type")).orderBy(col("day_epoch").desc)
+    Tables(spark, sfDir).events
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(wr))
+      .filter(col("r") <= fcWindow)
+      .withColumn("t", lit(fcWindow + 1) - col("r")) // later day = larger t
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        max(when(col("r") === 1, col("c"))).as("last_c"),
+        sum(expr(s"c * shiftleft(CAST(1 AS BIGINT), $fcWindow - r)")).as("ewma_scaled"),
+        sum(col("t") * col("c")).as("stc"),
+        sum(col("t")).as("st"),
+        sum(col("c")).as("sc"),
+        sum(col("t") * col("t")).as("stt"))
+      .withColumn("num", col("n_days") * col("stc") - col("st") * col("sc"))
+      .withColumn("den", col("n_days") * col("stt") - col("st") * col("st"))
+      .select(col("event_type"), col("n_days"), col("last_c"),
+        col("ewma_scaled"),
+        round(col("ewma_scaled") / lit(fcScale.toDouble), 6).as("ewma"),
+        round(when(col("den") === 0, 0.0)
+          .otherwise(col("num").cast("double") / col("den")), 6).as("slope"),
+        round(col("ewma_scaled") / lit(fcScale.toDouble) +
+          when(col("den") === 0, 0.0)
+            .otherwise(col("num").cast("double") / col("den")), 6).as("forecast"))
+  }
+
+  val forecastSql: String =
+    s"""WITH d AS (
+       |  SELECT event_type,
+       |    CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) AS day_epoch,
+       |    count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day_epoch DESC) AS r
+       |  FROM d),
+       |w AS (SELECT *, ${fcWindow + 1} - r AS t FROM rk WHERE r <= $fcWindow),
+       |a AS (
+       |  SELECT event_type, count(*) AS n_days,
+       |    max(CASE WHEN r = 1 THEN c END) AS last_c,
+       |    sum(c * (CAST(1 AS BIGINT) << ($fcWindow - r))) AS ewma_scaled,
+       |    sum(t * c) AS stc, sum(t) AS st, sum(c) AS sc, sum(t * t) AS stt
+       |  FROM w GROUP BY 1),
+       |f AS (
+       |  SELECT *, n_days * stc - st * sc AS num, n_days * stt - st * st AS den
+       |  FROM a)
+       |SELECT event_type, n_days, CAST(last_c AS BIGINT) AS last_c,
+       |  CAST(ewma_scaled AS BIGINT) AS ewma_scaled,
+       |  round(ewma_scaled / $fcScale.0, 6) AS ewma,
+       |  round(CASE WHEN den = 0 THEN 0.0 ELSE CAST(num AS DOUBLE) / den END, 6) AS slope,
+       |  round(ewma_scaled / $fcScale.0 +
+       |    CASE WHEN den = 0 THEN 0.0 ELSE CAST(num AS DOUBLE) / den END, 6) AS forecast
+       |FROM f""".stripMargin
+
   val driftSql: String = {
     val pivotCols = driftTypes.map(t =>
       s"count(CASE WHEN event_type = '$t' THEN 1 END) AS c_$t").mkString(",\n    ")
@@ -1438,6 +1575,7 @@ object EventOps {
     "ev_bitmap" -> (bitmapActivity _),
     "ev_heavy_hitters" -> (heavyHitters _),
     "ev_drift" -> (drift _),
+    "ev_forecast" -> (forecast _),
     "ev_anomaly_mad" -> (anomalyMad _),
     "ev_quantile_sketch" -> (quantileSketch _),
     "ev_entry_paths" -> (entryPaths _),
@@ -1459,6 +1597,7 @@ object EventOps {
     "ev_signups" -> (signups _),
     "ev_funnel" -> (funnel _),
     "ev_hll_users" -> (hllUsers _),
+    "ev_theta_kmv" -> (thetaKmv _),
     "ev_quantiles" -> (quantiles _))
 
   def oracleSql: Map[String, String] = Map(
@@ -1468,6 +1607,7 @@ object EventOps {
     "ev_bitmap" -> bitmapActivitySql,
     "ev_heavy_hitters" -> heavyHittersSql,
     "ev_drift" -> driftSql,
+    "ev_forecast" -> forecastSql,
     "ev_anomaly_mad" -> anomalyMadSql,
     "ev_quantile_sketch" -> quantileSketchSql,
     "ev_entry_paths" -> entryPathsSql,
@@ -1489,5 +1629,6 @@ object EventOps {
     "ev_signups" -> signupsSql,
     "ev_funnel" -> funnelSql,
     "ev_hll_users" -> hllUsersSql,
+    "ev_theta_kmv" -> thetaKmvSql,
     "ev_quantiles" -> quantilesSql)
 }

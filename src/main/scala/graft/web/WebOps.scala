@@ -1072,6 +1072,79 @@ object WebOps {
 
   private def teleportSql: String = s"150000000 // (SELECT n FROM n)"
 
+  // ---- triangle counting (degree-ordered orientation) ----------------------
+
+  /** Per-node triangle counts over the undirected doc link graph (same
+    * deterministic `(d·7+k) mod n` generator as [[pageRank]]) — the spam/
+    * mirror-farm and community-density signal of web-graph analysis.
+    *
+    * Scale shape is the compact-forward orientation (Latapy 2008; the same
+    * trick behind every distributed triangle count since Suri & Vassilvitskii
+    * WWW'11): orient each undirected edge from the endpoint with the SMALLER
+    * (degree, id) key to the larger, so every wedge is enumerated exactly
+    * once at its lowest-degree apex and the per-node wedge fan-out is
+    * √m-bounded instead of max-degree-bounded — the difference between a
+    * skew-crushed shuffle and a balanced one on a power-law host graph. Two
+    * self-joins on the oriented edge list (wedge build + closing-edge check),
+    * both equi-joins AQE can handle; no node ever enumerates the neighbor
+    * pairs of a celebrity host. */
+  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables(spark, sfDir).documents.select(col("doc_id"))
+    val n = docs.count()
+    val und = docs
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(1), lit(linksPerDoc))).as("k"))
+      .select(col("src"), ((col("src") * 7 + col("k")) % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct().persist()
+    val deg = und.select(col("u").as("x")).union(und.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val flip = struct(col("du"), col("u")) > struct(col("dv"), col("v"))
+    val ori = und
+      .join(deg.select(col("x").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(flip, col("v")).otherwise(col("u")).as("a"),
+        when(flip, col("u")).otherwise(col("v")).as("b"),
+        when(flip, col("du")).otherwise(col("dv")).as("db"))
+      .persist()
+    val tri = ori.as("e1")
+      .join(ori.as("e2"), col("e1.a") === col("e2.a") &&
+        struct(col("e1.db"), col("e1.b")) < struct(col("e2.db"), col("e2.b")))
+      .join(ori.as("e3"),
+        col("e3.a") === col("e1.b") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** The identical orientation + two joins, relationally. */
+  val trianglesSql: String =
+    s"""WITH docs AS (SELECT doc_id FROM documents),
+       |n AS (SELECT count(*) AS n FROM docs),
+       |raw AS (
+       |  SELECT doc_id AS src, (doc_id * 7 + k) % (SELECT n FROM n) AS dst
+       |  FROM docs, LATERAL unnest(range(1, $linksPerDoc + 1)) t(k)
+       |  WHERE doc_id <> (doc_id * 7 + k) % (SELECT n FROM n)),
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM raw),
+       |deg AS (SELECT x, count(*) AS deg FROM (
+       |          SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und) GROUP BY 1),
+       |ori AS (
+       |  SELECT CASE WHEN (da.deg, e.u) > (db.deg, e.v) THEN e.v ELSE e.u END AS a,
+       |         CASE WHEN (da.deg, e.u) > (db.deg, e.v) THEN e.u ELSE e.v END AS b,
+       |         CASE WHEN (da.deg, e.u) > (db.deg, e.v) THEN da.deg ELSE db.deg END AS db
+       |  FROM und e JOIN deg da ON da.x = e.u JOIN deg db ON db.x = e.v),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM ori e1
+       |  JOIN ori e2 ON e2.a = e1.a AND (e1.db, e1.b) < (e2.db, e2.b)
+       |  JOIN ori e3 ON e3.a = e1.b AND e3.b = e2.b)
+       |SELECT CAST(m.doc_id AS BIGINT) AS doc_id, count(*) AS n_tri
+       |FROM (SELECT unnest(ARRAY[x, y, z]) AS doc_id FROM tri) m
+       |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "web_urlnorm" -> (urlNorm _),
     "web_html" -> (htmlExtract _),
@@ -1085,7 +1158,8 @@ object WebOps {
     "web_feed" -> (feed _),
     "web_canonical" -> (canonicalTag _),
     "web_robots" -> (robotsCheck _),
-    "web_pagerank" -> (pageRank _))
+    "web_pagerank" -> (pageRank _),
+    "web_triangles" -> (triangles _))
 
   def oracleSql: Map[String, String] = Map(
     "web_urlnorm" -> urlNormSql,
@@ -1100,7 +1174,8 @@ object WebOps {
     "web_feed" -> feedSql,
     "web_canonical" -> canonicalTagSql,
     "web_robots" -> robotsCheckSql,
-    "web_pagerank" -> pageRankSql)
+    "web_pagerank" -> pageRankSql,
+    "web_triangles" -> trianglesSql)
 }
 
 /** `url → canonical url` (rules in [[WebOps.canonicalUrl]]); static-call
