@@ -171,6 +171,122 @@ object Multimodal {
        |  px.pixel_sum
        |FROM dims d JOIN px ON px.doc_id = d.doc_id""".stripMargin
 
+  // ---- audio decode + signal features --------------------------------------
+
+  final case class AudioMeta(doc_id: Long, n_bytes: Long, sample_rate: Int,
+      n_samples: Long, abs_sum: Long, peak: Int, zero_cross: Long)
+
+  /** Synthesized-audio shape: mono 16-bit PCM at 8 kHz, 512–1280 samples
+    * derived from doc_id, sample i = (text_byte(i mod len) − 96) · 128 —
+    * word characters land positive, spaces negative, so zero crossings
+    * track word boundaries. The SAME formulas appear in [[mmAudioSql]]. */
+  val audioRate = 8000
+  private[graft] def audioLenFor(docId: Long): Int = 512 + (docId % 7).toInt * 128
+
+  private[graft] def audioSamplesFor(docId: Long, text: Array[Byte]): Array[Short] = {
+    val n = audioLenFor(docId)
+    val out = new Array[Short](n)
+    if (text.nonEmpty) {
+      var i = 0
+      while (i < n) {
+        out(i) = (((text(i % text.length) & 0xff) - 96) * 128).toShort
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** A real RIFF/WAVE container (44-byte canonical header + LE PCM16). */
+  private[graft] def encodeWav(samples: Array[Short], rate: Int): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes).putInt(dataSize)
+    samples.foreach(s => b.putShort(s))
+    b.array()
+  }
+
+  /** REAL decode via `javax.sound.sampled` (ships in every JDK, like
+    * ImageIO): container format detected from the bytes, PCM frames read
+    * through the `AudioInputStream`, samples re-assembled per the format's
+    * declared endianness — a header-only parse cannot produce the sample
+    * stream the feature pass consumes. */
+  private[graft] def decodeWav(payload: Array[Byte]): (Int, Array[Short]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected mono PCM16, got $fmt")
+      val bytes = ais.readAllBytes()
+      val out = new Array[Short](bytes.length / 2)
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < out.length) { out(i) = bb.getShort; i += 1 }
+      (fmt.getSampleRate.toInt, out)
+    } finally ais.close()
+  }
+
+  /** Audio decode + signal features — the audio leg of the multimodal
+    * pipeline: per doc, synthesize the WAV payload, REALLY decode it, and
+    * compute the waveform statistics an audio-curation pass gates on
+    * (energy, peak, zero-crossing rate — the classic cheap VAD features).
+    * Same batched `mapPartitions` shape as [[mmMeta]]; all features are
+    * integer-exact so the oracle replays them from the generation rule. */
+  def mmAudio(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[Payload]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap(_.map { p =>
+          val wav = encodeWav(audioSamplesFor(p.doc_id, p.payload), audioRate)
+          val (rate, s) = decodeWav(wav)
+          var absSum = 0L
+          var peak = 0
+          var zc = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toInt
+            val a = math.abs(v)
+            absSum += a
+            if (a > peak) peak = a
+            if (i > 0 && s(i - 1).toInt * v < 0) zc += 1
+            i += 1
+          }
+          AudioMeta(p.doc_id, wav.length.toLong, rate, s.length.toLong,
+            absSum, peak, zc)
+        })
+      }
+      .toDF()
+  }
+
+  /** Expected decode output: WAV size is closed-form (44 + 2n), features
+    * replay the sample rule; `pv * v < 0` is the same strict sign test. */
+  val mmAudioSql: String =
+    s"""WITH au AS (
+       |  SELECT doc_id, text, 512 + (doc_id % 7) * 128 AS n FROM documents),
+       |s AS (
+       |  SELECT doc_id, i,
+       |    (ascii(substr(text, CAST(i % length(text) AS INTEGER) + 1, 1)) - 96) * 128 AS v
+       |  FROM au, LATERAL unnest(range(0, n)) t(i)),
+       |z AS (SELECT doc_id, v,
+       |        lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+       |    CAST(max(abs(v)) AS INTEGER) AS peak,
+       |    CAST(coalesce(sum(CASE WHEN pv * v < 0 THEN 1 END), 0) AS BIGINT) AS zero_cross
+       |  FROM z GROUP BY 1)
+       |SELECT a.doc_id, CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+       |  $audioRate AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+       |  agg.abs_sum, agg.peak, agg.zero_cross
+       |FROM au a JOIN agg ON agg.doc_id = a.doc_id""".stripMargin
+
   // ---- frame sampling ------------------------------------------------------
 
   final case class Frame(doc_id: Long, frame_idx: Long, frame_md5: String)
@@ -663,6 +779,7 @@ object Multimodal {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_mm" -> (pipeMm _),
     "mm_meta" -> (mmMeta _),
+    "mm_audio" -> (mmAudio _),
     "mm_framesample" -> (mmFrameSample _),
     "mm_resize" -> (mmResize _),
     "mm_features" -> (mmFeatures _),
@@ -673,6 +790,7 @@ object Multimodal {
   def oracleSql: Map[String, String] = Map(
     "pipe_mm" -> pipeMmSql,
     "mm_meta" -> mmMetaSql,
+    "mm_audio" -> mmAudioSql,
     "mm_framesample" -> mmFrameSampleSql,
     "mm_resize" -> mmResizeSql,
     "mm_features" -> mmFeaturesSql,

@@ -358,7 +358,51 @@ object Sampling {
        |  split_lo <> split_hi AS leaky
        |FROM j GROUP BY 1, 2""".stripMargin
 
+  // ---- systematic PPS (probability-proportional-to-size) sampling ---------
+
+  /** Target draw count for [[pps]]. */
+  val ppsK = 50
+
+  /** Systematic PPS sampling — each document's selection probability is
+    * proportional to its LENGTH (n_chars), the survey-sampling classic
+    * (Madow 1949) and the right default when one "draw" should represent a
+    * fixed token budget rather than a fixed doc count. Walk the cumulative
+    * weight axis in strides of W/k; a doc is hit once per stride boundary
+    * inside its weight interval, so a doc longer than one stride is drawn
+    * MULTIPLE times (its multiplicity rides along, as unequal-probability
+    * estimators require). ALL math is integer (cumsum, floor-div stride
+    * crossings) — deterministic on both engines with no RNG and no floats.
+    * Scale shape: ONE global cumsum window (the corpus-order prefix sum; at
+    * 100 TB run it as the two-pass per-partition-offset prefix sum over the
+    * same ordering) + a map-side crossing test; output is k rows. */
+  def pps(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir).documents.select(col("doc_id"), col("n_chars"))
+    val wTot = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = docs.withColumn("cum", sum(col("n_chars")).over(wTot))
+    val total = withCum.agg(max(col("cum"))).head().getLong(0)
+    val stride = total / ppsK
+    withCum
+      .withColumn("n_hits",
+        expr(s"cum DIV $stride - (cum - n_chars) DIV $stride"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("n_chars"), col("n_hits"))
+  }
+
+  val ppsSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, n_chars,
+       |    sum(n_chars) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM documents),
+       |s AS (SELECT max(cum) // $ppsK AS stride FROM c)
+       |SELECT doc_id, n_chars,
+       |  cum // (SELECT stride FROM s) - (cum - n_chars) // (SELECT stride FROM s) AS n_hits
+       |FROM c
+       |WHERE cum // (SELECT stride FROM s) - (cum - n_chars) // (SELECT stride FROM s) > 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "samp_pps" -> (pps _),
     "samp_leakage" -> (leakage _),
     "samp_upsample" -> (upsample _),
     "samp_split" -> (split _),
@@ -369,6 +413,7 @@ object Sampling {
     "samp_dsir" -> (dsir _))
 
   def oracleSql: Map[String, String] = Map(
+    "samp_pps" -> ppsSql,
     "samp_leakage" -> leakageSql,
     "samp_upsample" -> upsampleSql,
     "samp_split" -> splitSql,

@@ -1072,6 +1072,82 @@ object WebOps {
 
   private def teleportSql: String = s"150000000 // (SELECT n FROM n)"
 
+  // ---- connected components (distributed min-label propagation) -----------
+
+  /** Max label-propagation rounds — with pointer doubling, round r covers
+    * paths of length 2^r, so 12 rounds ≥ diameter 4096 (the sparse fixture
+    * graph's diameter is far below). The loop also exits on a measured
+    * fixpoint, so the cap is a runaway bound, not a tuning knob. */
+  val ccMaxIters = 12
+
+  /** Connected components over a SPARSE deterministic doc graph (edge
+    * `d → (13d+7) mod n` only when `d % 3 == 0` — a functional subgraph
+    * whose components have varied sizes, including singletons), labeling
+    * every doc with its component's minimum doc_id plus the component size.
+    *
+    * This is the grouping step every near-dup pipeline ends with
+    * (dd_clusters) promoted to a first-class graph query, in the SCALE
+    * shape: iterative min-label propagation with POINTER DOUBLING
+    * (Shiloach-Vishkin style hooking — label := label's label halves
+    * remaining path lengths, so rounds are O(log diameter), not
+    * O(diameter)), edges repartitioned ONCE on the join key and reused
+    * every round, eager localCheckpoint per round so the logical plan stays
+    * flat instead of doubling (the iterative-Catalyst hazard). The driver
+    * never sees a node list — convergence is a one-row count. Oracle is the
+    * honest relational spec: a recursive reachability CTE. */
+  def components(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables(spark, sfDir).documents.select(col("doc_id")).persist()
+    val n = docs.count()
+    val raw = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("src"), ((col("doc_id") * 13 + 7) % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val adj = raw.union(raw.select(col("dst"), col("src")))
+      .distinct()
+      .repartition(col("dst")).persist() // one partitioning, reused per round
+    var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < ccMaxIters) {
+      val prop = adj.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val stepped = labels.join(prop, col("node") === col("src"), "left")
+        .select(col("node"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      val byNode = stepped.select(col("node").as("n2"), col("lbl").as("l2"))
+      val doubled = stepped.join(byNode, col("lbl") === col("n2"))
+        .select(col("node"), col("prev"), least(col("lbl"), col("l2")).as("lbl"))
+        .localCheckpoint(true)
+      changed = doubled.filter(col("lbl") =!= col("prev")).count()
+      labels = doubled.select(col("node"), col("lbl")).localCheckpoint(true)
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comp_size"))
+    labels.join(sizes, "lbl")
+      .select(col("node").as("doc_id"), col("lbl").as("comp"), col("comp_size"))
+  }
+
+  /** Ground-truth reachability: min doc_id reachable in the undirected
+    * closure (equals the propagation fixpoint iff the engine converged). */
+  val componentsSql: String =
+    """WITH RECURSIVE docs AS (SELECT doc_id FROM documents),
+      |n AS (SELECT count(*) AS n FROM docs),
+      |raw AS (
+      |  SELECT doc_id AS src, (doc_id * 13 + 7) % (SELECT n FROM n) AS dst
+      |  FROM docs WHERE doc_id % 3 = 0
+      |    AND doc_id <> (doc_id * 13 + 7) % (SELECT n FROM n)),
+      |adj AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+      |reach(node, lbl) AS (
+      |  SELECT doc_id, doc_id FROM docs
+      |  UNION
+      |  SELECT a.dst, r.lbl FROM reach r JOIN adj a ON a.src = r.node
+      |  WHERE r.lbl < a.dst),
+      |comp AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY 1),
+      |sz AS (SELECT comp, count(*) AS comp_size FROM comp GROUP BY 1)
+      |SELECT CAST(c.node AS BIGINT) AS doc_id, CAST(c.comp AS BIGINT) AS comp,
+      |  s.comp_size
+      |FROM comp c JOIN sz s ON s.comp = c.comp""".stripMargin
+
   // ---- triangle counting (degree-ordered orientation) ----------------------
 
   /** Per-node triangle counts over the undirected doc link graph (same
@@ -1159,7 +1235,8 @@ object WebOps {
     "web_canonical" -> (canonicalTag _),
     "web_robots" -> (robotsCheck _),
     "web_pagerank" -> (pageRank _),
-    "web_triangles" -> (triangles _))
+    "web_triangles" -> (triangles _),
+    "web_components" -> (components _))
 
   def oracleSql: Map[String, String] = Map(
     "web_urlnorm" -> urlNormSql,
@@ -1175,7 +1252,8 @@ object WebOps {
     "web_canonical" -> canonicalTagSql,
     "web_robots" -> robotsCheckSql,
     "web_pagerank" -> pageRankSql,
-    "web_triangles" -> trianglesSql)
+    "web_triangles" -> trianglesSql,
+    "web_components" -> componentsSql)
 }
 
 /** `url → canonical url` (rules in [[WebOps.canonicalUrl]]); static-call
