@@ -417,6 +417,77 @@ object Dedup {
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
 
+  // ---- content-defined chunking (CDC) dedup --------------------------------
+
+  /** Boundary divisor: a chunk break lands after any 2-gram whose hash
+    * ≡ 0 (mod 16) → expected chunk ≈ 16 word-positions. */
+  val cdcDiv = 16
+  /** Signature sum uses 40-bit hash residues so a chunk of any realistic
+    * length sums exactly in BIGINT on both engines (DuckDB would widen to
+    * HUGEINT while Spark wraps — truncating FIRST keeps them identical). */
+  val cdcSigMod = 1L << 40
+  private val cdcPack = 1L << 20 // (doc_id, chunk_idx) packed key, as dd_chunks
+
+  /** Content-defined chunking dedup — dd_chunks' storage-dedup sibling with
+    * the boundary rule production systems actually use (rsync/LBFS/gear
+    * CDC, Muthitacharoen et al. SOSP'01): chunk breaks where a CONTENT hash
+    * hits a divisor, not at fixed offsets, so an insertion early in a doc
+    * shifts every fixed-size chunk but leaves all CDC chunks after the next
+    * boundary intact — the property that makes incremental re-dedup of
+    * edited corpora O(changed region). History-free boundary test (pure
+    * per-position predicate, no min/max chunk state) keeps the rule
+    * relational. Plan: ONE posexplode + per-doc window cumsum (partitions
+    * bounded by doc length) → (doc, chunk) signature agg reusing the same
+    * partitioning → ONE signature shuffle for corpus-wide dup stats. */
+  /** Per-doc CDC chunk table (doc_id, chunk_idx, sig, n_grams) — exposed so
+    * the spec can pin the shift-resilience property CDC exists for. */
+  private[graft] def cdcChunkTable(docsDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docsDf
+      .select(col("doc_id"),
+        posexplode(graft.plans.ShingleHashes(col("text"), 2, distinct = false))
+          .as(Seq("pos", "h")))
+      .withColumn("b", (pmod(col("h"), lit(cdcDiv.toLong)) === 0).cast("long"))
+      .withColumn("chunk_idx", coalesce(sum(col("b")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(sum(pmod(col("h"), lit(cdcSigMod))).as("sig"),
+        count(lit(1)).as("n_grams"))
+  }
+
+  def cdcChunks(spark: SparkSession, sfDir: String): DataFrame =
+    cdcChunkTable(docs(spark, sfDir))
+      .groupBy(col("sig"), col("n_grams"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id") * cdcPack + col("chunk_idx")).as("first_key"))
+      .filter(col("n_occ") >= 2)
+      .select(col("sig"), col("n_grams"), col("n_docs"), col("n_occ"),
+        (col("first_key") / cdcPack).cast("long").as("first_doc"),
+        pmod(col("first_key"), lit(cdcPack)).as("first_idx"))
+
+  val cdcChunksSql: String =
+    s"""WITH sh0 AS (SELECT doc_id, ${Portable.wordsSql} AS w FROM documents),
+       |g AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    ${Portable.hash64Sql("w[i] || ' ' || w[i + 1]")} AS h
+       |  FROM sh0, LATERAL unnest(range(1, greatest(len(w) - 1, 0) + 1)) t(i)),
+       |c AS (
+       |  SELECT doc_id, pos, h,
+       |    coalesce(sum(CASE WHEN h % $cdcDiv = 0 THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+       |  FROM g),
+       |ch AS (
+       |  SELECT doc_id, chunk_idx,
+       |    CAST(sum(h % $cdcSigMod) AS BIGINT) AS sig,
+       |    count(*) AS n_grams
+       |  FROM c GROUP BY 1, 2)
+       |SELECT sig, n_grams, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+       |  CAST(min(doc_id * $cdcPack + chunk_idx) // $cdcPack AS BIGINT) AS first_doc,
+       |  CAST(min(doc_id * $cdcPack + chunk_idx) % $cdcPack AS BIGINT) AS first_idx
+       |FROM ch GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
   // ---- near-dup clusters: connected components over candidate pairs -------
 
   /** Edge-count threshold for the driver union-find fast path. The collect
@@ -761,6 +832,7 @@ object Dedup {
     "dd_clusters" -> (clusters _),
     "dd_simhash" -> (simhash _),
     "dd_chunks" -> (chunkDups _),
+    "dd_cdc" -> (cdcChunks _),
     "dd_intra" -> (intra _),
     "dd_lsh_recall" -> (lshRecall _))
 
@@ -779,6 +851,7 @@ object Dedup {
     "dd_clusters" -> clustersSql,
     "dd_simhash" -> simhashSql,
     "dd_chunks" -> chunkDupsSql,
+    "dd_cdc" -> cdcChunksSql,
     "dd_intra" -> intraSql,
     "dd_lsh_recall" -> lshRecallSql)
 }

@@ -1000,7 +1000,62 @@ object Relational {
        |  CAST(sum(grp_n) AS BIGINT) AS n_rows, count(*) AS n_groups
        |FROM s GROUP BY 1, 2, 3""".stripMargin
 
+  // ---- incremental join-view maintenance -----------------------------------
+
+  /** Base/delta split date for [[qIncrJoin]]. */
+  val incrCutoff = "1997-01-01"
+
+  /** Incremental JOIN-view maintenance — ev_incr_agg maintains an
+    * aggregation from its delta; this maintains a JOIN view, the harder
+    * standing-pipeline case (delta rows join against the OTHER side's full
+    * history). The algebra is the classic bilinear delta rule
+    * (differential/IVM: Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB): the standing
+    * per-priority view (items, quantity, cents) merges with the aggregated
+    * delta contributions instead of re-joining history with history. At
+    * 100 TB the base⋈base join — the term that dwarfs all others — is the
+    * one term NEVER recomputed; each refresh pays O(Δ·⋈-selectivity).
+    * Every predicate lands on the raw date columns (scan pushdown on both
+    * sides); all measures are mergeable exact BIGINTs (cents via decimal,
+    * no float summation), so the merged view hash-matches the full
+    * recompute the oracle runs. */
+  def qIncrJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val cut = lit(incrCutoff).cast("timestamp")
+    val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+      .cast("long")
+    def agg(j: DataFrame): DataFrame = j
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("qty_total"),
+        sum(cents).as("cents_total"))
+    val a0 = t.orders.filter(col("o_orderdate") < cut)
+    val dA = t.orders.filter(col("o_orderdate") >= cut)
+    val b0 = t.lineitem.filter(col("l_shipdate") < cut)
+    val dB = t.lineitem.filter(col("l_shipdate") >= cut)
+    val key = col("o_orderkey") === col("l_orderkey")
+    val standing = agg(a0.join(b0, key)) // the view that persists between refreshes
+    val deltas = agg(
+      dA.join(b0, key)
+        .unionByName(a0.join(dB, key))
+        .unionByName(dA.join(dB, key)))
+    standing.unionByName(deltas)
+      .groupBy(col("o_orderpriority")) // mergeable-measure view merge
+      .agg(sum(col("n_items")).as("n_items"),
+        sum(col("qty_total")).as("qty_total"),
+        sum(col("cents_total")).as("cents_total"))
+  }
+
+  /** Oracle = the full recompute the delta rule must equal. */
+  val qIncrJoinSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents_total
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incr_join" -> (qIncrJoin _),
     "q_kanon" -> (qKanon _),
     "q_unpivot" -> (qUnpivot _),
     "q_setops" -> (qSetops _),
@@ -1056,5 +1111,6 @@ object Relational {
     "q_window" -> qWindowSql,
     "q_rollup" -> qRollupSql,
     "q_semi_anti" -> qSemiAntiSql,
-    "ev_topk_users" -> evTopkUsersSql)
+    "ev_topk_users" -> evTopkUsersSql,
+    "q_incr_join" -> qIncrJoinSql)
 }
