@@ -192,8 +192,12 @@ object EventOps {
       .select(col("type_a"), col("type_b"), col("exact"), col("est"))
   }
 
-  val thetaKmvSql: String =
-    """WITH h AS (
+  /** KMV-replay CTEs shared by the batch and streaming theta oracles —
+    * k=256 and the hash layout exist in exactly two places: KmvSketch
+    * (engine) and here (oracle). Expects an `events` table; yields
+    * `inter(type_a, type_b, theta, m)`. */
+  val kmvReplayCtes: String =
+    """h AS (
       |  SELECT DISTINCT event_type,
       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
       |  FROM events),
@@ -212,16 +216,22 @@ object EventOps {
       |            (SELECT count(*) FROM s sa JOIN s sb ON sb.h = sa.h
       |             WHERE sa.event_type = p.type_a AND sb.event_type = p.type_b
       |               AND sa.h < p.theta) AS m
-      |          FROM pair p),
-      |ex AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
-      |         count(*) AS exact
-      |       FROM (SELECT DISTINCT event_type, user_id FROM events) x
-      |       JOIN (SELECT DISTINCT event_type, user_id FROM events) y
-      |         ON x.user_id = y.user_id AND x.event_type <= y.event_type
-      |       GROUP BY 1, 2)
-      |SELECT ex.type_a, ex.type_b, ex.exact,
-      |  round(CAST(i.m AS DOUBLE) * power(2.0, 60) / i.theta, 4) AS est
-      |FROM ex JOIN inter i ON i.type_a = ex.type_a AND i.type_b = ex.type_b""".stripMargin
+      |          FROM pair p)""".stripMargin
+
+  val kmvEstimateSql: String =
+    "round(CAST(i.m AS DOUBLE) * power(2.0, 60) / i.theta, 4)"
+
+  val thetaKmvSql: String =
+    s"""WITH $kmvReplayCtes,
+       |ex AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+       |         count(*) AS exact
+       |       FROM (SELECT DISTINCT event_type, user_id FROM events) x
+       |       JOIN (SELECT DISTINCT event_type, user_id FROM events) y
+       |         ON x.user_id = y.user_id AND x.event_type <= y.event_type
+       |       GROUP BY 1, 2)
+       |SELECT ex.type_a, ex.type_b, ex.exact,
+       |  $kmvEstimateSql AS est
+       |FROM ex JOIN inter i ON i.type_a = ex.type_a AND i.type_b = ex.type_b""".stripMargin
 
   // ---- latency/value quantiles --------------------------------------------
 

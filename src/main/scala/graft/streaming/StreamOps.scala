@@ -639,6 +639,30 @@ object StreamOps {
         .select(col("event_type"), graft.plans.HllSketch.estimate("regs").as("est"))
     }
 
+  /** KMV theta sketches maintained IN streaming state — the set-algebra
+    * member of the sketch-under-the-state-store family: per-type k-minimum-
+    * values state (≤ k longs per group, order/partition-invariant like any
+    * mergeable sketch) accumulates in Complete mode; the pairwise audience-
+    * overlap matrix is array math over the DRAINED |types|-row table — the
+    * live "users doing BOTH A and B" dashboard no exact method can serve
+    * without unbounded state. Hash-matches the batch replay exactly (minus
+    * the exact-count audit column, which streaming cannot carry). */
+  def thetaKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    val sk = runToTable(spark, sfDir, OutputMode.Complete()) { src =>
+      src.groupBy(col("event_type"))
+        .agg(graft.plans.KmvSketch.sketch(col("user_id").cast("string")).as("sk"))
+    }
+    sk.as("a").join(sk.as("b"), col("a.event_type") <= col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        graft.plans.KmvSketch.intersectEstimate("a.sk", "b.sk").as("est"))
+  }
+
+  def thetaKmvSql: String =
+    s"""WITH ${graft.events.EventOps.kmvReplayCtes}
+       |SELECT i.type_a, i.type_b,
+       |  ${graft.events.EventOps.kmvEstimateSql} AS est
+       |FROM inter i""".stripMargin
+
   /** The batch replay minus the exact count (streaming can't countDistinct
     * without unbounded state) — CTEs shared with [[graft.events.EventOps]]. */
   def hllUsersSql: String =
@@ -1103,6 +1127,7 @@ object StreamOps {
     "st_scd2" -> (stScd2 _),
     "st_spike" -> (stSpike _),
     "st_hll_users" -> (hllUsers _),
+    "st_theta_kmv" -> (thetaKmv _),
     "st_bitmap" -> (stBitmap _),
     "st_stream_join" -> (streamJoin _),
     "st_minhash_dedup" -> (minhashDedup _),
@@ -1127,6 +1152,7 @@ object StreamOps {
     "st_scd2" -> stScd2Sql,
     "st_spike" -> stSpikeSql,
     "st_hll_users" -> hllUsersSql,
+    "st_theta_kmv" -> thetaKmvSql,
     "st_bitmap" -> stBitmapSql,
     "st_stream_join" -> streamJoinSql,
     "st_minhash_dedup" -> minhashDedupSql,
