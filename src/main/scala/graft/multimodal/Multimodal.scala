@@ -338,6 +338,71 @@ object Multimodal {
        |  LATERAL unnest(range(0, (length(text) + ${frameBytes - 1}) // $frameBytes)) t(fi)
        |WHERE fi % $frameStride = 0""".stripMargin
 
+  // ---- shot-boundary detection ---------------------------------------------
+
+  final case class Shot(doc_id: Long, shot_idx: Long, start_frame: Long, n_frames: Long)
+
+  /** Energy-delta threshold: adjacent frames whose byte-energy differs by
+    * more than this open a new shot. */
+  val shotThresh = 120
+
+  /** Video shot segmentation — the temporal-structure pass every video
+    * curation pipeline runs before sampling clips (train on shots, not on
+    * arbitrary windows that straddle a cut): frames are scored by a cheap
+    * energy feature, a boundary opens where adjacent-frame energy jumps by
+    * more than [[shotThresh]] (the classic pixel-difference shot detector,
+    * with the codec's luma histogram stood in by the deterministic byte
+    * energy so the oracle can replay it). Same batched `mapPartitions` shape
+    * as [[mmFrameSample]] — per-doc sequential scan inside the batch loop,
+    * shots emitted as (start_frame, n_frames) segments. */
+  def mmVideoShots(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[Payload]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap(_.flatMap { p =>
+          val nFrames = (p.payload.length + frameBytes - 1) / frameBytes
+          val e = new Array[Long](nFrames)
+          var i = 0
+          while (i < p.payload.length) { e(i / frameBytes) += p.payload(i) & 0xffL; i += 1 }
+          val out = scala.collection.mutable.ArrayBuffer.empty[Shot]
+          var shotStart = 0
+          var fi = 1
+          while (fi <= nFrames) {
+            if (fi == nFrames || math.abs(e(fi) - e(fi - 1)) > shotThresh) {
+              out += Shot(p.doc_id, out.size.toLong, shotStart.toLong, (fi - shotStart).toLong)
+              shotStart = fi
+            }
+            fi += 1
+          }
+          out
+        })
+      }
+      .toDF()
+  }
+
+  /** Byte-energy replay: per-char unnest → frame sums → lag delta →
+    * boundary cumsum → segment agg. */
+  val mmVideoShotsSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, i // $frameBytes AS fi,
+       |    ascii(substr(text, CAST(i + 1 AS INTEGER), 1)) AS b
+       |  FROM documents, LATERAL unnest(range(0, length(text))) t(i)),
+       |e AS (SELECT doc_id, fi, sum(b) AS e FROM c GROUP BY 1, 2),
+       |d AS (SELECT doc_id, fi, e,
+       |        lag(e) OVER (PARTITION BY doc_id ORDER BY fi) AS pe FROM e),
+       |b AS (SELECT doc_id, fi,
+       |        CASE WHEN pe IS NOT NULL AND abs(e - pe) > $shotThresh
+       |             THEN 1 ELSE 0 END AS brk FROM d),
+       |s AS (SELECT doc_id, fi,
+       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY fi
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot_idx
+       |      FROM b)
+       |SELECT doc_id, CAST(shot_idx AS BIGINT) AS shot_idx,
+       |  CAST(min(fi) AS BIGINT) AS start_frame, count(*) AS n_frames
+       |FROM s GROUP BY doc_id, shot_idx""".stripMargin
+
   // ---- resize planning -----------------------------------------------------
 
   val resizeMax = 64
@@ -780,6 +845,7 @@ object Multimodal {
     "pipe_mm" -> (pipeMm _),
     "mm_meta" -> (mmMeta _),
     "mm_audio" -> (mmAudio _),
+    "mm_video_shots" -> (mmVideoShots _),
     "mm_framesample" -> (mmFrameSample _),
     "mm_resize" -> (mmResize _),
     "mm_features" -> (mmFeatures _),
@@ -791,6 +857,7 @@ object Multimodal {
     "pipe_mm" -> pipeMmSql,
     "mm_meta" -> mmMetaSql,
     "mm_audio" -> mmAudioSql,
+    "mm_video_shots" -> mmVideoShotsSql,
     "mm_framesample" -> mmFrameSampleSql,
     "mm_resize" -> mmResizeSql,
     "mm_features" -> mmFeaturesSql,

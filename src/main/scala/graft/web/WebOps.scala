@@ -1072,6 +1072,176 @@ object WebOps {
 
   private def teleportSql: String = s"150000000 // (SELECT n FROM n)"
 
+  // ---- HITS (hubs & authorities) -------------------------------------------
+
+  /** HITS iterations — each is a full (authority ← hubs, hubs ← authorities)
+    * sweep; the oracle unrolls exactly this many. */
+  val hitsIters = 2
+
+  /** HITS (Kleinberg, JACM'99) — the OTHER canonical link-analysis fixpoint:
+    * authorities are pages good hubs point TO, hubs are pages that point to
+    * good authorities, a mutually-recursive pair PageRank's single vector
+    * can't express (directories/link-lists score as hubs, canonical pages
+    * as authorities). Same persisted directed edge frame as [[pageRank]];
+    * each half-sweep is one edges⋈vector shuffle-agg. Normalization (the
+    * step that makes HITS converge) is L1 in EXACT integer arithmetic:
+    * mass × 10⁹ DIV total, computed in 38-digit decimal so the product
+    * can't overflow int64 — bit-identical on both engines (DuckDB runs the
+    * same floor-div in HUGEINT). The per-round total is a ONE-ROW scalar
+    * (same driver-visible cardinality as the `n = docs.count()` every
+    * iterative query here uses). */
+  def hits(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables(spark, sfDir).documents.select(col("doc_id")).persist()
+    val n = docs.count()
+    val edges = docs
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(1), lit(linksPerDoc))).as("k"))
+      .select(col("src"), ((col("src") * 7 + col("k")) % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .persist()
+    def l1norm(df: DataFrame, c: String): DataFrame = {
+      val total = df.agg(sum(col(c))).head().getLong(0)
+      df.select(col("doc_id"),
+        expr(s"CAST((CAST($c AS DECIMAL(38,0)) * 1000000000) DIV $total AS BIGINT)").as(c))
+    }
+    var hub = docs.select(col("doc_id"), lit(1000000000L).as("hub"))
+    var auth = docs.select(col("doc_id"), lit(0L).as("auth"))
+    (1 to hitsIters).foreach { _ =>
+      val araw = edges.join(hub, col("src") === col("doc_id"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
+      auth = l1norm(
+        docs.join(araw, col("doc_id") === col("dst"), "left")
+          .select(col("doc_id"), coalesce(col("auth"), lit(0L)).as("auth")), "auth")
+      val hraw = edges.join(auth, col("dst") === col("doc_id"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("hub"))
+      hub = l1norm(
+        docs.join(hraw, col("doc_id") === col("src"), "left")
+          .select(col("doc_id"), coalesce(col("hub"), lit(0L)).as("hub")), "hub")
+    }
+    auth.join(hub, "doc_id")
+      .orderBy(col("auth").desc, col("doc_id").asc).limit(topRanks)
+      .select(col("doc_id"), col("auth"), col("hub"))
+  }
+
+  /** The mutual recursion unrolled: (a1, h1) … per iteration, with the
+    * same HUGEINT floor-div L1 normalization. */
+  val hitsSql: String = {
+    def around(prevH: String, next: String): String =
+      s"""${next}raw AS (
+         |  SELECT d.doc_id, coalesce(f.m, 0) AS m
+         |  FROM docs d LEFT JOIN (
+         |    SELECT e.dst, sum(p.hub) AS m FROM edges e
+         |    JOIN $prevH p ON e.src = p.doc_id GROUP BY e.dst) f
+         |    ON d.doc_id = f.dst),
+         |$next AS (
+         |  SELECT doc_id, CAST((m::HUGEINT * 1000000000)
+         |    // (SELECT sum(m) FROM ${next}raw) AS BIGINT) AS auth
+         |  FROM ${next}raw)""".stripMargin
+    def hround(prevA: String, next: String): String =
+      s"""${next}raw AS (
+         |  SELECT d.doc_id, coalesce(f.m, 0) AS m
+         |  FROM docs d LEFT JOIN (
+         |    SELECT e.src, sum(p.auth) AS m FROM edges e
+         |    JOIN $prevA p ON e.dst = p.doc_id GROUP BY e.src) f
+         |    ON d.doc_id = f.src),
+         |$next AS (
+         |  SELECT doc_id, CAST((m::HUGEINT * 1000000000)
+         |    // (SELECT sum(m) FROM ${next}raw) AS BIGINT) AS hub
+         |  FROM ${next}raw)""".stripMargin
+    s"""WITH docs AS (SELECT doc_id FROM documents),
+       |n AS (SELECT count(*) AS n FROM docs),
+       |edges AS (
+       |  SELECT doc_id AS src, (doc_id * 7 + k) % (SELECT n FROM n) AS dst
+       |  FROM docs, LATERAL unnest(range(1, $linksPerDoc + 1)) t(k)
+       |  WHERE doc_id <> (doc_id * 7 + k) % (SELECT n FROM n)),
+       |h0 AS (SELECT doc_id, 1000000000 AS hub FROM docs),
+       |${around("h0", "a1")},
+       |${hround("a1", "h1")},
+       |${around("h1", "a2")},
+       |${hround("a2", "h2")}
+       |SELECT CAST(a2.doc_id AS BIGINT) AS doc_id,
+       |  CAST(a2.auth AS BIGINT) AS auth, CAST(h2.hub AS BIGINT) AS hub
+       |FROM a2 JOIN h2 ON h2.doc_id = a2.doc_id
+       |ORDER BY a2.auth DESC, a2.doc_id ASC LIMIT $topRanks""".stripMargin
+  }
+
+  // ---- TrustRank (personalized PageRank over a seed set) -------------------
+
+  /** Every 50th doc is a hand-vetted trust seed (TrustRank's "good set"). */
+  val trustSeedMod = 50
+
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB'04) — PageRank with
+    * the teleport restricted to a TRUSTED SEED set, so rank mass can only
+    * originate at vetted pages and decays with link distance from them: the
+    * spam-demotion prior every production ranking stack layers over raw
+    * PageRank. Same persisted-edge iterative shape and exact-BIGINT floor-DIV
+    * arithmetic as [[pageRank]] (one edges⋈ranks shuffle-agg per round,
+    * partitioning reused); the ONLY differences are the seed-restricted
+    * initial mass and teleport vector — which is the point: personalization
+    * is a vector swap, not a new engine. Unreached pages rank EXACTLY 0 (no
+    * uniform teleport floor), the property spam demotion relies on. */
+  def trustRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables(spark, sfDir).documents.select(col("doc_id"))
+    val n = docs.count()
+    val nSeeds = docs.filter(col("doc_id") % trustSeedMod === 0).count()
+    val edges = docs
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(1), lit(linksPerDoc))).as("k"))
+      .select(col("src"), ((col("src") * 7 + col("k")) % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .persist()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges.join(outdeg, "src").persist()
+    val isSeed = col("doc_id") % trustSeedMod === 0
+    var ranks = docs.select(col("doc_id"),
+      when(isSeed, lit(1000000000L / nSeeds)).otherwise(lit(0L)).as("pr"))
+    (1 to prIters).foreach { _ =>
+      val contrib = withDeg
+        .join(ranks, col("src") === col("doc_id"))
+        .select(col("dst"),
+          expr(s"(pr * $dampingPpt) DIV (1000 * outdeg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      ranks = docs.select(col("doc_id"))
+        .join(contrib, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          (when(isSeed, lit(150000000L / nSeeds)).otherwise(lit(0L)) +
+            coalesce(col("inflow"), lit(0L))).as("pr"))
+    }
+    ranks.orderBy(col("pr").desc, col("doc_id").asc).limit(topRanks)
+      .select(col("doc_id"), col("pr"))
+  }
+
+  /** The seed-personalized recurrence unrolled, mirroring [[pageRankSql]]. */
+  val trustRankSql: String = {
+    val tele = s"CASE WHEN d.doc_id % $trustSeedMod = 0 " +
+      s"THEN 150000000 // (SELECT ns FROM ns) ELSE 0 END"
+    def step(prev: String, next: String): String =
+      s"""$next AS (
+         |  SELECT d.doc_id, $tele + coalesce(f.inflow, 0) AS pr
+         |  FROM docs d LEFT JOIN (
+         |    SELECT e.dst, sum(($dampingPpt * p.pr) // (1000 * e.outdeg)) AS inflow
+         |    FROM ewd e JOIN $prev p ON e.src = p.doc_id
+         |    GROUP BY e.dst) f ON d.doc_id = f.dst)""".stripMargin
+    s"""WITH docs AS (SELECT doc_id FROM documents),
+       |n AS (SELECT count(*) AS n FROM docs),
+       |ns AS (SELECT count(*) AS ns FROM docs WHERE doc_id % $trustSeedMod = 0),
+       |edges AS (
+       |  SELECT doc_id AS src, (doc_id * 7 + k) % (SELECT n FROM n) AS dst
+       |  FROM docs, LATERAL unnest(range(1, $linksPerDoc + 1)) t(k)
+       |  WHERE doc_id <> (doc_id * 7 + k) % (SELECT n FROM n)),
+       |ewd AS (
+       |  SELECT src, dst, count(*) OVER (PARTITION BY src) AS outdeg FROM edges),
+       |r0 AS (SELECT doc_id,
+       |         CASE WHEN doc_id % $trustSeedMod = 0
+       |           THEN 1000000000 // (SELECT ns FROM ns) ELSE 0 END AS pr
+       |       FROM docs),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")}
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pr AS BIGINT) AS pr
+       |FROM r3 ORDER BY pr DESC, doc_id ASC LIMIT $topRanks""".stripMargin
+  }
+
   // ---- connected components (distributed min-label propagation) -----------
 
   /** Max label-propagation rounds — with pointer doubling, round r covers
@@ -1236,7 +1406,9 @@ object WebOps {
     "web_robots" -> (robotsCheck _),
     "web_pagerank" -> (pageRank _),
     "web_triangles" -> (triangles _),
-    "web_components" -> (components _))
+    "web_components" -> (components _),
+    "web_trustrank" -> (trustRank _),
+    "web_hits" -> (hits _))
 
   def oracleSql: Map[String, String] = Map(
     "web_urlnorm" -> urlNormSql,
@@ -1253,7 +1425,9 @@ object WebOps {
     "web_robots" -> robotsCheckSql,
     "web_pagerank" -> pageRankSql,
     "web_triangles" -> trianglesSql,
-    "web_components" -> componentsSql)
+    "web_components" -> componentsSql,
+    "web_trustrank" -> trustRankSql,
+    "web_hits" -> hitsSql)
 }
 
 /** `url → canonical url` (rules in [[WebOps.canonicalUrl]]); static-call
