@@ -1054,7 +1054,47 @@ object Relational {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY 1""".stripMargin
 
+  // ---- skyline (Pareto front) ----------------------------------------------
+
+  /** Skyline / Pareto front — "newest order at every price point": the
+    * multi-criteria shortlist query (Börzsönyi et al., ICDE'01). A row
+    * (cents, date) survives iff no other order is both ≤ price and ≥ date
+    * with one strict. The textbook formulation is a quadratic NOT-EXISTS
+    * self-join — which is exactly what the oracle runs; the ENGINE instead
+    * uses the sort-scan identity (on distinct pairs, sorted by price asc /
+    * date desc, a row is dominated iff the running max date over strictly
+    * preceding rows ≥ its own): one distinct + ONE window pass, O(n log n)
+    * and 100 TB-shaped vs the oracle's O(n²) — same rows, proven by hash.
+    * Money compares in exact cents so dominance ties are exact, not
+    * float-fuzzy. */
+  def qSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cents").asc, col("date_us").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables(spark, sfDir).orders
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        graft.epochUs(col("o_orderdate")).as("date_us"))
+      .distinct()
+      .withColumn("m", max(col("date_us")).over(W))
+      .filter(col("m").isNull || col("m") < col("date_us"))
+      .select(col("cents"), col("date_us"))
+  }
+
+  /** The quadratic dominance spec the window identity must equal. */
+  val qSkylineSql: String =
+    """WITH p AS (
+      |  SELECT DISTINCT
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    epoch_us(o_orderdate) AS date_us
+      |  FROM orders)
+      |SELECT cents, date_us FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE b.cents <= a.cents AND b.date_us >= a.date_us
+      |    AND (b.cents < a.cents OR b.date_us > a.date_us))""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> (qSkyline _),
     "q_incr_join" -> (qIncrJoin _),
     "q_kanon" -> (qKanon _),
     "q_unpivot" -> (qUnpivot _),
@@ -1112,5 +1152,6 @@ object Relational {
     "q_rollup" -> qRollupSql,
     "q_semi_anti" -> qSemiAntiSql,
     "ev_topk_users" -> evTopkUsersSql,
-    "q_incr_join" -> qIncrJoinSql)
+    "q_incr_join" -> qIncrJoinSql,
+    "q_skyline" -> qSkylineSql)
 }

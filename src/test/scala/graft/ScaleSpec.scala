@@ -691,4 +691,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(m("co.uk") == ("co.uk", None))
     assert(m("cdn.example.net") == ("net", Some("example.net")))
   }
+
+  test("ev_theta_kmv: sketch matrix broadcasts — no corpus-vs-corpus shuffle join on the sketch side") {
+    val plan = events.EventOps.thetaKmv(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |types|-row sketch matrix must broadcast:\n${plan.take(900)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "no sort-merge join belongs in the sketch path:\n" + plan.take(900))
+  }
+
+  test("q_incr_join: split predicates reach both parquet scans as PushedFilters") {
+    val plan = relational.Relational.qIncrJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*(GreaterThanOrEqual|LessThan)".r
+      .findAllIn(plan).size
+    assert(pushed >= 4, // a0/dA on orders + b0/dB on lineitem
+      s"date split must prune at the scan on all four legs:\n${plan.take(1200)}")
+  }
+
+  test("q_skyline: one distinct shuffle + the window sort — never a quadratic join") {
+    val plan = relational.Relational.qSkyline(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "the engine must use the sort-scan identity, not the oracle's O(n^2) join:\n" + plan.take(900))
+  }
+
+  test("web_triangles: oriented wedge build stays equi-join — no cartesian, no BNLJ") {
+    val plan = web.WebOps.triangles(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "wedge + closing-edge probes must be hash equi-joins:\n" + plan.take(900))
+  }
 }
