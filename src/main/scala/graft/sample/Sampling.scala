@@ -401,7 +401,63 @@ object Sampling {
        |FROM c
        |WHERE cum // (SELECT stride FROM s) - (cum - n_chars) // (SELECT stride FROM s) > 0""".stripMargin
 
+  // ---- Neyman optimal stratified allocation -------------------------------
+
+  /** Total sample budget allocated across strata by [[neyman]]. */
+  val neymanK = 1000
+
+  /** Neyman optimal allocation (Neyman 1934) — the stratified-sampling
+    * budget split that minimizes estimator variance: n_h ∝ N_h·σ_h, so
+    * big AND internally-diverse strata get the samples, uniform strata
+    * almost none. The float trap is σ (a sqrt) inside a cross-strata sum;
+    * the identity N_h·σ_h = √(N_h·ΣX² − (ΣX)²) reduces the weight to the
+    * INTEGER square root of an exact integer moment — every weight, the
+    * total, and the largest-remainder rounding (which lands the allocation
+    * on exactly K) are integer arithmetic, bit-identical on both engines
+    * at any partitioning. Scale shape: one corpus agg to |strata| moment
+    * rows; the allocation runs entirely over that dim. */
+  def neyman(spark: SparkSession, sfDir: String): DataFrame = {
+    val moments = Tables(spark, sfDir).documents
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+      // N·σ = isqrt(N·S2 − S1²): exact for num < 2^52 (doc'd moment bound)
+      .withColumn("w", floor(sqrt((col("n_docs") * col("s2") -
+        col("s1") * col("s1")).cast("double"))).cast("long"))
+    val wTot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = moments
+      .withColumn("w_total", greatest(sum(col("w")).over(wTot), lit(1L)))
+      .withColumn("base", expr(s"($neymanK * w) DIV w_total"))
+      .withColumn("rem", expr(s"($neymanK * w) % w_total"))
+      .withColumn("deficit", lit(neymanK) - sum(col("base")).over(wTot))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang").asc)))
+    ranked.select(col("lang"), col("n_docs"), col("w"),
+      (col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+        .as("alloc"))
+  }
+
+  val neymanSql: String =
+    s"""WITH m AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS s1,
+       |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+       |  FROM documents GROUP BY 1),
+       |w AS (SELECT lang, n_docs,
+       |        CAST(floor(sqrt(CAST(n_docs * s2 - s1 * s1 AS DOUBLE))) AS BIGINT) AS w
+       |      FROM m),
+       |t AS (SELECT *, greatest((SELECT sum(w) FROM w), 1) AS w_total FROM w),
+       |b AS (SELECT *, ($neymanK * w) // w_total AS base,
+       |        ($neymanK * w) % w_total AS rem FROM t),
+       |r AS (SELECT *, $neymanK - (SELECT sum(base) FROM b) AS deficit,
+       |        row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk FROM b)
+       |SELECT lang, n_docs, w,
+       |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |FROM r""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "samp_neyman" -> (neyman _),
     "samp_pps" -> (pps _),
     "samp_leakage" -> (leakage _),
     "samp_upsample" -> (upsample _),
@@ -413,6 +469,7 @@ object Sampling {
     "samp_dsir" -> (dsir _))
 
   def oracleSql: Map[String, String] = Map(
+    "samp_neyman" -> neymanSql,
     "samp_pps" -> ppsSql,
     "samp_leakage" -> leakageSql,
     "samp_upsample" -> upsampleSql,

@@ -85,17 +85,69 @@ object TextOps {
       .select(col("doc_id"), col("plang").as("lang_pred"), col("score"))
   }
 
-  val langIdSql: String =
-    s"""WITH $profilesValuesSql,
+  /** CTE chain ending in `preds(doc_id, lang_pred, score)` — shared by the
+    * langid oracle and the evaluation oracle so the tie-break rule
+    * (score desc, lang asc) exists in exactly one SQL place. */
+  val langIdCtes: String =
+    s"""$profilesValuesSql,
        |wt AS (SELECT doc_id, unnest(list_distinct(${Portable.wordsSql})) AS word FROM documents),
        |scores AS (
        |  SELECT doc_id, plang, count(*) AS score
-       |  FROM wt JOIN profiles ON word = pword GROUP BY 1, 2)
-       |SELECT doc_id, plang AS lang_pred, score FROM (
-       |  SELECT doc_id, plang, score,
-       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
-       |  FROM scores) t
-       |WHERE rn = 1""".stripMargin
+       |  FROM wt JOIN profiles ON word = pword GROUP BY 1, 2),
+       |preds AS (
+       |  SELECT doc_id, plang AS lang_pred, score FROM (
+       |    SELECT doc_id, plang, score,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
+       |    FROM scores) t
+       |  WHERE rn = 1)""".stripMargin
+
+  val langIdSql: String =
+    s"""WITH $langIdCtes
+       |SELECT doc_id, lang_pred, score FROM preds""".stripMargin
+
+  /** Language-ID evaluation — the quality readout every corpus-curation run
+    * publishes next to its classifier: per TRUE label, scored-doc count,
+    * correct count, recall, and the top confusion target (which language
+    * absorbs this one's misclassifications — the signal that says whether
+    * to fix profiles or thresholds). Scale shape: the per-doc prediction is
+    * the fused zero-shuffle langid scan; everything after runs over the
+    * |langs|² confusion matrix. Recall is ONE division of exact ints. */
+  def lidEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = docs(spark, sfDir).select(col("doc_id"), col("lang"))
+      .join(langId(spark, sfDir), "doc_id")
+      .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+    val tot = m.groupBy(col("lang")).agg(sum(col("n")).as("n_scored"),
+      sum(when(col("lang_pred") === col("lang"), col("n")).otherwise(0L))
+        .as("n_correct"))
+    val wConf = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("lang_pred").asc)
+    val conf = m.filter(col("lang_pred") =!= col("lang"))
+      .withColumn("rn", row_number().over(wConf)).filter(col("rn") === 1)
+      .select(col("lang"), col("lang_pred").as("top_confusion"))
+    tot.join(conf, Seq("lang"), "left")
+      .select(col("lang"), col("n_scored"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_scored"), 6).as("recall"),
+        col("top_confusion"))
+  }
+
+  val lidEvalSql: String =
+    s"""WITH $langIdCtes,
+       |j AS (SELECT d.lang, p.lang_pred FROM documents d
+       |      JOIN preds p ON p.doc_id = d.doc_id),
+       |m AS (SELECT lang, lang_pred, count(*) AS n FROM j GROUP BY 1, 2),
+       |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_scored,
+       |          CAST(sum(CASE WHEN lang_pred = lang THEN n ELSE 0 END) AS BIGINT)
+       |            AS n_correct
+       |        FROM m GROUP BY 1),
+       |conf AS (SELECT lang, lang_pred AS top_confusion FROM (
+       |           SELECT lang, lang_pred,
+       |             row_number() OVER (PARTITION BY lang ORDER BY n DESC, lang_pred ASC) AS rn
+       |           FROM m WHERE lang_pred <> lang) t
+       |         WHERE rn = 1)
+       |SELECT t.lang, t.n_scored, t.n_correct,
+       |  round(CAST(t.n_correct AS DOUBLE) / t.n_scored, 6) AS recall,
+       |  c.top_confusion
+       |FROM tot t LEFT JOIN conf c ON c.lang = t.lang""".stripMargin
 
   // ---- language-profile training ------------------------------------------
 
@@ -1111,6 +1163,7 @@ object TextOps {
     "tx_gazetteer" -> (gazetteer _),
     "tx_search" -> (search _),
     "tx_langid" -> (langId _),
+    "tx_lid_eval" -> (lidEval _),
     "tx_quality" -> (quality _),
     "tx_tokens" -> (tokens _),
     "tx_fingerprint" -> (fingerprint _),
@@ -1141,6 +1194,7 @@ object TextOps {
     "tx_gazetteer" -> gazetteerSql,
     "tx_search" -> searchSql,
     "tx_langid" -> langIdSql,
+    "tx_lid_eval" -> lidEvalSql,
     "tx_quality" -> qualitySql,
     "tx_tokens" -> tokensSql,
     "tx_fingerprint" -> fingerprintSql,
