@@ -97,6 +97,71 @@ object EventOps {
           + when(col("first_purchase_us").isNotNull, 1).otherwise(0)).as("stage"))
   }
 
+  /** Conversion window for [[funnelWindow]] (µs): each stage must land
+    * within 24 h of the previous stage's first event. */
+  val funnelWindowUs: Long = 24L * 3600 * 1000000
+
+  /** Time-bounded funnel — [[funnel]] with the product-analytics semantics
+    * dashboards actually use: a click only converts if it lands within 24 h
+    * of the first view, a purchase within 24 h of that click (unbounded
+    * funnels overcount by crediting conversions weeks later). Emits the
+    * stage-report shape (stage, users, conversion-from-previous) rather
+    * than per-user rows. Same shrinking three-pass plan as [[funnel]], one
+    * user_id partitioning shared across stages; rates are single divisions
+    * of exact counts. */
+  def funnelWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts_us") > col("t1") &&
+        col("ts_us") <= col("t1") + funnelWindowUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts_us") > col("t2") &&
+        col("ts_us") <= col("t2") + funnelWindowUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+    val nv = v.agg(count(lit(1))).head().getLong(0)
+    val nc = c.agg(count(lit(1))).head().getLong(0)
+    val np = p.agg(count(lit(1))).head().getLong(0)
+    import spark.implicits._
+    // conversion division + round run through Spark SQL so the rounding
+    // convention matches every other query (and DuckDB's round)
+    Seq(("1_view", nv, nv), ("2_click", nc, nv), ("3_purchase", np, nc))
+      .toDF("stage", "n_users", "prev")
+      .select(col("stage"), col("n_users"),
+        when(col("prev") === 0, 0.0)
+          .otherwise(round(col("n_users").cast("double") / col("prev"), 6))
+          .as("conv_from_prev"))
+  }
+
+  val funnelWindowSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+       |v AS (SELECT user_id, min(ts_us) AS t1 FROM ev
+       |      WHERE event_type = 'view' GROUP BY 1),
+       |c AS (SELECT ev.user_id, min(ts_us) AS t2
+       |      FROM ev JOIN v ON ev.user_id = v.user_id
+       |      WHERE event_type = 'click' AND ts_us > t1
+       |        AND ts_us <= t1 + $funnelWindowUs GROUP BY 1),
+       |p AS (SELECT ev.user_id, min(ts_us) AS t3
+       |      FROM ev JOIN c ON ev.user_id = c.user_id
+       |      WHERE event_type = 'purchase' AND ts_us > t2
+       |        AND ts_us <= t2 + $funnelWindowUs GROUP BY 1),
+       |n AS (SELECT (SELECT count(*) FROM v) AS nv,
+       |             (SELECT count(*) FROM c) AS nc,
+       |             (SELECT count(*) FROM p) AS np)
+       |SELECT '1_view' AS stage, nv AS n_users,
+       |  CASE WHEN nv = 0 THEN 0.0 ELSE round(CAST(nv AS DOUBLE) / nv, 6) END
+       |    AS conv_from_prev FROM n
+       |UNION ALL
+       |SELECT '2_click', nc,
+       |  CASE WHEN nv = 0 THEN 0.0 ELSE round(CAST(nc AS DOUBLE) / nv, 6) END FROM n
+       |UNION ALL
+       |SELECT '3_purchase', np,
+       |  CASE WHEN nc = 0 THEN 0.0 ELSE round(CAST(np AS DOUBLE) / nc, 6) END FROM n""".stripMargin
+
   val funnelSql: String =
     """WITH ev AS (
       |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
@@ -1606,6 +1671,7 @@ object EventOps {
     "ev_throughput" -> (throughput _),
     "ev_signups" -> (signups _),
     "ev_funnel" -> (funnel _),
+    "ev_funnel_window" -> (funnelWindow _),
     "ev_hll_users" -> (hllUsers _),
     "ev_theta_kmv" -> (thetaKmv _),
     "ev_quantiles" -> (quantiles _))
@@ -1638,6 +1704,7 @@ object EventOps {
     "ev_throughput" -> throughputSql,
     "ev_signups" -> signupsSql,
     "ev_funnel" -> funnelSql,
+    "ev_funnel_window" -> funnelWindowSql,
     "ev_hll_users" -> hllUsersSql,
     "ev_theta_kmv" -> thetaKmvSql,
     "ev_quantiles" -> quantilesSql)

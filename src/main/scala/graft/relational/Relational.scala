@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1054,6 +1054,86 @@ object Relational {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY 1""".stripMargin
 
+  // ---- sketch-based join-cardinality estimation ----------------------------
+
+  /** Sample size for [[qJoinCard]]'s per-side KMV key samples. */
+  val jcK = 256
+
+  /** Join-size estimation by KMV sample-and-probe (Beyer et al., SIGMOD'07
+    * §5) — the cost-based-optimizer primitive: estimate |A⋈B| WITHOUT
+    * running the join, from (a) each side's k minimum-hash key sample and
+    * (b) the true frequencies of ONLY the sampled keys. |A⋈B| =
+    * Σ_keys fA·fB; the KMV sample is a θ/U uniform sample of the DISTINCT
+    * key space, so Σ over common sampled keys below θ, scaled by U/θ, is
+    * unbiased. Scale shape: two TakeOrdered partial top-ks (no global
+    * sort), two scans with an IN-broadcast probe filter for the sampled
+    * keys' frequencies (the filter rides the scan — no full groupBy of the
+    * key space, which is the whole point), and arithmetic over ≤k rows.
+    * The exact join count rides along as the audit column. */
+  def qJoinCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    def sample(df: DataFrame, key: String): DataFrame =
+      df.select(col(key).as("k")).distinct()
+        .withColumn("h", graft.functions.Portable.hash64(col("k").cast("string")))
+        .orderBy(col("h").asc).limit(jcK)
+    val sa = sample(t.orders, "o_orderkey").persist()
+    val sb = sample(t.lineitem, "l_orderkey").persist()
+    def theta(s: DataFrame): Column = {
+      val r = s.agg(count(lit(1)), max(col("h"))).head()
+      if (r.getLong(0) < jcK) expr("CAST(power(2.0, 60) AS BIGINT)")
+      else lit(r.getLong(1))
+    }
+    val th = least(theta(sa), theta(sb))
+    // same key → same hash, so sa's h column is THE hash; drop sb's copy
+    val common = sa.join(sb.select(col("k")), "k").filter(col("h") < th)
+      .select(col("k"), col("h")).persist()
+    val fa = t.orders.join(broadcast(common.select(col("k"))),
+        col("o_orderkey") === col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("fa"))
+    val fb = t.lineitem.join(broadcast(common.select(col("k").as("k2"))),
+        col("l_orderkey") === col("k2"))
+      .groupBy(col("k2")).agg(count(lit(1)).as("fb"))
+    val probe = fa.join(fb, col("k") === col("k2"))
+      .agg(count(lit(1)).as("sample_hits"), sum(col("fa") * col("fb")).as("s"))
+    val exact = t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("exact"))
+    probe.crossJoin(exact)
+      .select(col("sample_hits"),
+        round(col("s").cast("double") * expr("power(2.0, 60)") / th, 4).as("est"),
+        col("exact"))
+  }
+
+  /** The same sample-and-probe replayed relationally. */
+  val qJoinCardSql: String = {
+    def side(table: String, key: String, cte: String): String =
+      s"""${cte}d AS (SELECT DISTINCT $key AS k FROM $table),
+         |${cte}h AS (SELECT k, CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM ${cte}d),
+         |$cte AS (SELECT k, h, row_number() OVER (ORDER BY h) AS r,
+         |           count(*) OVER () AS nd FROM ${cte}h QUALIFY r <= $jcK)""".stripMargin
+    s"""WITH ${side("orders", "o_orderkey", "sa")},
+       |${side("lineitem", "l_orderkey", "sb")},
+       |th AS (SELECT least(
+       |    (SELECT CASE WHEN max(nd) < $jcK THEN CAST(power(2.0, 60) AS BIGINT)
+       |            ELSE max(h) END FROM sa),
+       |    (SELECT CASE WHEN max(nd) < $jcK THEN CAST(power(2.0, 60) AS BIGINT)
+       |            ELSE max(h) END FROM sb)) AS th),
+       |common AS (SELECT sa.k, sa.h FROM sa JOIN sb ON sb.k = sa.k
+       |           WHERE sa.h < (SELECT th FROM th)),
+       |fa AS (SELECT o_orderkey AS k, count(*) AS fa FROM orders
+       |       WHERE o_orderkey IN (SELECT k FROM common) GROUP BY 1),
+       |fb AS (SELECT l_orderkey AS k, count(*) AS fb FROM lineitem
+       |       WHERE l_orderkey IN (SELECT k FROM common) GROUP BY 1),
+       |probe AS (SELECT count(*) AS sample_hits,
+       |            CAST(sum(fa * fb) AS BIGINT) AS s
+       |          FROM fa JOIN fb ON fb.k = fa.k),
+       |ex AS (SELECT count(*) AS exact FROM orders
+       |       JOIN lineitem ON o_orderkey = l_orderkey)
+       |SELECT probe.sample_hits,
+       |  round(CAST(probe.s AS DOUBLE) * power(2.0, 60) / (SELECT th FROM th), 4) AS est,
+       |  ex.exact
+       |FROM probe, ex""".stripMargin
+  }
+
   // ---- skyline (Pareto front) ----------------------------------------------
 
   /** Skyline / Pareto front — "newest order at every price point": the
@@ -1095,6 +1175,7 @@ object Relational {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skyline" -> (qSkyline _),
+    "q_join_card" -> (qJoinCard _),
     "q_incr_join" -> (qIncrJoin _),
     "q_kanon" -> (qKanon _),
     "q_unpivot" -> (qUnpivot _),
@@ -1153,5 +1234,6 @@ object Relational {
     "q_semi_anti" -> qSemiAntiSql,
     "ev_topk_users" -> evTopkUsersSql,
     "q_incr_join" -> qIncrJoinSql,
-    "q_skyline" -> qSkylineSql)
+    "q_skyline" -> qSkylineSql,
+    "q_join_card" -> qJoinCardSql)
 }
