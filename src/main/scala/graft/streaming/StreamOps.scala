@@ -639,6 +639,60 @@ object StreamOps {
         .select(col("event_type"), graft.plans.HllSketch.estimate("regs").as("est"))
     }
 
+  final case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
+  final case class FunnelStage(user_id: Long, stage: Int)
+
+  /** The LIVE time-bounded funnel — ev_funnel_window as a streaming state
+    * machine: per user, the first view, the first click within 24 h of it,
+    * the first purchase within 24 h of that, folded in
+    * `flatMapGroupsWithState` (stage timestamps are mins over time-bounded
+    * sets, so the fold is arrival-order-independent — no sort needed for
+    * determinism); the drained per-user stages aggregate to the same
+    * stage/conversion report the batch query emits, and the BATCH oracle is
+    * reused verbatim — streaming and batch funnel semantics can't drift. */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val W = graft.events.EventOps.funnelWindowUs
+    val stages = runToTable(spark, sfDir, OutputMode.Append()) { src =>
+      src.select(col("user_id"), col("event_type"), col("ts_us"))
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .as[FunnelEvent]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[Byte, FunnelStage](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (uid, events, _) =>
+            val ev = events.toArray
+            def firstIn(tpe: String, lo: Long, hi: Long): Option[Long] = {
+              val ts = ev.iterator.filter(e =>
+                e.event_type == tpe && e.ts_us > lo && e.ts_us <= hi).map(_.ts_us)
+              if (ts.isEmpty) None else Some(ts.min)
+            }
+            val t1 = {
+              val vs = ev.iterator.filter(_.event_type == "view").map(_.ts_us)
+              if (vs.isEmpty) None else Some(vs.min)
+            }
+            val t2 = t1.flatMap(t => firstIn("click", t, t + W))
+            val t3 = t2.flatMap(t => firstIn("purchase", t, t + W))
+            t1.map(_ => FunnelStage(uid,
+              1 + t2.map(_ => 1).getOrElse(0) + t3.map(_ => 1).getOrElse(0))).iterator
+        }.toDF()
+    }
+    val n = stages.agg(
+      sum(when(col("stage") >= 1, 1L).otherwise(0L)),
+      sum(when(col("stage") >= 2, 1L).otherwise(0L)),
+      sum(when(col("stage") >= 3, 1L).otherwise(0L))).head()
+    def g(i: Int): Long = if (n.isNullAt(i)) 0L else n.getLong(i)
+    Seq(("1_view", g(0), g(0)), ("2_click", g(1), g(0)), ("3_purchase", g(2), g(1)))
+      .toDF("stage", "n_users", "prev")
+      .select(col("stage"), col("n_users"),
+        when(col("prev") === 0, 0.0)
+          .otherwise(round(col("n_users").cast("double") / col("prev"), 6))
+          .as("conv_from_prev"))
+  }
+
+  /** Batch oracle reused verbatim — the drift-proof twin contract. */
+  def funnelSql: String = graft.events.EventOps.funnelWindowSql
+
   /** KMV theta sketches maintained IN streaming state — the set-algebra
     * member of the sketch-under-the-state-store family: per-type k-minimum-
     * values state (≤ k longs per group, order/partition-invariant like any
@@ -1128,6 +1182,7 @@ object StreamOps {
     "st_spike" -> (stSpike _),
     "st_hll_users" -> (hllUsers _),
     "st_theta_kmv" -> (thetaKmv _),
+    "st_funnel" -> (funnel _),
     "st_bitmap" -> (stBitmap _),
     "st_stream_join" -> (streamJoin _),
     "st_minhash_dedup" -> (minhashDedup _),
@@ -1153,6 +1208,7 @@ object StreamOps {
     "st_spike" -> stSpikeSql,
     "st_hll_users" -> hllUsersSql,
     "st_theta_kmv" -> thetaKmvSql,
+    "st_funnel" -> funnelSql,
     "st_bitmap" -> stBitmapSql,
     "st_stream_join" -> streamJoinSql,
     "st_minhash_dedup" -> minhashDedupSql,
