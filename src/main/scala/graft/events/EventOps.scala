@@ -97,6 +97,59 @@ object EventOps {
           + when(col("first_purchase_us").isNotNull, 1).otherwise(0)).as("stage"))
   }
 
+  /** Match window for [[pattern]] (µs). */
+  val patternWindowUs: Long = 3600L * 1000000
+
+  /** CEP sequence matching WITH NEGATION — the MATCH_RECOGNIZE /
+    * Flink-CEP capability: find `view → purchase` within 1 h with NO
+    * `error` event between them (the "clean conversion" pattern; negation
+    * is what separates CEP from plain funnels). The naive plan is a
+    * per-pattern self-join chain; the engine compiles the whole pattern to
+    * ONE window pass: running "last view ts" and "last error ts" columns
+    * over the (ts, event_id)-ordered per-user stream turn the match into a
+    * per-row predicate — `last_view` within the window AND `last_error`
+    * absent-or-before-it. One user_id shuffle for ANY pattern of this
+    * (A then B, not C between) family; ties resolved by the explicit
+    * (ts_us, event_id) total order on both engines. */
+  def pattern(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("last_view",
+        max(when(col("event_type") === "view", col("ts_us"))).over(W))
+      .withColumn("last_error",
+        max(when(col("event_type") === "error", col("ts_us"))).over(W))
+      .filter(col("event_type") === "purchase" &&
+        col("last_view").isNotNull &&
+        col("ts_us") - col("last_view") <= patternWindowUs &&
+        (col("last_error").isNull || col("last_error") < col("last_view")))
+      .select(col("user_id"), col("last_view").as("v_ts_us"),
+        col("ts_us").as("p_ts_us"),
+        (col("ts_us") - col("last_view")).as("gap_us"))
+  }
+
+  val patternSql: String =
+    s"""WITH o AS (
+       |  SELECT user_id, event_id, event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+       |  FROM events),
+       |w AS (
+       |  SELECT user_id, event_type, ts_us,
+       |    max(CASE WHEN event_type = 'view' THEN ts_us END) OVER win AS last_view,
+       |    max(CASE WHEN event_type = 'error' THEN ts_us END) OVER win AS last_error
+       |  FROM o
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       |SELECT user_id, last_view AS v_ts_us, ts_us AS p_ts_us,
+       |  ts_us - last_view AS gap_us
+       |FROM w
+       |WHERE event_type = 'purchase' AND last_view IS NOT NULL
+       |  AND ts_us - last_view <= $patternWindowUs
+       |  AND (last_error IS NULL OR last_error < last_view)""".stripMargin
+
   /** Conversion window for [[funnelWindow]] (µs): each stage must land
     * within 24 h of the previous stage's first event. */
   val funnelWindowUs: Long = 24L * 3600 * 1000000
@@ -1672,6 +1725,7 @@ object EventOps {
     "ev_signups" -> (signups _),
     "ev_funnel" -> (funnel _),
     "ev_funnel_window" -> (funnelWindow _),
+    "ev_pattern" -> (pattern _),
     "ev_hll_users" -> (hllUsers _),
     "ev_theta_kmv" -> (thetaKmv _),
     "ev_quantiles" -> (quantiles _))
@@ -1705,6 +1759,7 @@ object EventOps {
     "ev_signups" -> signupsSql,
     "ev_funnel" -> funnelSql,
     "ev_funnel_window" -> funnelWindowSql,
+    "ev_pattern" -> patternSql,
     "ev_hll_users" -> hllUsersSql,
     "ev_theta_kmv" -> thetaKmvSql,
     "ev_quantiles" -> quantilesSql)
