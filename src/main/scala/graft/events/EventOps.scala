@@ -724,6 +724,78 @@ object EventOps {
       |SELECT event_type AS from_type, to_type, CAST(count(*) AS BIGINT) AS n
       |FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin
 
+  /** First-order Markov chain over the per-user event stream WITH the
+    * terminal state — ev_paths models observed transitions; this fits the
+    * full chain: the last event of every user transitions to 'END' (the
+    * absorbing state product analytics needs to answer "where do journeys
+    * end?"), and each (from → to) edge carries its probability
+    * n / Σ_to n. Probabilities are ONE division of exact integer counts
+    * routed through round(…, 6), so both engines derive identical doubles.
+    * Plan: one user_id shuffle for the lead(), one |types|²-sized agg —
+    * the model is O(|types|²) regardless of corpus size. */
+  def markov(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val trans = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.epochUs(col("ts")).as("ts_us"))
+      .withColumn("to_type", coalesce(lead(col("event_type"), 1).over(w), lit("END")))
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+    trans
+      .withColumn("row_n", sum(col("n")).over(wf))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("row_n"), 6).as("p"))
+  }
+
+  val markovSql: String =
+    """WITH o AS (
+      |  SELECT event_type AS from_type,
+      |    coalesce(lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC, event_id ASC),
+      |      'END') AS to_type
+      |  FROM events),
+      |t AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM o GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
+      |FROM t""".stripMargin
+
+  /** Seasonality profile — the (day-of-week × hour-of-day) activity matrix
+    * behind capacity planning and anomaly baselines. Both axes come from
+    * INTEGER epoch arithmetic ((day_index + 4) mod 7 anchors 1970-01-01 to
+    * Thursday; 0 = Sunday) — no engine-specific calendar functions, so the
+    * buckets cannot drift between Spark and the oracle. One map-side-heavy
+    * agg into ≤168 cells plus a broadcast total; distinct actives are the
+    * two-phase distinct that scales to any corpus. */
+  def seasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = Tables(spark, sfDir).events
+      .select(graft.epochUs(col("ts")).as("ts_us"), col("user_id"))
+      .select(((expr(s"ts_us DIV $dayUs") + 4) % 7).as("dow"),
+        expr(s"(ts_us % $dayUs) DIV 3600000000").as("hour"),
+        col("user_id"))
+    val total = ev.agg(count(lit(1)).as("total"))
+    ev.groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(broadcast(total))
+      .select(col("dow"), col("hour"), col("n"), col("n_users"),
+        round(col("n").cast("double") / col("total"), 6).as("share"))
+  }
+
+  val seasonalitySql: String =
+    """WITH o AS (
+      |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS dow,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) // 3600000000 AS hour,
+      |    user_id
+      |  FROM events)
+      |SELECT dow, hour, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM o), 6) AS share
+      |FROM o GROUP BY 1, 2""".stripMargin
+
   // ---- schema-flexible extraction (Spark 4 VARIANT) ------------------------
 
   /** Heterogeneous payloads: nested objects, type drift across records,
@@ -1726,6 +1798,8 @@ object EventOps {
     "ev_funnel" -> (funnel _),
     "ev_funnel_window" -> (funnelWindow _),
     "ev_pattern" -> (pattern _),
+    "ev_markov" -> (markov _),
+    "ev_seasonality" -> (seasonality _),
     "ev_hll_users" -> (hllUsers _),
     "ev_theta_kmv" -> (thetaKmv _),
     "ev_quantiles" -> (quantiles _))
@@ -1760,6 +1834,8 @@ object EventOps {
     "ev_funnel" -> funnelSql,
     "ev_funnel_window" -> funnelWindowSql,
     "ev_pattern" -> patternSql,
+    "ev_markov" -> markovSql,
+    "ev_seasonality" -> seasonalitySql,
     "ev_hll_users" -> hllUsersSql,
     "ev_theta_kmv" -> thetaKmvSql,
     "ev_quantiles" -> quantilesSql)

@@ -23,21 +23,22 @@ object BloomFilter {
 
   def salt(j: Int): String = s"bloom$j"
 
-  private def pos(key: Column, j: Int): Column =
-    pmod(Portable.hash64(key, salt(j)), lit(bitsTotal.toLong))
+  private def pos(key: Column, j: Int, nWords: Int): Column =
+    pmod(Portable.hash64(key, salt(j)), lit(nWords * 63L))
 
   /** Build the filter from the key column of a (small) DataFrame: an eager
-    * `words`-element long array. The build is a job over the dim side only
+    * `nWords`-element long array (size the filter to the dim: ~9.6 bits/key
+    * for 1% FP at 3 hashes). The build is a job over the dim side only
     * — the same cost class as computing a broadcast join's build side. */
-  def build(dim: DataFrame, key: Column): Array[Long] = {
-    val positions = (0 until numHashes).map(j => pos(key, j))
+  def build(dim: DataFrame, key: Column, nWords: Int = words): Array[Long] = {
+    val positions = (0 until numHashes).map(j => pos(key, j, nWords))
     val agg = dim.select(explode(array(positions: _*)).as("p"))
       .select((col("p") / 63).cast("int").as("word"),
         call_function("shiftleft", lit(1L), (col("p") % 63).cast("int")).as("mask"))
       .groupBy(col("word"))
       .agg(call_function("bit_or", col("mask")).as("bits"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    (0 until words).map(w => agg.getOrElse(w, 0L)).toArray
+    (0 until nWords).map(w => agg.getOrElse(w, 0L)).toArray
   }
 
   /** Probe predicate: true iff every salted position's bit is set — the
@@ -46,7 +47,7 @@ object BloomFilter {
   def mayContain(key: Column, filter: Array[Long]): Column = {
     val lits = typedLit(filter.toSeq)
     (0 until numHashes).map { j =>
-      val p = pos(key, j)
+      val p = pos(key, j, filter.length)
       val word = (p / 63).cast("int")
       val bit = (p % 63).cast("int")
       call_function("shiftright", element_at(lits, word + 1), bit)

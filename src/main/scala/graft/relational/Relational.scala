@@ -1173,7 +1173,87 @@ object Relational {
       |  WHERE b.cents <= a.cents AND b.date_us >= a.date_us
       |    AND (b.cents < a.cents OR b.date_us > a.date_us))""".stripMargin
 
+  /** Bloom-pruned join — the runtime-filter pattern for 100 TB facts
+    * against a selective dim: build the portable Bloom filter over the
+    * qualifying orders' keys (one dim-side job, same cost class as a
+    * broadcast build), pre-filter lineitem with the literal-array probe
+    * BEFORE the join shuffle, then run the exact join. The filter is a
+    * pure superset gate — false positives die in the join — so the result
+    * is EXACTLY the plain join's (the oracle is the plain SQL join; any
+    * bloom bug that changes results fails the hash). At scale this is the
+    * difference between shuffling the whole fact table and shuffling only
+    * maybe-matching rows: with a ~5%-selective dim the exchange carries
+    * ~5% (+FP) of the fact. Spark's own runtime bloom
+    * (spark.sql.optimizer.runtimeFilter) covers the same shape when
+    * statistics expose the selectivity; this operator is the explicit,
+    * engine-portable form. */
+  def qBloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val dim = t.orders
+      .filter(col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    // ~9.6 bits/key -> ~1% FP at 3 hashes; the count job is dim-side only
+    val nWords = math.max(16L, dim.count() * 10 / 63 + 1).toInt
+    val bloom = graft.functions.BloomFilter.build(dim, col("o_orderkey").cast("string"), nWords)
+    t.lineitem
+      .filter(graft.functions.BloomFilter.mayContain(col("l_orderkey").cast("string"), bloom))
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))), 2)
+          .cast("double").as("revenue"))
+  }
+
+  /** The PLAIN join — the bloom must be result-invisible. */
+  val qBloomJoinSql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |  count(*) AS n_items,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+      |GROUP BY 1""".stripMargin
+
+  /** Temporal (validity-interval) join — enrich each view event with the
+    * SCD2 tier version valid AT event time, the event-time-correct dim
+    * lookup every warehouse needs once dims change under it (a plain join
+    * to "current tier" silently backdates history). The dim is q_scd2's
+    * output; the join is an equi-join on user_id with the interval bound
+    * as a residual predicate inside the SAME co-partitioning — one
+    * shuffle each side, no range-join explosion, because versions within
+    * a user are few. Aggregated to per-tier views so the check output
+    * stays bounded. */
+  def qTemporalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = qScd2(spark, sfDir)
+    val views = Tables(spark, sfDir).events
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("v_ts_us"))
+    views.join(dim,
+        col("v_user") === col("user_id") &&
+        col("v_ts_us") >= col("valid_from_us") &&
+        (col("valid_to_us").isNull || col("v_ts_us") < col("valid_to_us")))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_views"),
+        countDistinct(col("v_user")).as("n_users"))
+  }
+
+  val qTemporalJoinSql: String =
+    s"""WITH scd AS ($qScd2Sql),
+       |v AS (
+       |  SELECT user_id AS v_user, epoch_us(CAST(ts AS TIMESTAMP)) AS v_ts_us
+       |  FROM events WHERE event_type = 'view')
+       |SELECT tier, CAST(count(*) AS BIGINT) AS n_views,
+       |  CAST(count(DISTINCT v_user) AS BIGINT) AS n_users
+       |FROM v JOIN scd ON v_user = user_id
+       |  AND v_ts_us >= valid_from_us
+       |  AND (valid_to_us IS NULL OR v_ts_us < valid_to_us)
+       |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_join" -> (qBloomJoin _),
+    "q_temporal_join" -> (qTemporalJoin _),
     "q_skyline" -> (qSkyline _),
     "q_join_card" -> (qJoinCard _),
     "q_incr_join" -> (qIncrJoin _),
@@ -1206,6 +1286,8 @@ object Relational {
     "ev_topk_users" -> (evTopkUsers _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_bloom_join" -> qBloomJoinSql,
+    "q_temporal_join" -> qTemporalJoinSql,
     "q_kanon" -> qKanonSql,
     "q_unpivot" -> qUnpivotSql,
     "q_setops" -> qSetopsSql,

@@ -598,6 +598,85 @@ object Similarity {
        |WHERE rank <= 3""".stripMargin
   }
 
+  val rerankR = 20 // coarse candidates per query fed to the exact stage
+
+  /** Two-stage retrieval — the production ANN serving shape: a COARSE pass
+    * over the int8-quantized corpus (4× the memory bandwidth of doubles;
+    * the scan a vector engine runs SIMD) keeps top-`rerankR` candidates per
+    * query, then the EXACT cosine re-scores only those q×R rows and emits
+    * top-`topK`. Quantization error can reorder neighbors; reranking
+    * restores exact order among the survivors — recall loss is confined to
+    * candidates the coarse stage dropped entirely. At 100 TB the exact
+    * vectors are fetched for ~q·R rows instead of scanning the corpus at
+    * full precision. Both stages break ties by (score DESC, cand ASC). */
+  def rerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val eq = base
+      .withColumn("q", graft.plans.Int8Quantize(col("v")))
+      .withColumn("qnrm", sqrt(graft.plans.VectorDot(col("q"), col("q"))))
+      .filter(col("qnrm") > 0)
+      .select(col("vec_id"), col("q"), col("qnrm"))
+    val qsq = eq.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("qnrm").as("qqnrm"))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cand").asc)
+    val coarse = eq.crossJoin(broadcast(qsq))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(graft.plans.VectorDot(col("q"), col("qq")) / (col("qnrm") * col("qqnrm")), 6)
+          .as("qcos"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= rerankR)
+      .select(col("qid"), col("cand"))
+    val ex = emb(spark, sfDir).select(col("vec_id"), col("v"), col("nrm"))
+    val qsx = ex.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("xqid"), col("v").as("qv"), col("nrm").as("qnrm2"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand").asc)
+    coarse
+      .join(ex, col("cand") === col("vec_id"))
+      .join(broadcast(qsx), col("qid") === col("xqid"))
+      .select(col("qid"), col("cand"),
+        round(graft.plans.VectorDot(col("v"), col("qv")) / (col("nrm") * col("qnrm2")), 6)
+          .as("cos"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= topK)
+  }
+
+  val rerankSql: String = {
+    val qDef = "list_transform(v, x -> CAST(round(x / amax * 127.0) AS DOUBLE))"
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 1e-30) AS amax
+       |  FROM embeddings),
+       |eq AS (
+       |  SELECT vec_id, q, qnrm FROM (
+       |    SELECT vec_id, $qDef AS q,
+       |      sqrt(list_sum(list_transform($qDef, x -> x * x))) AS qnrm
+       |    FROM base) t0
+       |  WHERE qnrm > 0),
+       |qsq AS (SELECT vec_id AS qid, q AS qq, qnrm AS qqnrm FROM eq WHERE vec_id < $numQueries),
+       |coarse AS (
+       |  SELECT qid, cand FROM (
+       |    SELECT qid, eq.vec_id AS cand,
+       |      row_number() OVER (PARTITION BY qid ORDER BY
+       |        round(list_sum(list_transform(list_zip(eq.q, qq), p -> p[1] * p[2]))
+       |          / (eq.qnrm * qqnrm), 6) DESC, eq.vec_id ASC) AS crank
+       |    FROM eq CROSS JOIN qsq WHERE eq.vec_id <> qid) t
+       |  WHERE crank <= $rerankR),
+       |$embCte,
+       |qsx AS (SELECT vec_id AS xqid, v AS qv FROM e WHERE vec_id < $numQueries)
+       |SELECT qid, cand, cos, rank FROM (
+       |  SELECT qid, cand, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand ASC) AS rank
+       |  FROM (
+       |    SELECT qid, cand,
+       |      round(${Portable.cosineSql("e.v", "qv")}, 6) AS cos
+       |    FROM coarse
+       |    JOIN e ON cand = e.vec_id
+       |    JOIN qsx ON qid = xqid) s) t
+       |WHERE rank <= $topK""".stripMargin
+  }
+
   // ---- product-quantization ANN (codes + ADC lookup table) ----------------
 
   val pqSub = 4 // subspaces (embeddings are 64-d → 16 dims each)
@@ -1190,6 +1269,7 @@ object Similarity {
     "samp_cluster" -> (clusterSample _),
     "samp_kcenter" -> (kcenter _),
     "ann_quant_topk" -> (quantTopK _),
+    "ann_rerank" -> (rerank _),
     "ann_pq_topk" -> (pqTopK _),
     "ann_brute_topk" -> (bruteTopK _),
     "ann_lsh_topk" -> (lshTopK _),
@@ -1208,6 +1288,7 @@ object Similarity {
     "samp_cluster" -> clusterSampleSql,
     "samp_kcenter" -> kcenterSql,
     "ann_quant_topk" -> quantTopKSql,
+    "ann_rerank" -> rerankSql,
     "ann_pq_topk" -> pqTopKSql,
     "ann_brute_topk" -> bruteTopKSql,
     "ann_lsh_topk" -> lshTopKSql,

@@ -693,6 +693,56 @@ object StreamOps {
   /** Batch oracle reused verbatim — the drift-proof twin contract. */
   def funnelSql: String = graft.events.EventOps.funnelWindowSql
 
+  final case class PatternEvent(user_id: Long, event_id: Long,
+      event_type: String, ts_us: Long)
+  final case class PatternMatch(user_id: Long, v_ts_us: Long, p_ts_us: Long,
+      gap_us: Long)
+
+  /** LIVE CEP sequence matching WITH NEGATION — ev_pattern (view → purchase
+    * within 1 h with no error between) as a streaming per-user state
+    * machine. The batch engine compiles the pattern to running last-view /
+    * last-error window columns; the streaming twin keeps exactly those two
+    * timestamps as per-user STATE (16 bytes per live user — the minimal
+    * sufficient statistic of the whole history for this pattern family) and
+    * folds each micro-batch's events in (ts_us, event_id) order through the
+    * same predicate. Emitted matches are identical to the batch pass, and
+    * the BATCH oracle is reused verbatim — streaming and batch CEP
+    * semantics cannot drift. At 100 TB/day the state is O(live users), not
+    * O(events): negation needs no event buffer because "no error between"
+    * only ever depends on the most recent error. */
+  def stPattern(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val W = graft.events.EventOps.patternWindowUs
+    runToTable(spark, sfDir, OutputMode.Append()) { src =>
+      src.select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
+        .filter(col("event_type").isin("view", "purchase", "error"))
+        .as[PatternEvent]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[(Long, Long), PatternMatch](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (uid, events, state) =>
+            // state: (lastViewUs, lastErrorUs), Long.MinValue = none yet
+            var (lastView, lastError) =
+              state.getOption.getOrElse((Long.MinValue, Long.MinValue))
+            val out = Vector.newBuilder[PatternMatch]
+            for (e <- events.toArray.sortBy(e => (e.ts_us, e.event_id)))
+              e.event_type match {
+                case "view"  => lastView = e.ts_us
+                case "error" => lastError = e.ts_us
+                case _ => // purchase
+                  if (lastView != Long.MinValue &&
+                      e.ts_us - lastView <= W && lastError < lastView)
+                    out += PatternMatch(uid, lastView, e.ts_us, e.ts_us - lastView)
+              }
+            state.update((lastView, lastError))
+            out.result().iterator
+        }.toDF()
+    }
+  }
+
+  /** Batch oracle reused verbatim — the drift-proof twin contract. */
+  def stPatternSql: String = graft.events.EventOps.patternSql
+
   /** KMV theta sketches maintained IN streaming state — the set-algebra
     * member of the sketch-under-the-state-store family: per-type k-minimum-
     * values state (≤ k longs per group, order/partition-invariant like any
@@ -1183,6 +1233,7 @@ object StreamOps {
     "st_hll_users" -> (hllUsers _),
     "st_theta_kmv" -> (thetaKmv _),
     "st_funnel" -> (funnel _),
+    "st_pattern" -> (stPattern _),
     "st_bitmap" -> (stBitmap _),
     "st_stream_join" -> (streamJoin _),
     "st_minhash_dedup" -> (minhashDedup _),
@@ -1209,6 +1260,7 @@ object StreamOps {
     "st_hll_users" -> hllUsersSql,
     "st_theta_kmv" -> thetaKmvSql,
     "st_funnel" -> funnelSql,
+    "st_pattern" -> stPatternSql,
     "st_bitmap" -> stBitmapSql,
     "st_stream_join" -> streamJoinSql,
     "st_minhash_dedup" -> minhashDedupSql,
