@@ -179,11 +179,77 @@ object Curate {
        |UNION ALL SELECT CAST(4 AS BIGINT), 'train', count(*),
        |  CAST(coalesce(sum(tok), 0) AS BIGINT) FROM trn""".stripMargin
 
+  // ---- incremental curation (delta-only refresh) ---------------------------
+
+  /** Incremental pipeline refresh — the run a production corpus does DAILY,
+    * where pipe_curate is the run it does once: only the DELTA (docs above
+    * the last-run watermark; here the top fifth of the id space stands in
+    * for "arrived since") flows through gate → dedup → decontamination →
+    * split, and cross-batch dedup consults the prior corpus only through
+    * its normalized-key INDEX (in production a staged table the previous
+    * run wrote — the same staged-band-index posture as dd_incremental).
+    * Order inside the delta: intra-delta keeper window first, THEN the
+    * index anti-join, so two new copies of the same doc can't both slip
+    * past an index that predates them. Scale shape: the watermark predicate
+    * is pushed to the scan (O(delta) read), the old side contributes one
+    * key-projected distinct, and every join keys on the 128-bit norm hash —
+    * the full-corpus text column never moves. Output: the delta's train
+    * manifest, ready to append to the prior run's. */
+  def incr(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val base = graft.Tables(spark, sfDir).documents
+    val cut = base.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5
+    def gate(df: DataFrame): DataFrame =
+      graft.text.TextOps.withQualityCols(df)
+        .filter(col("quality") >= qualityFloor && col("n_words") >= minWords)
+        .select(col("doc_id"), col("source"),
+          col("n_words").cast("long").as("tok"),
+          md5(Dedup.normKey(col("text"))).as("nk"))
+    val oldKeys = gate(base.filter(col("doc_id") < cut)).select(col("nk")).distinct()
+    val delta = gate(base.filter(col("doc_id") >= cut))
+    val intra = delta
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("nk"))))
+      .filter(col("doc_id") === col("keep_id"))
+    val fresh = intra.join(oldKeys, Seq("nk"), "left_anti")
+    fresh.filter(col("doc_id") >= Dedup.contamBenchDocs)
+      .join(broadcast(contamFrame(spark, sfDir)), Seq("doc_id"), "left_anti")
+      .filter(splitBucket < graft.sample.Sampling.splitTrainPct)
+      .select(col("doc_id"), col("source"), col("tok"))
+  }
+
+  val incrSql: String = {
+    import graft.dedup.Dedup
+    val normMd5 = s"md5(${Dedup.normKeySql})"
+    val bucket = s"""${Portable.hash64Sql("CAST(doc_id AS VARCHAR)", "split")} % 100"""
+    s"""WITH cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+       |q AS (${graft.text.TextOps.qualitySql}),
+       |g AS (
+       |  SELECT d.doc_id, d.source, CAST(q.n_words AS BIGINT) AS tok, $normMd5 AS nk
+       |  FROM documents d JOIN q ON q.doc_id = d.doc_id
+       |  WHERE q.quality >= $qualityFloor AND q.n_words >= $minWords),
+       |oldk AS (SELECT DISTINCT nk FROM g WHERE doc_id < (SELECT c FROM cut)),
+       |delta AS (SELECT * FROM g WHERE doc_id >= (SELECT c FROM cut)),
+       |dd AS (
+       |  SELECT doc_id, source, tok, nk FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY nk) AS keep_id FROM delta) t
+       |  WHERE doc_id = keep_id),
+       |frs AS (SELECT * FROM dd WHERE nk NOT IN (SELECT nk FROM oldk)),
+       |contam AS (SELECT DISTINCT doc_id FROM (${Dedup.contaminateSql}) c0),
+       |cln AS (
+       |  SELECT doc_id, source, tok FROM frs
+       |  WHERE doc_id >= ${Dedup.contamBenchDocs}
+       |    AND doc_id NOT IN (SELECT doc_id FROM contam))
+       |SELECT doc_id, source, tok FROM cln
+       |WHERE $bucket < ${graft.sample.Sampling.splitTrainPct}""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_curate" -> (curate _),
+    "pipe_incr" -> (incr _),
     "pipe_funnel" -> (funnel _))
 
   def oracleSql: Map[String, String] = Map(
     "pipe_curate" -> curateSql,
+    "pipe_incr" -> incrSql,
     "pipe_funnel" -> funnelSql)
 }

@@ -456,7 +456,66 @@ object Sampling {
        |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS alloc
        |FROM r""".stripMargin
 
+  // ---- deterministic Poisson bootstrap ------------------------------------
+
+  /** Bootstrap replicate count. */
+  val bootstrapB = 32
+
+  /** Poisson(1) CDF × 10⁶ (floored): mult = k iff the hash bucket lands in
+    * [thr(k−1), thr(k)); the tail past 7 copies (< 1e-4 mass) caps at 7. */
+  private val poisson1CdfM = Seq(367879L, 735758L, 919698L, 981011L, 996340L,
+    999405L, 999916L)
+
+  /** Poisson bootstrap (Efron's bootstrap in its streaming form — Chamandy
+    * et al. 2012, "Estimating uncertainty for massive data streams"): each
+    * of B replicates draws every document Poisson(1) times, approximating
+    * multinomial resampling without needing n up front — THE bootstrap that
+    * works in one pass over a distributed corpus. This engine's twist is
+    * determinism: the multiplicity is the inverse-CDF of a 10⁶-bucket hash
+    * of (doc_id, replicate), integer-threshold math on both engines — no
+    * RNG, no partition-order dependence, reproducible CIs. Per-replicate
+    * statistic: draw count and mean doc length (exact-int sums; ONE
+    * portable double division each). Scale shape: the B× row inflation is
+    * map-local arithmetic that partial-agg collapses to ≤B rows per
+    * partition BEFORE the exchange — one shuffle of B·partitions tiny
+    * rows; output B rows. The replicate spread IS the standard error a
+    * 100 TB pipeline reports next to its point estimates. */
+  def bootstrap(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = pmod(Portable.hash64(
+      concat_ws(":", col("doc_id").cast("string"), col("rep").cast("string")),
+      salt = "boot"), lit(1000000L))
+    val mult = poisson1CdfM.zipWithIndex
+      .foldLeft(when(lit(false), 0L)) { case (acc, (thr, k)) =>
+        acc.when(u < thr, k.toLong) }
+      .otherwise(7L)
+    Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0L), lit(bootstrapB - 1L))).as("rep"))
+      .withColumn("mult", mult)
+      .filter(col("mult") > 0)
+      .groupBy(col("rep"))
+      .agg(sum(col("mult")).as("n_draws"),
+        round(sum(col("mult") * col("n_chars")).cast("double") /
+          sum(col("mult")), 6).as("mean_chars"))
+  }
+
+  val bootstrapSql: String = {
+    val u = s"""${Portable.hash64Sql(
+      "(CAST(doc_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR))", "boot")} % 1000000"""
+    val caseArm = poisson1CdfM.zipWithIndex
+      .map { case (thr, k) => s"WHEN u < $thr THEN $k" }.mkString(" ")
+    s"""WITH r AS (SELECT CAST(t.rep AS BIGINT) AS rep FROM range(0, $bootstrapB) t(rep)),
+       |d AS (
+       |  SELECT rep, n_chars, $u AS u
+       |  FROM documents CROSS JOIN r),
+       |m AS (SELECT rep, n_chars, CASE $caseArm ELSE 7 END AS mult FROM d)
+       |SELECT rep, CAST(sum(mult) AS BIGINT) AS n_draws,
+       |  round(CAST(sum(mult * n_chars) AS DOUBLE) / sum(mult), 6) AS mean_chars
+       |FROM m WHERE mult > 0 GROUP BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "samp_bootstrap" -> (bootstrap _),
     "samp_neyman" -> (neyman _),
     "samp_pps" -> (pps _),
     "samp_leakage" -> (leakage _),
@@ -469,6 +528,7 @@ object Sampling {
     "samp_dsir" -> (dsir _))
 
   def oracleSql: Map[String, String] = Map(
+    "samp_bootstrap" -> bootstrapSql,
     "samp_neyman" -> neymanSql,
     "samp_pps" -> ppsSql,
     "samp_leakage" -> leakageSql,
