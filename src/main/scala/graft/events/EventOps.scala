@@ -1768,7 +1768,158 @@ object EventOps {
        |FROM lab GROUP BY 1, 2, 3""".stripMargin
   }
 
+  // ---- CUSUM changepoint detection ------------------------------------------
+
+  /** CUSUM changepoint detection over per-(type, minute) rates — the
+    * sequential shift detector (Page 1954) that catches SUSTAINED level
+    * changes z-scores and MAD miss (both score buckets independently; a
+    * 20% rate drift below the outlier threshold accumulates in CUSUM until
+    * it alarms). The recursive textbook form S_i = max(0, S_{i-1} + d_i)
+    * looks unexpressible in SQL windows; the engine uses the prefix-sum
+    * identity S_i = cum_i − min(0, min_{j≤i−1} cum_j) — TWO window passes
+    * (running sum + running min), no recursion. The standard slack
+    * k = μ/2 (only rates 1.5× the mean accumulate — without slack,
+    * random-walk noise alarms constantly) and the mean itself are
+    * cross-multiplied free of divisions: everything scales by 2D so
+    * d_i = 2·n_i·D − 3·S (D = observed minutes, S = Σn per type) and
+    * cum/runmin/S_i are all exact BIGINTs; the alarm predicate
+    * S_i > 2·S is integer — no float can drift between engines. Scale
+    * shape: ONE corpus aggregation to the (type, minute) dim; both
+    * windows run per type over that time-bounded dim (minutes ≤ calendar
+    * range, not corpus size) — the same bounded-window argument as
+    * ev_anomaly_mad/ev_drift. */
+  def cusum(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val counts = Tables(spark, sfDir).events
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("minute", col("ts"))).as("minute_epoch"))
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("s"), count(lit(1)).as("d"))
+    val wOrd = W.partitionBy(col("event_type")).orderBy(col("minute_epoch"))
+    val scored = counts.join(broadcast(stats), "event_type")
+      .withColumn("dev", lit(2L) * col("n") * col("d") - lit(3L) * col("s"))
+      .withColumn("cum", sum(col("dev")).over(
+        wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("runmin", least(lit(0L), coalesce(min(col("cum")).over(
+        wOrd.rowsBetween(W.unboundedPreceding, -1)), lit(0L))))
+      .withColumn("cusum", col("cum") - col("runmin"))
+    scored.filter(col("cusum") > lit(2L) * col("s"))
+      .select(col("event_type"), col("minute_epoch"), col("n"),
+        col("cusum"), col("s"), col("d"),
+        round(col("cusum").cast("double") / (lit(2L) * col("d")).cast("double"), 4)
+          .as("excess"))
+  }
+
+  val cusumSql: String =
+    """WITH counts AS (
+      |  SELECT event_type,
+      |    CAST(epoch(date_trunc('minute', CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |      AS minute_epoch,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, CAST(sum(n) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS d
+      |  FROM counts GROUP BY 1),
+      |cm AS (
+      |  SELECT counts.event_type, minute_epoch, n, s, d,
+      |    CAST(sum(2 * n * d - 3 * s) OVER (PARTITION BY counts.event_type
+      |      ORDER BY minute_epoch ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM counts JOIN stats ON counts.event_type = stats.event_type),
+      |c AS (
+      |  SELECT event_type, minute_epoch, n, s, d, cum,
+      |    least(CAST(0 AS BIGINT), coalesce(CAST(min(cum) OVER (
+      |      PARTITION BY event_type ORDER BY minute_epoch
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      CAST(0 AS BIGINT))) AS runmin
+      |  FROM cm)
+      |SELECT event_type, minute_epoch, n, cum - runmin AS cusum, s, d,
+      |  round(CAST(cum - runmin AS DOUBLE) / CAST(2 * d AS DOUBLE), 4) AS excess
+      |FROM c WHERE cum - runmin > 2 * s""".stripMargin
+
+  // ---- growth accounting ----------------------------------------------------
+
+  /** Growth accounting — the canonical DAU decomposition (new / retained /
+    * resurrected / churned per day) product and growth teams read daily;
+    * ev_cohorts gives the retention TRIANGLE, this gives the day-over-day
+    * FLOW, and net = new + resurrected − churned reconciles the DAU delta
+    * exactly. Semantics: a user active on day d is `new` (no prior
+    * activity), `retained` (active on d−1), or `resurrected` (active
+    * before but not d−1); `churned` on d = active on d−1 but not d (only
+    * counted for d ≤ max observed day). Scale shape: the corpus collapses
+    * to distinct (user, day) FIRST (one (user, day) exchange with partial
+    * dedup); the lag/lead windows re-key on user_id — a second, much
+    * smaller exchange over ≤ users·days rows; the final per-day agg is
+    * calendar-bounded. All counts exact BIGINT. */
+  def growth(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ud = Tables(spark, sfDir).events
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
+      .distinct()
+    val w = W.partitionBy(col("user_id")).orderBy(col("day_idx"))
+    val flagged = ud
+      .withColumn("prev", lag(col("day_idx"), 1).over(w))
+      .withColumn("next", lead(col("day_idx"), 1).over(w))
+    val maxDay = flagged.agg(max(col("day_idx")).as("max_day"))
+    val active = flagged.select(col("day_idx"),
+      when(col("prev").isNull, 1L).otherwise(0L).as("is_new"),
+      when(col("prev") === col("day_idx") - 1, 1L).otherwise(0L).as("is_ret"),
+      when(col("prev").isNotNull && col("prev") < col("day_idx") - 1, 1L)
+        .otherwise(0L).as("is_res"))
+      .groupBy(col("day_idx"))
+      .agg(sum(col("is_new")).as("n_new"), sum(col("is_ret")).as("n_retained"),
+        sum(col("is_res")).as("n_resurrected"))
+    // churn events land on the day AFTER the user's last-consecutive day
+    val churn = flagged
+      .filter(col("next").isNull || col("next") > col("day_idx") + 1)
+      .select((col("day_idx") + 1).as("day_idx"))
+      .join(broadcast(maxDay), col("day_idx") <= col("max_day"))
+      .groupBy(col("day_idx")).agg(count(lit(1)).as("n_churned"))
+    active.join(churn, Seq("day_idx"), "full_outer")
+      .na.fill(0L, Seq("n_new", "n_retained", "n_resurrected", "n_churned"))
+      .select(col("day_idx"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"),
+        (col("n_new") + col("n_resurrected") - col("n_churned")).as("net"))
+  }
+
+  val growthSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, day_idx,
+      |    lag(day_idx) OVER (PARTITION BY user_id ORDER BY day_idx) AS prev,
+      |    lead(day_idx) OVER (PARTITION BY user_id ORDER BY day_idx) AS next
+      |  FROM ud),
+      |mx AS (SELECT max(day_idx) AS max_day FROM f),
+      |act AS (
+      |  SELECT day_idx,
+      |    CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |    CAST(sum(CASE WHEN prev = day_idx - 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_retained,
+      |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev < day_idx - 1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM f GROUP BY 1),
+      |ch AS (
+      |  SELECT f.day_idx + 1 AS day_idx, CAST(count(*) AS BIGINT) AS n_churned
+      |  FROM f, mx
+      |  WHERE (next IS NULL OR next > f.day_idx + 1) AND f.day_idx + 1 <= max_day
+      |  GROUP BY 1)
+      |SELECT coalesce(act.day_idx, ch.day_idx) AS day_idx,
+      |  coalesce(n_new, 0) AS n_new,
+      |  coalesce(n_retained, 0) AS n_retained,
+      |  coalesce(n_resurrected, 0) AS n_resurrected,
+      |  coalesce(n_churned, 0) AS n_churned,
+      |  coalesce(n_new, 0) + coalesce(n_resurrected, 0) - coalesce(n_churned, 0)
+      |    AS net
+      |FROM act FULL OUTER JOIN ch ON act.day_idx = ch.day_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cusum" -> (cusum _),
+    "ev_growth" -> (growth _),
     "ev_rfm" -> (rfm _),
     "ev_attribution" -> (attribution _),
     "ev_ltv" -> (ltv _),
@@ -1805,6 +1956,8 @@ object EventOps {
     "ev_quantiles" -> (quantiles _))
 
   def oracleSql: Map[String, String] = Map(
+    "ev_cusum" -> cusumSql,
+    "ev_growth" -> growthSql,
     "ev_rfm" -> rfmSql,
     "ev_attribution" -> attributionSql,
     "ev_ltv" -> ltvSql,

@@ -1251,7 +1251,56 @@ object Relational {
        |  AND (valid_to_us IS NULL OR v_ts_us < valid_to_us)
        |GROUP BY 1""".stripMargin
 
+  /** Market-basket pair mining — the A-priori first pass (Agrawal &
+    * Srikant VLDB'94) behind co-purchase recommenders and cross-sell
+    * reports: for every pair of parts bought in the same order, support
+    * (co-occurring orders), each part's own order count, and lift
+    * (support·N / (cnt_a·cnt_b) — how far above independence the pair
+    * sits). Scale shape: the pair generator is a SELF-join co-partitioned
+    * on l_orderkey, never a cartesian — per-order fan-out is bounded by
+    * items-per-order (≤7 in this schema, k²/2 pairs per order), so pair
+    * volume is linear in lineitems; the (pa, pb) support agg takes
+    * map-side partials; the support≥2 threshold shrinks the output before
+    * the per-part count joins (two equi-joins of a small pair table
+    * against the bounded part-count dim); N is a one-row broadcast. Lift
+    * is ONE double division of exact-BIGINT operands rounded 6dp. */
+  def qBasket(spark: SparkSession, sfDir: String): DataFrame = {
+    val op = Tables(spark, sfDir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = op.select(col("ok"), col("pk").as("pa"))
+      .join(op.select(col("ok"), col("pk").as("pb")), "ok")
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+    val cnt = op.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    val n = op.select(countDistinct(col("ok")).as("n_orders"))
+    pairs
+      .join(cnt.select(col("pk").as("pa"), col("cnt").as("cnt_a")), "pa")
+      .join(cnt.select(col("pk").as("pb"), col("cnt").as("cnt_b")), "pb")
+      .join(broadcast(n))
+      .select(col("pa"), col("pb"), col("support"), col("cnt_a"), col("cnt_b"),
+        col("n_orders"),
+        round((col("support") * col("n_orders")).cast("double") /
+          (col("cnt_a") * col("cnt_b")).cast("double"), 6).as("lift"))
+  }
+
+  val qBasketSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS support
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |cnt AS (SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM op GROUP BY 1),
+      |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM op)
+      |SELECT pa, pb, support, ca.cnt AS cnt_a, cb.cnt AS cnt_b, n_orders,
+      |  round(CAST(support * n_orders AS DOUBLE)
+      |    / CAST(ca.cnt * cb.cnt AS DOUBLE), 6) AS lift
+      |FROM pairs JOIN cnt ca ON pairs.pa = ca.pk
+      |  JOIN cnt cb ON pairs.pb = cb.pk CROSS JOIN n""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_basket" -> (qBasket _),
     "q_bloom_join" -> (qBloomJoin _),
     "q_temporal_join" -> (qTemporalJoin _),
     "q_skyline" -> (qSkyline _),
@@ -1286,6 +1335,7 @@ object Relational {
     "ev_topk_users" -> (evTopkUsers _))
 
   def oracleSql: Map[String, String] = Map(
+    "q_basket" -> qBasketSql,
     "q_bloom_join" -> qBloomJoinSql,
     "q_temporal_join" -> qTemporalJoinSql,
     "q_kanon" -> qKanonSql,

@@ -569,7 +569,62 @@ object RuleQueries {
       |  CAST(n_gaps * sg2 - sg * sg AS DOUBLE) / (sg * sg) < 0.81 AS bot_like
       |FROM s WHERE n_gaps >= 20 AND sg > 0""".stripMargin
 
+  // ---- coordinated signup bursts (banded self-join) -------------------------
+
+  /** Burst window (µs): signups on the same fingerprint within 10 minutes
+    * pair up. */
+  val burstWindowUs: Long = 600L * 1000000
+
+  /** Coordinated-signup burst detection — ru_alt_rings finds fingerprints
+    * shared across the WHOLE corpus; this finds the prints that fire in
+    * RAPID SUCCESSION (two signups on one device print within 10 min —
+    * registration scripts and farm sessions, the temporal half of the alt
+    * signal). The naive form is an unbounded self-join per fingerprint; at
+    * 100 TB the engine runs the BANDED self-join: time is bucketed at the
+    * window width, the left side fans out to (bucket, bucket+1), and the
+    * join is a pure EQUI-join on (fingerprint, bucket) — any pair within
+    * the window shares a bucket or straddles adjacent ones, so candidates
+    * are confined to O(per-band density²) while pairs further apart never
+    * meet (the interval-join banding trick, same family as the dedup band
+    * joins). The window bound and the (ts, event_id) strict order are
+    * residual predicates inside the co-partitioned join; the per-print
+    * report (pairs, distinct accounts, tightest gap) is one bounded agg. */
+  def burstPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = graft.events.Signups.derive(spark, sfDir)
+      .select(col("fingerprint"), col("event_id"), col("ts_us"))
+    val left = s
+      .withColumn("bkt", explode(array(expr(s"ts_us DIV $burstWindowUs"),
+        expr(s"ts_us DIV $burstWindowUs + 1"))))
+      .select(col("fingerprint"), col("bkt"), col("event_id").as("eid_a"),
+        col("ts_us").as("ts_a"))
+    val right = s
+      .withColumn("bkt", expr(s"ts_us DIV $burstWindowUs"))
+      .select(col("fingerprint"), col("bkt"), col("event_id").as("eid_b"),
+        col("ts_us").as("ts_b"))
+    left.join(right, Seq("fingerprint", "bkt"))
+      // each ordered pair meets EXACTLY once: the right row joins only at
+      // its own bucket, and the left fan-out's two bucket values are
+      // distinct — no same-bucket/adjacent-bucket double count to dedup
+      .filter((col("ts_a") < col("ts_b") ||
+        (col("ts_a") === col("ts_b") && col("eid_a") < col("eid_b"))) &&
+        col("ts_b") - col("ts_a") <= burstWindowUs)
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("eid_a")).as("n_earlier"),
+        min(col("ts_b") - col("ts_a")).as("min_gap_us"))
+  }
+
+  val burstPairsSql: String = graft.events.Signups.sqlCte +
+    s"""SELECT a.fingerprint, count(*) AS n_pairs,
+       |  count(DISTINCT a.event_id) AS n_earlier,
+       |  min(b.ts_us - a.ts_us) AS min_gap_us
+       |FROM signups a JOIN signups b ON a.fingerprint = b.fingerprint
+       |  AND (a.ts_us < b.ts_us OR (a.ts_us = b.ts_us AND a.event_id < b.event_id))
+       |  AND b.ts_us - a.ts_us <= $burstWindowUs
+       |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ru_burst_pairs" -> (burstPairs _),
     "ru_bloom" -> (ruBloom _),
     "ru_notify_text" -> (ruNotifyText _),
     "ru_cidr" -> (ruCidr _),
@@ -589,6 +644,7 @@ object RuleQueries {
     "ru_actions" -> (ruActions _))
 
   def oracleSql: Map[String, String] = Map(
+    "ru_burst_pairs" -> burstPairsSql,
     "ru_cidr" -> ruCidrSql,
     "ru_bloom" -> ruBloomSql,
     "ru_notify_text" -> ruNotifyTextSql,

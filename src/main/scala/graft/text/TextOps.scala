@@ -1156,7 +1156,79 @@ object TextOps {
        |  round(CAST(cnt * rank AS DOUBLE) / CAST(c1 AS DOUBLE), 4) AS zipf_ratio
        |FROM r, t, c1""".stripMargin
 
+  // ---- code-vs-prose routing ------------------------------------------------
+
+  /** Code-detector fixture: real code shapes (none occur in the synthetic
+    * prose corpus) so the detector's positive path is driver-gated too.
+    * No quotes/newlines — the rows embed verbatim in the oracle VALUES. */
+  val codeFixture: Seq[(Long, String)] = Seq(
+    -1L -> ("def quality_gate(doc): import re; total = 0; " +
+      "for tok in doc.split(): total += 1 if re.match(tok) else 0; return total"),
+    -2L -> ("const fooBar = function(x) { var minValue = 0; " +
+      "for (i = 0; i < x.len; i++) { if (x[i] <= minValue) { minValue = x[i]; } } " +
+      "return minValue; }"),
+    -3L -> ("the quick brown fox jumps over the lazy dog and keeps running " +
+      "through the quiet field until sunset while nothing else moves"))
+
+  private val codeSymRe = "[{}();=<>\\[\\]]"
+  private val codeKwRe =
+    "\\b(def|class|import|return|function|var|const|for|while|if|else)\\b"
+  private val codeCamelRe = "\\b[a-z]+[A-Z][A-Za-z]*"
+
+  /** Code-vs-prose routing — the corpus-composition gate every LLM data
+    * pipeline runs before mixing sources (code wants different dedup,
+    * quality, and tokenizer treatment than prose; misrouted code poisons
+    * prose quality stats and vice versa). Signals are the standard cheap
+    * cascade run before any learned classifier: structural-symbol count,
+    * code-keyword hits, camelCase identifiers. The verdict is INTEGER
+    * cross-multiplied (sym·1000 ≥ 20·n_chars AND kw ≥ 2 — i.e. ≥2%
+    * symbol density plus keyword support), so no float can flip it between
+    * engines; the reported density is one 6dp-rounded division of exact
+    * ints. Pure per-row regexp_count scan math — zero shuffles at any
+    * corpus size (the tx_langid shape). Runs over documents ∪ an embedded
+    * code fixture (the synthetic corpus is all prose — the fixture makes
+    * the detector's POSITIVE path oracle-checkable). */
+  def code(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fixture = codeFixture.toDF("doc_id", "text")
+    val base = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      .unionAll(fixture)
+    base.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        regexp_count(col("text"), lit(codeSymRe)).cast("long").as("sym"),
+        regexp_count(col("text"), lit(codeKwRe)).cast("long").as("kw"),
+        regexp_count(col("text"), lit(codeCamelRe)).cast("long").as("camel"))
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"), col("sym"), col("kw"), col("camel"),
+        round(col("sym").cast("double") / col("n_chars").cast("double"), 6)
+          .as("sym_density"),
+        (col("sym") * 1000 >= col("n_chars") * 20 && col("kw") >= 2).as("is_code"))
+  }
+
+  val codeSql: String = {
+    val values = codeFixture
+      .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT * FROM (VALUES $values) AS fx(doc_id, text)),
+       |m AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(regexp_extract_all(text, '[{}();=<>\\[\\]]')) AS BIGINT) AS sym,
+       |    CAST(len(regexp_extract_all(text,
+       |      '\\b(def|class|import|return|function|var|const|for|while|if|else)\\b'))
+       |      AS BIGINT) AS kw,
+       |    CAST(len(regexp_extract_all(text, '\\b[a-z]+[A-Z][A-Za-z]*')) AS BIGINT)
+       |      AS camel
+       |  FROM base)
+       |SELECT doc_id, n_chars, sym, kw, camel,
+       |  round(CAST(sym AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS sym_density,
+       |  (sym * 1000 >= n_chars * 20 AND kw >= 2) AS is_code
+       |FROM m WHERE n_chars > 0""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_code" -> (code _),
     "tx_zipf" -> (zipf _),
     "tx_keywords" -> (keywords _),
     "tx_charset" -> (charset _),
@@ -1188,6 +1260,7 @@ object TextOps {
     "tx_textrank" -> (TextRank.textrank _))
 
   def oracleSql: Map[String, String] = Map(
+    "tx_code" -> codeSql,
     "tx_zipf" -> zipfSql,
     "tx_keywords" -> keywordsSql,
     "tx_charset" -> charsetSql,

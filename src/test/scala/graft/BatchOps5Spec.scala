@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-5 additions: CUSUM changepoints, growth
+  * accounting, market-basket pairs, burst pairs, code routing. */
+class BatchOps5Spec extends AnyFunSuite {
+  import SparkTest._
+
+  test("ev_cusum: prefix-sum identity equals the recursive textbook fold") {
+    // recompute the unfiltered statistic per type and replay Page's
+    // recursion S_i = max(0, S_{i-1} + d_i) on the collected (bounded,
+    // time-range-sized) minute series
+    val counts = Tables(spark, sf).events
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("minute", col("ts"))).as("m"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+    counts.foreach { case (_, rows) =>
+      val series = rows.sortBy(_.getAs[Long]("m")).map(_.getAs[Long]("n"))
+      val s = series.sum
+      val d = series.length.toLong
+      // recursive fold in the 2D-scaled integer units the query uses
+      var si = 0L
+      var maxSi = 0L
+      series.foreach { n =>
+        si = math.max(0L, si + (2 * n * d - 3 * s))
+        maxSi = math.max(maxSi, si)
+      }
+      // the query's prefix identity, same scale
+      var cum = 0L
+      var runmin = 0L
+      var maxPrefix = 0L
+      series.foreach { n =>
+        cum += 2 * n * d - 3 * s
+        maxPrefix = math.max(maxPrefix, cum - runmin)
+        runmin = math.min(runmin, cum)
+      }
+      assert(maxSi == maxPrefix, "prefix identity must equal the recursion")
+    }
+    // and the alarm set is exactly the rows where the statistic crosses 2S
+    events.EventOps.cusum(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("cusum") > 2 * r.getAs[Long]("s"))
+    }
+  }
+
+  test("ev_growth: flows decompose DAU and reconcile its delta exactly") {
+    val g = events.EventOps.growth(spark, sf).collect()
+      .map(r => r.getAs[Long]("day_idx") ->
+        (r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+          r.getAs[Long]("n_resurrected"), r.getAs[Long]("n_churned")))
+      .toMap
+    val dau = Tables(spark, sf).events
+      .select(expr("unix_micros(ts) DIV 86400000000").as("day_idx"), col("user_id"))
+      .distinct().groupBy("day_idx").count().collect()
+      .map(r => r.getAs[Long]("day_idx") -> r.getAs[Long]("count")).toMap
+    dau.foreach { case (day, n) =>
+      val (nw, ret, res, _) = g(day)
+      assert(nw + ret + res == n, s"day $day: new+retained+resurrected != DAU")
+    }
+    // day-over-day reconciliation on consecutive observed days
+    dau.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(d0, d1) if d1 == d0 + 1 =>
+        val (nw, _, res, _) = g(d1)
+        val churn1 = g(d1)._4
+        assert(dau(d1) - dau(d0) == nw + res - churn1,
+          s"day $d1: DAU delta must equal new+resurrected-churned")
+      case _ =>
+    }
+  }
+
+  test("q_basket: support bounded by both marginals, join not cartesian") {
+    val b = relational.Relational.qBasket(spark, sf)
+    val plan = b.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    b.collect().foreach { r =>
+      val s = r.getAs[Long]("support")
+      assert(s >= 2 && s <= math.min(r.getAs[Long]("cnt_a"), r.getAs[Long]("cnt_b")))
+      assert(r.getAs[Long]("pa") < r.getAs[Long]("pb"))
+      assert(r.getAs[Double]("lift") > 0)
+    }
+  }
+
+  test("ru_burst_pairs: banded equi-join equals the naive quadratic self-join") {
+    val s = events.Signups.derive(spark, sf)
+      .select(col("fingerprint"), col("event_id"), col("ts_us"))
+    val a = s.select(col("fingerprint"), col("event_id").as("ea"), col("ts_us").as("ta"))
+    val b = s.select(col("fingerprint"), col("event_id").as("eb"), col("ts_us").as("tb"))
+    val naive = a.join(b, Seq("fingerprint"))
+      .filter((col("ta") < col("tb") || (col("ta") === col("tb") && col("ea") < col("eb"))) &&
+        col("tb") - col("ta") <= rules.RuleQueries.burstWindowUs)
+      .groupBy("fingerprint").agg(count(lit(1)).as("n_pairs"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val banded = rules.RuleQueries.burstPairs(spark, sf).collect()
+      .map(r => r.getAs[String]("fingerprint") -> r.getAs[Long]("n_pairs")).toMap
+    assert(banded == naive, "banded join must find exactly the naive pairs")
+    val plan = rules.RuleQueries.burstPairs(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(400))
+  }
+
+  test("tx_code: fixture code rows flag, prose corpus does not") {
+    val rows = text.TextOps.code(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_code")).toMap
+    assert(rows(-1L) && rows(-2L), "embedded code must be detected")
+    assert(!rows(-3L), "embedded prose must pass")
+    assert(rows.filterKeys(_ >= 0).values.forall(!_), "synthetic corpus is all prose")
+  }
+}
