@@ -1000,6 +1000,43 @@ object Relational {
        |  CAST(sum(grp_n) AS BIGINT) AS n_rows, count(*) AS n_groups
        |FROM s GROUP BY 1, 2, 3""".stripMargin
 
+  // ---- l-diversity audit ----------------------------------------------------
+
+  /** Required distinct sensitive values per released group. */
+  val lDivL = 8L
+
+  /** l-diversity audit — q_kanon's sibling gate (Machanavajjhala et al.
+    * ICDE'06): k-anonymity bounds group SIZE, but a large group whose
+    * members all share one sensitive value still leaks it (the homogeneity
+    * attack); l-diversity requires every released quasi-identifier group
+    * (nation × segment) to carry ≥ l DISTINCT sensitive values (account
+    * balance, bucketed to 1000-unit bands). The readout is the per-group
+    * audit a release reviewer signs off on: group size, sensitive
+    * diversity, verdict. Scale shape: ONE two-phase distinct aggregation
+    * to the bounded quasi-id key space (count + count-distinct share the
+    * Expand pass); the verdict fold runs over that tiny grouped frame.
+    * The sensitive bucket is integer math on exact cents, SHIFTED
+    * non-negative before the integer division so truncating (Spark DIV)
+    * and flooring (DuckDB //) division agree. */
+  def qLdiv(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir).customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) DIV 100000")
+          .as("sens_bucket"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("grp_n"),
+        countDistinct(col("sens_bucket")).as("n_sensitive"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("grp_n"),
+        col("n_sensitive"), (col("n_sensitive") >= lDivL).as("released"))
+
+  val qLdivSql: String =
+    s"""SELECT c_nationkey, c_mktsegment, count(*) AS grp_n,
+       |  count(DISTINCT (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000)
+       |    // 100000) AS n_sensitive,
+       |  count(DISTINCT (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000)
+       |    // 100000) >= $lDivL AS released
+       |FROM customer GROUP BY 1, 2""".stripMargin
+
   // ---- incremental join-view maintenance -----------------------------------
 
   /** Base/delta split date for [[qIncrJoin]]. */
@@ -1307,6 +1344,7 @@ object Relational {
     "q_join_card" -> (qJoinCard _),
     "q_incr_join" -> (qIncrJoin _),
     "q_kanon" -> (qKanon _),
+    "q_ldiv" -> (qLdiv _),
     "q_unpivot" -> (qUnpivot _),
     "q_setops" -> (qSetops _),
     "q_listagg" -> (qListagg _),
@@ -1339,6 +1377,7 @@ object Relational {
     "q_bloom_join" -> qBloomJoinSql,
     "q_temporal_join" -> qTemporalJoinSql,
     "q_kanon" -> qKanonSql,
+    "q_ldiv" -> qLdivSql,
     "q_unpivot" -> qUnpivotSql,
     "q_setops" -> qSetopsSql,
     "q_listagg" -> qListaggSql,

@@ -482,30 +482,34 @@ object Similarity {
       .select(col("cid"), col("n_members"), col("dim"), col("m"))
   }
 
-  /** The Lloyd-iteration CTE chain (seeds → assign → means, ×2) — shared by
-    * the ann_kmeans oracle and the ann_ivf_trained oracle, which probes
-    * against the SAME trained means (`m2`). */
-  private val kmeansCtes: String = {
-    def assignCte(scored: String) =
-      s"""(SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
-         |    FROM $scored) t WHERE rn = 1)""".stripMargin
-    s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $kmK),
-       |s0 AS (SELECT e.vec_id, c0.cid,
-       |  round(${Portable.cosineSql("e.v", "cv")}, 6) AS ccos FROM e CROSS JOIN c0),
-       |a0 AS ${assignCte("s0")},
+  /** One rn=1 assignment cut over a scored CTE — shared SQL shape. */
+  private def assignCutCte(scored: String) =
+    s"""(SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+       |    FROM $scored) t WHERE rn = 1)""".stripMargin
+
+  /** The Lloyd-iteration CTE chain (seeds → assign → means, ×2) over the
+    * CTE named `src` with seed predicate `seedPred` — shared by the
+    * ann_kmeans / ann_ivf_trained oracles (src = the whole corpus) and the
+    * ann_incremental oracle (src = the base split only). */
+  private def kmeansCtesOn(src: String, seedPred: String): String =
+    s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM $src WHERE $seedPred),
+       |s0 AS (SELECT $src.vec_id, c0.cid,
+       |  round(${Portable.cosineSql(s"$src.v", "cv")}, 6) AS ccos FROM $src CROSS JOIN c0),
+       |a0 AS ${assignCutCte("s0")},
        |ev AS (SELECT vec_id, i - 1 AS dim, v[i] AS x
-       |  FROM e, LATERAL unnest(range(1, len(v) + 1)) t(i)),
+       |  FROM $src, LATERAL unnest(range(1, len(v) + 1)) t(i)),
        |m1 AS (SELECT cid, dim, round(avg(x), 6) AS m
        |  FROM ev JOIN a0 USING (vec_id) GROUP BY 1, 2),
        |c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY 1),
-       |s1 AS (SELECT e.vec_id, c1.cid,
-       |  round(${Portable.cosineSql("e.v", "cv")}, 6) AS ccos FROM e CROSS JOIN c1),
-       |a1 AS ${assignCte("s1")},
+       |s1 AS (SELECT $src.vec_id, c1.cid,
+       |  round(${Portable.cosineSql(s"$src.v", "cv")}, 6) AS ccos FROM $src CROSS JOIN c1),
+       |a1 AS ${assignCutCte("s1")},
        |m2 AS (SELECT cid, dim, round(avg(x), 6) AS m
        |  FROM ev JOIN a1 USING (vec_id) GROUP BY 1, 2)""".stripMargin
-  }
+
+  private val kmeansCtes: String = kmeansCtesOn("e", s"vec_id < $kmK")
 
   val kmeansSql: String =
     s"""WITH $embCte,
@@ -541,6 +545,76 @@ object Similarity {
        |cents AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m2 GROUP BY 1),
        |$assignChainCte,
        |$probeSelectSql""".stripMargin
+
+  // ---- incremental index maintenance ---------------------------------------
+
+  /** Delta membership: every 5th vector "arrives late" — scale-free and
+    * deterministic at any corpus size. */
+  private val incrDeltaPred = "vec_id % 5 = 0"
+
+  /** Incremental ANN index maintenance — the production question after
+    * ann_ivf_trained ships: new vectors arrive daily; RETRAINING the coarse
+    * quantizer over 100 TB per refresh is off the table. The standard
+    * answer (FAISS `add` semantics): FREEZE the trained centroids and
+    * assign only the delta — each refresh costs O(delta·K), not
+    * O(corpus·K·iters), and the standing per-list stats update by merging
+    * delta counts (the ev_incr_agg/q_incr_join mergeable-partial strategy
+    * applied to a vector index). The report is the index-balance readout an
+    * operator watches after a merge: per list, standing size, delta
+    * arrivals, merged total, delta share (drift of the incoming
+    * distribution against the trained quantizer). Training runs on the
+    * BASE split only — the delta provably never influences the centroids,
+    * which is what makes the frozen-index claim checkable. */
+  def incrementalIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("v"), col("nrm")).persist()
+    val base = e.filter(expr(s"NOT ($incrDeltaPred)")).persist()
+    val delta = e.filter(expr(incrDeltaPred))
+    // seed on the first 8 BASE ids (ids < 10 minus the delta residue class)
+    var cents = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    for (_ <- 0 until kmIters) {
+      val assigned = kmAssign(base, cents)
+      cents = kmMeans(base, assigned)
+    }
+    val frozen = cents.persist()
+    val nBase = kmAssign(base, frozen)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_base"))
+    val nDelta = kmAssign(delta, frozen)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_delta"))
+    nBase.join(nDelta, Seq("cid"), "full_outer")
+      .select(col("cid"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+      .select(col("cid"), col("n_base"), col("n_delta"),
+        (col("n_base") + col("n_delta")).as("n_total"),
+        round(col("n_delta").cast("double")
+          / (col("n_base") + col("n_delta")).cast("double"), 6).as("delta_share"))
+  }
+
+  val incrementalIndexSql: String =
+    s"""WITH $embCte,
+       |eb AS (SELECT * FROM e WHERE NOT ($incrDeltaPred)),
+       |ed AS (SELECT * FROM e WHERE $incrDeltaPred),
+       |${kmeansCtesOn("eb", "vec_id < 10")},
+       |cents AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m2 GROUP BY 1),
+       |sb AS (SELECT eb.vec_id, cents.cid,
+       |  round(${Portable.cosineSql("eb.v", "cv")}, 6) AS ccos
+       |  FROM eb CROSS JOIN cents),
+       |ab AS ${assignCutCte("sb")},
+       |sd AS (SELECT ed.vec_id, cents.cid,
+       |  round(${Portable.cosineSql("ed.v", "cv")}, 6) AS ccos
+       |  FROM ed CROSS JOIN cents),
+       |ad AS ${assignCutCte("sd")},
+       |nb AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_base FROM ab GROUP BY 1),
+       |nd AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_delta FROM ad GROUP BY 1)
+       |SELECT CAST(coalesce(nb.cid, nd.cid) AS BIGINT) AS cid,
+       |  coalesce(n_base, 0) AS n_base,
+       |  coalesce(n_delta, 0) AS n_delta,
+       |  coalesce(n_base, 0) + coalesce(n_delta, 0) AS n_total,
+       |  round(CAST(coalesce(n_delta, 0) AS DOUBLE)
+       |    / CAST(coalesce(n_base, 0) + coalesce(n_delta, 0) AS DOUBLE), 6)
+       |    AS delta_share
+       |FROM nb FULL OUTER JOIN nd ON nb.cid = nd.cid""".stripMargin
 
   // ---- int8-quantized ANN (the storage/bandwidth path) --------------------
 
@@ -1275,6 +1349,7 @@ object Similarity {
     "ann_lsh_topk" -> (lshTopK _),
     "ann_ivf_topk" -> (ivfTopK _),
     "ann_ivf_trained" -> (ivfTrainedTopK _),
+    "ann_incremental" -> (incrementalIndex _),
     "ann_knn_join" -> (knnJoin _),
     "dd_embed" -> (embedNearDup _),
     "dd_semdedup" -> (semDedup _),
@@ -1294,6 +1369,7 @@ object Similarity {
     "ann_lsh_topk" -> lshTopKSql,
     "ann_ivf_topk" -> ivfTopKSql,
     "ann_ivf_trained" -> ivfTrainedSql,
+    "ann_incremental" -> incrementalIndexSql,
     "ann_knn_join" -> knnJoinSql,
     "dd_embed" -> embedNearDupSql,
     "dd_semdedup" -> semDedupSql,

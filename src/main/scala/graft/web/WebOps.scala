@@ -1318,6 +1318,73 @@ object WebOps {
       |  s.comp_size
       |FROM comp c JOIN sz s ON s.comp = c.comp""".stripMargin
 
+  // ---- BFS seed distance (crawl depth) --------------------------------------
+
+  /** BFS horizon: crawl schedulers rarely care past this many hops. The cap
+    * is part of the QUERY CONTRACT (both engines stop at the same depth),
+    * not a convergence heuristic — so a deeper graph cannot diverge them. */
+  val bfsMaxDepth = 8
+
+  /** BFS seed distance over the directed doc link graph — the crawl-depth
+    * readout (how many hops from the seed list is each reachable page?)
+    * behind frontier prioritization and the "distance from trusted seeds"
+    * feature TrustRank thresholds on. Same deterministic synthetic graph
+    * family as web_components/web_pagerank (two out-edges per even doc:
+    * (7d+3) mod n and (13d+11) mod n; seeds = doc_id ≡ 0 mod 97). Scale
+    * shape: level-synchronous frontier expansion — each level is ONE
+    * equi-join of the edge table against the CURRENT frontier (never the
+    * visited set), an anti-join dedup, and the loop is bounded by
+    * [[bfsMaxDepth]], so total work is O(levels · frontier-adjacent
+    * edges); edges pre-partitioned on src once and reused every level
+    * (the web_components exchange-reuse pattern); lineage cut per level
+    * with localCheckpoint (plan depth stays O(1) per level, the iterative-
+    * algorithm hazard the PageRank audit flagged). Oracle: recursive CTE
+    * with the same depth cap, min depth per node. */
+  def bfsDepth(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables(spark, sfDir).documents.select(col("doc_id")).persist()
+    val n = docs.count()
+    val srcs = docs.filter(col("doc_id") % 2 === 0)
+    val edges = srcs.select(col("doc_id").as("src"), ((col("doc_id") * 7 + 3) % n).as("dst"))
+      .unionAll(srcs.select(col("doc_id").as("src"), ((col("doc_id") * 13 + 11) % n).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src")).persist()
+    var visited = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("node"), lit(0L).as("depth"))
+      .localCheckpoint(true)
+    var frontier = visited
+    var d = 1
+    while (d <= bfsMaxDepth && frontier.count() > 0) {
+      val next = edges.join(frontier, col("src") === col("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node").as("vn")), col("node") === col("vn"), "left_anti")
+        .select(col("node"), lit(d.toLong).as("depth"))
+        .localCheckpoint(true)
+      visited = visited.unionAll(next).localCheckpoint(true)
+      frontier = next
+      d += 1
+    }
+    visited
+  }
+
+  val bfsDepthSql: String =
+    s"""WITH RECURSIVE docs AS (SELECT doc_id FROM documents),
+       |n AS (SELECT count(*) AS n FROM docs),
+       |raw AS (
+       |  SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT n FROM n) AS dst
+       |  FROM docs WHERE doc_id % 2 = 0
+       |  UNION
+       |  SELECT doc_id, (doc_id * 13 + 11) % (SELECT n FROM n)
+       |  FROM docs WHERE doc_id % 2 = 0),
+       |edges AS (SELECT src, dst FROM raw WHERE src <> dst),
+       |walk(node, depth) AS (
+       |  SELECT doc_id, 0 FROM docs WHERE doc_id % 97 = 0
+       |  UNION
+       |  SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.node
+       |  WHERE w.depth < $bfsMaxDepth)
+       |SELECT CAST(node AS BIGINT) AS node, CAST(min(depth) AS BIGINT) AS depth
+       |FROM walk GROUP BY 1""".stripMargin
+
   // ---- triangle counting (degree-ordered orientation) ----------------------
 
   /** Per-node triangle counts over the undirected doc link graph (same
@@ -1407,6 +1474,7 @@ object WebOps {
     "web_pagerank" -> (pageRank _),
     "web_triangles" -> (triangles _),
     "web_components" -> (components _),
+    "web_bfs_depth" -> (bfsDepth _),
     "web_trustrank" -> (trustRank _),
     "web_hits" -> (hits _))
 
@@ -1426,6 +1494,7 @@ object WebOps {
     "web_pagerank" -> pageRankSql,
     "web_triangles" -> trianglesSql,
     "web_components" -> componentsSql,
+    "web_bfs_depth" -> bfsDepthSql,
     "web_trustrank" -> trustRankSql,
     "web_hits" -> hitsSql)
 }

@@ -101,6 +101,55 @@ class BatchOps5Spec extends AnyFunSuite {
       plan.take(400))
   }
 
+  test("ann_incremental: merged totals cover the corpus; shares consistent") {
+    val rows = sim.Similarity.incrementalIndex(spark, sf).collect()
+    val corpus = Tables(spark, sf).embeddings.count()
+    assert(rows.map(_.getAs[Long]("n_total")).sum == corpus,
+      "every vector must land in exactly one list")
+    val deltaTotal = rows.map(_.getAs[Long]("n_delta")).sum
+    val expectedDelta = Tables(spark, sf).embeddings
+      .filter(col("vec_id") % 5 === 0).count()
+    assert(deltaTotal == expectedDelta, "delta assignment must cover the delta split")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_total") ==
+        r.getAs[Long]("n_base") + r.getAs[Long]("n_delta"))
+    }
+  }
+
+  test("q_ldiv: groups partition the customer universe, verdict is the l test") {
+    val rows = relational.Relational.qLdiv(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("grp_n")).sum == Tables(spark, sf).customer.count())
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("released") ==
+        (r.getAs[Long]("n_sensitive") >= relational.Relational.lDivL))
+      assert(r.getAs[Long]("n_sensitive") <= r.getAs[Long]("grp_n"))
+    }
+  }
+
+  test("web_bfs_depth: level-synchronous expansion equals driver-side BFS") {
+    val got = web.WebOps.bfsDepth(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("depth")).toMap
+    // reference BFS on the collected (tiny at sf0.001) synthetic graph
+    val n = Tables(spark, sf).documents.count()
+    val ids = Tables(spark, sf).documents.select("doc_id").collect().map(_.getLong(0))
+    val adj = ids.filter(_ % 2 == 0)
+      .flatMap(d => Seq(d -> ((d * 7 + 3) % n), d -> ((d * 13 + 11) % n)))
+      .filter { case (s, t) => s != t }
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).distinct }
+    val want = scala.collection.mutable.Map[Long, Long]()
+    var frontier = ids.filter(_ % 97 == 0).toSet
+    frontier.foreach(want(_) = 0L)
+    var d = 1L
+    while (d <= web.WebOps.bfsMaxDepth && frontier.nonEmpty) {
+      val next = frontier.flatMap(x => adj.getOrElse(x, Array.empty[Long]))
+        .filterNot(want.contains)
+      next.foreach(want(_) = d)
+      frontier = next
+      d += 1
+    }
+    assert(got == want.toMap, "distributed BFS must equal the reference BFS")
+  }
+
   test("tx_code: fixture code rows flag, prose corpus does not") {
     val rows = text.TextOps.code(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_code")).toMap
