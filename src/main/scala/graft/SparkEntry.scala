@@ -19,6 +19,7 @@ object SparkEntry {
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracleSql),
     (pipeline.Curate.queries, pipeline.Curate.oracleSql),
     (sources.WarcQueries.queries, sources.WarcQueries.oracleSql),
+    (sources.CsvQueries.queries, sources.CsvQueries.oracleSql),
     (web.WebOps.queries, web.WebOps.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1788,12 +1788,17 @@ object EventOps {
     * windows run per type over that time-bounded dim (minutes ≤ calendar
     * range, not corpus size) — the same bounded-window argument as
     * ev_anomaly_mad/ev_drift. */
-  def cusum(spark: SparkSession, sfDir: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val counts = Tables(spark, sfDir).events
+  def cusum(spark: SparkSession, sfDir: String): DataFrame =
+    cusumOver(Tables(spark, sfDir).events
       .groupBy(col("event_type"),
         unix_timestamp(date_trunc("minute", col("ts"))).as("minute_epoch"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The CUSUM read-time view over a (event_type, minute_epoch, n) count
+    * matrix — shared by the batch detector above and the streaming twin
+    * (st_cusum drains the same matrix out of the state store). */
+  def cusumOver(counts: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val stats = counts.groupBy(col("event_type"))
       .agg(sum(col("n")).as("s"), count(lit(1)).as("d"))
     val wOrd = W.partitionBy(col("event_type")).orderBy(col("minute_epoch"))

@@ -1037,6 +1037,53 @@ object Relational {
        |    // 100000) >= $lDivL AS released
        |FROM customer GROUP BY 1, 2""".stripMargin
 
+  // ---- pseudonymization -----------------------------------------------------
+
+  /** Tokenization salt — rotating it re-keys every token consistently. */
+  val pseudoSalt = "graft_v1:"
+
+  /** Deterministic pseudonymization with referential integrity — the
+    * release pattern between raw data and the q_kanon/q_ldiv gates: the
+    * natural key (custkey) is replaced by a salted one-way token
+    * md5(salt ‖ key) in EVERY table independently, and analytics still
+    * join — the released view here links orders to customer segments
+    * through tokens alone, with the natural key nowhere in the output.
+    * Consistency is the whole point: equal keys → equal tokens across
+    * tables, runs, and engines; rotating the salt re-keys the entire
+    * release. Scale shape: token derivation is per-row codegen'd scan math
+    * (zero extra passes); the join keys on the token, which preserves the
+    * natural key's equality structure exactly — same cardinalities, same
+    * co-partitioned equi-join, no plan change from pseudonymizing. Money
+    * stays exact BIGINT cents. */
+  def qPseudonym(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val c = t.customer.select(
+      md5(concat(lit(pseudoSalt), col("c_custkey").cast("string"))).as("cust_token"),
+      col("c_mktsegment"))
+    val o = t.orders.select(
+      md5(concat(lit(pseudoSalt), col("o_custkey").cast("string"))).as("cust_token"),
+      expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+    c.join(o, Seq("cust_token"), "left")
+      .groupBy(col("cust_token"), col("c_mktsegment"))
+      .agg(count(col("cents")).as("n_orders"),
+        coalesce(sum(col("cents")), lit(0L)).as("cents_total"))
+  }
+
+  val qPseudonymSql: String =
+    s"""WITH c AS (
+       |  SELECT md5('$pseudoSalt' || CAST(c_custkey AS VARCHAR)) AS cust_token,
+       |    c_mktsegment
+       |  FROM customer),
+       |o AS (
+       |  SELECT md5('$pseudoSalt' || CAST(o_custkey AS VARCHAR)) AS cust_token,
+       |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+       |  FROM orders)
+       |SELECT c.cust_token, c_mktsegment,
+       |  CAST(count(cents) AS BIGINT) AS n_orders,
+       |  coalesce(CAST(sum(cents) AS BIGINT), 0) AS cents_total
+       |FROM c LEFT JOIN o ON c.cust_token = o.cust_token
+       |GROUP BY 1, 2""".stripMargin
+
   // ---- incremental join-view maintenance -----------------------------------
 
   /** Base/delta split date for [[qIncrJoin]]. */
@@ -1345,6 +1392,7 @@ object Relational {
     "q_incr_join" -> (qIncrJoin _),
     "q_kanon" -> (qKanon _),
     "q_ldiv" -> (qLdiv _),
+    "q_pseudonym" -> (qPseudonym _),
     "q_unpivot" -> (qUnpivot _),
     "q_setops" -> (qSetops _),
     "q_listagg" -> (qListagg _),
@@ -1378,6 +1426,7 @@ object Relational {
     "q_temporal_join" -> qTemporalJoinSql,
     "q_kanon" -> qKanonSql,
     "q_ldiv" -> qLdivSql,
+    "q_pseudonym" -> qPseudonymSql,
     "q_unpivot" -> qUnpivotSql,
     "q_setops" -> qSetopsSql,
     "q_listagg" -> qListaggSql,

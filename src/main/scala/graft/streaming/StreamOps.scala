@@ -767,6 +767,28 @@ object StreamOps {
        |  ${graft.events.EventOps.kmvEstimateSql} AS est
        |FROM inter i""".stripMargin
 
+  /** CUSUM changepoint detection under the STREAMING state store —
+    * ev_cusum's live twin via the sketch-in-state pattern: the sufficient
+    * statistic for the whole detector is the (type, minute) count matrix,
+    * whose cells are mergeable order/partition/micro-batch-invariant SUMS
+    * bounded by the calendar (the same state family as st_quantile_sketch /
+    * st_theta_kmv); the two CUSUM window passes are the READ-TIME VIEW over
+    * the drained matrix ([[graft.events.EventOps.cusumOver]] — literally
+    * the batch code), so the streaming alarm set EQUALS the batch alarm set
+    * and the batch oracle is reused verbatim. State per group: one BIGINT
+    * counter — O(types · observed minutes) forever, calendar-bounded. */
+  def cusumLive(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = runToTable(spark, sfDir, OutputMode.Complete()) { src =>
+      src.groupBy(col("event_type"),
+        unix_timestamp(date_trunc("minute", col("ts"))).as("minute_epoch"))
+        .agg(count(lit(1)).as("n"))
+    }
+    graft.events.EventOps.cusumOver(counts)
+  }
+
+  /** Batch oracle reused verbatim — the drift-proof twin contract. */
+  def stCusumSql: String = graft.events.EventOps.cusumSql
+
   /** The batch replay minus the exact count (streaming can't countDistinct
     * without unbounded state) — CTEs shared with [[graft.events.EventOps]]. */
   def hllUsersSql: String =
@@ -1232,6 +1254,7 @@ object StreamOps {
     "st_spike" -> (stSpike _),
     "st_hll_users" -> (hllUsers _),
     "st_theta_kmv" -> (thetaKmv _),
+    "st_cusum" -> (cusumLive _),
     "st_funnel" -> (funnel _),
     "st_pattern" -> (stPattern _),
     "st_bitmap" -> (stBitmap _),
@@ -1259,6 +1282,7 @@ object StreamOps {
     "st_spike" -> stSpikeSql,
     "st_hll_users" -> hllUsersSql,
     "st_theta_kmv" -> thetaKmvSql,
+    "st_cusum" -> stCusumSql,
     "st_funnel" -> funnelSql,
     "st_pattern" -> stPatternSql,
     "st_bitmap" -> stBitmapSql,

@@ -150,6 +150,42 @@ class BatchOps5Spec extends AnyFunSuite {
     assert(got == want.toMap, "distributed BFS must equal the reference BFS")
   }
 
+  test("q_pseudonym: tokens preserve the natural key's join structure") {
+    val t = Tables(spark, sf)
+    val natural = t.customer.join(t.orders,
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).map(_._2)
+    val tokenized = relational.Relational.qPseudonym(spark, sf).collect()
+      .map(_.getAs[Long]("n_orders")).sorted
+    assert(tokenized.sorted.sameElements(natural.sorted),
+      "per-entity order counts must survive pseudonymization")
+    // and the natural key never appears in the release
+    val cols = relational.Relational.qPseudonym(spark, sf).columns
+    assert(!cols.exists(_.contains("custkey")), cols.mkString(","))
+  }
+
+  test("st_cusum: streaming alarm set equals the batch detector") {
+    val live = streaming.StreamOps.cusumLive(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    val batch = events.EventOps.cusum(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(live == batch, "sketch-in-state + read-time view must equal batch")
+  }
+
+  test("src_csv: clean rows pass, every dirty shape lands in quarantine") {
+    val rows = sources.CsvQueries.csvIngest(spark, sf).collect()
+    assert(rows.length == 7)
+    val quarantined = rows.filter(_.getAs[Boolean]("quarantined"))
+    assert(quarantined.length == 4, "4 dirty shapes")
+    assert(quarantined.forall(_.getAs[String]("raw") != null),
+      "dead-letter branch must carry the raw line")
+    val clean = rows.filter(!_.getAs[Boolean]("quarantined"))
+    assert(clean.map(_.getAs[String]("name")).toSet ==
+      Set("alice", "smith, bob", "says \"hi\""),
+      "quoted delimiters and RFC 4180 doubled quotes must unwrap")
+  }
+
   test("tx_code: fixture code rows flag, prose corpus does not") {
     val rows = text.TextOps.code(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_code")).toMap

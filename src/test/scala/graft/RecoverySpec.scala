@@ -55,6 +55,66 @@ class RecoverySpec extends AnyFunSuite {
     assert(partial.values.sum < expected.values.sum, "first run saw only the first file")
   }
 
+  test("live rule update: a stream-static match picks up a rules-file rewrite mid-stream") {
+    // the reference mutates its rule set at runtime (rules.rs add/remove
+    // while the stream runs); the Spark analog is a stream-static join
+    // whose static side re-executes per micro-batch — a RuleStore.save
+    // between batches must take effect without restarting the query
+    val srcDir = tmp("ev_rules_live")
+    val rulesDir = tmp("rules_live")
+    val ev = Tables(spark, sf).events
+
+    def rule(name: String, pattern: String) = rules.RuleRow(
+      name, "username_contains", pattern, 0, enabled = true, suspOnly = false,
+      noDelay = true, expiryUs = None, actions = "notify_zulip")
+
+    val spark0 = spark
+    import spark0.implicits._
+    def rulesDf(rs: rules.RuleRow*) = rs.toSeq
+      .map(r => (r.name, r.kind, r.pattern, r.numArg, r.enabled, r.suspOnly,
+        r.noDelay, r.expiryUs, r.actions))
+      .toDF("name", "kind", "pattern", "num_arg", "enabled", "susp_only",
+        "no_delay", "expiry_us", "actions")
+
+    rules.RuleStore.save(rulesDf(rule("r_v1", "ER_1")), rulesDir)
+
+    // a plain stream-static join pins the static side's FILE LISTING at
+    // plan time (an overwritten rules file turns into FAILED_READ_FILE,
+    // verified empirically) — the production pattern for a live-updated
+    // dim is re-loading it INSIDE foreachBatch, where each micro-batch
+    // builds a fresh plan (and a fresh file index) for the dim
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = events.Signups.derive(
+        spark.readStream.schema(ev.schema).parquet(srcDir))
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.join(rules.RuleStore.load(batch.sparkSession, rulesDir)
+            .filter(col("enabled") && col("kind") === "username_contains"),
+          expr("instr(upper(username), upper(pattern)) > 0"))
+          .select(col("event_id"), col("name"))
+          .collect()
+          .foreach(r => got.add(r.getLong(0) -> r.getString(1)))
+        ()
+      }.start()
+    try {
+      // batch 1 under rules v1
+      ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val after1 = got.toArray(Array.empty[(Long, String)])
+      assert(after1.nonEmpty && after1.forall(_._2 == "r_v1"))
+
+      // rules REWRITTEN while the query keeps running
+      rules.RuleStore.save(rulesDf(rule("r_v2", "ER_2")), rulesDir)
+
+      // batch 2 must match under v2 only
+      ev.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val batch2 = got.toArray(Array.empty[(Long, String)]).filter(_._1 % 2 == 1)
+      assert(batch2.nonEmpty, "batch 2 must produce matches")
+      assert(batch2.forall(_._2 == "r_v2"),
+        "post-rewrite micro-batches must match against the NEW rule set")
+    } finally q.stop()
+  }
+
   test("minhash dedup bucket ownership survives stop/restart and matches batch replay") {
     val srcDir = tmp("docs_incr")
     val ckpt = tmp("ckpt_mh")
