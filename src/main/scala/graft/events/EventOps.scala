@@ -1843,6 +1843,69 @@ object EventOps {
       |  round(CAST(cum - runmin AS DOUBLE) / CAST(2 * d AS DOUBLE), 4) AS excess
       |FROM c WHERE cum - runmin > 2 * s""".stripMargin
 
+  // ---- linear gap interpolation ---------------------------------------------
+
+  /** Time-series resampling with LINEAR interpolation — ev_gapfill's
+    * numeric sibling (gapfill answers "nothing happened" with zeros; a
+    * metering/telemetry series wants the value BRIDGED: pandas
+    * `resample().interpolate()`, InfluxDB/Timescale `interpolate()`).
+    * Each per-type minute series densifies to every minute between its
+    * first and last observation; missing minutes take
+    * v = n0 + (n1−n0)·(g−t0)/(t1−t0) between their nearest observed
+    * neighbors. Numerics: operands stay exact BIGINT through the
+    * cross-multiplied numerator/denominator; the interpolated value is ONE
+    * 6dp-rounded division per row — no float accumulates. Scale shape: ONE
+    * corpus agg to the (type, minute) dim; the lead window and the
+    * gap-pair explode run over that time-bounded dim; each gap explodes in
+    * its own task (gaps are silence-bounded — for month-long droughts the
+    * ev_gapfill two-level sequence trick drops in unchanged). */
+  def interp(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val obs = Tables(spark, sfDir).events
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("minute", col("ts"))).as("m"))
+      .agg(count(lit(1)).as("n"))
+    val w = W.partitionBy(col("event_type")).orderBy(col("m"))
+    val withNext = obs
+      .withColumn("m1", lead(col("m"), 1).over(w))
+      .withColumn("n1", lead(col("n"), 1).over(w))
+    val observed = obs.select(col("event_type"), col("m").as("minute_epoch"),
+      round(col("n").cast("double"), 6).as("value"), lit(false).as("interpolated"))
+    val bridged = withNext
+      .filter(col("m1").isNotNull && col("m1") > col("m") + 60)
+      .select(col("event_type"), col("m"), col("n"), col("m1"), col("n1"),
+        explode(sequence(col("m") + 60, col("m1") - 60, lit(60L))).as("g"))
+      .select(col("event_type"), col("g").as("minute_epoch"),
+        round(col("n").cast("double")
+          + ((col("n1") - col("n")) * (col("g") - col("m"))).cast("double")
+            / (col("m1") - col("m")).cast("double"), 6).as("value"),
+        lit(true).as("interpolated"))
+    observed.unionAll(bridged)
+  }
+
+  val interpSql: String =
+    """WITH obs AS (
+      |  SELECT event_type,
+      |    CAST(epoch(date_trunc('minute', CAST(ts AS TIMESTAMP))) AS BIGINT) AS m,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |nx AS (
+      |  SELECT event_type, m, n,
+      |    lead(m) OVER (PARTITION BY event_type ORDER BY m) AS m1,
+      |    lead(n) OVER (PARTITION BY event_type ORDER BY m) AS n1
+      |  FROM obs)
+      |SELECT event_type, m AS minute_epoch,
+      |  round(CAST(n AS DOUBLE), 6) AS value, false AS interpolated
+      |FROM obs
+      |UNION ALL
+      |SELECT event_type, g AS minute_epoch,
+      |  round(CAST(n AS DOUBLE)
+      |    + CAST((n1 - n) * (g - m) AS DOUBLE) / CAST(m1 - m AS DOUBLE), 6)
+      |    AS value,
+      |  true AS interpolated
+      |FROM nx, LATERAL unnest(range(m + 60, m1, 60)) t(g)
+      |WHERE m1 IS NOT NULL AND m1 > m + 60""".stripMargin
+
   // ---- growth accounting ----------------------------------------------------
 
   /** Growth accounting — the canonical DAU decomposition (new / retained /
@@ -1924,6 +1987,7 @@ object EventOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_cusum" -> (cusum _),
+    "ev_interp" -> (interp _),
     "ev_growth" -> (growth _),
     "ev_rfm" -> (rfm _),
     "ev_attribution" -> (attribution _),
@@ -1962,6 +2026,7 @@ object EventOps {
 
   def oracleSql: Map[String, String] = Map(
     "ev_cusum" -> cusumSql,
+    "ev_interp" -> interpSql,
     "ev_growth" -> growthSql,
     "ev_rfm" -> rfmSql,
     "ev_attribution" -> attributionSql,

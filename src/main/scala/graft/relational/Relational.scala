@@ -1037,6 +1037,126 @@ object Relational {
        |    // 100000) >= $lDivL AS released
        |FROM customer GROUP BY 1, 2""".stripMargin
 
+  // ---- CDC journal log-compaction -------------------------------------------
+
+  /** Log compaction — Kafka's compacted-topic contract applied to a CDC
+    * journal (the inverse housekeeping of st_cdc's journal GENERATION):
+    * only the LAST record per key matters for state reconstruction, a key
+    * whose last record is a tombstone disappears, and everything older is
+    * reclaimable. The journal derives from events (upserts carry the
+    * event's value in exact cents; `error` events are tombstones); the
+    * readout per surviving key: last value, last ts, and how many journal
+    * records compaction reclaims. Scale shape: ONE user_id exchange; the
+    * rank≤1 cut rides WindowGroupLimit below the window exchange (each map
+    * task ships only its local last-per-key candidates — the ev_trending
+    * shuffle-volume argument), and the per-key count shares the same
+    * partitioning. */
+  def qLogCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val journal = Tables(spark, sfDir).events
+      .select(col("user_id"), graft.epochUs(col("ts")).as("ts_us"), col("event_id"),
+        when(col("event_type") === "error", lit("tombstone"))
+          .otherwise(lit("upsert")).as("op"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val w = W.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    journal
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(W.partitionBy(col("user_id"))))
+      .filter(col("rk") === 1 && col("op") === "upsert")
+      .select(col("user_id"), col("cents").as("last_cents"),
+        col("ts_us").as("last_ts_us"), col("n_ops"),
+        (col("n_ops") - 1).as("n_reclaimed"))
+  }
+
+  val qLogCompactSql: String =
+    """WITH j AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+      |    CASE WHEN event_type = 'error' THEN 'tombstone' ELSE 'upsert' END AS op,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, ts_us, op, cents,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts_us DESC, event_id DESC) AS rk,
+      |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+      |  FROM j)
+      |SELECT user_id, cents AS last_cents, ts_us AS last_ts_us, n_ops,
+      |  n_ops - 1 AS n_reclaimed
+      |FROM r WHERE rk = 1 AND op = 'upsert'""".stripMargin
+
+  // ---- approximate query processing (sample + error bounds) -----------------
+
+  /** Sample keep-rate, percent. */
+  val aqpRatePct = 5L
+
+  /** Sample-based approximate aggregation with error bounds — the
+    * BlinkDB/AQP capability: answer an aggregate from a small deterministic
+    * sample WITH a standard error, and let the exact answer ride along as
+    * the audit (any estimator bug fails the hash). The sample is the
+    * engine's portable hash-mod idiom (graft.sample.Sampling): keep a row
+    * iff hash64(rowkey) mod 100 < rate — reproducible across runs, engines,
+    * and cluster sizes, no RNG, no partition-order dependence, and the keep
+    * predicate rides the SCAN (at 100 TB the sample never shuffles the
+    * corpus; only sampled rows reach the agg). Numerics: the estimate is
+    * exact-BIGINT scale-up (Σcents·100/rate); Σcents² accumulates in EXACT
+    * DECIMAL(38,0) (int64 would overflow at ~sf10); the Horvitz–Thompson
+    * SE = sqrt((1−p)/p·Σx²) is one decimal→double conversion + one
+    * multiply + one IEEE-correctly-rounded sqrt, reported on a dollar grid
+    * ~10 orders above double noise. */
+  def qAqp(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Portable
+    val li = Tables(spark, sfDir).lineitem
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"),
+        pmod(Portable.hash64(
+          concat(col("l_orderkey"), lit("_"), col("l_linenumber")), salt = "aqp"),
+          lit(100L)).as("bucket"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_exact"), sum(col("cents")).as("exact_cents"))
+    val samp = li.filter(col("bucket") < aqpRatePct)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sample"),
+        (sum(col("cents")) * lit(100L / aqpRatePct)).as("est_cents"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents").cast("decimal(38,0)"))
+          .as("sx2"))
+    exact.join(samp, "l_returnflag")
+      .select(col("l_returnflag"), col("n_exact"), col("n_sample"),
+        col("exact_cents"), col("est_cents"),
+        round(abs(col("est_cents") - col("exact_cents")).cast("double")
+          / col("exact_cents").cast("double"), 6).as("rel_err"),
+        round(sqrt(col("sx2").cast("double")
+          * lit((100.0 - aqpRatePct) / aqpRatePct)) / lit(100.0), 0)
+          .as("se_dollars"))
+  }
+
+  val qAqpSql: String = {
+    import graft.functions.Portable
+    val h = Portable.hash64Sql(
+      "CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)", "aqp")
+    s"""WITH li AS (
+       |  SELECT l_returnflag,
+       |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+       |    $h % 100 AS bucket
+       |  FROM lineitem),
+       |exact AS (
+       |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_exact,
+       |    CAST(sum(cents) AS BIGINT) AS exact_cents
+       |  FROM li GROUP BY 1),
+       |samp AS (
+       |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sample,
+       |    CAST(sum(cents) * ${100L / aqpRatePct} AS BIGINT) AS est_cents,
+       |    CAST(sum(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)))
+       |      AS DECIMAL(38,0)) AS sx2
+       |  FROM li WHERE bucket < $aqpRatePct GROUP BY 1)
+       |SELECT exact.l_returnflag, n_exact, n_sample, exact_cents, est_cents,
+       |  round(CAST(abs(est_cents - exact_cents) AS DOUBLE)
+       |    / CAST(exact_cents AS DOUBLE), 6) AS rel_err,
+       |  round(sqrt(CAST(sx2 AS DOUBLE)
+       |    * ${(100.0 - aqpRatePct) / aqpRatePct}) / 100.0, 0) AS se_dollars
+       |FROM exact JOIN samp ON exact.l_returnflag = samp.l_returnflag""".stripMargin
+  }
+
   // ---- pseudonymization -----------------------------------------------------
 
   /** Tokenization salt — rotating it re-keys every token consistently. */
@@ -1393,6 +1513,8 @@ object Relational {
     "q_kanon" -> (qKanon _),
     "q_ldiv" -> (qLdiv _),
     "q_pseudonym" -> (qPseudonym _),
+    "q_log_compact" -> (qLogCompact _),
+    "q_aqp" -> (qAqp _),
     "q_unpivot" -> (qUnpivot _),
     "q_setops" -> (qSetops _),
     "q_listagg" -> (qListagg _),
@@ -1427,6 +1549,8 @@ object Relational {
     "q_kanon" -> qKanonSql,
     "q_ldiv" -> qLdivSql,
     "q_pseudonym" -> qPseudonymSql,
+    "q_log_compact" -> qLogCompactSql,
+    "q_aqp" -> qAqpSql,
     "q_unpivot" -> qUnpivotSql,
     "q_setops" -> qSetopsSql,
     "q_listagg" -> qListaggSql,

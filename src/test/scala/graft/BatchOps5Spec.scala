@@ -186,6 +186,60 @@ class BatchOps5Spec extends AnyFunSuite {
       "quoted delimiters and RFC 4180 doubled quotes must unwrap")
   }
 
+  test("ev_interp: series densifies to a contiguous minute grid, bridged values bounded") {
+    val rows = events.EventOps.interp(spark, sf).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    rows.foreach { case (_, rs) =>
+      val minutes = rs.map(_.getAs[Long]("minute_epoch")).sorted
+      assert(minutes.zip(minutes.tail).forall { case (a, b) => b == a + 60 },
+        "dense grid must have no holes between first and last observation")
+      // a bridged value lies between its neighbors (linearity)
+      val byMin = rs.map(r => r.getAs[Long]("minute_epoch") ->
+        (r.getAs[Double]("value"), r.getAs[Boolean]("interpolated"))).toMap
+      byMin.foreach { case (m, (v, interp)) =>
+        if (interp) {
+          // walk to nearest observed on each side
+          def seek(step: Long): Double = {
+            var t = m + step
+            while (byMin(t)._2) t += step
+            byMin(t)._1
+          }
+          val (lo, hi) = (seek(-60) min seek(60), seek(-60) max seek(60))
+          assert(v >= lo - 1e-9 && v <= hi + 1e-9, s"$v outside [$lo,$hi]")
+        } else assert(v >= 1.0, "observed minutes carry their count")
+      }
+    }
+  }
+
+  test("q_log_compact: survivors are exactly the keys whose last record upserts") {
+    val ev = Tables(spark, sf).events
+    val survivors = relational.Relational.qLogCompact(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_ops")).toMap
+    val byUser = ev.select(col("user_id"), col("event_type"),
+        graft.epochUs(col("ts")).as("ts_us"), col("event_id")).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (uid, rs) =>
+      val last = rs.maxBy(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id")))
+      val lastIsUpsert = last.getAs[String]("event_type") != "error"
+      assert(survivors.contains(uid) == lastIsUpsert,
+        s"user $uid: tombstone-last keys must vanish")
+      if (lastIsUpsert) assert(survivors(uid) == rs.length,
+        "n_ops must count the full journal depth")
+    }
+  }
+
+  test("q_aqp: sample tracks the rate and the estimate sits within error bounds") {
+    relational.Relational.qAqp(spark, sf).collect().foreach { r =>
+      val (nEx, nS) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_sample"))
+      val p = nS.toDouble / nEx
+      assert(p > 0.01 && p < 0.12, s"5% hash sample way off: $p")
+      val (est, exact) = (r.getAs[Long]("est_cents"), r.getAs[Long]("exact_cents"))
+      val seCents = r.getAs[Double]("se_dollars") * 100
+      assert(math.abs(est - exact) <= 6 * seCents + 1,
+        s"estimate must sit within ~6 SE of truth (est=$est exact=$exact se=$seCents)")
+    }
+  }
+
   test("tx_code: fixture code rows flag, prose corpus does not") {
     val rows = text.TextOps.code(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_code")).toMap
