@@ -1861,10 +1861,15 @@ object EventOps {
     * ev_gapfill two-level sequence trick drops in unchanged). */
   def interp(spark: SparkSession, sfDir: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
+    // persisted: the bounded (type, minute) dim feeds BOTH union branches —
+    // unpersisted, each branch re-runs the corpus aggregation (Catalyst
+    // prunes the unused lead() from the observed branch, so the subtrees
+    // differ and exchange reuse can't kick in)
     val obs = Tables(spark, sfDir).events
       .groupBy(col("event_type"),
         unix_timestamp(date_trunc("minute", col("ts"))).as("m"))
       .agg(count(lit(1)).as("n"))
+      .persist()
     val w = W.partitionBy(col("event_type")).orderBy(col("m"))
     val withNext = obs
       .withColumn("m1", lead(col("m"), 1).over(w))

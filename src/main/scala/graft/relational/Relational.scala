@@ -1060,10 +1060,16 @@ object Relational {
         expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
     val w = W.partitionBy(col("user_id"))
       .orderBy(col("ts_us").desc, col("event_id").desc)
-    journal
+    // the journal depth comes from a groupBy on the SAME user_id
+    // partitioning (exchange reuse), NOT a second unbounded window over
+    // the ranked frame — a second window function on the partition
+    // disables WindowGroupLimit and the rank cut stops riding below the
+    // exchange
+    val last = journal
       .withColumn("rk", row_number().over(w))
-      .withColumn("n_ops", count(lit(1)).over(W.partitionBy(col("user_id"))))
       .filter(col("rk") === 1 && col("op") === "upsert")
+    val depth = journal.groupBy(col("user_id")).agg(count(lit(1)).as("n_ops"))
+    last.join(depth, "user_id")
       .select(col("user_id"), col("cents").as("last_cents"),
         col("ts_us").as("last_ts_us"), col("n_ops"),
         (col("n_ops") - 1).as("n_reclaimed"))
@@ -1469,9 +1475,11 @@ object Relational {
     * against the bounded part-count dim); N is a one-row broadcast. Lift
     * is ONE double division of exact-BIGINT operands rounded 6dp. */
   def qBasket(spark: SparkSession, sfDir: String): DataFrame = {
+    // four consumers (both self-join sides, the marginal counts, N) —
+    // persist or the distinct recomputes per consumer (4 scans)
     val op = Tables(spark, sfDir).lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+      .distinct().persist()
     val pairs = op.select(col("ok"), col("pk").as("pa"))
       .join(op.select(col("ok"), col("pk").as("pb")), "ok")
       .filter(col("pa") < col("pb"))

@@ -139,6 +139,46 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q_aqp: the sample predicate rides the scan, never a shuffle") {
+    spark.catalog.clearCache()
+    val plan = relational.Relational.qAqp(spark, sf).queryExecution.executedPlan.toString
+    // the hash-mod keep predicate must appear as a scan-side data filter
+    assert(plan.contains("DataFilters: [(pmod("),
+      "sample filter must ride the scan:\n" + plan.take(900))
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+  }
+
+  test("q_log_compact: rank cut rides WindowGroupLimit below the exchange") {
+    spark.catalog.clearCache()
+    val plan = relational.Relational.qLogCompact(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(900))
+    assert(plan.contains("Partial"),
+      "map-side partial limit must ship only local winners:\n" + plan.take(900))
+  }
+
+  test("ev_interp: one corpus aggregation feeds both union branches") {
+    spark.catalog.clearCache()
+    val df = events.EventOps.interp(spark, sf)
+    df.count() // materialize the cache so the plan shows the shared scan
+    val plan = df.queryExecution.executedPlan.toString
+    // the plan string reprints the cached build plan under every
+    // InMemoryRelation — judge only the region ABOVE the first one, where
+    // the union branches live: no direct corpus scan may appear there
+    val top = plan.split("InMemoryRelation", 2).head
+    assert(!top.contains("FileScan parquet"),
+      "a union branch bypassed the cached (type, minute) dim:\n" + plan.take(900))
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      "both branches must read the cache:\n" + plan.take(900))
+    spark.catalog.clearCache()
+  }
+
+  test("ru_burst_pairs: banded self-join is a hash equi-join on (fingerprint, bucket)") {
+    spark.catalog.clearCache()
+    val plan = rules.RuleQueries.burstPairs(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "band join must stay equi:\n" + plan.take(600))
+  }
+
   // ---- plan-shape audit: pin the properties that carry to 100 TB ----------
 
   private def planOf(name: String): String =
