@@ -1768,6 +1768,111 @@ object EventOps {
        |FROM lab GROUP BY 1, 2, 3""".stripMargin
   }
 
+  // ---- out-of-orderness profile (watermark sizing) --------------------------
+
+  /** Arrival blocks for the two-level disorder sweep: 10 min of arrival
+    * time per block (bounded by ingest rate × block span, the
+    * ev_concurrency bucket argument). */
+  val disorderBlockUs = 600L * 1000000
+
+  /** The synthetic feed is perfectly time-ordered (event_id follows ts), so
+    * the driver-gated row applies a deterministic 0–30 min "network delay"
+    * to the arrival sequence (wide enough to overtake the sparse corpus's
+    * inter-event gaps) — production runs the identical query on the raw
+    * ingest order. Deterministic: a pure function of event_id, identical
+    * in the oracle. */
+  val disorderJitterSql = "((event_id * 7919) % 1800) * 1000000"
+
+  /** Out-of-orderness profile — the diagnostic run BEFORE choosing any
+    * watermark (every streaming operator in §2b holds state bounded by the
+    * watermark delay; size it too tight and late events silently drop, too
+    * loose and state balloons): per event, lateness = how far behind the
+    * feed's running-max event time it arrived (arrival order = event_id,
+    * the ingest sequence); per type, the lateness quantiles and the exact
+    * fraction of events a 1 min / 5 min / 1 h watermark would discard.
+    * The naive form is ONE global ordered running-max window — a single
+    * task owns the whole corpus. The engine runs the ev_concurrency
+    * two-level decomposition: arrival blocks of [[disorderBlock]] events
+    * get per-block maxima; the cross-block prefix-max runs over the
+    * BOUNDED block dim and broadcasts back; the in-block strict-preceding
+    * running max is a window whose partitions are capped at the block
+    * size. greatest(in-block, prefix) with −1 sentinels (never NULL — the
+    * engines disagree on NULL semantics in greatest). All lateness math
+    * exact BIGINT; drop rates are single divisions of exact counts;
+    * quantiles via the proven exact-percentile parity (approx_percentile
+    * is the 100 TB drop-in, the ev_quantiles note). */
+  def disorder(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, sfDir).events
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("arrival", expr(s"ts_us + $disorderJitterSql"))
+      .withColumn("blk", expr(s"arrival DIV $disorderBlockUs"))
+    val bmax = ev.groupBy(col("blk")).agg(max(col("ts_us")).as("bm"))
+      .withColumn("prefix_max", coalesce(
+        max(col("bm")).over(W.orderBy(col("blk"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(-1L)))
+      .select(col("blk"), col("prefix_max"))
+    val wIn = W.partitionBy(col("blk"))
+      .orderBy(col("arrival"), col("event_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val late = ev.join(broadcast(bmax), "blk")
+      .withColumn("in_max", coalesce(max(col("ts_us")).over(wIn), lit(-1L)))
+      .withColumn("seen_max", greatest(col("in_max"), col("prefix_max")))
+      .withColumn("late_s",
+        when(col("seen_max") < 0, lit(0L))
+          .otherwise(greatest(lit(0L),
+            expr(s"(seen_max - ts_us) DIV 1000000"))))
+    late.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(late_s, 0.5)"), 6).as("p50_s"),
+        round(expr("percentile(late_s, 0.95)"), 6).as("p95_s"),
+        max(col("late_s")).as("max_s"),
+        round(sum(when(col("late_s") > 60, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("drop_1m"),
+        round(sum(when(col("late_s") > 300, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("drop_5m"),
+        round(sum(when(col("late_s") > 3600, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("drop_1h"))
+  }
+
+  val disorderSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) + $disorderJitterSql AS arrival,
+       |    (epoch_us(CAST(ts AS TIMESTAMP)) + $disorderJitterSql)
+       |      // $disorderBlockUs AS blk
+       |  FROM events),
+       |bm AS (
+       |  SELECT blk, max(ts_us) AS bm FROM ev GROUP BY 1),
+       |pm AS (
+       |  SELECT blk, coalesce(max(bm) OVER (ORDER BY blk
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS prefix_max
+       |  FROM bm),
+       |lt AS (
+       |  SELECT event_type,
+       |    CASE WHEN greatest(
+       |        coalesce(max(ts_us) OVER (PARTITION BY ev.blk
+       |          ORDER BY arrival, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1),
+       |        prefix_max) < 0 THEN 0
+       |      ELSE greatest(0, (greatest(
+       |        coalesce(max(ts_us) OVER (PARTITION BY ev.blk
+       |          ORDER BY arrival, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1),
+       |        prefix_max) - ts_us) // 1000000) END AS late_s
+       |  FROM ev JOIN pm ON ev.blk = pm.blk)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  round(quantile_cont(late_s, 0.5), 6) AS p50_s,
+       |  round(quantile_cont(late_s, 0.95), 6) AS p95_s,
+       |  CAST(max(late_s) AS BIGINT) AS max_s,
+       |  round(CAST(sum(CASE WHEN late_s > 60 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS drop_1m,
+       |  round(CAST(sum(CASE WHEN late_s > 300 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS drop_5m,
+       |  round(CAST(sum(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS drop_1h
+       |FROM lt GROUP BY 1""".stripMargin
+
   // ---- CUSUM changepoint detection ------------------------------------------
 
   /** CUSUM changepoint detection over per-(type, minute) rates — the
@@ -1992,6 +2097,7 @@ object EventOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_cusum" -> (cusum _),
+    "ev_disorder" -> (disorder _),
     "ev_interp" -> (interp _),
     "ev_growth" -> (growth _),
     "ev_rfm" -> (rfm _),
@@ -2031,6 +2137,7 @@ object EventOps {
 
   def oracleSql: Map[String, String] = Map(
     "ev_cusum" -> cusumSql,
+    "ev_disorder" -> disorderSql,
     "ev_interp" -> interpSql,
     "ev_growth" -> growthSql,
     "ev_rfm" -> rfmSql,

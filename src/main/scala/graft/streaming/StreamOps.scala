@@ -789,6 +789,44 @@ object StreamOps {
   /** Batch oracle reused verbatim — the drift-proof twin contract. */
   def stCusumSql: String = graft.events.EventOps.cusumSql
 
+  /** Event-time-correct dim enrichment ON the stream — q_temporal_join's
+    * live form and the shape every streaming enrichment pipeline needs: a
+    * view event joins the SCD2 tier version valid AT ITS OWN event time
+    * (joining "current" silently backdates history the moment the dim
+    * changes mid-stream). The dim is static per micro-batch (the standard
+    * slowly-changing-dim deployment: rebuilt batch-side, swapped in);
+    * the interval bound is a residual predicate inside the stream-static
+    * equi-join on user_id — stateless per row, NO join state store at all
+    * (contrast st_stream_join's symmetric-hash state): at any scale the
+    * cost is the dim lookup per event. The per-tier rollup accumulates in
+    * Complete mode (exact distinct is unbounded-state in streaming, so the
+    * live readout carries view counts; the n_users audit stays on the
+    * batch twin). */
+  def temporalJoinLive(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = graft.relational.Relational.qScd2(spark, sfDir)
+    runToTable(spark, sfDir, OutputMode.Complete()) { src =>
+      src.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts_us").as("v_ts_us"))
+        .join(dim,
+          col("v_user") === col("user_id") &&
+          col("v_ts_us") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("v_ts_us") < col("valid_to_us")))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_views"))
+    }
+  }
+
+  val stTemporalJoinSql: String =
+    s"""WITH scd AS (${graft.relational.Relational.qScd2Sql}),
+       |v AS (
+       |  SELECT user_id AS v_user, epoch_us(CAST(ts AS TIMESTAMP)) AS v_ts_us
+       |  FROM events WHERE event_type = 'view')
+       |SELECT tier, CAST(count(*) AS BIGINT) AS n_views
+       |FROM v JOIN scd ON v_user = user_id
+       |  AND v_ts_us >= valid_from_us
+       |  AND (valid_to_us IS NULL OR v_ts_us < valid_to_us)
+       |GROUP BY 1""".stripMargin
+
   /** The batch replay minus the exact count (streaming can't countDistinct
     * without unbounded state) — CTEs shared with [[graft.events.EventOps]]. */
   def hllUsersSql: String =
@@ -1255,6 +1293,7 @@ object StreamOps {
     "st_hll_users" -> (hllUsers _),
     "st_theta_kmv" -> (thetaKmv _),
     "st_cusum" -> (cusumLive _),
+    "st_temporal_join" -> (temporalJoinLive _),
     "st_funnel" -> (funnel _),
     "st_pattern" -> (stPattern _),
     "st_bitmap" -> (stBitmap _),
@@ -1283,6 +1322,7 @@ object StreamOps {
     "st_hll_users" -> hllUsersSql,
     "st_theta_kmv" -> thetaKmvSql,
     "st_cusum" -> stCusumSql,
+    "st_temporal_join" -> stTemporalJoinSql,
     "st_funnel" -> funnelSql,
     "st_pattern" -> stPatternSql,
     "st_bitmap" -> stBitmapSql,

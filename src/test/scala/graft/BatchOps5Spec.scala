@@ -240,6 +240,40 @@ class BatchOps5Spec extends AnyFunSuite {
     }
   }
 
+  test("ev_disorder: two-level sweep equals the single global running-max window") {
+    // reference: one global pass in (arrival, event_id) order on the
+    // collected (tiny at sf0.001) corpus
+    val ev = Tables(spark, sf).events
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("ts_us")))
+    val jitter = (eid: Long) => ((eid * 7919) % 1800) * 1000000L
+    val ordered = ev.sortBy { case (_, eid, ts) => (ts + jitter(eid), eid) }
+    var runMax = -1L
+    val lateBy = scala.collection.mutable.Map[String, List[Long]]()
+    ordered.foreach { case (t, _, ts) =>
+      val late = if (runMax < 0) 0L else math.max(0L, (runMax - ts) / 1000000L)
+      lateBy(t) = late :: lateBy.getOrElse(t, Nil)
+      runMax = math.max(runMax, ts)
+    }
+    val got = events.EventOps.disorder(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("max_s"))).toMap
+    lateBy.foreach { case (t, ls) =>
+      assert(got(t)._1 == ls.length, s"$t: row count")
+      assert(got(t)._2 == ls.max, s"$t: max lateness ${got(t)._2} vs ${ls.max}")
+    }
+  }
+
+  test("st_temporal_join: live per-tier counts equal the batch temporal join") {
+    val live = streaming.StreamOps.temporalJoinLive(spark, sf).collect()
+      .map(r => r.getAs[String]("tier") -> r.getAs[Long]("n_views")).toMap
+    val batch = relational.Relational.qTemporalJoin(spark, sf).collect()
+      .map(r => r.getAs[String]("tier") -> r.getAs[Long]("n_views")).toMap
+    assert(live == batch, s"$live vs $batch")
+  }
+
   test("tx_code: fixture code rows flag, prose corpus does not") {
     val rows = text.TextOps.code(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_code")).toMap
