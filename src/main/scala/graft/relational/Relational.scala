@@ -1037,6 +1037,71 @@ object Relational {
        |    // 100000) >= $lDivL AS released
        |FROM customer GROUP BY 1, 2""".stripMargin
 
+  // ---- point-in-time feature backfill ---------------------------------------
+
+  /** Point-in-time feature backfill — the FEATURE-STORE correctness
+    * problem (Feast/Tecton's core contract): training examples for a
+    * purchase model need each feature exactly as it stood the instant
+    * BEFORE the label event — a feature computed over data at-or-after
+    * the label leaks the future into training. One pass builds three
+    * point-in-time-correct features per purchase label: trailing-24 h
+    * view count (value-range frame), lifetime spend so far (running
+    * frame), and seconds since the previous event (lag) — all STRICTLY
+    * before the label (range bound −1 µs; same-instant peers excluded).
+    * Scale shape: ONE user_id exchange serves all three window specs (the
+    * q_running shared-partitioning contract) and the label filter; no
+    * joins at all — the as-of join family (q_asof/q_temporal_join)
+    * handles dim lookups, this handles the windowed aggregates, together
+    * they are the full backfill. All features exact BIGINT. */
+  def qFeatureJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.epochUs(col("ts")).as("ts_us"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val byTs = W.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val dayFrame = byTs.rangeBetween(-86399999999L, -1L)
+    val lifeFrame = byTs.rangeBetween(W.unboundedPreceding, -1L)
+    val byRow = W.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    ev
+      .withColumn("f_views_24h", coalesce(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).over(dayFrame),
+        lit(0L)))
+      .withColumn("f_spend_cents", coalesce(
+        sum(when(col("event_type") === "purchase", col("cents")).otherwise(0L))
+          .over(lifeFrame), lit(0L)))
+      .withColumn("f_gap_s",
+        expr("(ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)) DIV 1000000"))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("label_event_id"),
+        col("ts_us").as("label_ts_us"), col("f_views_24h"),
+        col("f_spend_cents"), col("f_gap_s"))
+  }
+
+  val qFeatureJoinSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, event_type, ts_us,
+      |    coalesce(CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us
+      |        RANGE BETWEEN 86399999999 PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) AS f_views_24h,
+      |    coalesce(CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+      |        ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us
+      |        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) AS f_spend_cents,
+      |    (ts_us - lag(ts_us) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id)) // 1000000 AS f_gap_s
+      |  FROM ev)
+      |SELECT user_id, event_id AS label_event_id, ts_us AS label_ts_us,
+      |  f_views_24h, f_spend_cents, f_gap_s
+      |FROM f WHERE event_type = 'purchase'""".stripMargin
+
   // ---- CDC journal log-compaction -------------------------------------------
 
   /** Log compaction — Kafka's compacted-topic contract applied to a CDC
@@ -1522,6 +1587,7 @@ object Relational {
     "q_ldiv" -> (qLdiv _),
     "q_pseudonym" -> (qPseudonym _),
     "q_log_compact" -> (qLogCompact _),
+    "q_feature_join" -> (qFeatureJoin _),
     "q_aqp" -> (qAqp _),
     "q_unpivot" -> (qUnpivot _),
     "q_setops" -> (qSetops _),
@@ -1558,6 +1624,7 @@ object Relational {
     "q_ldiv" -> qLdivSql,
     "q_pseudonym" -> qPseudonymSql,
     "q_log_compact" -> qLogCompactSql,
+    "q_feature_join" -> qFeatureJoinSql,
     "q_aqp" -> qAqpSql,
     "q_unpivot" -> qUnpivotSql,
     "q_setops" -> qSetopsSql,

@@ -1156,6 +1156,67 @@ object TextOps {
        |  round(CAST(cnt * rank AS DOUBLE) / CAST(c1 AS DOUBLE), 4) AS zipf_ratio
        |FROM r, t, c1""".stripMargin
 
+  // ---- classifier AUC (sort-free) -------------------------------------------
+
+  /** Exact ROC-AUC of the tx_classify score against a ground-truth label
+    * (lang = 'en') — the eval every model-based filter ships with
+    * (tx_lid_eval gives accuracy/confusions; ranking filters are judged
+    * by AUC because the keep-threshold is chosen AFTER training). The
+    * textbook computation global-sorts all scores for ranks — one task
+    * owns the corpus; the engine computes the Mann–Whitney statistic
+    * SORT-FREE from the score HISTOGRAM: per distinct score, (pos, neg)
+    * counts (one map-side-heavy agg); ties contribute ½ via the integer
+    * identity 2·U = Σ_s pos(s)·(2·neg_below(s) + neg(s)); the cumulative
+    * runs over the BOUNDED score dim. AUC = U/(npos·nneg) is ONE 6dp
+    * division of exact BIGINTs. */
+  def auc(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val scored = Classify.classify(spark, sfDir)
+      .select(col("doc_id"), col("score_milli"))
+      .join(docs(spark, sfDir).select(col("doc_id"),
+        (col("lang") === "en").as("truth")), "doc_id")
+    val hist = scored.groupBy(col("score_milli"))
+      .agg(sum(when(col("truth"), 1L).otherwise(0L)).as("pos"),
+        sum(when(!col("truth"), 1L).otherwise(0L)).as("neg"))
+    val wb = W.orderBy(col("score_milli")).rowsBetween(W.unboundedPreceding, -1)
+    val terms = hist
+      .withColumn("neg_below", coalesce(sum(col("neg")).over(wb), lit(0L)))
+      .select(col("pos"), col("neg"),
+        (col("pos") * (lit(2L) * col("neg_below") + col("neg"))).as("u2"))
+    terms.agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(col("u2")).as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("u2").cast("double")
+          / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"),
+        round(col("u2").cast("double")
+          / (col("n_pos") * col("n_neg")).cast("double") - 1.0, 6).as("gini"))
+  }
+
+  val aucSql: String =
+    s"""WITH sc AS (${Classify.classifySql}),
+       |lab AS (
+       |  SELECT sc.doc_id, score_milli, d.lang = 'en' AS truth
+       |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+       |hist AS (
+       |  SELECT score_milli,
+       |    CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       |    CAST(sum(CASE WHEN truth THEN 0 ELSE 1 END) AS BIGINT) AS neg
+       |  FROM lab GROUP BY 1),
+       |t AS (
+       |  SELECT pos, neg,
+       |    pos * (2 * coalesce(CAST(sum(neg) OVER (ORDER BY score_milli
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      + neg) AS u2
+       |  FROM hist),
+       |a AS (
+       |  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       |    CAST(sum(neg) AS BIGINT) AS n_neg, CAST(sum(u2) AS BIGINT) AS u2
+       |  FROM t)
+       |SELECT n_pos, n_neg,
+       |  round(CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc,
+       |  round(CAST(u2 AS DOUBLE) / CAST(n_pos * n_neg AS DOUBLE) - 1.0, 6) AS gini
+       |FROM a""".stripMargin
+
   // ---- code-vs-prose routing ------------------------------------------------
 
   /** Code-detector fixture: real code shapes (none occur in the synthetic
@@ -1229,6 +1290,7 @@ object TextOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_code" -> (code _),
+    "tx_auc" -> (auc _),
     "tx_zipf" -> (zipf _),
     "tx_keywords" -> (keywords _),
     "tx_charset" -> (charset _),
@@ -1261,6 +1323,7 @@ object TextOps {
 
   def oracleSql: Map[String, String] = Map(
     "tx_code" -> codeSql,
+    "tx_auc" -> aucSql,
     "tx_zipf" -> zipfSql,
     "tx_keywords" -> keywordsSql,
     "tx_charset" -> charsetSql,

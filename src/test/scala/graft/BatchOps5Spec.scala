@@ -274,6 +274,45 @@ class BatchOps5Spec extends AnyFunSuite {
     assert(live == batch, s"$live vs $batch")
   }
 
+  test("q_feature_join: features never see at-or-after-label data") {
+    val feats = relational.Relational.qFeatureJoin(spark, sf).collect()
+    val ev = Tables(spark, sf).events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    feats.foreach { r =>
+      val (uid, ts) = (r.getAs[Long]("user_id"), r.getAs[Long]("label_ts_us"))
+      val prior = ev(uid).filter(_.getAs[Long]("ts_us") < ts)
+      val views = prior.count(e => e.getAs[String]("event_type") == "view"
+        && e.getAs[Long]("ts_us") >= ts - 86399999999L)
+      val spend = prior.filter(_.getAs[String]("event_type") == "purchase")
+        .map(_.getAs[Long]("cents")).sum
+      assert(r.getAs[Long]("f_views_24h") == views, s"user $uid views")
+      assert(r.getAs[Long]("f_spend_cents") == spend, s"user $uid spend leak")
+    }
+  }
+
+  test("tx_auc: histogram Mann-Whitney equals the rank-based definition") {
+    val scored = text.Classify.classify(spark, sf)
+      .join(Tables(spark, sf).documents
+        .select(col("doc_id"), (col("lang") === "en").as("truth")), "doc_id")
+      .select(col("score_milli"), col("truth")).collect()
+      .map(r => r.getAs[Long]("score_milli") -> r.getAs[Boolean]("truth"))
+    // reference: average-rank AUC on the driver
+    val sorted = scored.sortBy(_._1)
+    val ranks: Seq[(Boolean, Double)] = sorted.zipWithIndex.groupBy(_._1._1)
+      .toSeq.flatMap { case (_, g) =>
+        val avg = g.map(_._2 + 1).sum.toDouble / g.length
+        g.toSeq.map { case ((_, t), _) => (t, avg) }
+      }
+    val nPos = scored.count(_._2).toDouble
+    val nNeg = scored.length - nPos
+    val want = (ranks.filter(_._1).map(_._2).sum - nPos * (nPos + 1) / 2) / (nPos * nNeg)
+    val got = text.TextOps.auc(spark, sf).head.getAs[Double]("auc")
+    assert(math.abs(got - want) < 1e-5, s"auc $got vs $want")
+  }
+
   test("tx_code: fixture code rows flag, prose corpus does not") {
     val rows = text.TextOps.code(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_code")).toMap
