@@ -1768,6 +1768,96 @@ object EventOps {
        |FROM lab GROUP BY 1, 2, 3""".stripMargin
   }
 
+  // ---- chi-square drift test ------------------------------------------------
+
+  /** χ² critical value at α=0.01, df=|types|−1=4. */
+  val chi2Critical = 13.277
+
+  /** Day-over-day χ² drift test — ev_drift's SIGNIFICANCE layer: L1/TV
+    * distance says how far the event-type mix moved, the χ² statistic says
+    * whether the move exceeds sampling noise (small days drift wildly by
+    * chance; a raw distance threshold can't tell a quiet Sunday from real
+    * breakage). Expected counts come from the PREVIOUS day's mix scaled to
+    * today's volume; χ² = Σ (o−e)²/e with the classic verdict at α=0.01.
+    * Numerics: each term's deviation is the cross-multiplied exact BIGINT
+    * o_i·N_prev − c_prev,i·N_today (exact while o·N < 2^63, i.e. into the
+    * 100 TB range); the square and division run in doubles from exact-int
+    * inputs, and the per-type terms sum in the explicit [[driftTypes]]
+    * order (the ev_drift fixed-order pivot) so the double is bit-identical
+    * across engines and partitionings. Zero-expected cells (a type absent
+    * yesterday, present today) are the textbook undefined case — excluded
+    * from the statistic, surfaced in `n_new_types`. Scale shape: ONE
+    * corpus aggregation to (day, type); everything after runs on the
+    * bounded day dim. */
+  def chi2Drift(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wDay = W.orderBy(col("day_epoch"))
+    val counts = Tables(spark, sfDir).events
+      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val pivoted = counts.groupBy(col("day_epoch"))
+      .pivot("event_type", driftTypes)
+      .agg(first(col("c")))
+      .na.fill(0L, driftTypes)
+      .withColumn("n", driftTypes.map(t => col(t)).reduce(_ + _))
+    val withPrev = driftTypes.foldLeft(
+        pivoted.withColumn("n_prev", lag(col("n"), 1).over(wDay))) {
+      (df, t) => df.withColumn(s"${t}_prev", lag(col(t), 1).over(wDay))
+    }.filter(col("n_prev").isNotNull && col("n_prev") > 0)
+    val terms = driftTypes.map { t =>
+      val dev = (col(t) * col("n_prev") - col(s"${t}_prev") * col("n"))
+        .cast("double")
+      when(col(s"${t}_prev") > 0,
+        dev * dev / (col(s"${t}_prev") * col("n") * col("n_prev")).cast("double"))
+        .otherwise(lit(0.0))
+    }
+    val newTypes = driftTypes.map(t =>
+      when(col(s"${t}_prev") === 0 && col(t) > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    withPrev.select(col("day_epoch"), col("n"), col("n_prev"),
+        round(terms.reduce(_ + _), 6).as("chi2"),
+        newTypes.as("n_new_types"))
+      .withColumn("drifted", col("chi2") > chi2Critical)
+  }
+
+  val chi2DriftSql: String = {
+    val pivotCols = driftTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN c ELSE 0 END) AS BIGINT) AS $t")
+      .mkString(",\n      |    ")
+    val prevCols = driftTypes.map(t =>
+      s"lag($t) OVER (ORDER BY day_epoch) AS ${t}_prev").mkString(",\n      |    ")
+    val termSum = driftTypes.map(t =>
+      s"""CASE WHEN ${t}_prev > 0 THEN
+         |      CAST($t * n_prev - ${t}_prev * n AS DOUBLE)
+         |      * CAST($t * n_prev - ${t}_prev * n AS DOUBLE)
+         |      / CAST(${t}_prev * n * n_prev AS DOUBLE) ELSE 0.0 END""".stripMargin)
+      .mkString("\n      |    + ")
+    val newSum = driftTypes.map(t =>
+      s"CASE WHEN ${t}_prev = 0 AND $t > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH counts AS (
+       |  SELECT CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT)
+       |      AS day_epoch,
+       |    event_type, count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |p AS (
+       |  SELECT day_epoch,
+       |    $pivotCols
+       |  FROM counts GROUP BY 1),
+       |p2 AS (
+       |  SELECT *, ${driftTypes.mkString(" + ")} AS n FROM p),
+       |pv AS (
+       |  SELECT day_epoch, ${driftTypes.mkString(", ")}, n,
+       |    lag(n) OVER (ORDER BY day_epoch) AS n_prev,
+       |    $prevCols
+       |  FROM p2)
+       |SELECT day_epoch, n, n_prev,
+       |  round($termSum, 6) AS chi2,
+       |  CAST($newSum AS BIGINT) AS n_new_types,
+       |  round($termSum, 6) > $chi2Critical AS drifted
+       |FROM pv WHERE n_prev IS NOT NULL AND n_prev > 0""".stripMargin
+  }
+
   // ---- out-of-orderness profile (watermark sizing) --------------------------
 
   /** Arrival blocks for the two-level disorder sweep: 10 min of arrival
@@ -2098,6 +2188,7 @@ object EventOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_cusum" -> (cusum _),
     "ev_disorder" -> (disorder _),
+    "ev_chi2_drift" -> (chi2Drift _),
     "ev_interp" -> (interp _),
     "ev_growth" -> (growth _),
     "ev_rfm" -> (rfm _),
@@ -2138,6 +2229,7 @@ object EventOps {
   def oracleSql: Map[String, String] = Map(
     "ev_cusum" -> cusumSql,
     "ev_disorder" -> disorderSql,
+    "ev_chi2_drift" -> chi2DriftSql,
     "ev_interp" -> interpSql,
     "ev_growth" -> growthSql,
     "ev_rfm" -> rfmSql,

@@ -569,6 +569,53 @@ object RuleQueries {
       |  CAST(n_gaps * sg2 - sg * sg AS DOUBLE) / (sg * sg) < 0.81 AS bot_like
       |FROM s WHERE n_gaps >= 20 AND sg > 0""".stripMargin
 
+  // ---- shadow-mode rule evaluation ------------------------------------------
+
+  /** Candidate rule under shadow evaluation (odd-digit usernames — the
+    * complement of the incumbent r_user_regex's even-digit pattern, so
+    * overlap and only-new are both non-trivial). */
+  val shadowPattern = "user_[0-9]*[13579]$"
+
+  /** Shadow-mode rule evaluation — the step between `signup rules test`
+    * (the reference's single-user hypothetical, command.rs:227 → namechk)
+    * and enabling a rule fleet-wide: run the CANDIDATE against the full
+    * corpus without firing actions and report its overlap with every
+    * incumbent rule plus the `<none>` bucket (events ONLY the candidate
+    * catches — its marginal contribution, the number a moderator actually
+    * decides on). Scale shape: the candidate predicate is a pushdown
+    * filter on the signup scan; incumbents ride the same broadcast-dim
+    * match join as ru_engine; the overlap rollup is bounded by |rules|+1;
+    * the candidate total is a one-row broadcast. */
+  def ruShadow(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = signups(spark, sfDir)
+    val cand = s.filter(col("username").rlike("(?i)" + shadowPattern))
+      .select(col("event_id"))
+    val inc = RuleEngine.matches(s, Rules.df(spark))
+      .select(col("event_id"), col("name"))
+    val total = cand.agg(count(lit(1)).as("n_candidate"))
+    cand.join(inc, Seq("event_id"), "left")
+      .groupBy(coalesce(col("name"), lit("<none>")).as("incumbent"))
+      .agg(count(lit(1)).as("n_events"))
+      .join(broadcast(total))
+      .withColumn("share", round(
+        col("n_events").cast("double") / col("n_candidate").cast("double"), 6))
+  }
+
+  val ruShadowSql: String = withCtes(
+    s"""SELECT coalesce(name, '<none>') AS incumbent,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  n_candidate,
+       |  round(CAST(count(*) AS DOUBLE) / CAST(n_candidate AS DOUBLE), 6) AS share
+       |FROM (SELECT event_id FROM signups
+       |      WHERE regexp_matches(username, '(?i)$shadowPattern')) cand
+       |LEFT JOIN (
+       |  SELECT s.event_id, r.name FROM signups s
+       |  JOIN rules r ON ${RuleEngine.matchConditionSql()}) inc
+       |  ON cand.event_id = inc.event_id
+       |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_candidate FROM signups
+       |  WHERE regexp_matches(username, '(?i)$shadowPattern')) tot
+       |GROUP BY 1, n_candidate""".stripMargin)
+
   // ---- coordinated signup bursts (banded self-join) -------------------------
 
   /** Burst window (µs): signups on the same fingerprint within 10 minutes
@@ -625,6 +672,7 @@ object RuleQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ru_burst_pairs" -> (burstPairs _),
+    "ru_shadow" -> (ruShadow _),
     "ru_bloom" -> (ruBloom _),
     "ru_notify_text" -> (ruNotifyText _),
     "ru_cidr" -> (ruCidr _),
@@ -645,6 +693,7 @@ object RuleQueries {
 
   def oracleSql: Map[String, String] = Map(
     "ru_burst_pairs" -> burstPairsSql,
+    "ru_shadow" -> ruShadowSql,
     "ru_cidr" -> ruCidrSql,
     "ru_bloom" -> ruBloomSql,
     "ru_notify_text" -> ruNotifyTextSql,

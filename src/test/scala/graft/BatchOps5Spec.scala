@@ -313,6 +313,48 @@ class BatchOps5Spec extends AnyFunSuite {
     assert(math.abs(got - want) < 1e-5, s"auc $got vs $want")
   }
 
+  test("ev_chi2_drift: statistic matches a driver-side recomputation") {
+    val types = events.EventOps.driftTypes
+    val counts = Tables(spark, sf).events
+      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("d"), col("event_type"))
+      .count().collect()
+      .groupBy(_.getAs[Long]("d"))
+      .map { case (d, rs) =>
+        d -> types.map(t => rs.find(_.getString(1) == t)
+          .map(_.getAs[Long]("count")).getOrElse(0L))
+      }
+    val days = counts.keys.toSeq.sorted
+    val want = days.sliding(2).collect { case Seq(d0, d1) =>
+      val (prev, cur) = (counts(d0), counts(d1))
+      val (np, n) = (prev.sum, cur.sum)
+      val chi2 = types.indices.map { i =>
+        if (prev(i) > 0) {
+          val dev = (cur(i) * np - prev(i) * n).toDouble
+          dev * dev / (prev(i).toDouble * n * np)
+        } else 0.0
+      }.sum
+      d1 -> chi2
+    }.toMap
+    events.EventOps.chi2Drift(spark, sf).collect().foreach { r =>
+      val w = want(r.getAs[Long]("day_epoch"))
+      assert(math.abs(r.getAs[Double]("chi2") - w) < 1e-4,
+        s"day ${r.getAs[Long]("day_epoch")}: ${r.getAs[Double]("chi2")} vs $w")
+    }
+  }
+
+  test("ru_shadow: buckets partition the candidate-incumbent match pairs") {
+    val rows = rules.RuleQueries.ruShadow(spark, sf).collect()
+    val nCand = rows.head.getAs[Long]("n_candidate")
+    assert(nCand > 0)
+    val none = rows.find(_.getAs[String]("incumbent") == "<none>")
+    assert(none.isDefined, "candidate-only bucket must exist")
+    // every share is n_events / n_candidate
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("share") -
+        r.getAs[Long]("n_events").toDouble / nCand) < 1e-5)
+    }
+  }
+
   test("tx_code: fixture code rows flag, prose corpus does not") {
     val rows = text.TextOps.code(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_code")).toMap
