@@ -157,7 +157,83 @@ object EnrichQueries {
          |WHERE country IS NOT NULL AND prev_country IS NOT NULL
          |  AND country <> prev_country AND ts_us - prev_ts_us <= 3600000000""".stripMargin
 
+  // ---- spatial grid clustering ----------------------------------------------
+
+  /** Grid cell size and pair radius, milli-degrees (1° cells, 1° radius). */
+  val geoCellMdeg = 1000L
+
+  /** Spatial proximity clustering — the 2-D generalization of
+    * ru_burst_pairs' banding: signups whose (derived) coordinates fall
+    * within 1° Chebyshev distance pair up, surfacing geographic signup
+    * hotspots (the moderation follow-up to per-IP matching when an abuse
+    * campaign runs from one region across many /24s). Coordinates derive
+    * deterministically from the IP integer (the corpus carries no real
+    * geography — production swaps in the MaxMind lat/lon columns with zero
+    * plan change). The naive form is an all-pairs distance join; the
+    * engine snaps points to a 1° grid and fans the LEFT side to its 3×3
+    * cell neighborhood — a pure EQUI-join on the cell key (every
+    * within-radius pair shares a cell or an adjacent one), with the exact
+    * Chebyshev bound and the strict (event_id) order as residual
+    * predicates inside the co-partitioned join. Per-cell report bounded by
+    * occupied cells. All coordinate math exact BIGINT milli-degrees. */
+  def geoCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = signups(spark, sfDir)
+      .withColumn("ip_int", GeoIp.ipToInt(col("ip")))
+      .filter(col("ip_int").isNotNull)
+      .select(col("event_id"),
+        (col("ip_int") % 170001L - 85000L).as("lat_mdeg"),
+        (expr("ip_int DIV 7") % 360001L - 180000L).as("lon_mdeg"))
+      .withColumn("cx", expr(s"(lon_mdeg + 180000) DIV $geoCellMdeg"))
+      .withColumn("cy", expr(s"(lat_mdeg + 85000) DIV $geoCellMdeg"))
+    val left = s.select(col("event_id").as("ea"), col("lat_mdeg").as("la"),
+        col("lon_mdeg").as("oa"), col("cx"), col("cy"))
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select((col("cx") + col("dx")).as("jx"), (col("cy") + col("dy")).as("jy"),
+        col("ea"), col("la"), col("oa"))
+    val right = s.select(col("cx").as("jx"), col("cy").as("jy"),
+      col("event_id").as("eb"), col("lat_mdeg").as("lb"), col("lon_mdeg").as("ob"))
+    left.join(right, Seq("jx", "jy"))
+      .filter(col("ea") < col("eb") &&
+        abs(col("la") - col("lb")) <= geoCellMdeg &&
+        abs(col("oa") - col("ob")) <= geoCellMdeg)
+      .groupBy(col("jx"), col("jy"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("ea")).as("n_left"),
+        min(abs(col("la") - col("lb")) + abs(col("oa") - col("ob")))
+          .as("min_l1_mdeg"))
+  }
+
+  val geoClusterSql: String =
+    "WITH " + Signups.cte.stripSuffix("\n") + ",\n" +
+      s"""pts AS (
+         |  SELECT event_id,
+         |    ip_int % 170001 - 85000 AS lat_mdeg,
+         |    (ip_int // 7) % 360001 - 180000 AS lon_mdeg
+         |  FROM (SELECT event_id, ${GeoIp.ipToIntSql} AS ip_int FROM signups)
+         |  WHERE ip_int IS NOT NULL),
+         |cells AS (
+         |  SELECT event_id, lat_mdeg, lon_mdeg,
+         |    (lon_mdeg + 180000) // $geoCellMdeg AS cx,
+         |    (lat_mdeg + 85000) // $geoCellMdeg AS cy
+         |  FROM pts),
+         |pairs AS (
+         |  SELECT b.cx AS jx, b.cy AS jy, a.event_id AS ea, b.event_id AS eb,
+         |    abs(a.lat_mdeg - b.lat_mdeg) AS dlat,
+         |    abs(a.lon_mdeg - b.lon_mdeg) AS dlon
+         |  FROM cells a JOIN cells b
+         |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+         |    AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+         |    AND a.event_id < b.event_id
+         |  WHERE abs(a.lat_mdeg - b.lat_mdeg) <= $geoCellMdeg
+         |    AND abs(a.lon_mdeg - b.lon_mdeg) <= $geoCellMdeg)
+         |SELECT jx, jy, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT ea) AS BIGINT) AS n_left,
+         |  CAST(min(dlat + dlon) AS BIGINT) AS min_l1_mdeg
+         |FROM pairs GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_cluster" -> (geoCluster _),
     "ru_geo_velocity" -> (geoVelocity _),
     "geo_ip_range" -> (geoIpRange _),
     "geo_join_auto" -> (geoJoinAuto _),
@@ -166,6 +242,7 @@ object EnrichQueries {
     "status_watermark" -> (statusWatermark _))
 
   def oracleSql: Map[String, String] = Map(
+    "geo_cluster" -> geoClusterSql,
     "ru_geo_velocity" -> geoVelocitySql,
     "geo_ip_range" -> geoIpRangeSql,
     "geo_join_auto" -> geoJoinAutoSql,

@@ -355,6 +355,27 @@ class BatchOps5Spec extends AnyFunSuite {
     }
   }
 
+  test("geo_cluster: grid banding finds exactly the naive all-pairs matches") {
+    val pts = events.Signups.derive(spark, sf)
+      .withColumn("ip_int", enrich.GeoIp.ipToInt(col("ip")))
+      .filter(col("ip_int").isNotNull)
+      .select(col("event_id"),
+        (col("ip_int") % 170001L - 85000L).as("la"),
+        (expr("ip_int DIV 7") % 360001L - 180000L).as("lo"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val r = enrich.EnrichQueries.geoCellMdeg
+    var naive = 0L
+    for (a <- pts; b <- pts
+         if a._1 < b._1 && math.abs(a._2 - b._2) <= r && math.abs(a._3 - b._3) <= r)
+      naive += 1
+    val banded = enrich.EnrichQueries.geoCluster(spark, sf).collect()
+      .map(_.getAs[Long]("n_pairs")).sum
+    assert(banded == naive, s"banded $banded vs naive $naive")
+    val plan = enrich.EnrichQueries.geoCluster(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "spatial banding must stay an equi-join:\n" + plan.take(600))
+  }
+
   test("tx_code: fixture code rows flag, prose corpus does not") {
     val rows = text.TextOps.code(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_code")).toMap
