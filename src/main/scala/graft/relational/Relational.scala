@@ -1464,9 +1464,12 @@ object Relational {
     * engine-portable form. */
   def qBloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tables(spark, sfDir)
+    // persisted: three consumers (sizing count, filter build, the exact
+    // join) would each re-run the orders scan otherwise
     val dim = t.orders
       .filter(col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderdate"))
+      .persist()
     // ~9.6 bits/key -> ~1% FP at 3 hashes; the count job is dim-side only
     val nWords = math.max(16L, dim.count() * 10 / 63 + 1).toInt
     val bloom = graft.functions.BloomFilter.build(dim, col("o_orderkey").cast("string"), nWords)

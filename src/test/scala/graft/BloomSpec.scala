@@ -23,6 +23,22 @@ class BloomSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"probe must not join:\n${plan.take(600)}")
   }
 
+  test("fused BloomProbe equals the column-math probe bit-for-bit") {
+    import spark.implicits._
+    val dim = (1 to 80).map(i => s"k$i").toDF("k")
+    val f = graft.functions.BloomFilter.build(dim, col("k"))
+    val probes = (1 to 2000).map(i => s"p$i").toDF("k")
+      .select(col("k"),
+        graft.functions.BloomFilter.mayContain(col("k"), f).as("fused"),
+        graft.functions.BloomFilter.mayContainHex(
+          graft.functions.BloomFilter.keyHex(col("k")), f).as("columnar"))
+    assert(probes.filter(col("fused") =!= col("columnar")).count() == 0)
+    // and true members always pass through the fused path
+    val members = dim.select(col("k"),
+      graft.functions.BloomFilter.mayContain(col("k"), f).as("m"))
+    assert(members.filter(!col("m")).count() == 0)
+  }
+
   test("filter bits are deterministic and non-member keys mostly rejected") {
     import spark.implicits._
     val dim = (1 to 50).map(i => s"10.0.0.$i").toDF("k")
