@@ -1021,6 +1021,55 @@ object EventOps {
       |  count(*) AS n_deltas, max(rc) AS peak
       |FROM r GROUP BY 1""".stripMargin
 
+  // ---- sample-ratio mismatch guardrail --------------------------------------
+
+  /** χ² critical at α=0.05, df=1. */
+  val srmCritical = 3.841
+
+  /** Sample-ratio mismatch (SRM) check — the guardrail run BEFORE reading
+    * any experiment result (Fabijan et al., KDD'19: a significant
+    * deviation of the realized A/B split from its design ratio means the
+    * assignment or logging is broken and every downstream metric —
+    * including ev_abtest's z-readout — is invalid). Exposed = any `view`
+    * (the population ev_abtest reads), assignment = the same parity split,
+    * computed as a pushed-down type filter + two-phase distinct on
+    * user_id; expected split 50/50;
+    * χ² with df=1 collapses to (n_a − n_b)²/(n_a + n_b) — an EXACT-BIGINT
+    * numerator and ONE double division, 6dp-rounded, so the verdict is
+    * engine-stable. Scale shape: the per-user fold shares ev_abtest's one
+    * user_id exchange; the readout is one row. */
+  def abSrm(spark: SparkSession, sfDir: String): DataFrame = {
+    val exposed = Tables(spark, sfDir).events
+      .filter(col("event_type") === "view")
+      .select(col("user_id")).distinct()
+      .select(when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B").as("variant"))
+    exposed.groupBy(col("variant")).agg(count(lit(1)).as("n"))
+      .agg(max(when(col("variant") === "A", col("n"))).as("n_a"),
+        max(when(col("variant") === "B", col("n"))).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round(((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))).cast("double")
+          / (col("n_a") + col("n_b")).cast("double"), 6).as("chi2"))
+      .withColumn("srm", col("chi2") > srmCritical)
+  }
+
+  val abSrmSql: String =
+    s"""WITH exposed AS (
+       |  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+       |v AS (
+       |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+       |  FROM exposed),
+       |c AS (SELECT variant, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+       |w AS (
+       |  SELECT max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+       |    max(CASE WHEN variant = 'B' THEN n END) AS n_b
+       |  FROM c)
+       |SELECT n_a, n_b,
+       |  round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+       |    / CAST(n_a + n_b AS DOUBLE), 6) AS chi2,
+       |  round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+       |    / CAST(n_a + n_b AS DOUBLE), 6) > $srmCritical AS srm
+       |FROM w""".stripMargin
+
   // ---- A/B experiment readout ----------------------------------------------
 
   /** Two-sample experiment readout — the analytics row every event platform
@@ -2189,6 +2238,7 @@ object EventOps {
     "ev_cusum" -> (cusum _),
     "ev_disorder" -> (disorder _),
     "ev_chi2_drift" -> (chi2Drift _),
+    "ev_ab_srm" -> (abSrm _),
     "ev_interp" -> (interp _),
     "ev_growth" -> (growth _),
     "ev_rfm" -> (rfm _),
@@ -2230,6 +2280,7 @@ object EventOps {
     "ev_cusum" -> cusumSql,
     "ev_disorder" -> disorderSql,
     "ev_chi2_drift" -> chi2DriftSql,
+    "ev_ab_srm" -> abSrmSql,
     "ev_interp" -> interpSql,
     "ev_growth" -> growthSql,
     "ev_rfm" -> rfmSql,

@@ -514,7 +514,35 @@ object Sampling {
        |FROM m WHERE mult > 0 GROUP BY 1""".stripMargin
   }
 
+  /** Labeling-batch size for [[uncertainty]]. */
+  val uncertaintyK = 50
+
+  /** Uncertainty sampling — the active-learning loop's selection step
+    * (Lewis & Gale, SIGIR'94; the labeling-budget allocator behind every
+    * classifier-in-the-pipeline: route the HUMAN labels to the documents
+    * the model is least sure about): the K documents whose tx_classify
+    * margin |score| is smallest, i.e. nearest the decision boundary.
+    * Deterministic total order (margin asc, doc_id asc) so the selected
+    * batch is reproducible. Scale shape: scoring is the classify plan
+    * (broadcast weights, one agg exchange); the selection is a bounded
+    * top-K via TakeOrderedAndProject — each task ships only its local K,
+    * no global sort of the corpus. */
+  def uncertainty(spark: SparkSession, sfDir: String): DataFrame =
+    graft.text.Classify.classify(spark, sfDir)
+      .select(col("doc_id"), col("score_milli"),
+        abs(col("score_milli")).as("margin_milli"))
+      .orderBy(col("margin_milli").asc, col("doc_id").asc)
+      .limit(uncertaintyK)
+
+  val uncertaintySql: String =
+    s"""WITH sc AS (${graft.text.Classify.classifySql})
+       |SELECT doc_id, score_milli, abs(score_milli) AS margin_milli
+       |FROM sc
+       |ORDER BY margin_milli ASC, doc_id ASC
+       |LIMIT $uncertaintyK""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "samp_uncertainty" -> (uncertainty _),
     "samp_bootstrap" -> (bootstrap _),
     "samp_neyman" -> (neyman _),
     "samp_pps" -> (pps _),
@@ -528,6 +556,7 @@ object Sampling {
     "samp_dsir" -> (dsir _))
 
   def oracleSql: Map[String, String] = Map(
+    "samp_uncertainty" -> uncertaintySql,
     "samp_bootstrap" -> bootstrapSql,
     "samp_neyman" -> neymanSql,
     "samp_pps" -> ppsSql,

@@ -208,6 +208,45 @@ object StreamOps {
   // the cumulative-sum window lets the new_sess=1 row land mid-tie-group,
   // splitting a session that the engine (which sorts the event multiset)
   // never splits — caught as a 3-row drift at sf1.
+  /** The same 30-min-gap sessions through Spark's NATIVE `session_window`
+    * aggregation — the built-in operator the flatMapGroupsWithState form
+    * above hand-rolls (kept side by side: the custom form carries
+    * per-session state the native one can't, the native form gets the
+    * engine's merging session state store, watermark eviction, and any
+    * future optimizer work for free — the architecture's "prefer built-in
+    * operators" rule made checkable). Boundary semantics differ at EXACT
+    * gap: session_window intervals are half-open, so an event landing
+    * exactly `gap` after its predecessor starts a NEW session (the custom
+    * form keeps it — strict `>`); the oracle encodes `>=`. State: the
+    * merging-session store per (user, open window); harness drains in
+    * Complete mode. */
+  def sessionNative(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(spark, sfDir, OutputMode.Complete()) { src =>
+      src.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"))
+        .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+    }
+
+  val sessionNativeSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |o2 AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN ts_us - lag(ts_us) OVER w >= 1800000000
+      |      OR lag(ts_us) OVER w IS NULL
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |s AS (
+      |  SELECT user_id, ts_us,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM o2)
+      |SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+      |  count(*) AS n_events
+      |FROM s GROUP BY user_id, sess_id""".stripMargin
+
   val sessionizeSql: String =
     """WITH o AS (
       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
@@ -1294,6 +1333,7 @@ object StreamOps {
     "st_theta_kmv" -> (thetaKmv _),
     "st_cusum" -> (cusumLive _),
     "st_temporal_join" -> (temporalJoinLive _),
+    "st_session_native" -> (sessionNative _),
     "st_funnel" -> (funnel _),
     "st_pattern" -> (stPattern _),
     "st_bitmap" -> (stBitmap _),
@@ -1323,6 +1363,7 @@ object StreamOps {
     "st_theta_kmv" -> thetaKmvSql,
     "st_cusum" -> stCusumSql,
     "st_temporal_join" -> stTemporalJoinSql,
+    "st_session_native" -> sessionNativeSql,
     "st_funnel" -> funnelSql,
     "st_pattern" -> stPatternSql,
     "st_bitmap" -> stBitmapSql,

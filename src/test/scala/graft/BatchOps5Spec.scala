@@ -376,6 +376,35 @@ class BatchOps5Spec extends AnyFunSuite {
       "spatial banding must stay an equi-join:\n" + plan.take(600))
   }
 
+  test("st_session_native: native session_window equals the custom state machine") {
+    // the two realizations differ only at EXACT-gap boundaries (half-open
+    // vs strict >) — absent such ties, session sets must be identical
+    val native = streaming.StreamOps.sessionNative(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSet
+    val custom = streaming.StreamOps.sessionize(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSet
+    assert(native == custom, s"${native.size} native vs ${custom.size} custom")
+  }
+
+  test("ev_ab_srm: chi2 recomputes from the variant counts") {
+    val r = events.EventOps.abSrm(spark, sf).head
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    val want = math.pow((na - nb).toDouble, 2) / (na + nb)
+    assert(math.abs(r.getAs[Double]("chi2") - want) < 1e-4)
+    assert(r.getAs[Boolean]("srm") == (r.getAs[Double]("chi2") > events.EventOps.srmCritical))
+  }
+
+  test("samp_uncertainty: selected batch is exactly the K smallest margins") {
+    val all = text.Classify.classify(spark, sf).collect()
+      .map(r => (math.abs(r.getAs[Long]("score_milli")), r.getAs[Long]("doc_id")))
+      .sorted.take(sample.Sampling.uncertaintyK).toSet
+    val got = sample.Sampling.uncertainty(spark, sf).collect()
+      .map(r => (r.getAs[Long]("margin_milli"), r.getAs[Long]("doc_id"))).toSet
+    assert(got == all)
+  }
+
   test("tx_code: fixture code rows flag, prose corpus does not") {
     val rows = text.TextOps.code(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_code")).toMap
