@@ -569,6 +569,52 @@ object RuleQueries {
       |  CAST(n_gaps * sg2 - sg * sg AS DOUBLE) / (sg * sg) < 0.81 AS bot_like
       |FROM s WHERE n_gaps >= 20 AND sg > 0""".stripMargin
 
+  // ---- decayed IP reputation ------------------------------------------------
+
+  /** Decayed per-IP reputation — the scoring layer moderation teams build
+    * over raw rule hits (ru_match_stats counts per RULE; this accumulates
+    * per OFFENDER): each match contributes weight 2^(30−age_days) —
+    * exponential half-life decay of one day, floored at day 30 — so a
+    * burst of fresh hits outranks years of stale ones, and the top of the
+    * list is who to look at TODAY. Exact arithmetic throughout: the decay
+    * is an integer SHIFT (2^k as `shiftleft`, ages clamped to [0, 30]),
+    * the score an exact BIGINT sum — no pow(), no float decay, identical
+    * on both engines. The clock is the corpus watermark (max signup ts, a
+    * one-row broadcast — the status_watermark pattern), not wall time, so
+    * the row is reproducible. Scale shape: matches ride the ru_engine
+    * broadcast join; ONE ip aggregation with map-side partials; top-20 via
+    * TakeOrderedAndProject (no global sort). */
+  def ruReputation(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val m = RuleEngine.matches(signups(spark, sfDir), Rules.df(spark))
+      .select(col("ip"), col("ts_us"))
+    val now = m.agg(max(col("ts_us")).as("now_us"))
+    m.join(broadcast(now))
+      .withColumn("age_d",
+        least(lit(30L), greatest(lit(0L), expr(s"(now_us - ts_us) DIV $dayUs"))))
+      .withColumn("w", expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - age_d AS INT))"))
+      .groupBy(col("ip"))
+      .agg(count(lit(1)).as("n_matches"), sum(col("w")).as("score"),
+        max(col("ts_us")).as("last_us"))
+      .orderBy(col("score").desc, col("ip").asc)
+      .limit(20)
+  }
+
+  val ruReputationSql: String = withCtes(
+    s""", m AS (
+       |  SELECT s.ip, s.ts_us
+       |  FROM signups s JOIN rules r ON ${RuleEngine.matchConditionSql()}),
+       |now_w AS (SELECT max(ts_us) AS now_us FROM m),
+       |sc AS (
+       |  SELECT ip, ts_us,
+       |    (CAST(1 AS BIGINT) << CAST(30 - least(30,
+       |      greatest(0, (now_us - ts_us) // 86400000000)) AS INTEGER)) AS w
+       |  FROM m CROSS JOIN now_w)
+       |SELECT ip, CAST(count(*) AS BIGINT) AS n_matches,
+       |  CAST(sum(w) AS BIGINT) AS score, max(ts_us) AS last_us
+       |FROM sc GROUP BY 1
+       |ORDER BY score DESC, ip ASC LIMIT 20""".stripMargin)
+
   // ---- shadow-mode rule evaluation ------------------------------------------
 
   /** Candidate rule under shadow evaluation (odd-digit usernames — the
@@ -673,6 +719,7 @@ object RuleQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ru_burst_pairs" -> (burstPairs _),
     "ru_shadow" -> (ruShadow _),
+    "ru_reputation" -> (ruReputation _),
     "ru_bloom" -> (ruBloom _),
     "ru_notify_text" -> (ruNotifyText _),
     "ru_cidr" -> (ruCidr _),
@@ -694,6 +741,7 @@ object RuleQueries {
   def oracleSql: Map[String, String] = Map(
     "ru_burst_pairs" -> burstPairsSql,
     "ru_shadow" -> ruShadowSql,
+    "ru_reputation" -> ruReputationSql,
     "ru_cidr" -> ruCidrSql,
     "ru_bloom" -> ruBloomSql,
     "ru_notify_text" -> ruNotifyTextSql,

@@ -405,6 +405,19 @@ class BatchOps5Spec extends AnyFunSuite {
     assert(got == all)
   }
 
+  test("ru_reputation: decay weights are exact shifts, fresher hits dominate") {
+    val rows = rules.RuleQueries.ruReputation(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // scores strictly ordered (desc, ip asc tie-break)
+    val scores = rows.map(r => (-r.getAs[Long]("score"), r.getAs[String]("ip")))
+    assert(scores.sameElements(scores.sorted), "top-20 order must be deterministic")
+    // every score is a sum of powers of two in [1, 2^30] times match count
+    rows.foreach { r =>
+      val (n, s) = (r.getAs[Long]("n_matches"), r.getAs[Long]("score"))
+      assert(s >= n && s <= n * (1L << 30), s"score $s outside bounds for $n matches")
+    }
+  }
+
   test("tx_code: fixture code rows flag, prose corpus does not") {
     val rows = text.TextOps.code(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_code")).toMap
