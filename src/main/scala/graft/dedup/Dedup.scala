@@ -417,6 +417,117 @@ object Dedup {
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
 
+  // ---- LSH parameter sweep --------------------------------------------------
+
+  /** (bands, rows-per-band) configurations sharing the 16 minhashes. */
+  val lshConfigs: Seq[(Int, Int)] = Seq((8, 2), (4, 4), (2, 8))
+
+  /** S-curve collision probability 1−(1−τ^r)^b at τ=0.5 — every factor is
+    * an exact dyadic rational, so the double is EXACT and its decimal
+    * string round-trips identically on both engines. */
+  def lshCurveProb(b: Int, r: Int): Double = {
+    var tr = 1.0
+    for (_ <- 0 until r) tr *= 0.5
+    var miss = 1.0
+    for (_ <- 0 until b) miss *= (1.0 - tr)
+    1.0 - miss
+  }
+
+  /** LSH parameter sweep — the tuning loop the dd_minhash doc points at,
+    * run as ONE query: the same 16 minhash signatures banded three ways
+    * ((8,2) permissive → (2,8) strict), each config's candidate-pair
+    * volume, its share of the all-config candidate UNION (relative recall
+    * — how many catchable pairs a stricter setting forfeits), and the
+    * theoretical S-curve collision probability at Jaccard 0.5 (exact
+    * dyadic at τ=½, so even the "analytic" column hash-matches). The
+    * production decision this feeds: pick the (b, r) whose candidate
+    * volume fits the shuffle budget at the recall the dedup SLA needs.
+    * Scale shape: signatures computed ONCE (fused MinHashSigs, persisted);
+    * per config one band-bucket equi-join (the bounded-candidate
+    * contract); counts are map-side-heavy; the readout is |configs| rows. */
+  def lshCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = shingleArrays(spark, sfDir)
+      .filter(size(col("hs_arr")) > 0)
+      .select(col("doc_id"),
+        graft.plans.MinHashSigs(col("hs_arr"), hashAB, mersenneP).as("mh"))
+      .persist()
+    val perConfig = lshConfigs.map { case (b, r) =>
+      val rows = sigs.select(col("doc_id"), explode(array((0 until b).map { i =>
+        struct(lit(i).as("band"),
+          concat_ws("_", (0 until r).map(j => col("mh").getItem(i * r + j)): _*)
+            .as("key"))
+      }: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      rows.as("a").join(rows.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+        .select(lit(b).as("n_bands"), lit(r).as("rows_per_band"),
+          col("id_a"), col("id_b"))
+    }
+    val all = perConfig.reduce(_ unionAll _).persist()
+    val union = all.select(col("id_a"), col("id_b")).distinct()
+      .agg(count(lit(1)).as("n_union"))
+    val counts = all.groupBy(col("n_bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val probDf = {
+      import spark.implicits._
+      lshConfigs.map { case (b, r) => (b, r, lshCurveProb(b, r)) }
+        .toDF("n_bands", "rows_per_band", "est_prob_at_half")
+    }
+    counts.join(broadcast(union))
+      .join(broadcast(probDf), Seq("n_bands", "rows_per_band"))
+      .select(col("n_bands").cast("long").as("n_bands"),
+        col("rows_per_band").cast("long").as("rows_per_band"),
+        col("n_pairs"), col("n_union"),
+        round(col("n_pairs").cast("double") / col("n_union").cast("double"), 6)
+          .as("recall_vs_union"),
+        col("est_prob_at_half"))
+  }
+
+  val lshCurveSql: String = {
+    val configCtes = lshConfigs.map { case (b, r) =>
+      val bandRowsVals = (0 until b).map { i =>
+        val key = (0 until r).map(j => s"mh${i * r + j}").mkString(" || '_' || ")
+        s"($i, $key)"
+      }.mkString(", ")
+      s"""p_${b}_$r AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM (SELECT doc_id, bb.* FROM sigs,
+         |        LATERAL (VALUES $bandRowsVals) bb(band, key)) a
+         |  JOIN (SELECT doc_id, bb.* FROM sigs,
+         |        LATERAL (VALUES $bandRowsVals) bb(band, key)) b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    val tagged = lshConfigs.map { case (b, r) =>
+      s"SELECT $b AS n_bands, $r AS rows_per_band, id_a, id_b FROM p_${b}_$r"
+    }.mkString("\n  UNION ALL\n  ")
+    val probVals = lshConfigs.map { case (b, r) =>
+      s"($b, $r, ${lshCurveProb(b, r)})"
+    }.mkString(", ")
+    s"""WITH $minhashCtes,
+       |$configCtes,
+       |tagged AS (
+       |  $tagged),
+       |u AS (SELECT CAST(count(*) AS BIGINT) AS n_union
+       |      FROM (SELECT DISTINCT id_a, id_b FROM tagged)),
+       |c AS (
+       |  SELECT n_bands, rows_per_band, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM tagged GROUP BY 1, 2),
+       |pr(n_bands, rows_per_band, est_prob_at_half) AS (VALUES $probVals)
+       |SELECT CAST(c.n_bands AS BIGINT) AS n_bands,
+       |  CAST(c.rows_per_band AS BIGINT) AS rows_per_band,
+       |  n_pairs, n_union,
+       |  round(CAST(n_pairs AS DOUBLE) / CAST(n_union AS DOUBLE), 6)
+       |    AS recall_vs_union,
+       |  CAST(est_prob_at_half AS DOUBLE) AS est_prob_at_half
+       |FROM c CROSS JOIN u
+       |JOIN pr ON pr.n_bands = c.n_bands
+       |  AND pr.rows_per_band = c.rows_per_band""".stripMargin
+  }
+
   // ---- content-defined chunking (CDC) dedup --------------------------------
 
   /** Boundary divisor: a chunk break lands after any 2-gram whose hash
@@ -834,7 +945,8 @@ object Dedup {
     "dd_chunks" -> (chunkDups _),
     "dd_cdc" -> (cdcChunks _),
     "dd_intra" -> (intra _),
-    "dd_lsh_recall" -> (lshRecall _))
+    "dd_lsh_recall" -> (lshRecall _),
+    "dd_lsh_curve" -> (lshCurve _))
 
   def oracleSql: Map[String, String] = Map(
     "dd_source_matrix" -> sourceMatrixSql,
@@ -853,5 +965,6 @@ object Dedup {
     "dd_chunks" -> chunkDupsSql,
     "dd_cdc" -> cdcChunksSql,
     "dd_intra" -> intraSql,
-    "dd_lsh_recall" -> lshRecallSql)
+    "dd_lsh_recall" -> lshRecallSql,
+    "dd_lsh_curve" -> lshCurveSql)
 }

@@ -418,6 +418,21 @@ class BatchOps5Spec extends AnyFunSuite {
     }
   }
 
+  test("dd_lsh_curve: stricter configs are subsets; permissive config is the union ceiling") {
+    val rows = dedup.Dedup.lshCurve(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n_bands"), r.getAs[Long]("rows_per_band")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_union"),
+          r.getAs[Double]("est_prob_at_half"))).toMap
+    assert(rows.keySet == Set((8L, 2L), (4L, 4L), (2L, 8L)))
+    val union = rows.values.head._2
+    rows.values.foreach { case (n, u, _) => assert(u == union && n <= union) }
+    // monotonicity of the analytic S-curve at tau=0.5: permissive > strict
+    assert(rows((8L, 2L))._3 > rows((4L, 4L))._3)
+    assert(rows((4L, 4L))._3 > rows((2L, 8L))._3)
+    // exact dyadic: (8,2) value is 1 - (3/4)^8 precisely
+    assert(rows((8L, 2L))._3 == 1.0 - math.pow(0.75, 8))
+  }
+
   test("tx_code: fixture code rows flag, prose corpus does not") {
     val rows = text.TextOps.code(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_code")).toMap
