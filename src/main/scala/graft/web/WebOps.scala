@@ -1035,11 +1035,15 @@ object WebOps {
         .select(col("dst"),
           expr(s"(pr * $dampingPpt) DIV (1000 * outdeg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
-      // left join: nodes with no in-links keep only the teleport mass
+      // left join: nodes with no in-links keep only the teleport mass.
+      // localCheckpoint cuts the lineage per round (the web_components /
+      // web_bfs_depth pattern) — plan depth stays O(1) per iteration
+      // instead of compounding, the hazard past a handful of rounds
       ranks = docs.select(col("doc_id"))
         .join(contrib, col("doc_id") === col("dst"), "left")
         .select(col("doc_id"),
           (lit(teleport) + coalesce(col("inflow"), lit(0L))).as("pr"))
+        .localCheckpoint(true)
     }
     ranks
   }
@@ -1201,11 +1205,13 @@ object WebOps {
         .select(col("dst"),
           expr(s"(pr * $dampingPpt) DIV (1000 * outdeg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      // lineage cut per round, as in fullRanks
       ranks = docs.select(col("doc_id"))
         .join(contrib, col("doc_id") === col("dst"), "left")
         .select(col("doc_id"),
           (when(isSeed, lit(150000000L / nSeeds)).otherwise(lit(0L)) +
             coalesce(col("inflow"), lit(0L))).as("pr"))
+        .localCheckpoint(true)
     }
     ranks.orderBy(col("pr").desc, col("doc_id").asc).limit(topRanks)
       .select(col("doc_id"), col("pr"))
