@@ -828,6 +828,28 @@ object StreamOps {
   /** Batch oracle reused verbatim — the drift-proof twin contract. */
   def stCusumSql: String = graft.events.EventOps.cusumSql
 
+  /** Robust (median/MAD) anomaly detection under the STREAMING state store —
+    * ev_anomaly_mad's live twin, same family as st_cusum: the detector's
+    * full sufficient statistic is the (type, hour) count matrix, each cell
+    * a mergeable order/micro-batch-invariant SUM (state O(types · observed
+    * hours), calendar-bounded); medians CANNOT be folded incrementally
+    * without an approximation, so the exact median/MAD scoring runs as the
+    * READ-TIME VIEW over the drained matrix
+    * ([[graft.events.EventOps.madOver]] — literally the batch code), which
+    * makes the live alarm set EQUAL the batch alarm set and lets the batch
+    * oracle be reused verbatim. */
+  def anomalyMadLive(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = runToTable(spark, sfDir, OutputMode.Complete()) { src =>
+      src.groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+        .agg(count(lit(1)).as("c"))
+    }
+    graft.events.EventOps.madOver(counts)
+  }
+
+  /** Batch oracle reused verbatim — the drift-proof twin contract. */
+  def stAnomalyMadSql: String = graft.events.EventOps.anomalyMadSql
+
   /** Event-time-correct dim enrichment ON the stream — q_temporal_join's
     * live form and the shape every streaming enrichment pipeline needs: a
     * view event joins the SCD2 tier version valid AT ITS OWN event time
@@ -1332,6 +1354,7 @@ object StreamOps {
     "st_hll_users" -> (hllUsers _),
     "st_theta_kmv" -> (thetaKmv _),
     "st_cusum" -> (cusumLive _),
+    "st_anomaly_mad" -> (anomalyMadLive _),
     "st_temporal_join" -> (temporalJoinLive _),
     "st_session_native" -> (sessionNative _),
     "st_funnel" -> (funnel _),
@@ -1362,6 +1385,7 @@ object StreamOps {
     "st_hll_users" -> hllUsersSql,
     "st_theta_kmv" -> thetaKmvSql,
     "st_cusum" -> stCusumSql,
+    "st_anomaly_mad" -> stAnomalyMadSql,
     "st_temporal_join" -> stTemporalJoinSql,
     "st_session_native" -> sessionNativeSql,
     "st_funnel" -> funnelSql,
