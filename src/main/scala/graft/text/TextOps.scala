@@ -149,6 +149,78 @@ object TextOps {
        |  c.top_confusion
        |FROM tot t LEFT JOIN conf c ON c.lang = t.lang""".stripMargin
 
+  // ---- classifier calibration audit -----------------------------------------
+
+  /** Calibration audit of the langid classifier — lidEval answers "how
+    * often is it right", this answers "can its CONFIDENCE be trusted"
+    * (Guo et al. ICML'17 — the reliability-diagram + expected-calibration-
+    * error readout every production classifier ships with): per confidence
+    * level (marker-hit score 1..4, confidence = score/4), the empirical
+    * accuracy against the `lang` truth column, plus the ECE
+    * Σ_b (n_b/N)·|acc_b − conf_b| — the number that says whether a
+    * downstream confidence threshold (tx_filter's gate, samp_mixture's
+    * weights) means what it claims. ONE-row pivot readout: the per-level
+    * cells are exact-BIGINT counts off the zero-shuffle fused langid scan
+    * + one bounded agg; acc/ECE are double expressions of exact operands
+    * in one fixed textual order (conf_b = b/4 exact dyadics), so the 6dp
+    * values are engine-stable. Levels the corpus never emits read null
+    * accuracy and contribute zero ECE mass. */
+  def calibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = docs(spark, sfDir).select(col("doc_id"), col("lang"))
+    val lvl = langId(spark, sfDir).join(truth, "doc_id")
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lang_pred") === col("lang"), 1L).otherwise(0L)).as("nc"))
+    val cells = (1 to 4).flatMap { i =>
+      Seq(max(when(col("score") === i, col("n"))).as(s"n_$i"),
+        max(when(col("score") === i, col("nc"))).as(s"nc_$i"))
+    }
+    val p = lvl.agg(cells.head, cells.tail: _*)
+    def acc(i: Int) =
+      round(col(s"nc_$i").cast("double") / col(s"n_$i"), 6).as(s"acc_$i")
+    def term(i: Int) =
+      when(col(s"n_$i").isNull, lit(0d))
+        .otherwise(abs(col(s"nc_$i").cast("double") / col(s"n_$i") - lit(i / 4d))
+          * col(s"n_$i"))
+    p.withColumn("n_scored",
+        (1 to 4).map(i => coalesce(col(s"n_$i"), lit(0L))).reduce(_ + _))
+      .select(col("n_1") +: acc(1) +: col("n_2") +: acc(2) +:
+        col("n_3") +: acc(3) +: col("n_4") +: acc(4) +: col("n_scored") +:
+        round((term(1) + term(2) + term(3) + term(4)) / col("n_scored"), 6)
+          .as("ece") +: Nil: _*)
+  }
+
+  val calibrationSql: String = {
+    val cells = (1 to 4).map { i =>
+      s"""    max(CASE WHEN score = $i THEN n END) AS n_$i,
+         |    max(CASE WHEN score = $i THEN nc END) AS nc_$i""".stripMargin
+    }.mkString(",\n")
+    val accs = (1 to 4).map(i =>
+      s"round(CAST(nc_$i AS DOUBLE) / n_$i, 6) AS acc_$i")
+    val terms = (1 to 4).map(i =>
+      s"CASE WHEN n_$i IS NULL THEN CAST(0 AS DOUBLE) " +
+        s"ELSE abs(CAST(nc_$i AS DOUBLE) / n_$i - ${i / 4d}) * n_$i END")
+    val nScored = (1 to 4).map(i => s"coalesce(n_$i, 0)").mkString(" + ")
+    s"""WITH $langIdCtes,
+       |j AS (
+       |  SELECT p.score,
+       |    CASE WHEN p.lang_pred = d.lang THEN 1 ELSE 0 END AS ok
+       |  FROM preds p JOIN documents d ON d.doc_id = p.doc_id),
+       |lvl AS (
+       |  SELECT score, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(ok) AS BIGINT) AS nc
+       |  FROM j GROUP BY 1),
+       |pv AS (
+       |  SELECT
+       |$cells
+       |  FROM lvl),
+       |ns AS (SELECT *, CAST($nScored AS BIGINT) AS n_scored FROM pv)
+       |SELECT n_1, ${accs(0)}, n_2, ${accs(1)}, n_3, ${accs(2)},
+       |  n_4, ${accs(3)}, n_scored,
+       |  round((${terms.mkString("\n    + ")}) / n_scored, 6) AS ece
+       |FROM ns""".stripMargin
+  }
+
   // ---- language-profile training ------------------------------------------
 
   val profileTopK = 4
@@ -1298,6 +1370,7 @@ object TextOps {
     "tx_search" -> (search _),
     "tx_langid" -> (langId _),
     "tx_lid_eval" -> (lidEval _),
+    "tx_calibration" -> (calibration _),
     "tx_quality" -> (quality _),
     "tx_tokens" -> (tokens _),
     "tx_fingerprint" -> (fingerprint _),
@@ -1331,6 +1404,7 @@ object TextOps {
     "tx_search" -> searchSql,
     "tx_langid" -> langIdSql,
     "tx_lid_eval" -> lidEvalSql,
+    "tx_calibration" -> calibrationSql,
     "tx_quality" -> qualitySql,
     "tx_tokens" -> tokensSql,
     "tx_fingerprint" -> fingerprintSql,

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the experiment-science + diagnostics additions: CUPED
+  * variance reduction, power planning, streaming MAD anomalies,
+  * t-closeness, lead-lag cross-correlation, calibration audit. Each test
+  * recomputes the statistic from an INDEPENDENT driver-side reference on
+  * the collected (bounded at sf0.001) data, so an engine-side plan change
+  * that silently altered semantics would fail here even if both oracle
+  * sides drifted together.
+  */
+class ExperimentOpsSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def perUserXY: (Array[(Long, Long, Long)], Long) = {
+    // (user, pre-count x, post-count y) with the query's exact midpoint cut
+    val ev = Tables(spark, sf).events
+      .select(col("user_id"), graft.epochUs(col("ts")).as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cut = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val xy = ev.groupBy(_._1).toArray.map { case (u, rows) =>
+      (u, rows.count(_._2 < cut).toLong, rows.count(_._2 >= cut).toLong)
+    }
+    (xy, cut)
+  }
+
+  test("ev_cuped: theta, adjusted diff, and rho2 match the textbook formulas") {
+    val (xy, _) = perUserXY
+    val n = xy.length.toLong
+    val (sx, sy) = (xy.map(_._2).sum, xy.map(_._3).sum)
+    val sxy = xy.map(t => t._2 * t._3).sum
+    val sxx = xy.map(t => t._2 * t._2).sum
+    val syy = xy.map(t => t._3 * t._3).sum
+    val covN = n * sxy - sx * sy
+    val varxN = n * sxx - sx * sx
+    val varyN = n * syy - sy * sy
+    val a = xy.filter(_._1 % 2 == 0)
+    val b = xy.filter(_._1 % 2 != 0)
+    val theta = covN.toDouble / varxN.toDouble
+    val diffRaw = a.map(_._3).sum.toDouble / a.length - b.map(_._3).sum.toDouble / b.length
+    val diffCuped = diffRaw -
+      theta * (a.map(_._2).sum.toDouble / a.length - b.map(_._2).sum.toDouble / b.length)
+    val rho2 = covN.toDouble * covN.toDouble / (varxN.toDouble * varyN.toDouble)
+    val row = events.EventOps.cuped(spark, sf).head()
+    assert(row.getAs[Long]("n_a") == a.length && row.getAs[Long]("n_b") == b.length)
+    assert(math.abs(row.getAs[Double]("theta") - theta) < 1e-5)
+    assert(math.abs(row.getAs[Double]("diff_raw") - diffRaw) < 1e-5)
+    assert(math.abs(row.getAs[Double]("diff_cuped") - diffCuped) < 1e-5)
+    assert(math.abs(row.getAs[Double]("var_reduction") - rho2) < 1e-5)
+    assert(rho2 >= 0 && rho2 <= 1, "Cauchy-Schwarz bounds the reduction ratio")
+  }
+
+  test("ev_power_mde: MDE and required-n match the normal-approximation formulas") {
+    val row = events.EventOps.powerMde(spark, sf).head()
+    val (na, nb, nc) = (row.getAs[Long]("n_a"), row.getAs[Long]("n_b"),
+      row.getAs[Long]("n_conv"))
+    val p = nc.toDouble / (na + nb)
+    val z = 2.801585d
+    val mde = z * math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(row.getAs[Double]("p") - p) < 1e-5)
+    assert(math.abs(row.getAs[Double]("mde_abs") - mde) < 1e-5)
+    assert(math.abs(row.getAs[Double]("mde_rel") - mde / p) < 1e-4)
+    assert(row.getAs[Long]("n_req_10pct") ==
+      math.ceil(z * z * 2 * p * (1 - p) / (0.1 * p * 0.1 * p)).toLong)
+  }
+
+  test("st_anomaly_mad: the live alarm set equals the batch alarm set") {
+    val batch = events.EventOps.anomalyMad(spark, sf).collect().map(_.toSeq).toSet
+    val live = streaming.StreamOps.anomalyMadLive(spark, sf).collect().map(_.toSeq).toSet
+    assert(live == batch, "state-store matrix + read-time view must equal batch")
+  }
+
+  test("q_tclose: TV distance and verdict match an exact driver-side recount") {
+    val cust = Tables(spark, sf).customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) DIV 100000")
+          .as("b"))
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2)))
+    val nTotal = cust.length.toLong
+    val marginal = cust.groupBy(_._2).map { case (b, xs) => b -> xs.length.toLong }
+    val got = relational.Relational.qTclose(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("grp_n")).sum == nTotal)
+    got.foreach { r =>
+      val key = (r.getInt(0), r.getString(1))
+      val grp = cust.filter(_._1 == key)
+      val gn = grp.length.toLong
+      val gb = grp.groupBy(_._2).map { case (b, xs) => b -> xs.length.toLong }
+      val sumAbs = marginal.map { case (b, cv) =>
+        math.abs(gb.getOrElse(b, 0L) * nTotal - cv * gn)
+      }.sum
+      assert(r.getAs[Boolean]("released") == (2 * sumAbs <= gn * nTotal))
+      assert(math.abs(r.getAs[Double]("tv_dist") -
+        sumAbs.toDouble / (2.0 * gn * nTotal)) < 1e-5)
+      assert(r.getAs[Double]("tv_dist") >= 0 && r.getAs[Double]("tv_dist") <= 1)
+    }
+  }
+
+  test("ev_xcorr: sparse-moment decomposition equals a dense-series Pearson") {
+    val counts = Tables(spark, sf).events
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(date_trunc('hour', ts)) DIV 3600").as("h"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val hours = counts.keySet.map(_._2)
+    val (mn, mx) = (hours.min, hours.max)
+    def series(t: String): Array[Long] =
+      (mn to mx).map(h => counts.getOrElse((t, h), 0L)).toArray
+    def pearson(a: Array[Long], b: Array[Long], lag: Int): Option[Double] = {
+      val pairs =
+        if (lag >= 0) a.dropRight(lag).zip(b.drop(lag))
+        else a.drop(-lag).zip(b.dropRight(-lag))
+      val n = pairs.length.toDouble
+      val (sa, sb) = (pairs.map(_._1).sum.toDouble, pairs.map(_._2).sum.toDouble)
+      val sab = pairs.map(p => p._1 * p._2).sum.toDouble
+      val saa = pairs.map(p => p._1 * p._1).sum.toDouble
+      val sbb = pairs.map(p => p._2 * p._2).sum.toDouble
+      val (da, db) = (n * saa - sa * sa, n * sbb - sb * sb)
+      if (da > 0 && db > 0) Some((n * sab - sa * sb) / math.sqrt(da * db)) else None
+    }
+    val got = events.EventOps.xcorr(spark, sf).collect()
+    assert(got.length == 10 * (2 * events.EventOps.xcorrMaxLag + 1),
+      "full pairs x lags grid must be present")
+    got.foreach { r =>
+      val (ta, tb, lag) = (r.getString(0), r.getString(1), r.getAs[Long]("lag").toInt)
+      val want = pearson(series(ta), series(tb), lag)
+      val rv = Option(r.getAs[java.lang.Double]("r")).map(_.doubleValue())
+      (want, rv) match {
+        case (Some(w), Some(v)) =>
+          assert(math.abs(w - v) < 1e-5, s"($ta,$tb,$lag): $w vs $v")
+          assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9)
+        case (None, None) => ()
+        case other => fail(s"($ta,$tb,$lag): null-mismatch $other")
+      }
+      assert(r.getAs[Long]("n") == mx - mn + 1 - math.abs(lag))
+    }
+  }
+
+  test("tx_calibration: cells recount the langid scan; ECE reassembles from them") {
+    val preds = text.TextOps.langId(spark, sf)
+      .join(Tables(spark, sf).documents.select(col("doc_id"), col("lang")), "doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("score"), r.getAs[String]("lang_pred") == r.getAs[String]("lang")))
+    val row = text.TextOps.calibration(spark, sf).head()
+    var ece = 0.0
+    (1 to 4).foreach { i =>
+      val lvl = preds.filter(_._1 == i)
+      val n = Option(row.getAs[java.lang.Long](s"n_$i")).map(_.longValue())
+      assert(n.getOrElse(0L) == lvl.length.toLong, s"level $i count")
+      if (lvl.nonEmpty) {
+        val acc = lvl.count(_._2).toDouble / lvl.length
+        assert(math.abs(row.getAs[Double](s"acc_$i") - acc) < 1e-5, s"level $i acc")
+        ece += math.abs(acc - i / 4.0) * lvl.length
+      }
+    }
+    assert(row.getAs[Long]("n_scored") == preds.length.toLong)
+    assert(math.abs(row.getAs[Double]("ece") - ece / preds.length) < 1e-5)
+  }
+}
