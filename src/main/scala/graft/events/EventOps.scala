@@ -1564,6 +1564,81 @@ object EventOps {
       |  round(med, 6) AS med, round(mad, 6) AS mad, score
       |FROM scored WHERE abs(score) > 3""".stripMargin
 
+  // ---- period-over-period metric bridge --------------------------------------
+
+  /** Period-over-period metric decomposition — the "why did the KPI move"
+    * bridge every growth review runs: purchases split at the timeline
+    * midpoint, per user cohort (user_id mod 4 — production swaps in any
+    * segment dim), with each cohort's contribution to the total delta
+    * split into a MIX effect (the cohort got bigger/smaller) and a RATE
+    * effect (its members converted more/less) via the exact midpoint
+    * identity Δ(n·r) = Δn·(r₁+r₂)/2 + (n₁+n₂)/2·Δr — the symmetric
+    * (Bennet) split, so the two effects CONSERVE the delta exactly:
+    * Σ_seg (mix+rate) = Δtotal (the spec asserts it). Counts are exact
+    * BIGINTs off ONE user_id-exchanged fold (active users and purchases
+    * per (cohort, half) in the same pass); the effects are double
+    * expressions of those exact operands in one fixed order, 6dp.
+    * Cohorts inactive in a half contribute rate 0 (guarded, mirrored). */
+  def decomp(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_type"), graft.epochUs(col("ts")).as("ts_us"))
+    val bounds = ev.agg(expr("(min(ts_us) + max(ts_us)) DIV 2").as("cut"))
+    val perUser = ev.crossJoin(broadcast(bounds))
+      .groupBy(pmod(col("user_id"), lit(4)).as("cohort"),
+        col("user_id"),
+        (col("ts_us") >= col("cut")).as("p2"))
+      .agg(count(when(col("event_type") === "purchase", 1)).as("np"))
+    val seg = perUser.groupBy(col("cohort"))
+      .agg(
+        count(when(!col("p2"), 1)).as("n1"),
+        count(when(col("p2"), 1)).as("n2"),
+        sum(when(!col("p2"), col("np")).otherwise(0L)).as("p1"),
+        sum(when(col("p2"), col("np")).otherwise(0L)).as("p2c"))
+    def rate(p: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(n === 0, lit(0d)).otherwise(p.cast("double") / n.cast("double"))
+    seg
+      .withColumn("r1", rate(col("p1"), col("n1")))
+      .withColumn("r2", rate(col("p2c"), col("n2")))
+      .select(col("cohort"), col("n1"), col("n2"), col("p1"),
+        col("p2c").as("p2"),
+        round((col("n2") - col("n1")).cast("double")
+          * (col("r1") + col("r2")) / lit(2d), 6).as("mix_effect"),
+        round((col("n1") + col("n2")).cast("double") / lit(2d)
+          * (col("r2") - col("r1")), 6).as("rate_effect"))
+  }
+
+  val decompSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |b AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS cut FROM e),
+      |u AS (
+      |  SELECT user_id % 4 AS cohort, user_id, ts_us >= cut AS p2,
+      |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+      |      AS np
+      |  FROM e CROSS JOIN b GROUP BY 1, 2, 3),
+      |seg AS (
+      |  SELECT cohort,
+      |    CAST(count(CASE WHEN NOT p2 THEN 1 END) AS BIGINT) AS n1,
+      |    CAST(count(CASE WHEN p2 THEN 1 END) AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN NOT p2 THEN np ELSE 0 END) AS BIGINT) AS p1,
+      |    CAST(sum(CASE WHEN p2 THEN np ELSE 0 END) AS BIGINT) AS p2c
+      |  FROM u GROUP BY 1),
+      |r AS (
+      |  SELECT *,
+      |    CASE WHEN n1 = 0 THEN CAST(0 AS DOUBLE)
+      |      ELSE CAST(p1 AS DOUBLE) / n1 END AS r1,
+      |    CASE WHEN n2 = 0 THEN CAST(0 AS DOUBLE)
+      |      ELSE CAST(p2c AS DOUBLE) / n2 END AS r2
+      |  FROM seg)
+      |SELECT cohort, n1, n2, p1, p2c AS p2,
+      |  round(CAST(n2 - n1 AS DOUBLE) * (r1 + r2) / CAST(2 AS DOUBLE), 6)
+      |    AS mix_effect,
+      |  round(CAST(n1 + n2 AS DOUBLE) / CAST(2 AS DOUBLE) * (r2 - r1), 6)
+      |    AS rate_effect
+      |FROM r""".stripMargin
+
   // ---- lead-lag cross-correlation -------------------------------------------
 
   /** Cross-correlation scan depth (hours each side of zero). */
@@ -2576,6 +2651,7 @@ object EventOps {
     "ev_cuped" -> (cuped _),
     "ev_power_mde" -> (powerMde _),
     "ev_xcorr" -> (xcorr _),
+    "ev_decomp" -> (decomp _),
     "ev_interp" -> (interp _),
     "ev_growth" -> (growth _),
     "ev_rfm" -> (rfm _),
@@ -2621,6 +2697,7 @@ object EventOps {
     "ev_cuped" -> cupedSql,
     "ev_power_mde" -> powerMdeSql,
     "ev_xcorr" -> xcorrSql,
+    "ev_decomp" -> decompSql,
     "ev_interp" -> interpSql,
     "ev_growth" -> growthSql,
     "ev_rfm" -> rfmSql,

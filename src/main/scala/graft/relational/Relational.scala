@@ -1110,6 +1110,126 @@ object Relational {
       |    <= grp_n * n_total AS released
       |FROM grid GROUP BY 1, 2, 3, n_total""".stripMargin
 
+  // ---- differentially-private release ----------------------------------------
+
+  /** DP noise scale: counts have sensitivity 1, so b = 1/ε with ε = 1. */
+  val dpEpsilon = 1.0
+
+  /** Differentially-private count release — the fourth rung of the
+    * governance ladder (q_kanon/q_ldiv/q_tclose audit what raw groups may
+    * ship; this SHIPS a noised version with a provable ε-budget): per
+    * quasi-identifier group, the true count plus Laplace(1/ε) noise via
+    * inverse-CDF sampling, clamped at 0 and rounded to an integer. The
+    * noise draw is DETERMINISTIC — u = hash64(group key, salt "dp") / 2⁶⁰
+    * (an exact dyadic; the engine's portable MD5-based hash) — so the
+    * release is reproducible run-to-run and engine-to-engine, which is
+    * exactly how production DP pipelines pin their draws (a seeded PRNG
+    * keyed by group). Disjoint groups → parallel composition → the whole
+    * release costs ε = 1. The one engine-sensitivity: `ln` is not
+    * IEEE-exactness-guaranteed like sqrt, so the noise is rounded to 6dp
+    * BEFORE the integer round (a 1-ulp ln divergence cannot flip it).
+    * Scale shape: identical to q_kanon — ONE bounded-key aggregation with
+    * map-side partials; noise math runs over the tiny grouped frame.
+    * (The true count is emitted for audit parity; a production release
+    * drops it.) */
+  def qDpCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables(spark, sfDir).customer
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_true"))
+    val u = graft.functions.Portable.hash64(
+      concat_ws("|", col("c_nationkey"), col("c_mktsegment")), "dp")
+      .cast("double") / lit(math.pow(2, 60))
+    g.withColumn("u", u)
+      .withColumn("noise",
+        round(lit(-1d / dpEpsilon)
+          * signum(col("u") - lit(0.5d))
+          * log(lit(1d) - lit(2d) * abs(col("u") - lit(0.5d))), 6))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n_true"),
+        greatest(lit(0L),
+          round(col("n_true") + col("noise"), 0).cast("long")).as("n_released"),
+        lit(dpEpsilon).as("epsilon"))
+  }
+
+  val qDpCountsSql: String = {
+    val u = graft.functions.Portable.hash64Sql(
+      "(c_nationkey || '|' || c_mktsegment)", "dp")
+    s"""WITH g AS (
+       |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_true
+       |  FROM customer GROUP BY 1, 2),
+       |n AS (
+       |  SELECT *, $u / CAST(1152921504606846976 AS DOUBLE) AS u FROM g),
+       |z AS (
+       |  SELECT *,
+       |    round(CAST(${-1.0 / dpEpsilon} AS DOUBLE)
+       |      * sign(u - 0.5)
+       |      * ln(CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) * abs(u - 0.5)), 6)
+       |      AS noise
+       |  FROM n)
+       |SELECT c_nationkey, c_mktsegment, n_true,
+       |  greatest(CAST(0 AS BIGINT), CAST(round(n_true + noise, 0) AS BIGINT))
+       |    AS n_released,
+       |  CAST($dpEpsilon AS DOUBLE) AS epsilon
+       |FROM z""".stripMargin
+  }
+
+  // ---- order-invariant table fingerprint ---------------------------------------
+
+  /** Order-invariant table fingerprint — the replication/migration
+    * validation tool (did the copy land bit-identical?) that must NOT
+    * depend on row order, file split, or partition count: per table,
+    * row count + XOR of a canonical per-row 60-bit hash + a wrap-safe
+    * 32-bit-residue SUM (XOR alone is blind to an even number of
+    * identical-row drops; the sum catches them, and its 2³²-residue terms
+    * keep 10⁹-row sums inside BIGINT). Money columns enter the canonical
+    * string as exact cents (double RENDERING differs across engines;
+    * integer cents cannot). Scale shape: pure scan → map-side partial agg
+    * → ONE row per table; no shuffle wider than the final single-row
+    * merge — the cheapest possible full-table integrity pass, and the
+    * three aggregates are all order/partition-invariant by construction. */
+  def qTableHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    def fp(name: String, df: DataFrame, canonical: Column): DataFrame = {
+      val h = graft.functions.Portable.hash64(canonical, "fp")
+      df.select(h.as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_h"),
+          sum(pmod(col("h"), lit(4294967296L))).as("sum32"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("xor_h"), col("sum32"))
+    }
+    val li = fp("lineitem", t.lineitem, concat_ws("|",
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+      expr("CAST(round(l_quantity * 100, 0) AS BIGINT)"),
+      expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")))
+    val cu = fp("customer", t.customer, concat_ws("|",
+      col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+      expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)")))
+    val or = fp("orders", t.orders, concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus")))
+    li.unionAll(cu).unionAll(or)
+  }
+
+  val qTableHashSql: String = {
+    def one(name: String, table: String, canonical: String): String = {
+      val h = graft.functions.Portable.hash64Sql(s"($canonical)", "fp")
+      s"""SELECT '$name' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  bit_xor($h) AS xor_h,
+         |  CAST(sum($h % 4294967296) AS BIGINT) AS sum32
+         |FROM $table""".stripMargin
+    }
+    Seq(
+      one("lineitem", "lineitem",
+        "l_orderkey || '|' || l_partkey || '|' || l_suppkey || '|' || " +
+          "l_linenumber || '|' || " +
+          "CAST(round(l_quantity * 100, 0) AS BIGINT) || '|' || " +
+          "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"),
+      one("customer", "customer",
+        "c_custkey || '|' || c_nationkey || '|' || c_mktsegment || '|' || " +
+          "CAST(round(c_acctbal * 100, 0) AS BIGINT)"),
+      one("orders", "orders",
+        "o_orderkey || '|' || o_custkey || '|' || o_orderstatus")
+    ).mkString("\nUNION ALL\n")
+  }
+
   // ---- point-in-time feature backfill ---------------------------------------
 
   /** Point-in-time feature backfill — the FEATURE-STORE correctness
@@ -1662,6 +1782,8 @@ object Relational {
     "q_kanon" -> (qKanon _),
     "q_ldiv" -> (qLdiv _),
     "q_tclose" -> (qTclose _),
+    "q_dp_counts" -> (qDpCounts _),
+    "q_table_hash" -> (qTableHash _),
     "q_pseudonym" -> (qPseudonym _),
     "q_log_compact" -> (qLogCompact _),
     "q_feature_join" -> (qFeatureJoin _),
@@ -1700,6 +1822,8 @@ object Relational {
     "q_kanon" -> qKanonSql,
     "q_ldiv" -> qLdivSql,
     "q_tclose" -> qTcloseSql,
+    "q_dp_counts" -> qDpCountsSql,
+    "q_table_hash" -> qTableHashSql,
     "q_pseudonym" -> qPseudonymSql,
     "q_log_compact" -> qLogCompactSql,
     "q_feature_join" -> qFeatureJoinSql,

@@ -137,6 +137,57 @@ class ExperimentOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_decomp: mix + rate effects conserve the total KPI delta exactly") {
+    val rows = events.EventOps.decomp(spark, sf).collect()
+    val dTotal = rows.map(r => r.getAs[Long]("p2") - r.getAs[Long]("p1")).sum
+    val dBridge = rows.map(r =>
+      r.getAs[Double]("mix_effect") + r.getAs[Double]("rate_effect")).sum
+    assert(math.abs(dBridge - dTotal) < 1e-4,
+      s"bridge $dBridge must reconcile the raw delta $dTotal")
+    assert(rows.length == 4, "one row per cohort")
+  }
+
+  test("q_dp_counts: draws are deterministic, clamped, and Laplace-bounded") {
+    val a = relational.Relational.qDpCounts(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getAs[Long]("n_true"),
+        r.getAs[Long]("n_released"))).sortBy(t => (t._1, t._2))
+    val b = relational.Relational.qDpCounts(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getAs[Long]("n_true"),
+        r.getAs[Long]("n_released"))).sortBy(t => (t._1, t._2))
+    assert(a.sameElements(b), "the seeded draw must be reproducible")
+    a.foreach { case (_, _, t, rel) =>
+      assert(rel >= 0, "released counts are clamped at zero")
+      // inverse-CDF Laplace(b=1) from a 60-bit uniform is bounded by
+      // ln(2^60) ≈ 41.6; allow integer-rounding slack
+      assert(math.abs(rel - t) <= 43, s"noise out of Laplace range: $t -> $rel")
+    }
+    assert(a.exists { case (_, _, t, rel) => t != rel }, "noise must be present")
+  }
+
+  test("q_table_hash: fingerprint matches a driver-side recount and ignores order") {
+    val got = relational.Relational.qTableHash(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("xor_h"), r.getAs[Long]("sum32"))).toMap
+    // independent recount on the customer table (bounded at sf0.001)
+    val hs = Tables(spark, sf).customer
+      .select(graft.functions.Portable.hash64(
+        concat_ws("|", col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)")), "fp").as("h"))
+      .collect().map(_.getLong(0))
+    val want = (hs.length.toLong, hs.reduce(_ ^ _), hs.map(_ % 4294967296L).sum)
+    assert(got("customer") == want, "customer fingerprint must recount exactly")
+    // order/partitioning invariance: scrambled input, same fingerprint
+    val scrambled = Tables(spark, sf).customer.repartition(7)
+      .sortWithinPartitions(col("c_acctbal"))
+      .select(graft.functions.Portable.hash64(
+        concat_ws("|", col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)")), "fp").as("h"))
+      .agg(count(lit(1)), expr("bit_xor(h)"),
+        sum(pmod(col("h"), lit(4294967296L))))
+      .head()
+    assert((scrambled.getLong(0), scrambled.getLong(1), scrambled.getLong(2)) == want)
+  }
+
   test("tx_calibration: cells recount the langid scan; ECE reassembles from them") {
     val preds = text.TextOps.langId(spark, sf)
       .join(Tables(spark, sf).documents.select(col("doc_id"), col("lang")), "doc_id")
