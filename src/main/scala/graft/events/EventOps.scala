@@ -1564,6 +1564,75 @@ object EventOps {
       |  round(med, 6) AS med, round(mad, 6) AS mad, score
       |FROM scored WHERE abs(score) > 3""".stripMargin
 
+  // ---- SLO error-budget burn rate ---------------------------------------------
+
+  /** SLO availability target; budget = 1 − target = 1% of events. */
+  val sloTarget = 0.99
+
+  /** Multiwindow SLO burn-rate alerting (the Google SRE-workbook policy —
+    * the ops readout every serving pipeline pages on): per hour, the
+    * error rate over a FAST 1 h window and a SLOW 6 h window, each
+    * normalized by the error budget (burn = rate / (1−SLO)); page when
+    * BOTH exceed their threshold (fast ≥ 14.4, slow ≥ 6 — fast-only is
+    * noise, slow-only is a stale incident). Exactness: both verdicts are
+    * cross-multiplied integer comparisons (err·1000 ≥ 144·total and
+    * err·50 ≥ 3·total — no float in the page decision); the REPORTED burn
+    * rates are single 6dp divisions of exact BIGINTs. Scale shape: ONE
+    * corpus aggregation to the calendar-bounded (hour → errors, total)
+    * dim with map-side partials; the 6 h window is a range frame over
+    * that tiny dim (gap hours carry zero mass on both engines, so sparse
+    * frames are exact). */
+  def errorBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables(spark, sfDir).events
+      .groupBy(expr("unix_timestamp(date_trunc('hour', ts)) DIV 3600").as("h"))
+      .agg(count(lit(1)).as("total"),
+        count(when(col("event_type") === "error", 1)).as("errors"))
+    errorBudgetOver(counts)
+  }
+
+  /** The burn-rate scoring pass over an already-built (h, total, errors)
+    * matrix — shared by the batch query above and its streaming twin
+    * (st_error_budget keeps the matrix in the state store; the matrix is
+    * the alert's full sufficient statistic, so scoring at drain time
+    * reproduces the batch page set exactly). */
+  def errorBudgetOver(counts: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("h")).rangeBetween(-5, 0)
+    counts
+      .withColumn("tot6", sum(col("total")).over(w))
+      .withColumn("err6", sum(col("errors")).over(w))
+      .select(col("h").as("hour_idx"), col("total"), col("errors"),
+        round(col("errors").cast("double") * lit(100d) / col("total"), 6)
+          .as("fast_burn"),
+        round(col("err6").cast("double") * lit(100d) / col("tot6"), 6)
+          .as("slow_burn"),
+        (col("errors") * 1000 >= col("total") * 144 &&
+          col("err6") * 50 >= col("tot6") * 3).as("page"))
+  }
+
+  val errorBudgetSql: String =
+    """WITH counts AS (
+      |  SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |      // 3600 AS h,
+      |    CAST(count(*) AS BIGINT) AS total,
+      |    CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+      |      AS errors
+      |  FROM events GROUP BY 1),
+      |win AS (
+      |  SELECT *,
+      |    CAST(sum(total) OVER
+      |      (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS tot6,
+      |    CAST(sum(errors) OVER
+      |      (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS err6
+      |  FROM counts)
+      |SELECT h AS hour_idx, total, errors,
+      |  round(CAST(errors AS DOUBLE) * 100 / total, 6) AS fast_burn,
+      |  round(CAST(err6 AS DOUBLE) * 100 / tot6, 6) AS slow_burn,
+      |  errors * 1000 >= total * 144 AND err6 * 50 >= tot6 * 3 AS page
+      |FROM win""".stripMargin
+
   // ---- period-over-period metric bridge --------------------------------------
 
   /** Period-over-period metric decomposition — the "why did the KPI move"
@@ -2652,6 +2721,7 @@ object EventOps {
     "ev_power_mde" -> (powerMde _),
     "ev_xcorr" -> (xcorr _),
     "ev_decomp" -> (decomp _),
+    "ev_error_budget" -> (errorBudget _),
     "ev_interp" -> (interp _),
     "ev_growth" -> (growth _),
     "ev_rfm" -> (rfm _),
@@ -2698,6 +2768,7 @@ object EventOps {
     "ev_power_mde" -> powerMdeSql,
     "ev_xcorr" -> xcorrSql,
     "ev_decomp" -> decompSql,
+    "ev_error_budget" -> errorBudgetSql,
     "ev_interp" -> interpSql,
     "ev_growth" -> growthSql,
     "ev_rfm" -> rfmSql,

@@ -850,6 +850,28 @@ object StreamOps {
   /** Batch oracle reused verbatim — the drift-proof twin contract. */
   def stAnomalyMadSql: String = graft.events.EventOps.anomalyMadSql
 
+  /** Multiwindow SLO burn-rate paging under the STREAMING state store —
+    * ev_error_budget's live twin (the deployment that actually pages):
+    * state = one (total, errors) BIGINT pair per hour — mergeable
+    * order/micro-batch-invariant SUMS, calendar-bounded; the 6 h window
+    * pass and both cross-multiplied page verdicts run as the READ-TIME
+    * VIEW over the drained matrix
+    * ([[graft.events.EventOps.errorBudgetOver]] — literally the batch
+    * code), so the live page set EQUALS the batch page set and the batch
+    * oracle is reused verbatim. */
+  def errorBudgetLive(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = runToTable(spark, sfDir, OutputMode.Complete()) { src =>
+      src.groupBy(
+        expr("unix_timestamp(date_trunc('hour', ts)) DIV 3600").as("h"))
+        .agg(count(lit(1)).as("total"),
+          count(when(col("event_type") === "error", 1)).as("errors"))
+    }
+    graft.events.EventOps.errorBudgetOver(counts)
+  }
+
+  /** Batch oracle reused verbatim — the drift-proof twin contract. */
+  def stErrorBudgetSql: String = graft.events.EventOps.errorBudgetSql
+
   /** Event-time-correct dim enrichment ON the stream — q_temporal_join's
     * live form and the shape every streaming enrichment pipeline needs: a
     * view event joins the SCD2 tier version valid AT ITS OWN event time
@@ -1355,6 +1377,7 @@ object StreamOps {
     "st_theta_kmv" -> (thetaKmv _),
     "st_cusum" -> (cusumLive _),
     "st_anomaly_mad" -> (anomalyMadLive _),
+    "st_error_budget" -> (errorBudgetLive _),
     "st_temporal_join" -> (temporalJoinLive _),
     "st_session_native" -> (sessionNative _),
     "st_funnel" -> (funnel _),
@@ -1386,6 +1409,7 @@ object StreamOps {
     "st_theta_kmv" -> thetaKmvSql,
     "st_cusum" -> stCusumSql,
     "st_anomaly_mad" -> stAnomalyMadSql,
+    "st_error_budget" -> stErrorBudgetSql,
     "st_temporal_join" -> stTemporalJoinSql,
     "st_session_native" -> sessionNativeSql,
     "st_funnel" -> funnelSql,

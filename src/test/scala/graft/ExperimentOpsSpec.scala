@@ -137,6 +137,24 @@ class ExperimentOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_error_budget: window recount matches; live twin pages identically") {
+    val batch = events.EventOps.errorBudget(spark, sf).collect()
+    // driver-side recount of the 6h range frame over the sparse hour dim
+    val cells = batch.map(r => r.getAs[Long]("hour_idx") ->
+      (r.getAs[Long]("total"), r.getAs[Long]("errors"))).toMap
+    batch.foreach { r =>
+      val h = r.getAs[Long]("hour_idx")
+      val win = (h - 5 to h).flatMap(cells.get)
+      val (t6, e6) = (win.map(_._1).sum, win.map(_._2).sum)
+      assert(math.abs(r.getAs[Double]("slow_burn") - e6.toDouble * 100 / t6) < 1e-5)
+      assert(r.getAs[Boolean]("page") ==
+        (r.getAs[Long]("errors") * 1000 >= r.getAs[Long]("total") * 144 &&
+          e6 * 50 >= t6 * 3))
+    }
+    val live = streaming.StreamOps.errorBudgetLive(spark, sf).collect().map(_.toSeq).toSet
+    assert(live == batch.map(_.toSeq).toSet, "live page set must equal batch")
+  }
+
   test("ev_decomp: mix + rate effects conserve the total KPI delta exactly") {
     val rows = events.EventOps.decomp(spark, sf).collect()
     val dTotal = rows.map(r => r.getAs[Long]("p2") - r.getAs[Long]("p1")).sum
