@@ -20,6 +20,7 @@ object SparkEntry {
     (pipeline.Curate.queries, pipeline.Curate.oracleSql),
     (sources.WarcQueries.queries, sources.WarcQueries.oracleSql),
     (sources.CsvQueries.queries, sources.CsvQueries.oracleSql),
+    (sources.ParquetStats.queries, sources.ParquetStats.oracleSql),
     (web.WebOps.queries, web.WebOps.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -905,6 +905,120 @@ object Similarity {
        |WHERE rank <= 3""".stripMargin
   }
 
+  // ---- MMR diversified re-rank ----------------------------------------------
+
+  /** Relevance/diversity trade-off weight. */
+  val mmrLambda = 0.7
+  /** Candidate pool per query / results kept. */
+  val mmrPool = 10
+  val mmrK = 5
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein SIGIR'98 —
+    * the diversity pass production retrieval runs between ANN recall and
+    * the consumer): from each query's top-10 relevance pool, greedily keep
+    * 5 results maximizing λ·cos(q,d) − (1−λ)·max_{s∈selected} cos(d,s),
+    * so near-duplicate hits can't crowd the result page. The greedy
+    * recurrence is UNROLLED at the fixed k (step i sees steps 1..i−1) —
+    * no iteration state, just k chained selections, identical on both
+    * engines. Determinism: candidate cosines and pairwise penalties are
+    * rounded 6dp BEFORE any comparison, the MMR score is one fixed-order
+    * expression of those rounded operands (itself re-rounded 6dp before
+    * the argmax), ties break cand-ASC. Scale shape: the pool is the
+    * bounded per-query top-k (partial top-k per partition); pairwise
+    * penalties are pool×pool WITHIN a query (≤ 100 rows/query); every
+    * greedy step is a tiny bounded join — corpus-sized work ends at the
+    * pool cut, exactly where a production system hands off to its
+    * re-ranker. */
+  def mmr(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand").asc)
+    val pool = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(graft.plans.VectorDot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6)
+          .as("cos"),
+        col("v"), col("nrm"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= mmrPool)
+      .drop("rn").persist()
+    val pair = pool.as("a").join(pool.as("b"),
+        col("a.qid") === col("b.qid") && col("a.cand") =!= col("b.cand"))
+      .select(col("a.qid").as("qid"), col("a.cand").as("c1"), col("b.cand").as("c2"),
+        round(graft.plans.VectorDot(col("a.v"), col("b.v"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("sim"))
+      .persist()
+    val cands = pool.select(col("qid"), col("cand"), col("cos"))
+    val wm = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("cand").asc)
+    var sel = cands
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("qid"), lit(1L).as("step"), col("cand"), col("cos"),
+        col("cos").as("mmr"))
+    for (step <- 2 to mmrK) {
+      val pen = pair
+        .join(sel.select(col("qid"), col("cand").as("c2")), Seq("qid", "c2"))
+        .groupBy(col("qid"), col("c1")).agg(max(col("sim")).as("pen"))
+      val next = cands
+        .join(sel.select(col("qid"), col("cand")), Seq("qid", "cand"), "left_anti")
+        .join(pen.withColumnRenamed("c1", "cand"), Seq("qid", "cand"))
+        .withColumn("mmr",
+          round(lit(mmrLambda) * col("cos") - lit(1 - mmrLambda) * col("pen"), 6))
+        .withColumn("rn", row_number().over(wm)).filter(col("rn") === 1)
+        .select(col("qid"), lit(step.toLong).as("step"), col("cand"), col("cos"),
+          col("mmr"))
+      sel = sel.unionAll(next).persist()
+    }
+    sel
+  }
+
+  val mmrSql: String = {
+    val lam = mmrLambda
+    val steps = (2 to mmrK).map { i =>
+      val prev = (1 until i).map(j => s"SELECT qid, cand FROM s$j").mkString(" UNION ALL ")
+      s"""pen$i AS (
+         |  SELECT p.qid, p.c1 AS cand, max(p.sim) AS pen
+         |  FROM pair p JOIN ($prev) s ON s.qid = p.qid AND s.cand = p.c2
+         |  GROUP BY 1, 2),
+         |s$i AS (
+         |  SELECT qid, CAST($i AS BIGINT) AS step, cand, cos, mmr FROM (
+         |    SELECT c.qid, c.cand, c.cos,
+         |      round($lam * c.cos - ${1 - lam} * p.pen, 6) AS mmr,
+         |      row_number() OVER (PARTITION BY c.qid
+         |        ORDER BY round($lam * c.cos - ${1 - lam} * p.pen, 6) DESC,
+         |          c.cand ASC) AS rn
+         |    FROM pool c
+         |    JOIN pen$i p ON p.qid = c.qid AND p.cand = c.cand
+         |    WHERE NOT EXISTS (SELECT 1 FROM ($prev) s
+         |      WHERE s.qid = c.qid AND s.cand = c.cand)) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val all = (1 to mmrK).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"""WITH $embCte,
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $numQueries),
+       |pool AS (
+       |  SELECT qid, cand, cos, v FROM (
+       |    SELECT qid, e.vec_id AS cand,
+       |      round(${Portable.cosineSql("e.v", "qv")}, 6) AS cos, e.v,
+       |      row_number() OVER (PARTITION BY qid ORDER BY
+       |        round(${Portable.cosineSql("e.v", "qv")}, 6) DESC,
+       |        e.vec_id ASC) AS rn
+       |    FROM e CROSS JOIN q WHERE e.vec_id <> qid) t
+       |  WHERE rn <= $mmrPool),
+       |pair AS (
+       |  SELECT a.qid, a.cand AS c1, b.cand AS c2,
+       |    round(${Portable.cosineSql("a.v", "b.v")}, 6) AS sim
+       |  FROM pool a JOIN pool b ON a.qid = b.qid AND a.cand <> b.cand),
+       |s1 AS (
+       |  SELECT qid, CAST(1 AS BIGINT) AS step, cand, cos, cos AS mmr FROM (
+       |    SELECT qid, cand, cos,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand ASC)
+       |        AS rn
+       |    FROM pool) t
+       |  WHERE rn = 1),
+       |$steps
+       |SELECT qid, step, cand, cos, mmr FROM ($all) u""".stripMargin
+  }
+
   // ---- ANN recall audit (the approximate-path tuning query) ---------------
 
   /** Recall@3 of both approximate paths (sign-bucket LSH, IVF probing)
@@ -1344,6 +1458,7 @@ object Similarity {
     "samp_kcenter" -> (kcenter _),
     "ann_quant_topk" -> (quantTopK _),
     "ann_rerank" -> (rerank _),
+    "ann_mmr" -> (mmr _),
     "ann_pq_topk" -> (pqTopK _),
     "ann_brute_topk" -> (bruteTopK _),
     "ann_lsh_topk" -> (lshTopK _),
@@ -1364,6 +1479,7 @@ object Similarity {
     "samp_kcenter" -> kcenterSql,
     "ann_quant_topk" -> quantTopKSql,
     "ann_rerank" -> rerankSql,
+    "ann_mmr" -> mmrSql,
     "ann_pq_topk" -> pqTopKSql,
     "ann_brute_topk" -> bruteTopKSql,
     "ann_lsh_topk" -> lshTopKSql,

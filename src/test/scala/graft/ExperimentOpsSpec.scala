@@ -206,6 +206,59 @@ class ExperimentOpsSpec extends AnyFunSuite {
     assert((scrambled.getLong(0), scrambled.getLong(1), scrambled.getLong(2)) == want)
   }
 
+  test("ann_mmr: unrolled selection equals a driver-side greedy replay") {
+    val got = sim.Similarity.mmr(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("step"), r.getAs[Long]("cand")))
+    // rebuild pool + pairwise sims from raw vectors, replay the greedy
+    val vecs = Tables(spark, sf).embeddings
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      .filter { case (_, v) => v.map(x => x * x).sum > 0 }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      BigDecimal(d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    (0L until sim.Similarity.numQueries.toLong).filter(vecs.contains).foreach { qid =>
+      val pool = vecs.keys.filter(_ != qid).toSeq
+        .map(c => c -> cos(vecs(c), vecs(qid)))
+        .sortBy { case (c, s) => (-s, c) }.take(sim.Similarity.mmrPool)
+      var selected = Vector(pool.head._1)
+      (2 to sim.Similarity.mmrK).foreach { _ =>
+        val pick = pool.filterNot(p => selected.contains(p._1)).map { case (c, rel) =>
+          val pen = selected.map(s => cos(vecs(c), vecs(s))).max
+          val m = BigDecimal(sim.Similarity.mmrLambda * rel -
+            (1 - sim.Similarity.mmrLambda) * pen)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (c, m)
+        }.minBy { case (c, m) => (-m, c) }._1
+        selected :+= pick
+      }
+      val gotSel = got.filter(_._1 == qid).sortBy(_._2).map(_._3)
+      assert(gotSel.sameElements(selected), s"qid $qid: $gotSel vs $selected")
+    }
+  }
+
+  test("src_parquet_stats: row-group rows fold to the graded totals; footers match data") {
+    val raw = sources.ParquetStats.footerStats(spark, sf).collect()
+    assert(raw.nonEmpty && raw.forall(_.getAs[Long]("row_group") >= 0))
+    val folded = raw.groupBy(r => (r.getString(0), r.getString(1))).map { case (k, rs) =>
+      k -> (rs.map(_.getAs[Long]("n_values")).sum, rs.map(_.getAs[Long]("min_v")).min,
+        rs.map(_.getAs[Long]("max_v")).max)
+    }
+    // footers must agree with a full data scan (zone-map soundness)
+    val o = Tables(spark, sf).orders
+      .agg(count(col("o_orderkey")), min(col("o_orderkey")), max(col("o_orderkey")))
+      .head()
+    assert(folded(("orders", "o_orderkey")) ==
+      ((o.getLong(0), o.getLong(1), o.getLong(2))))
+    val q = sources.ParquetStats.srcParquetStats(spark, sf)
+      .filter(col("table_name") === "orders" && col("col_name") === "o_orderkey")
+      .head()
+    assert((q.getAs[Long]("n_values"), q.getAs[Long]("min_v"), q.getAs[Long]("max_v")) ==
+      ((o.getLong(0), o.getLong(1), o.getLong(2))))
+  }
+
   test("tx_calibration: cells recount the langid scan; ECE reassembles from them") {
     val preds = text.TextOps.langId(spark, sf)
       .join(Tables(spark, sf).documents.select(col("doc_id"), col("lang")), "doc_id")
