@@ -75,23 +75,33 @@ object ActionSink {
     matched.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // stage fresh rows (replay-idempotent: anti-join the pending log)
-        undispatched(spark, batch, pendingDir).write.mode("append").parquet(pendingDir)
-        val pending = spark.read.parquet(pendingDir)
-        val clockRow = pending.agg(max(col("ts_us"))).head
-        if (!clockRow.isNullAt(0)) { // an all-empty pending log has no clock yet
-          val due = pending.filter(col("due_us") <= clockRow.getLong(0))
-          val fresh = undispatched(spark, due, logDir)
-            .persist() // evaluated twice: act + log append
-          try {
-            act(fresh)
-            fresh.withColumn("batch_id", lit(batchId))
-              .write.mode("append").parquet(logDir)
-          } finally fresh.unpersist()
-        }
-        ()
+        dispatchDelayedBatch(spark, batch, batchId, pendingDir, logDir)(act)
       }
       .start()
+
+  /** One micro-batch of the delayed dispatch — exposed so a composition
+    * that must recompute per-batch state FIRST (GraftApp reloads the rule
+    * dim inside its own foreachBatch — a stream-static join would pin the
+    * rules file listing at plan time, the RecoverySpec finding) can reuse
+    * the staging/clock/dispatch contract verbatim. */
+  def dispatchDelayedBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      pendingDir: String, logDir: String)(act: DataFrame => Unit): Unit = {
+    // stage fresh rows (replay-idempotent: anti-join the pending log)
+    undispatched(spark, batch, pendingDir).write.mode("append").parquet(pendingDir)
+    val pending = spark.read.parquet(pendingDir)
+    val clockRow = pending.agg(max(col("ts_us"))).head
+    if (!clockRow.isNullAt(0)) { // an all-empty pending log has no clock yet
+      val due = pending.filter(col("due_us") <= clockRow.getLong(0))
+      val fresh = undispatched(spark, due, logDir)
+        .persist() // evaluated twice: act + log append
+      try {
+        act(fresh)
+        fresh.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(logDir)
+      } finally fresh.unpersist()
+    }
+    ()
+  }
 
   /** Rows of `batch` not yet in the dispatch log (dedup within the batch,
     * then anti-join against the log). Only a genuinely ABSENT log means

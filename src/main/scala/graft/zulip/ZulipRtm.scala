@@ -101,7 +101,10 @@ final class ZulipRtm(
       try lastId = pollOnce(queueId, lastId)
       catch {
         case e: Exception =>
-          System.err.println(s"Err in connect_to_zulip: ${e.getMessage}")
+          // print the class + top frames, not just the message — a bare
+          // NPE has a null message and would otherwise be undiagnosable
+          System.err.println(s"Err in connect_to_zulip: $e" +
+            e.getStackTrace.take(4).map(f => s"\n  at $f").mkString)
           Thread.sleep(backoffMs)
       }
     }
