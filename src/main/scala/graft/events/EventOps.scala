@@ -1733,13 +1733,24 @@ object EventOps {
     * self-join all run over that tiny dim — pairs×lags work never touches
     * row-level data. */
   def xcorr(spark: SparkSession, sfDir: String): DataFrame = {
-    val c = Tables(spark, sfDir).events
+    val counts = Tables(spark, sfDir).events
       .groupBy(col("event_type"),
         expr("unix_timestamp(date_trunc('hour', ts)) DIV 3600").as("h"))
       .agg(count(lit(1)).as("c"))
+    xcorrOver(counts)
+  }
+
+  /** The pairs×lags Pearson pass over an already-built (type, h, c) count
+    * matrix — shared by the batch query above and its streaming twin
+    * (st_xcorr keeps the matrix in the state store; the matrix is the
+    * correlogram's full sufficient statistic, so scoring at drain time
+    * reproduces the batch correlogram exactly). */
+  def xcorrOver(counts: DataFrame): DataFrame = {
+    val c = counts
       .persist() // calendar-bounded dim; feeds bounds, both moment folds, the shifted join
     val bounds = c.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
-    val lags = spark.range(-xcorrMaxLag, xcorrMaxLag + 1).select(col("id").as("lag"))
+    val lags = counts.sparkSession.range(-xcorrMaxLag, xcorrMaxLag + 1)
+      .select(col("id").as("lag"))
     val types = c.select(col("event_type")).distinct()
     val amom = c.crossJoin(lags).crossJoin(broadcast(bounds))
       .filter(col("h") >= col("mn") + greatest(lit(0L), -col("lag")) &&

@@ -1230,6 +1230,58 @@ object Relational {
     ).mkString("\nUNION ALL\n")
   }
 
+  // ---- functional-dependency discovery -----------------------------------------
+
+  /** Candidate FDs audited per table: (lhs determines rhs?). */
+  val fdCandidates: Seq[(String, Seq[(String, String)])] = Seq(
+    "orders" -> Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderstatus")),
+    "customer" -> Seq(("c_custkey", "c_mktsegment"), ("c_nationkey", "c_mktsegment")),
+    "lineitem" -> Seq(("l_orderkey", "l_suppkey"), ("l_partkey", "l_suppkey")))
+
+  /** Functional-dependency discovery — the profiling pass (Metanome-style;
+    * Papenbrock et al. VLDB'15 surveys it) run before anyone trusts a
+    * column as a key or a lookup: A → B holds exactly when
+    * |distinct(A)| = |distinct(A,B)|, and the VIOLATION SHARE
+    * (extra (A,B) pairs per pair) grades how badly an almost-FD leaks —
+    * the number that decides between "fix the data" and "drop the
+    * assumption" (q_dq_checks asserts DECLARED constraints; this
+    * DISCOVERS which ones the data actually supports). Scale shape: ONE
+    * aggregation per table computes every candidate's two distinct counts
+    * in a single multi-distinct pass (shared Expand — the q_profile
+    * audited shape); the verdict math runs on the 1-row result. Exact
+    * BIGINT counts; the share is one 6dp division. */
+  def qFdDiscover(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val tables = Map[String, DataFrame](
+      "orders" -> t.orders, "customer" -> t.customer, "lineitem" -> t.lineitem)
+    fdCandidates.map { case (table, cands) =>
+      val aggs = cands.flatMap { case (a, b) =>
+        Seq(countDistinct(col(a)).as(s"l_${a}_$b"),
+          countDistinct(col(a), col(b)).as(s"p_${a}_$b"))
+      }
+      val one = tables(table).agg(aggs.head, aggs.tail: _*)
+      cands.map { case (a, b) =>
+        val (l, p) = (col(s"l_${a}_$b"), col(s"p_${a}_$b"))
+        one.select(lit(table).as("table_name"), lit(a).as("lhs"), lit(b).as("rhs"),
+          l.as("n_lhs"), p.as("n_pairs"), (l === p).as("holds"),
+          round((p - l).cast("double") / p, 6).as("violation_share"))
+      }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _)
+  }
+
+  val qFdDiscoverSql: String =
+    fdCandidates.flatMap { case (table, cands) =>
+      cands.map { case (a, b) =>
+        s"""SELECT '$table' AS table_name, '$a' AS lhs, '$b' AS rhs,
+           |  CAST(count(DISTINCT $a) AS BIGINT) AS n_lhs,
+           |  CAST(count(DISTINCT ($a, $b)) AS BIGINT) AS n_pairs,
+           |  count(DISTINCT $a) = count(DISTINCT ($a, $b)) AS holds,
+           |  round(CAST(count(DISTINCT ($a, $b)) - count(DISTINCT $a) AS DOUBLE)
+           |    / count(DISTINCT ($a, $b)), 6) AS violation_share
+           |FROM $table""".stripMargin
+      }
+    }.mkString("\nUNION ALL\n")
+
   // ---- point-in-time feature backfill ---------------------------------------
 
   /** Point-in-time feature backfill — the FEATURE-STORE correctness
@@ -1784,6 +1836,7 @@ object Relational {
     "q_tclose" -> (qTclose _),
     "q_dp_counts" -> (qDpCounts _),
     "q_table_hash" -> (qTableHash _),
+    "q_fd_discover" -> (qFdDiscover _),
     "q_pseudonym" -> (qPseudonym _),
     "q_log_compact" -> (qLogCompact _),
     "q_feature_join" -> (qFeatureJoin _),
@@ -1824,6 +1877,7 @@ object Relational {
     "q_tclose" -> qTcloseSql,
     "q_dp_counts" -> qDpCountsSql,
     "q_table_hash" -> qTableHashSql,
+    "q_fd_discover" -> qFdDiscoverSql,
     "q_pseudonym" -> qPseudonymSql,
     "q_log_compact" -> qLogCompactSql,
     "q_feature_join" -> qFeatureJoinSql,

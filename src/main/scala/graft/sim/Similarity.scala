@@ -995,7 +995,7 @@ object Similarity {
     val all = (1 to mmrK).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
     s"""WITH $embCte,
        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $numQueries),
-       |pool AS (
+       |pool AS MATERIALIZED (
        |  SELECT qid, cand, cos, v FROM (
        |    SELECT qid, e.vec_id AS cand,
        |      round(${Portable.cosineSql("e.v", "qv")}, 6) AS cos, e.v,
@@ -1004,7 +1004,7 @@ object Similarity {
        |        e.vec_id ASC) AS rn
        |    FROM e CROSS JOIN q WHERE e.vec_id <> qid) t
        |  WHERE rn <= $mmrPool),
-       |pair AS (
+       |pair AS MATERIALIZED (
        |  SELECT a.qid, a.cand AS c1, b.cand AS c2,
        |    round(${Portable.cosineSql("a.v", "b.v")}, 6) AS sim
        |  FROM pool a JOIN pool b ON a.qid = b.qid AND a.cand <> b.cand),

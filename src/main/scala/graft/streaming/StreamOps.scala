@@ -872,6 +872,26 @@ object StreamOps {
   /** Batch oracle reused verbatim — the drift-proof twin contract. */
   def stErrorBudgetSql: String = graft.events.EventOps.errorBudgetSql
 
+  /** Lead-lag cross-correlation under the STREAMING state store — ev_xcorr
+    * as a live correlogram dashboard: state = one BIGINT counter per
+    * (type, hour) — mergeable order/micro-batch-invariant SUMS,
+    * calendar-bounded; the pairs×lags Pearson pass (sparse moments, range
+    * folds, the shifted self-join) is the READ-TIME VIEW over the drained
+    * matrix ([[graft.events.EventOps.xcorrOver]] — literally the batch
+    * code), so the live correlogram EQUALS the batch correlogram and the
+    * batch oracle is reused verbatim. */
+  def xcorrLive(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = runToTable(spark, sfDir, OutputMode.Complete()) { src =>
+      src.groupBy(col("event_type"),
+        expr("unix_timestamp(date_trunc('hour', ts)) DIV 3600").as("h"))
+        .agg(count(lit(1)).as("c"))
+    }
+    graft.events.EventOps.xcorrOver(counts)
+  }
+
+  /** Batch oracle reused verbatim — the drift-proof twin contract. */
+  def stXcorrSql: String = graft.events.EventOps.xcorrSql
+
   /** Event-time-correct dim enrichment ON the stream — q_temporal_join's
     * live form and the shape every streaming enrichment pipeline needs: a
     * view event joins the SCD2 tier version valid AT ITS OWN event time
@@ -1378,6 +1398,7 @@ object StreamOps {
     "st_cusum" -> (cusumLive _),
     "st_anomaly_mad" -> (anomalyMadLive _),
     "st_error_budget" -> (errorBudgetLive _),
+    "st_xcorr" -> (xcorrLive _),
     "st_temporal_join" -> (temporalJoinLive _),
     "st_session_native" -> (sessionNative _),
     "st_funnel" -> (funnel _),
@@ -1410,6 +1431,7 @@ object StreamOps {
     "st_cusum" -> stCusumSql,
     "st_anomaly_mad" -> stAnomalyMadSql,
     "st_error_budget" -> stErrorBudgetSql,
+    "st_xcorr" -> stXcorrSql,
     "st_temporal_join" -> stTemporalJoinSql,
     "st_session_native" -> sessionNativeSql,
     "st_funnel" -> funnelSql,

@@ -221,6 +221,57 @@ object TextOps {
        |FROM ns""".stripMargin
   }
 
+  // ---- hashing-trick feature vectorizer --------------------------------------
+
+  /** Hashed feature dimensions (tiny for auditability; production uses
+    * 2¹⁸+ — the construction is dimension-count-agnostic). */
+  val fhDims = 16
+
+  /** Hashing-trick text vectorizer (Weinberger et al. ICML'09 — the
+    * fixed-width featurization every vocabulary-free large-scale text
+    * model front-ends with): each word hashes to a dimension, a second
+    * independent hash gives it a ±1 sign (making the estimator unbiased
+    * and collisions cancel in expectation), and the doc's vector is the
+    * signed term-frequency sum per dimension. No vocabulary, no fitting,
+    * no dictionary broadcast — the property that lets it run on a corpus
+    * of ANY size in one pass. Exactness: the vector is all-BIGINT (signed
+    * integer counts, no floats anywhere). Scale shape: ZERO-shuffle scan
+    * projection — the per-word (dim, sign) pairs and the 16 dimension
+    * folds are per-row higher-order-function column math (one MD5 pair
+    * per word, then O(dims·words) integer adds), the tx_langid fusion
+    * posture; downstream consumers (ann_* cosine, dedup banding) take the
+    * vector without any re-join. */
+  def featureHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val ds = transform(Portable.words(col("text")), w => struct(
+      pmod(Portable.hash64(w, "fh"), lit(fhDims.toLong)).as("d"),
+      when(pmod(Portable.hash64(w, "fhs"), lit(2L)) === 0L, 1L).otherwise(-1L).as("s")))
+    val v = transform(sequence(lit(0), lit(fhDims - 1)), i =>
+      aggregate(col("ds"), lit(0L), (acc, x) =>
+        acc + when(x.getField("d") === i.cast("long"), x.getField("s")).otherwise(0L)))
+    docs(spark, sfDir)
+      .withColumn("ds", ds)
+      .select(col("doc_id"), v.as("v"))
+      .withColumn("nnz", size(filter(col("v"), x => x =!= 0L)).cast("long"))
+  }
+
+  val featureHashSql: String = {
+    def h(salt: String) = graft.functions.Portable.hash64Sql("w", salt)
+    s"""WITH ws AS (
+       |  SELECT doc_id, list_transform(${Portable.wordsSql},
+       |    w -> struct_pack(
+       |      d := ${h("fh")} % $fhDims,
+       |      s := CASE WHEN ${h("fhs")} % 2 = 0 THEN 1 ELSE -1 END)) AS ds
+       |  FROM documents),
+       |vec AS (
+       |  SELECT doc_id, list_transform(range(0, $fhDims), i ->
+       |      CAST(coalesce(list_sum(list_transform(ds,
+       |        x -> CASE WHEN x.d = i THEN x.s ELSE 0 END)), 0) AS BIGINT)) AS v
+       |  FROM ws)
+       |SELECT doc_id, v,
+       |  CAST(len(list_filter(v, x -> x <> 0)) AS BIGINT) AS nnz
+       |FROM vec""".stripMargin
+  }
+
   // ---- language-profile training ------------------------------------------
 
   val profileTopK = 4
@@ -1371,6 +1422,7 @@ object TextOps {
     "tx_langid" -> (langId _),
     "tx_lid_eval" -> (lidEval _),
     "tx_calibration" -> (calibration _),
+    "tx_feature_hash" -> (featureHash _),
     "tx_quality" -> (quality _),
     "tx_tokens" -> (tokens _),
     "tx_fingerprint" -> (fingerprint _),
@@ -1405,6 +1457,7 @@ object TextOps {
     "tx_langid" -> langIdSql,
     "tx_lid_eval" -> lidEvalSql,
     "tx_calibration" -> calibrationSql,
+    "tx_feature_hash" -> featureHashSql,
     "tx_quality" -> qualitySql,
     "tx_tokens" -> tokensSql,
     "tx_fingerprint" -> fingerprintSql,

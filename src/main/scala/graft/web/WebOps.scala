@@ -1104,8 +1104,13 @@ object WebOps {
       .filter(col("src") =!= col("dst"))
       .persist()
     def l1norm(df: DataFrame, c: String): DataFrame = {
-      val total = df.agg(sum(col(c))).head().getLong(0)
-      df.select(col("doc_id"),
+      // eager per-round materialization (the pageRank/components lineage
+      // cut): the total forces one evaluation and the normalized frame is
+      // read again next round — without this each round re-executes the
+      // whole mutual-recursion chain so far, twice
+      val m = df.localCheckpoint(true)
+      val total = m.agg(sum(col(c))).head().getLong(0)
+      m.select(col("doc_id"),
         expr(s"CAST((CAST($c AS DECIMAL(38,0)) * 1000000000) DIV $total AS BIGINT)").as(c))
     }
     var hub = docs.select(col("doc_id"), lit(1000000000L).as("hub"))
@@ -1274,9 +1279,16 @@ object WebOps {
   def components(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = graft.Tables(spark, sfDir).documents.select(col("doc_id")).persist()
     val n = docs.count()
+    // an edge target that is not a real document is DANGLING and carries no
+    // connectivity — filtered on BOTH sides. Invisible under contiguous ids
+    // (every (13d+7) mod n IS a doc); under shifted-key replication (the
+    // sf1 synthetic) an unfiltered oracle would relay components through
+    // phantom nodes the engine never labels (found by the sf1 sweep).
     val raw = docs.filter(col("doc_id") % 3 === 0)
       .select(col("doc_id").as("src"), ((col("doc_id") * 13 + 7) % n).as("dst"))
       .filter(col("src") =!= col("dst"))
+      .join(docs.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst")) // USING-join moves the key first; union below is positional
     val adj = raw.union(raw.select(col("dst"), col("src")))
       .distinct()
       .repartition(col("dst")).persist() // one partitioning, reused per round
@@ -1311,7 +1323,8 @@ object WebOps {
       |raw AS (
       |  SELECT doc_id AS src, (doc_id * 13 + 7) % (SELECT n FROM n) AS dst
       |  FROM docs WHERE doc_id % 3 = 0
-      |    AND doc_id <> (doc_id * 13 + 7) % (SELECT n FROM n)),
+      |    AND doc_id <> (doc_id * 13 + 7) % (SELECT n FROM n)
+      |    AND (doc_id * 13 + 7) % (SELECT n FROM n) IN (SELECT doc_id FROM docs)),
       |adj AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
       |reach(node, lbl) AS (
       |  SELECT doc_id, doc_id FROM docs

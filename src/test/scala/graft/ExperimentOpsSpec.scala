@@ -259,6 +259,55 @@ class ExperimentOpsSpec extends AnyFunSuite {
       ((o.getLong(0), o.getLong(1), o.getLong(2))))
   }
 
+  test("st_xcorr: the live correlogram equals the batch correlogram") {
+    val batch = events.EventOps.xcorr(spark, sf).collect().map(_.toSeq).toSet
+    val live = streaming.StreamOps.xcorrLive(spark, sf).collect().map(_.toSeq).toSet
+    assert(live == batch, "state-store matrix + read-time view must equal batch")
+  }
+
+  test("tx_feature_hash: vectors recount driver-side; signed mass bounded by tf") {
+    val got = text.TextOps.featureHash(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getSeq[Long](1).toArray, r.getAs[Long]("nnz"))).toMap
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def h64(s: String, salt: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + s).getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    docs.take(50).foreach { case (id, textv) =>
+      val words = textv.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val want = Array.fill(text.TextOps.fhDims)(0L)
+      words.foreach { w =>
+        val dim = (h64(w, "fh") % text.TextOps.fhDims).toInt
+        want(dim) += (if (h64(w, "fhs") % 2 == 0) 1L else -1L)
+      }
+      val (v, nnz) = got(id)
+      assert(v.sameElements(want), s"doc $id: ${v.toSeq} vs ${want.toSeq}")
+      assert(nnz == v.count(_ != 0L))
+      assert(v.map(math.abs).sum <= words.length, "signed mass cannot exceed tf")
+    }
+  }
+
+  test("q_fd_discover: verdicts recount from exact distinct sets") {
+    val cust = Tables(spark, sf).customer
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")).collect()
+    val got = relational.Relational.qFdDiscover(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getAs[Long]("n_lhs"), r.getAs[Long]("n_pairs"), r.getAs[Boolean]("holds")))
+      .toMap
+    val ck = cust.map(_.getLong(0)).distinct.length.toLong
+    val ckSeg = cust.map(r => (r.getLong(0), r.getString(2))).distinct.length.toLong
+    assert(got(("customer", "c_custkey", "c_mktsegment")) == ((ck, ckSeg, ck == ckSeg)))
+    val nk = cust.map(_.getInt(1)).distinct.length.toLong
+    val nkSeg = cust.map(r => (r.getInt(1), r.getString(2))).distinct.length.toLong
+    assert(got(("customer", "c_nationkey", "c_mktsegment")) == ((nk, nkSeg, nk == nkSeg)))
+    assert(!got(("customer", "c_nationkey", "c_mktsegment"))._3,
+      "nation cannot determine segment — the fixture must exercise a violation")
+  }
+
   test("tx_calibration: cells recount the langid scan; ECE reassembles from them") {
     val preds = text.TextOps.langId(spark, sf)
       .join(Tables(spark, sf).documents.select(col("doc_id"), col("lang")), "doc_id")
