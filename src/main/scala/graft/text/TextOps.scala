@@ -250,8 +250,14 @@ object TextOps {
         acc + when(x.getField("d") === i.cast("long"), x.getField("s")).otherwise(0L)))
     docs(spark, sfDir)
       .withColumn("ds", ds)
-      .select(col("doc_id"), v.as("v"))
-      .withColumn("nnz", size(filter(col("v"), x => x =!= 0L)).cast("long"))
+      .select(col("doc_id"), v.as("vec"))
+      .withColumn("nnz", size(filter(col("vec"), x => x =!= 0L)).cast("long"))
+      // '|'-joined for the driver's pandas compare (array cells are
+      // unhashable there) — the mm_features posture; in-engine consumers
+      // take the array column upstream of this projection.
+      .select(col("doc_id"),
+        array_join(col("vec").cast("array<string>"), "|").as("v"),
+        col("nnz"))
   }
 
   val featureHashSql: String = {
@@ -267,7 +273,7 @@ object TextOps {
        |      CAST(coalesce(list_sum(list_transform(ds,
        |        x -> CASE WHEN x.d = i THEN x.s ELSE 0 END)), 0) AS BIGINT)) AS v
        |  FROM ws)
-       |SELECT doc_id, v,
+       |SELECT doc_id, array_to_string(v, '|') AS v,
        |  CAST(len(list_filter(v, x -> x <> 0)) AS BIGINT) AS nnz
        |FROM vec""".stripMargin
   }

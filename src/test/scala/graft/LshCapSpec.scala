@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bounded-pair contract of the LSH candidate join (a hot band bucket
+  * must never go quadratic) and the two-level prefix-sum plan shape of
+  * samp_pps — the two 100 TB postures round 5 flagged. */
+class LshCapSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("adversarial hot bucket: cap bounds the pair volume; smallest ids survive") {
+    import spark.implicits._
+    // 40 identical docs — every band's bucket holds ALL of them, the exact
+    // degenerate shape (boilerplate mirrors) the cap exists for
+    val docs = (0L until 40L)
+      .map(i => (i, "the same boilerplate text repeated across mirror sites " * 3))
+      .toDF("doc_id", "text")
+    val arrs = docs.select(col("doc_id"),
+      graft.plans.ShingleHashes(col("text"), 3, distinct = true).as("hs_arr"))
+    val capped = dedup.Dedup.cappedBandRows(arrs, cap = 8)
+    val occ = capped.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx")).collect()
+    assert(occ.nonEmpty)
+    occ.foreach { r =>
+      assert(r.getAs[Long]("n") <= 8, "bucket occupancy must respect the cap")
+      assert(r.getAs[Long]("mx") <= 7, "cap must keep the SMALLEST doc_ids")
+    }
+    // pair volume is C(cap,2) = 28, not C(40,2) = 780
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct().count()
+    assert(pairs == 28L, s"capped hot bucket must yield C(8,2) pairs, got $pairs")
+  }
+
+  test("dd_minhash output at the default cap is unchanged on a non-degenerate corpus") {
+    // sf buckets sit far below 512 — the cap is a safety bound, not a
+    // behavior change on healthy data
+    val capped = dedup.Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val bands = dedup.Dedup.bandRows(dedup.Dedup.shingleArrays(spark, sf))
+    val uncapped = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(capped.sameElements(uncapped))
+  }
+
+  test("samp_pps: corpus cumsum partitions by blk; only the bounded block dim single-partitions") {
+    val plan = sample.Sampling.pps(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning(blk"),
+      "the in-block cumsum window must partition on blk:\n" + plan.take(900))
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(singles <= 1,
+      s"only the |blocks|-row offset dim may single-partition, got $singles:\n${plan.take(900)}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "block offsets must broadcast back:\n" + plan.take(900))
+  }
+}

@@ -3,29 +3,30 @@
 itself is pure Scala/Spark). Runs Verify's parquet outputs against the DuckDB
 oracle SQL and reports per-query row/schema/value match.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Mirrors the driver's compare path faithfully: both sides go through pandas
+(so DuckDB HUGEINT degrades to float64 exactly like the driver sees it, and
+array columns crash sort_values exactly like the driver's harness does),
+columns are sorted by name, rows are sorted by all columns, and values are
+compared stringified.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [name ...]
 """
-import json, math, sys, glob, os
+import json, sys, glob, os
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def canon(rows):
-    def norm(v):
-        if v is None:
-            return (0, "")
-        if isinstance(v, float):
-            if math.isnan(v):
-                return (1, "NaN")
-            # mirror a value-hash: repr at full precision
-            return (1, repr(v))
-        if isinstance(v, (list, tuple)):
-            return (1, tuple(norm(x) for x in v))
-        return (1, str(v))
-    return sorted(tuple(norm(v) for v in r) for r in rows)
+def canon_df(df):
+    """Driver-shaped canonicalization: sort columns by name, sort rows by all
+    columns (raises on unhashable cells, as the driver does), stringify."""
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return [tuple("NULL" if v is None or (isinstance(v, float) and v != v)
+                  else str(v) for v in row)
+            for row in df.itertuples(index=False, name=None)]
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -34,35 +35,39 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = 0
     names = sorted(set(oracle) | {os.path.basename(d) for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d)})
+    if only:
+        names = [n for n in names if n in only]
     for name in names:
         spark_dir = f"{out_dir}/{name}"
         if not os.path.isdir(spark_dir):
             print(f"FAIL {name}: no spark output"); continue
-        got = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'")
-        got_cols = [d[0] for d in got.description]
-        got_rows = got.fetchall()
+        try:
+            got = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}"); continue
         if name not in oracle:
-            print(f"OK?  {name}: rows-only ({len(got_rows)} rows, no oracle)")
+            print(f"OK?  {name}: rows-only ({len(got)} rows, no oracle)")
             n_ok += 1
             continue
         try:
-            exp = con.execute(oracle[name])
-            exp_cols = [d[0] for d in exp.description]
-            exp_rows = exp.fetchall()
+            exp = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); continue
-        # driver sorts columns by name before hashing
-        gi = [got_cols.index(c) for c in sorted(got_cols)]
-        ei = [exp_cols.index(c) for c in sorted(exp_cols)]
-        if sorted(got_cols) != sorted(exp_cols):
-            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}"); continue
-        g = canon([[r[i] for i in gi] for r in got_rows])
-        e = canon([[r[i] for i in ei] for r in exp_rows])
-        if len(g) != len(e):
-            print(f"FAIL {name}: rowcount {len(g)} != {len(e)}"); continue
-        if g != e:
-            bad = next(i for i, (a, b) in enumerate(zip(g, e)) if a != b)
-            print(f"FAIL {name}: values differ at sorted-row {bad}:\n  spark={g[bad]}\n  duck ={e[bad]}")
+        if sorted(got.columns) != sorted(exp.columns):
+            print(f"FAIL {name}: columns {sorted(got.columns)} != {sorted(exp.columns)}"); continue
+        try:
+            g = canon_df(got)
+        except Exception as e:
+            print(f"FAIL {name}: spark side uncomparable (driver would crash): {e}"); continue
+        try:
+            e_ = canon_df(exp)
+        except Exception as e:
+            print(f"FAIL {name}: oracle side uncomparable (driver would crash): {e}"); continue
+        if len(g) != len(e_):
+            print(f"FAIL {name}: rowcount {len(g)} != {len(e_)}"); continue
+        if g != e_:
+            bad = next(i for i, (a, b) in enumerate(zip(g, e_)) if a != b)
+            print(f"FAIL {name}: values differ at sorted-row {bad}:\n  spark={g[bad]}\n  duck ={e_[bad]}")
             continue
         print(f"OK   {name}: {len(g)} rows hash-match")
         n_ok += 1
@@ -70,4 +75,4 @@ def main(sf_dir, out_dir):
     return 0 if n_ok == len(names) else 1
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:]) or None))
