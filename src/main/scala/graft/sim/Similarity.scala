@@ -918,9 +918,9 @@ object Similarity {
     * the consumer): from each query's top-10 relevance pool, greedily keep
     * 5 results maximizing λ·cos(q,d) − (1−λ)·max_{s∈selected} cos(d,s),
     * so near-duplicate hits can't crowd the result page. The greedy
-    * recurrence is UNROLLED at the fixed k (step i sees steps 1..i−1) —
-    * no iteration state, just k chained selections, identical on both
-    * engines. Determinism: candidate cosines and pairwise penalties are
+    * recurrence runs per-query inside ONE flatMapGroups pass over the
+    * bounded pool (see [[mmrGreedy]]); the oracle replays it as k chained
+    * unrolled CTEs. Determinism: candidate cosines and pairwise penalties are
     * rounded 6dp BEFORE any comparison, the MMR score is one fixed-order
     * expression of those rounded operands (itself re-rounded 6dp before
     * the argmax), ties break cand-ASC. Scale shape: the pool is the
@@ -941,42 +941,81 @@ object Similarity {
           .as("cos"),
         col("v"), col("nrm"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= mmrPool)
-      .drop("rn").persist()
+      .drop("rn")
     mmrGreedy(pool)
   }
 
-  /** The greedy MMR unroll over a (qid, cand, cos, v, nrm) pool — shared by
-    * the exact-pool flagship ([[mmr]]) and the production coarse-pool
-    * composition ([[mmrIvf]]). */
+  /** Spark's `round(double, 6)` reproduced exactly (RoundBase: decimal-
+    * string BigDecimal, HALF_UP) so the in-group greedy hash-matches the
+    * column-math pool scores and the oracle's SQL round. */
+  private def r6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The greedy MMR recurrence over a (qid, cand, cos, v, nrm) pool —
+    * shared by the exact-pool flagship ([[mmr]]) and the production
+    * coarse-pool composition ([[mmrIvf]]). One `flatMapGroups` pass: each
+    * query's pool is ≤ [[mmrPool]] rows by construction, so the greedy is
+    * O(k·pool²) LOCAL math per group — one shuffle total, queries parallel
+    * across executors. (The earlier relationally-unrolled form scheduled
+    * ~4 joins × k steps of sub-second jobs; at any scale the per-group fold
+    * is the right physical shape for a bounded-group recurrence — the same
+    * argument as the streaming flatMapGroupsWithState family.) Pairwise
+    * sims are computed exactly as the column form did: sequential-order
+    * dot (VectorDot's loop), /(nrm·nrm), rounded 6dp; MMR re-rounded 6dp
+    * before the argmax; ties cand-ASC. The oracle replays the recurrence
+    * as unrolled chained CTEs — the two independent forms agreeing is the
+    * correctness argument. */
   private def mmrGreedy(pool: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand").asc)
-    val pair = pool.as("a").join(pool.as("b"),
-        col("a.qid") === col("b.qid") && col("a.cand") =!= col("b.cand"))
-      .select(col("a.qid").as("qid"), col("a.cand").as("c1"), col("b.cand").as("c2"),
-        round(graft.plans.VectorDot(col("a.v"), col("b.v"))
-          / (col("a.nrm") * col("b.nrm")), 6).as("sim"))
-      .persist()
-    val cands = pool.select(col("qid"), col("cand"), col("cos"))
-    val wm = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("cand").asc)
-    var sel = cands
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("qid"), lit(1L).as("step"), col("cand"), col("cos"),
-        col("cos").as("mmr"))
-    for (step <- 2 to mmrK) {
-      val pen = pair
-        .join(sel.select(col("qid"), col("cand").as("c2")), Seq("qid", "c2"))
-        .groupBy(col("qid"), col("c1")).agg(max(col("sim")).as("pen"))
-      val next = cands
-        .join(sel.select(col("qid"), col("cand")), Seq("qid", "cand"), "left_anti")
-        .join(pen.withColumnRenamed("c1", "cand"), Seq("qid", "cand"))
-        .withColumn("mmr",
-          round(lit(mmrLambda) * col("cos") - lit(1 - mmrLambda) * col("pen"), 6))
-        .withColumn("rn", row_number().over(wm)).filter(col("rn") === 1)
-        .select(col("qid"), lit(step.toLong).as("step"), col("cand"), col("cos"),
-          col("mmr"))
-      sel = sel.unionAll(next).persist()
-    }
-    sel
+    val spark = pool.sparkSession
+    import spark.implicits._
+    val lam = mmrLambda
+    val oneMinusLam = 1 - mmrLambda // bit-identical to the SQL's interpolated literal
+    val k = mmrK
+    pool.select(col("qid"), col("cand"), col("cos"), col("v"), col("nrm"))
+      .as[(Long, Long, Double, Array[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // cos DESC, cand ASC — the step-1 (pure relevance) order
+        val rows = it.toArray.sortBy(r => (-r._3, r._2))
+        val picks = math.min(k, rows.length)
+        val out = new Array[(Long, Long, Long, Double, Double)](picks)
+        val selected = new Array[Int](picks)
+        def sim(i: Int, j: Int): Double = {
+          val (a, b) = (rows(i), rows(j))
+          var dot = 0.0; var d = 0
+          while (d < a._4.length) { dot += a._4(d) * b._4(d); d += 1 }
+          r6(dot / (a._5 * b._5))
+        }
+        if (picks > 0) { selected(0) = 0; out(0) = (qid, 1L, rows(0)._2, rows(0)._3, rows(0)._3) }
+        var step = 2
+        while (step <= picks) {
+          var bestIdx = -1; var bestMmr = 0.0
+          var i = 0
+          while (i < rows.length) {
+            if (!selected.take(step - 1).contains(i)) {
+              var pen = Double.NegativeInfinity
+              var s = 0
+              while (s < step - 1) {
+                val sm = sim(i, selected(s)); if (sm > pen) pen = sm; s += 1
+              }
+              val m = r6(lam * rows(i)._3 - oneMinusLam * pen)
+              // mmr DESC, cand ASC (rows are cand-ASC within equal cos, but
+              // compare cand explicitly — equal mmr can span cos values)
+              if (bestIdx < 0 || m > bestMmr ||
+                  (m == bestMmr && rows(i)._2 < rows(bestIdx)._2)) {
+                bestIdx = i; bestMmr = m
+              }
+            }
+            i += 1
+          }
+          selected(step - 1) = bestIdx
+          out(step - 1) = (qid, step.toLong, rows(bestIdx)._2, rows(bestIdx)._3, bestMmr)
+          step += 1
+        }
+        out.iterator
+      }
+      .toDF("qid", "step", "cand", "cos", "mmr")
   }
 
   /** MMR over the two-stage retrieval pool — the PRODUCTION composition:
@@ -988,7 +1027,7 @@ object Similarity {
     * the only MMR plan that exists — `ann_mmr`'s brute pool is its
     * small-scale truth reference. */
   def mmrIvf(spark: SparkSession, sfDir: String): DataFrame =
-    mmrGreedy(mmrIvfPool(spark, sfDir).persist())
+    mmrGreedy(mmrIvfPool(spark, sfDir))
 
   /** The coarse-scan pool feeding [[mmrIvf]] — exposed so the plan spec can
     * pin "one quantized corpus×queries pass, exact vectors via equi-joins"

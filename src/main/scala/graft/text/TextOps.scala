@@ -241,7 +241,9 @@ object TextOps {
     * per word, then O(dims·words) integer adds), the tx_langid fusion
     * posture; downstream consumers (ann_* cosine, dedup banding) take the
     * vector without any re-join. */
-  def featureHash(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Library API: the hashed vector kept array-typed (`array<bigint>`) —
+    * what in-engine consumers (ann_* cosine, dedup banding) compose over. */
+  def featureHashVec(spark: SparkSession, sfDir: String): DataFrame = {
     val ds = transform(Portable.words(col("text")), w => struct(
       pmod(Portable.hash64(w, "fh"), lit(fhDims.toLong)).as("d"),
       when(pmod(Portable.hash64(w, "fhs"), lit(2L)) === 0L, 1L).otherwise(-1L).as("s")))
@@ -250,15 +252,18 @@ object TextOps {
         acc + when(x.getField("d") === i.cast("long"), x.getField("s")).otherwise(0L)))
     docs(spark, sfDir)
       .withColumn("ds", ds)
-      .select(col("doc_id"), v.as("vec"))
-      .withColumn("nnz", size(filter(col("vec"), x => x =!= 0L)).cast("long"))
-      // '|'-joined for the driver's pandas compare (array cells are
-      // unhashable there) — the mm_features posture; in-engine consumers
-      // take the array column upstream of this projection.
-      .select(col("doc_id"),
-        array_join(col("vec").cast("array<string>"), "|").as("v"),
-        col("nnz"))
+      .select(col("doc_id"), v.as("v"))
+      .withColumn("nnz", size(filter(col("v"), x => x =!= 0L)).cast("long"))
   }
+
+  /** Query output serializes the vector ('|'-joined) — the driver's pandas
+    * compare cannot sort array cells (the mm_features posture); callers
+    * wanting vectors use [[featureHashVec]]. */
+  def featureHash(spark: SparkSession, sfDir: String): DataFrame =
+    featureHashVec(spark, sfDir)
+      .select(col("doc_id"),
+        array_join(col("v").cast("array<string>"), "|").as("v"),
+        col("nnz"))
 
   val featureHashSql: String = {
     def h(salt: String) = graft.functions.Portable.hash64Sql("w", salt)
@@ -923,6 +928,47 @@ object TextOps {
        |  CAST(sum(tok) AS BIGINT) AS total_tokens
        |FROM c GROUP BY 1, 2""".stripMargin
 
+  // ---- vocabulary coverage (OOV audit) -------------------------------------
+
+  /** Vocabulary-coverage audit — the dial an operator reads BEFORE
+    * committing a tokenizer at corpus scale: per document, how many
+    * whitespace words the WordPiece vocab cannot tokenize at all (the
+    * whole-word `[UNK]` fallback — each such word is a token the model
+    * literally cannot see). The engine counts REAL `[UNK]` emissions from
+    * the [[WordPiece]] greedy matcher; the oracle independently derives
+    * the same verdict from the fixture vocab's closure property (every
+    * `[a-z0-9]` single is a piece, so exactly the words with any other
+    * character fall back) — two derivations agreeing is the check.
+    * Case-sensitive split (the tokenizer's own), NOT the lowercased
+    * [[Portable.words]]. Scale shape: ZERO-shuffle scan projection — one
+    * fused tokenizer expression per row, counts and the rate are per-row
+    * column math (the tx_langid fusion posture). */
+  def oov(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        size(filter(WordPiece.tokens(col("text")), t => t === WordPiece.Unk))
+          .cast("long").as("n_oov"))
+      .withColumn("oov_rate",
+        when(col("n_words") > 0,
+          round(col("n_oov").cast("double") / col("n_words"), 6)))
+  }
+
+  val oovSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(ws) AS BIGINT) AS n_words,
+       |  CAST(len(list_filter(ws, x -> NOT regexp_matches(x, '^[a-z0-9]+$$')))
+       |    AS BIGINT) AS n_oov,
+       |  CASE WHEN len(ws) > 0 THEN
+       |    round(CAST(len(list_filter(ws, x -> NOT regexp_matches(x, '^[a-z0-9]+$$')))
+       |      AS DOUBLE) / len(ws), 6) END AS oov_rate
+       |FROM w""".stripMargin
+
   // ---- corpus length statistics -------------------------------------------
 
   /** Log2-bucketed document-length histogram — the corpus-shape report every
@@ -1447,6 +1493,7 @@ object TextOps {
     "tx_bpe_tokens" -> (BpeQueries.bpeTokens _),
     "tx_bpe_train" -> (BpeQueries.bpeTrain _),
     "tx_wordpiece" -> (WordPieceQueries.wordpiece _),
+    "tx_oov" -> (oov _),
     "tx_readability" -> (readability _),
     "tx_stem" -> (PorterStem.stemQuery _),
     "tx_classify" -> (Classify.classify _),
@@ -1482,6 +1529,7 @@ object TextOps {
     "tx_bpe_tokens" -> BpeQueries.bpeTokensSql,
     "tx_bpe_train" -> BpeQueries.bpeTrainSql,
     "tx_wordpiece" -> WordPieceQueries.wordpieceSql,
+    "tx_oov" -> oovSql,
     "tx_readability" -> readabilitySql,
     "tx_stem" -> PorterStem.stemQuerySql,
     "tx_classify" -> Classify.classifySql,

@@ -266,9 +266,13 @@ class ExperimentOpsSpec extends AnyFunSuite {
   }
 
   test("tx_feature_hash: vectors recount driver-side; signed mass bounded by tf") {
-    val got = text.TextOps.featureHash(spark, sf).collect()
+    val got = text.TextOps.featureHashVec(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getSeq[Long](1).toArray, r.getAs[Long]("nnz"))).toMap
+    // and the query projection serializes exactly that vector
+    val ser = text.TextOps.featureHash(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("v")).toMap
+    got.foreach { case (id, (v, _)) => assert(ser(id) == v.mkString("|")) }
     val docs = Tables(spark, sf).documents
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1))

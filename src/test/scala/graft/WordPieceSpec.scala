@@ -48,4 +48,42 @@ class WordPieceSpec extends AnyFunSuite {
       Seq("the", "data"))
     assert(WordPiece.encode("", WordPiece.builtin).isEmpty)
   }
+
+  test("tx_oov: engine [UNK] count equals the vocab-closure recount; rate reassembles") {
+    import org.apache.spark.sql.functions.col
+    val spark = SparkTest.spark
+    import spark.implicits._
+    // adversarial fixture: cased words, punctuation, unicode, digits, empty
+    val docs = Seq(
+      (0L, "the database stores 12345"),        // all in-vocab: 0 OOV
+      (1L, "The DATABASE st\u00f6res caf\u00e9"),        // all 4 OOV (case + unicode)
+      (2L, "a-b c! d@e 99"),                    // 3 OOV (punct), '99' fine
+      (3L, ""),                                  // empty: 0 words, null rate
+      (4L, "xyz")                                // singles-decomposable: 0 OOV
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("oov_fixture")
+    val got = docs
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.filter(
+          org.apache.spark.sql.functions.split(col("text"), "\\s+"), w =>
+            org.apache.spark.sql.functions.length(w) > 0)).cast("long").as("n_words"),
+        org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.filter(
+          text.WordPiece.tokens(col("text")), t =>
+            t === text.WordPiece.Unk)).cast("long").as("n_oov"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L) == ((4L, 0L)))
+    assert(got(1L) == ((4L, 4L)))
+    assert(got(2L) == ((4L, 3L)))
+    assert(got(3L) == ((0L, 0L)))
+    assert(got(4L) == ((1L, 0L)))
+    // the closure property the oracle relies on: a raw word falls back to
+    // [UNK] iff it has any char outside [a-z0-9]
+    got.keys.foreach { id =>
+      val textv = Seq("the database stores 12345", "The DATABASE st\u00f6res caf\u00e9",
+        "a-b c! d@e 99", "", "xyz")(id.toInt)
+      val words = textv.split("\\s+").filter(_.nonEmpty)
+      val byRegex = words.count(w => !w.matches("[a-z0-9]+"))
+      assert(byRegex.toLong == got(id)._2, s"doc $id closure mismatch")
+    }
+  }
 }
