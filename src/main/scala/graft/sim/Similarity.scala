@@ -815,27 +815,8 @@ object Similarity {
     val cb = pqCodebook(spark, sfDir)
     val codes = pqCodes(spark, sfDir)
       .persist() // feeds reconstruction norms AND ADC scoring
-    // per-subspace conditional sums have exactly ONE non-null addend each,
-    // so folding them in written order makes the float result independent
-    // of aggregation order — the addend-order hazard q1's decimal fix
-    // closed, solved here for values that aren't quantized
-    val reconParts = (0 until pqSub).map(s =>
-      sum(when(col("s") === s, col("cwn2"))).as(s"rn$s"))
-    val recon = codes
-      .join(broadcast(cb.select(col("s"), col("c"), col("cwn2"))), Seq("s", "c"))
-      .groupBy(col("vec_id")).agg(reconParts.head, reconParts.tail: _*)
-      .select(col("vec_id"),
-        sqrt((0 until pqSub).map(s => col(s"rn$s")).reduce(_ + _)).as("rnrm"))
-    val qs = e.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val qsub = qs.select(col("qid"), col("qnrm"),
-        explode(array((0 until pqSub).map { s =>
-          struct(lit(s).as("s"), slice(col("qv"), s * pqDimPer + 1, pqDimPer).as("qsv"))
-        }: _*)).as("k"))
-      .select(col("qid"), col("qnrm"), col("k.s").as("s"), col("k.qsv").as("qsv"))
-    val lut = qsub.join(cb, "s")
-      .select(col("qid"), col("qnrm"), col("s"), col("c"),
-        graft.plans.VectorDot(col("qsv"), col("cw")).as("part"))
+    val recon = pqRecon(codes, cb)
+    val lut = pqLut(e, cb)
     val adcParts = (0 until pqSub).map(s =>
       sum(when(col("s") === s, col("part"))).as(s"p$s")) :+ max(col("qnrm")).as("qnrm")
     val adc = codes.join(broadcast(lut), Seq("s", "c"))
@@ -851,11 +832,96 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
   }
 
-  val pqTopKSql: String = {
+  /** Reconstruction norms from codebook lookups: (vec_id, rnrm).
+    * Per-subspace conditional sums have exactly ONE non-null addend each,
+    * so folding them in written order makes the float result independent
+    * of aggregation order — the addend-order hazard q1's decimal fix
+    * closed, solved here for values that aren't quantized. */
+  private def pqRecon(codes: DataFrame, cb: DataFrame): DataFrame = {
+    val reconParts = (0 until pqSub).map(s =>
+      sum(when(col("s") === s, col("cwn2"))).as(s"rn$s"))
+    codes
+      .join(broadcast(cb.select(col("s"), col("c"), col("cwn2"))), Seq("s", "c"))
+      .groupBy(col("vec_id")).agg(reconParts.head, reconParts.tail: _*)
+      .select(col("vec_id"),
+        sqrt((0 until pqSub).map(s => col(s"rn$s")).reduce(_ + _)).as("rnrm"))
+  }
+
+  /** Broadcast ADC lookup table: (qid, qnrm, s, c, part) — q·pqSub·pqK
+    * partial dots, the only query-side math PQ scoring ever does. */
+  private def pqLut(e: DataFrame, cb: DataFrame): DataFrame = {
+    val qs = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val qsub = qs.select(col("qid"), col("qnrm"),
+        explode(array((0 until pqSub).map { s =>
+          struct(lit(s).as("s"), slice(col("qv"), s * pqDimPer + 1, pqDimPer).as("qsv"))
+        }: _*)).as("k"))
+      .select(col("qid"), col("qnrm"), col("k.s").as("s"), col("k.qsv").as("qsv"))
+    qsub.join(cb, "s")
+      .select(col("qid"), col("qnrm"), col("s"), col("c"),
+        graft.plans.VectorDot(col("qsv"), col("cw")).as("part"))
+  }
+
+  /** IVF+PQ composite — the FAISS `IVFPQ` index shape, THE production ANN
+    * layout at 100 TB (IVF bounds which lists a query touches; PQ bounds
+    * the bytes per touched vector — together: scan nprobe/K of the corpus
+    * at ~170× compression, raw vectors never read at query time): the
+    * coarse quantizer assigns every vector to a centroid list and queries
+    * probe the `nprobe` nearest lists ONLY (ann_ivf_topk's stage,
+    * unchanged); within the probed lists, scoring is PQ's broadcast-LUT
+    * ADC over the code stream (ann_pq_topk's stage, unchanged). Both
+    * component stages exist as independently-oracled rows; this row proves
+    * their composition end-to-end, the way ann_ivf_trained proved the
+    * trained-quantizer drop-in. Scale shape: two O(n·K) broadcast
+    * assignment passes (centroids, codewords), candidate set bounded by
+    * probed-list occupancy, ADC join keyed (vec_id)+(s, c, qid) with the
+    * LUT broadcast; no full-precision corpus scan anywhere. */
+  def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val cents = centroids(spark, sfDir)
+    val lists = assignedListsWith(spark, sfDir, cents)
+      .select(col("vec_id"), col("cid")).persist()
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
+    val probes = e.filter(col("vec_id") < numQueries).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        round(graft.plans.VectorDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+          .as("ccos"))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cid").as("pcid"))
+    val cand = lists.join(broadcast(probes), col("cid") === col("pcid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val cb = pqCodebook(spark, sfDir)
+    val codes = pqCodes(spark, sfDir).persist()
+    val recon = pqRecon(codes, cb)
+    val lut = pqLut(e, cb)
+    val adcParts = (0 until pqSub).map(s =>
+      sum(when(col("s") === s, col("part"))).as(s"p$s")) :+ max(col("qnrm")).as("qnrm")
+    // cand is q·probed-list-occupancy rows — broadcast into the corpus-
+    // sized code stream (the "fetch codes for candidates" lookup)
+    val adc = codes.join(broadcast(cand), "vec_id")
+      .join(broadcast(lut), Seq("s", "c", "qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(adcParts.head, adcParts.tail: _*)
+      .select(col("qid"), col("vec_id"), col("qnrm"),
+        (0 until pqSub).map(s => col(s"p$s")).reduce(_ + _).as("dp"))
+    // adc is bounded by q·probed-list occupancy — broadcast it into the
+    // corpus-sized recon table (plain pqTopK's adc is q·n and must NOT
+    // broadcast; the candidate bound is what the IVF stage buys here)
+    val scored = recon.join(broadcast(adc), "vec_id")
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(col("dp") / (col("qnrm") * col("rnrm")), 6).as("pq_score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("pq_score").desc, col("cand").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+  }
+
+  /** The quantize→code→recon→LUT CTE chain shared by the plain-PQ and
+    * IVF+PQ oracles (expects `e` upstream; ends at `lut`). */
+  private val pqChainCte: String = {
     val dot = (a: String, b: String) =>
       s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
-    s"""WITH $embCte,
-       |cw AS (SELECT vec_id // $pqStride AS c, v FROM e
+    s"""cw AS (SELECT vec_id // $pqStride AS c, v FROM e
        |       WHERE vec_id % $pqStride = 0 AND vec_id < ${pqK * pqStride}),
        |cbn AS (
        |  SELECT c, s, list_slice(v, s * $pqDimPer + 1, s * $pqDimPer + $pqDimPer) AS cwv,
@@ -886,15 +952,20 @@ object Similarity {
        |  FROM q, LATERAL unnest(range(0, $pqSub)) t(s)),
        |lut AS (
        |  SELECT qid, qnrm, cbn.s, cbn.c, ${dot("qsv", "cwv")} AS part
-       |  FROM qsub JOIN cbn ON qsub.s = cbn.s),
-       |adc AS (
+       |  FROM qsub JOIN cbn ON qsub.s = cbn.s)""".stripMargin
+  }
+
+  /** ADC fold + top-3 cut, parameterized over the candidate restriction
+    * (`""` = all pairs; the IVF form joins the probed-list candidates). */
+  private def pqAdcSelectSql(fromJoin: String, qidExpr: String): String =
+    s"""adc AS (
        |  SELECT qid, cand, p0 + p1 + p2 + p3 AS dp, qnrm FROM (
-       |    SELECT qid, codes.vec_id AS cand,
+       |    SELECT $qidExpr AS qid, codes.vec_id AS cand,
        |      ${(0 until pqSub).map(s =>
                   s"sum(CASE WHEN codes.s = $s THEN part END) AS p$s").mkString(", ")},
        |      max(qnrm) AS qnrm
-       |    FROM codes JOIN lut ON codes.s = lut.s AND codes.c = lut.c
-       |    WHERE codes.vec_id <> lut.qid GROUP BY 1, 2) t_adc),
+       |    FROM codes $fromJoin
+       |    GROUP BY 1, 2) t_adc),
        |scored AS (
        |  SELECT qid, cand, round(dp / (qnrm * rnrm), 6) AS pq_score
        |  FROM adc JOIN recon ON recon.vec_id = adc.cand)
@@ -903,7 +974,30 @@ object Similarity {
        |    row_number() OVER (PARTITION BY qid ORDER BY pq_score DESC, cand ASC) AS rank
        |  FROM scored) t
        |WHERE rank <= 3""".stripMargin
-  }
+
+  val pqTopKSql: String =
+    s"""WITH $embCte,
+       |$pqChainCte,
+       |${pqAdcSelectSql(
+          "JOIN lut ON codes.s = lut.s AND codes.c = lut.c\n" +
+            "    WHERE codes.vec_id <> lut.qid", "lut.qid")}""".stripMargin
+
+  /** [[ivfPqTopK]]'s oracle: the IVF assign/probe chain restricts the ADC
+    * fold to probed-list candidates; everything else is the shared CTEs. */
+  val ivfPqTopKSql: String =
+    s"""WITH $embCte,
+       |$assignedCte,
+       |probes AS (
+       |  SELECT vec_id AS qid, cid AS pcid FROM assigned
+       |  WHERE vec_id < $numQueries AND crn <= $nprobe),
+       |ca AS (
+       |  SELECT p.qid, l.vec_id AS cand FROM lists l
+       |  JOIN probes p ON l.cid = p.pcid WHERE l.vec_id <> p.qid),
+       |$pqChainCte,
+       |${pqAdcSelectSql(
+          "JOIN ca ON ca.cand = codes.vec_id\n" +
+            "    JOIN lut ON codes.s = lut.s AND codes.c = lut.c AND lut.qid = ca.qid",
+          "ca.qid")}""".stripMargin
 
   // ---- MMR diversified re-rank ----------------------------------------------
 
@@ -1599,6 +1693,7 @@ object Similarity {
     "ann_rerank" -> (rerank _),
     "ann_mmr" -> (mmr _),
     "ann_mmr_ivf" -> (mmrIvf _),
+    "ann_ivf_pq" -> (ivfPqTopK _),
     "ann_pq_topk" -> (pqTopK _),
     "ann_brute_topk" -> (bruteTopK _),
     "ann_lsh_topk" -> (lshTopK _),
@@ -1621,6 +1716,7 @@ object Similarity {
     "ann_rerank" -> rerankSql,
     "ann_mmr" -> mmrSql,
     "ann_mmr_ivf" -> mmrIvfSql,
+    "ann_ivf_pq" -> ivfPqTopKSql,
     "ann_pq_topk" -> pqTopKSql,
     "ann_brute_topk" -> bruteTopKSql,
     "ann_lsh_topk" -> lshTopKSql,

@@ -16,7 +16,7 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
-from check import TABLES, canon  # noqa: E402
+from check import TABLES, canon_df  # noqa: E402
 
 
 def run_one(name, threads, sf_dir, out_dir):
@@ -32,30 +32,32 @@ def run_one(name, threads, sf_dir, out_dir):
     spark_dir = f"{out_dir}/{name}"
     if not os.path.isdir(spark_dir):
         print(f"FAIL {name}: no spark output"); return 1
-    got = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'")
-    got_cols = [d[0] for d in got.description]
-    got_rows = got.fetchall()
+    got = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'").df()
     if name not in oracle:
-        print(f"OK?  {name}: rows-only ({len(got_rows)} rows, no oracle)")
+        print(f"OK?  {name}: rows-only ({len(got)} rows, no oracle)")
         return 0
-    exp = con.execute(oracle[name])
-    exp_cols = [d[0] for d in exp.description]
-    exp_rows = exp.fetchall()
-    if sorted(got_cols) != sorted(exp_cols):
-        print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+    exp = con.execute(oracle[name]).df()
+    if sorted(got.columns) != sorted(exp.columns):
+        print(f"FAIL {name}: columns {sorted(got.columns)} != {sorted(exp.columns)}")
         return 1
-    gi = [got_cols.index(c) for c in sorted(got_cols)]
-    ei = [exp_cols.index(c) for c in sorted(exp_cols)]
-    g = canon([[r[i] for i in gi] for r in got_rows])
-    e = canon([[r[i] for i in ei] for r in exp_rows])
-    if len(got_rows) != len(exp_rows):
-        print(f"FAIL {name}: {len(got_rows)} rows vs oracle {len(exp_rows)}")
+    try:
+        g = canon_df(got)
+    except Exception as e:
+        print(f"FAIL {name}: spark side uncomparable (driver would crash): {e}")
         return 1
-    if g != e:
-        bad = next(i for i, (a, b) in enumerate(zip(g, e)) if a != b)
-        print(f"FAIL {name}: value mismatch at sorted row {bad}:\n  got {g[bad]}\n  exp {e[bad]}")
+    try:
+        e_ = canon_df(exp)
+    except Exception as e:
+        print(f"FAIL {name}: oracle side uncomparable (driver would crash): {e}")
         return 1
-    print(f"OK   {name}: {len(got_rows)} rows hash-match")
+    if len(g) != len(e_):
+        print(f"FAIL {name}: {len(g)} rows vs oracle {len(e_)}")
+        return 1
+    if g != e_:
+        bad = next(i for i, (a, b) in enumerate(zip(g, e_)) if a != b)
+        print(f"FAIL {name}: value mismatch at sorted row {bad}:\n  got {g[bad]}\n  exp {e_[bad]}")
+        return 1
+    print(f"OK   {name}: {len(g)} rows hash-match")
     return 0
 
 
