@@ -364,7 +364,11 @@ object Sampling {
   val ppsK = 50
 
   /** doc_id block span for the two-level prefix sum in [[pps]] — bounds
-    * both the per-window partition size and the cross-block dim. */
+    * both the per-window partition size and the cross-block dim. Assumes
+    * roughly-dense ids (the corpus contract here); for hash-like sparse
+    * ids the equivalent decomposition is repartitionByRange(doc_id) +
+    * per-partition sums keyed by spark_partition_id — same shape, no
+    * density assumption. */
   val ppsBlock = 8192L
 
   /** Systematic PPS sampling — each document's selection probability is

@@ -127,18 +127,22 @@ class GraftAppSpec extends AnyFunSuite {
       // an empty dir (schema inference fails) until its commit lands
       handles.events.processAllAvailable()
       handles.events.stop()
-      // effectively-once: the dispatch log never carries a duplicate key
-      val log = spark.read.parquet(s"$work/dispatched")
-        .select("event_id", "rule_name").collect().map(_.toSeq)
-      assert(log.distinct.length == log.length, "duplicate dispatch")
-      // the store now holds both rules: the swept survivor and the added one
-      val names = RuleStore.load(spark, rulesPath)
-        .select("name").collect().map(_.getString(0)).toSet
-      assert(names == Set("r_old", "e2e"))
     } finally {
       handles.shutdown()
       zulip.stop(0)
       feed.stop(0)
     }
+    // Post-shutdown reads: the app's own accesses go through its rules
+    // lock, but this spec-side load doesn't — reading while the 500 ms
+    // expiry sweep may be mid-overwrite (delete + _temporary + rename) can
+    // see an empty dir. After shutdown no writer is live.
+    // effectively-once: the dispatch log never carries a duplicate key
+    val log = spark.read.parquet(s"$work/dispatched")
+      .select("event_id", "rule_name").collect().map(_.toSeq)
+    assert(log.distinct.length == log.length, "duplicate dispatch")
+    // the store now holds both rules: the swept survivor and the added one
+    val names = RuleStore.load(spark, rulesPath)
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(names == Set("r_old", "e2e"))
   }
 }
