@@ -1254,8 +1254,9 @@ object Similarity {
 
   // ---- ANN recall audit (the approximate-path tuning query) ---------------
 
-  /** Recall@3 of both approximate paths (sign-bucket LSH, IVF probing)
-    * against brute-force truth, per query — the similarity-search twin of
+  /** Recall@3 of every approximate path (sign-bucket LSH, IVF probing, the
+    * IVF+PQ composite) against brute-force truth, per query — the
+    * similarity-search twin of
     * `dd_lsh_recall`. This is the dial-tuning query an operator runs before
     * committing to bucket/probe parameters at full scale: truth is computed
     * on the QUERY SAMPLE only (O(sample·n), not O(n²)), the approximate
@@ -1281,6 +1282,7 @@ object Similarity {
     }
     methodRows(lshTopK(spark, sfDir), "lsh")
       .unionAll(methodRows(ivfTopK(spark, sfDir), "ivf"))
+      .unionAll(methodRows(ivfPqTopK(spark, sfDir), "ivfpq"))
       .withColumn("recall", round(col("n_hit") / col("n_truth"), 6))
   }
 
@@ -1299,7 +1301,9 @@ object Similarity {
        |n_truth AS (SELECT qid, count(*) AS n_truth FROM truth GROUP BY 1)
        |${methodSql(lshTopKSql, "lsh")}
        |UNION ALL
-       |${methodSql(ivfTopKSql, "ivf")}""".stripMargin
+       |${methodSql(ivfTopKSql, "ivf")}
+       |UNION ALL
+       |${methodSql(ivfPqTopKSql, "ivfpq")}""".stripMargin
   }
 
   // ---- cluster-balanced sampling (diversity quota over semantic strata) ---

@@ -49,6 +49,18 @@ class LshCapSpec extends AnyFunSuite {
     assert(capped.sameElements(uncapped))
   }
 
+  test("capBands: the rank cut rides WindowGroupLimit — map-side partial limit before the exchange") {
+    spark.catalog.clearCache()
+    val plan = dedup.Dedup.cappedBandRows(dedup.Dedup.shingleArrays(spark, sf))
+      .queryExecution.executedPlan.toString
+    // rk <= cap compiles to WindowGroupLimit Partial/Final: each task ships
+    // at most cap rows per bucket INTO the shuffle, so a hot bucket can't
+    // even skew the exchange, let alone the join
+    assert(plan.contains("WindowGroupLimit"), plan.take(900))
+    assert(plan.contains("Partial"),
+      "map-side partial limit must prune before the shuffle:\n" + plan.take(900))
+  }
+
   test("samp_pps: corpus cumsum partitions by blk; only the bounded block dim single-partitions") {
     val plan = sample.Sampling.pps(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("Exchange hashpartitioning(blk"),
