@@ -735,8 +735,10 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
-  val clustersSql: String =
-    s"""WITH RECURSIVE $minhashCappedCtes,
+  /** The candidate-pairs → components recursive chain (ends at `reach`) —
+    * shared by the clusters oracle and the keep-best representative row. */
+  private val clusterChainCte: String =
+    s"""$minhashCappedCtes,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bandsc a JOIN bandsc b
@@ -747,9 +749,56 @@ object Dedup {
        |reach(node, lbl) AS (
        |  SELECT DISTINCT id_a, id_a FROM edges
        |  UNION
-       |  SELECT e.id_a, r.lbl FROM edges e JOIN reach r ON e.id_b = r.node)
+       |  SELECT e.id_a, r.lbl FROM edges e JOIN reach r ON e.id_b = r.node)""".stripMargin
+
+  val clustersSql: String =
+    s"""WITH RECURSIVE $clusterChainCte
        |SELECT node AS doc_id, min(lbl) AS cluster_id
        |FROM reach GROUP BY node""".stripMargin
+
+  // ---- quality-representative selection (keep the BEST copy) ---------------
+
+  /** Keep-best dedup representatives — the production variant of "keep one
+    * doc per near-dup cluster": the survivor is the HIGHEST-QUALITY member
+    * (tx_quality's composite score), not the smallest id. Mirrors what real
+    * curation does — mirrors differ in boilerplate/truncation, and min-id
+    * keeps whichever copy happened to be crawled first. One row per
+    * cluster: (cluster_id, keep_id, keep_quality, n_members); ties break
+    * doc_id-ASC so the choice is total. Scale shape: clusters ride the
+    * capped band join + component pass unchanged; the quality join is
+    * co-partitioned on doc_id; the argmax is a window over cluster
+    * partitions (bounded by cluster size — near-dup clusters are small by
+    * construction, and the band cap bounds the worst case). */
+  def keepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val clu = clusters(spark, sfDir)
+    val q = graft.text.TextOps.quality(spark, sfDir)
+      .select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    clu.join(q, "doc_id")
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("quality").as("keep_quality"), col("n_members"))
+  }
+
+  val keepBestSql: String =
+    s"""WITH RECURSIVE $clusterChainCte,
+       |clu AS (
+       |  SELECT node AS doc_id, min(lbl) AS cluster_id
+       |  FROM reach GROUP BY node),
+       |qual AS (
+       |  SELECT doc_id, quality
+       |  FROM (${graft.text.TextOps.qualitySql.replace("\n", "\n  ")}) qq)
+       |SELECT cluster_id, keep_id, keep_quality, n_members FROM (
+       |  SELECT c.cluster_id, c.doc_id AS keep_id, qual.quality AS keep_quality,
+       |    count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY qual.quality DESC, c.doc_id ASC) AS rk
+       |  FROM clu c JOIN qual ON qual.doc_id = c.doc_id) t
+       |WHERE rk = 1""".stripMargin
 
   // ---- sketch quality audit ------------------------------------------------
 
@@ -1021,6 +1070,7 @@ object Dedup {
     "dd_containment" -> (containment _),
     "dd_minhash" -> (minhashLsh _),
     "dd_clusters" -> (clusters _),
+    "dd_keep_best" -> (keepBest _),
     "dd_simhash" -> (simhash _),
     "dd_chunks" -> (chunkDups _),
     "dd_cdc" -> (cdcChunks _),
@@ -1041,6 +1091,7 @@ object Dedup {
     "dd_containment" -> containmentSql,
     "dd_minhash" -> minhashLshSql,
     "dd_clusters" -> clustersSql,
+    "dd_keep_best" -> keepBestSql,
     "dd_simhash" -> simhashSql,
     "dd_chunks" -> chunkDupsSql,
     "dd_cdc" -> cdcChunksSql,

@@ -49,6 +49,29 @@ class LshCapSpec extends AnyFunSuite {
     assert(capped.sameElements(uncapped))
   }
 
+  test("dd_keep_best: one survivor per cluster, and it is the max-quality member") {
+    val clusters = dedup.Dedup.clusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val quality = text.TextOps.quality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val kept = dedup.Dedup.keepBest(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("keep_id"), r.getAs[Double]("keep_quality"), r.getAs[Long]("n_members")))
+      .toMap
+    val byCluster = clusters.groupBy(_._2)
+    assert(kept.keySet == byCluster.keySet, "one row per cluster, no extras")
+    byCluster.foreach { case (cid, members) =>
+      val (keepId, keepQ, n) = kept(cid)
+      val ids = members.map(_._1)
+      assert(ids.contains(keepId), s"cluster $cid keeps a non-member")
+      assert(n == ids.length.toLong)
+      val best = ids.map(quality).max
+      assert(keepQ == best, s"cluster $cid kept quality $keepQ, best is $best")
+      // tie-break: among max-quality members, the smallest id wins
+      assert(keepId == ids.filter(quality(_) == best).min)
+    }
+  }
+
   test("capBands: the rank cut rides WindowGroupLimit — map-side partial limit before the exchange") {
     spark.catalog.clearCache()
     val plan = dedup.Dedup.cappedBandRows(dedup.Dedup.shingleArrays(spark, sf))
