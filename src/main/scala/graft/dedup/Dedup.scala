@@ -756,6 +756,73 @@ object Dedup {
        |SELECT node AS doc_id, min(lbl) AS cluster_id
        |FROM reach GROUP BY node""".stripMargin
 
+  // ---- signature-estimate audit (est vs exact Jaccard per candidate) ------
+
+  /** MinHash ESTIMATOR-quality audit — the other half of the sketch story:
+    * dd_lsh_recall grades which pairs the bands SURFACE; this grades what
+    * the signatures CLAIM about them. Production thresholds candidate
+    * pairs on the signature estimate (matching-slot fraction ≈ Jaccard,
+    * the Broder estimator) without ever computing exact Jaccard — so the
+    * estimate's error ON THE CANDIDATE SET is the number that decides
+    * whether that shortcut is safe. Per capped candidate pair: slot-match
+    * count, the k/16 estimate (exact dyadic → 6dp round is bit-stable),
+    * the df-capped exact Jaccard (null when the pair shares no informative
+    * shingles — an estimate-only pair, exactly the false-positive class
+    * the audit exists to expose), and |est − exact|. Scale shape: the
+    * capped band join bounds the pairs; signatures ride along as two
+    * doc_id-co-partitioned joins; slot matching is per-row zip_with math;
+    * the exact side reuses the df-capped inverted index. */
+  def minhashEst(spark: SparkSession, sfDir: String): DataFrame = {
+    val arrs = shingleArrays(spark, sfDir).persist()
+    val sigs = arrs.filter(size(col("hs_arr")) > 0)
+      .select(col("doc_id"),
+        graft.plans.MinHashSigs(col("hs_arr"), hashAB, mersenneP).as("mh"))
+    val est = minhashLshFromArrays(arrs)
+      .join(sigs.select(col("doc_id").as("id_a"), col("mh").as("ma")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("mh").as("mb")), "id_b")
+      .withColumn("n_match", aggregate(
+        zip_with(col("ma"), col("mb"), (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("est_jaccard",
+        round(col("n_match").cast("double") / numHashes, 6))
+      .select(col("id_a"), col("id_b"), col("n_match"), col("est_jaccard"))
+    val exact = pairStatsFrom(invIndexFrom(arrs))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / (col("sa") + col("sb") - col("inter")), 6)
+          .as("exact_jaccard"))
+    est.join(exact, Seq("id_a", "id_b"), "left")
+      .withColumn("abs_err", when(col("exact_jaccard").isNotNull,
+        round(abs(col("est_jaccard") - col("exact_jaccard")), 6)))
+  }
+
+  val minhashEstSql: String = {
+    val matchSum = (0 until numHashes)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $minhashCappedCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bandsc a JOIN bandsc b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |m AS (
+       |  SELECT c.id_a, c.id_b, CAST($matchSum AS BIGINT) AS n_match
+       |  FROM cand c
+       |  JOIN sigs sa ON sa.doc_id = c.id_a
+       |  JOIN sigs sb ON sb.doc_id = c.id_b),
+       |ex AS (
+       |  SELECT id_a, id_b,
+       |    round(inter / (sa + sb - inter), 6) AS exact_jaccard
+       |  FROM (WITH ${pairStatsCtes.replace("\n", "\n  ")}
+       |        SELECT * FROM stats) px)
+       |SELECT m.id_a, m.id_b, m.n_match,
+       |  round(CAST(m.n_match AS DOUBLE) / $numHashes, 6) AS est_jaccard,
+       |  ex.exact_jaccard,
+       |  CASE WHEN ex.exact_jaccard IS NOT NULL THEN
+       |    round(abs(round(CAST(m.n_match AS DOUBLE) / $numHashes, 6)
+       |      - ex.exact_jaccard), 6) END AS abs_err
+       |FROM m LEFT JOIN ex ON ex.id_a = m.id_a AND ex.id_b = m.id_b""".stripMargin
+  }
+
   // ---- quality-representative selection (keep the BEST copy) ---------------
 
   /** Keep-best dedup representatives — the production variant of "keep one
@@ -1071,6 +1138,7 @@ object Dedup {
     "dd_minhash" -> (minhashLsh _),
     "dd_clusters" -> (clusters _),
     "dd_keep_best" -> (keepBest _),
+    "dd_minhash_est" -> (minhashEst _),
     "dd_simhash" -> (simhash _),
     "dd_chunks" -> (chunkDups _),
     "dd_cdc" -> (cdcChunks _),
@@ -1092,6 +1160,7 @@ object Dedup {
     "dd_minhash" -> minhashLshSql,
     "dd_clusters" -> clustersSql,
     "dd_keep_best" -> keepBestSql,
+    "dd_minhash_est" -> minhashEstSql,
     "dd_simhash" -> simhashSql,
     "dd_chunks" -> chunkDupsSql,
     "dd_cdc" -> cdcChunksSql,

@@ -49,6 +49,33 @@ class LshCapSpec extends AnyFunSuite {
     assert(capped.sameElements(uncapped))
   }
 
+  test("dd_minhash_est: estimate recounts from signatures; err reassembles; candidates covered") {
+    val sigs = dedup.Dedup.shingleArrays(spark, sf)
+      .filter(size(col("hs_arr")) > 0)
+      .select(col("doc_id"),
+        graft.plans.MinHashSigs(col("hs_arr"), dedup.Dedup.hashAB, dedup.Dedup.mersenneP)
+          .as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val rows = dedup.Dedup.minhashEst(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pairs = dedup.Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet == pairs,
+      "audit must cover exactly the candidate pairs")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      val n = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toLong
+      assert(r.getAs[Long]("n_match") == n, s"($a,$b) slot recount")
+      // candidates share at least one full band by construction
+      assert(n >= dedup.Dedup.bandSize)
+      val est = r.getAs[Double]("est_jaccard")
+      assert(est >= 0.0 && est <= 1.0)
+      if (!r.isNullAt(r.fieldIndex("exact_jaccard")))
+        assert(math.abs(est - r.getAs[Double]("exact_jaccard")) - 1e-9 <=
+          r.getAs[Double]("abs_err") + 1e-6)
+    }
+  }
+
   test("dd_keep_best: one survivor per cluster, and it is the max-quality member") {
     val clusters = dedup.Dedup.clusters(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
