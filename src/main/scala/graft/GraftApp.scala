@@ -46,6 +46,14 @@ object GraftApp {
     def shutdown(): Unit = {
       stop.set(true)
       events.stop()
+      // await the worker threads — returning while a sweep's store mutation
+      // is mid-save would let "after shutdown" readers race a live writer
+      // (and a JVM exit then kill the daemon mid-overwrite). Never
+      // interrupt them: an interrupted write is exactly the truncation the
+      // staged save exists to avoid. Both loops poll `stop`, so the waits
+      // are bounded by one sleep + one sweep.
+      expiry.join(120000L)
+      zulip.join(10000L)
     }
   }
 

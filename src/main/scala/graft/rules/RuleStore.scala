@@ -14,20 +14,40 @@ import org.apache.spark.sql.functions._
   */
 object RuleStore {
 
-  def save(rules: DataFrame, path: String): Unit =
-    rules.coalesce(1).write.mode("overwrite").json(path)
+  /** Staged write + swap: `mode("overwrite")` straight onto `path` deletes
+    * the old store BEFORE the new one exists — a crash (or an interrupted
+    * shutdown) mid-write loses every rule. Writing to a staged sibling
+    * first shrinks the exposed window to one directory rename, and
+    * [[load]] recovers the rename-not-yet-done case from the staged dir. */
+  def save(rules: DataFrame, path: String): Unit = {
+    val staged = path + ".staged"
+    rules.coalesce(1).write.mode("overwrite").json(staged)
+    val conf = rules.sparkSession.sparkContext.hadoopConfiguration
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(conf)
+    fs.delete(hPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staged), hPath)
+  }
 
   /** Load keeps `exp_notification` (the once-only expiry-notice counter
     * [[sweepNotices]] documents as "persist the result") — dropping it on
     * the save/load roundtrip would re-arm every past notification. Files
     * written before the counter existed read it as null; sweepNotices
     * coalesces that to 0. */
-  def load(spark: SparkSession, path: String): DataFrame =
+  def load(spark: SparkSession, path: String): DataFrame = {
+    // crash recovery: a save that died between delete and rename left the
+    // data only in the staged dir — finish the swap before reading
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val hStaged = new org.apache.hadoop.fs.Path(path + ".staged")
+    val fs = hPath.getFileSystem(conf)
+    if (!fs.exists(hPath) && fs.exists(hStaged)) fs.rename(hStaged, hPath)
     spark.read.schema(
       "name STRING, kind STRING, pattern STRING, num_arg INT, enabled BOOLEAN, " +
         "susp_only BOOLEAN, no_delay BOOLEAN, expiry_us LONG, actions STRING, " +
         "exp_notification INT")
       .json(path)
+  }
 
   /** `signup rules add` — refuses duplicate names (rules.rs:49-57). */
   def add(rules: DataFrame, rule: RuleRow, spark: SparkSession): DataFrame = {

@@ -234,4 +234,28 @@ class RecoverySpec extends AnyFunSuite {
     assert(logged.count() == expected)
     assert(logged.select("event_id").distinct().count() == expected, "no duplicate dispatches")
   }
+
+  test("RuleStore: a crash between delete and rename recovers from the staged dir") {
+    import graft.rules.{RuleRow, Rules, RuleStore}
+    val path = tmp("rulestore_crash") + "/rules.json"
+    val rows = Seq(
+      RuleRow("r1", "ip_match", "1.2.3.4", 0, enabled = true, suspOnly = false,
+        noDelay = false, None, "notify"),
+      RuleRow("r2", "username_contains", "bot", 0, enabled = true, suspOnly = false,
+        noDelay = false, None, "notify"))
+    RuleStore.save(Rules.dfFor(spark, rows), path)
+    // simulate the crash window: the staged write landed, the old store was
+    // deleted, the rename never happened
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val hStaged = new org.apache.hadoop.fs.Path(path + ".staged")
+    assert(fs.rename(hPath, hStaged), "fixture: move store to staged")
+    assert(!fs.exists(hPath))
+    // load finishes the swap and sees every rule
+    val names = RuleStore.load(spark, path)
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(names == Set("r1", "r2"))
+    assert(fs.exists(hPath) && !fs.exists(hStaged), "swap must be completed")
+  }
 }
