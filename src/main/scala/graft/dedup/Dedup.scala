@@ -674,8 +674,15 @@ object Dedup {
   def clusters(spark: SparkSession, sfDir: String): DataFrame =
     clustersImpl(spark, sfDir, smallGraphMaxEdges)
 
-  def clustersImpl(spark: SparkSession, sfDir: String, smallMax: Long): DataFrame = {
-    val pairs = minhashLsh(spark, sfDir).persist()
+  def clustersImpl(spark: SparkSession, sfDir: String, smallMax: Long): DataFrame =
+    clustersOf(minhashLsh(spark, sfDir), spark, smallMax)
+
+  /** The component pass over ANY (id_a, id_b) candidate-pair frame — shared
+    * by the MinHash clusters row and the SimHash clusters row (the consumer
+    * SCALING.md points pair-list-bottlenecked corpora at). */
+  private[graft] def clustersOf(pairFrame: DataFrame, spark: SparkSession,
+      smallMax: Long): DataFrame = {
+    val pairs = pairFrame.select(col("id_a"), col("id_b")).persist()
     if (pairs.count() <= smallMax) {
       // driver union-find with path compression, union-by-min-root
       val es = pairs.select(col("id_a"), col("id_b")).collect()
@@ -1031,12 +1038,13 @@ object Dedup {
       simhashSigs(spark, sfDir), "simhash", "doc_id", Seq("lang"),
       simBands, simBandBits, maxHamming = 3)
 
-  val simhashSql: String = {
+  /** wt→votes→sigs chain shared by the pair oracle and the clusters oracle. */
+  private val simhashSigsCte: String = {
     val votes = (0 until simBits).map(j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(",\n    ")
     val sig = (0 until simBits).map(j =>
       s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-    s"""WITH wt AS (
+    s"""wt AS (
        |  SELECT doc_id, lang,
        |    ${Portable.hash64Sql("word", "sh")} AS h
        |  FROM (SELECT doc_id, lang,
@@ -1046,12 +1054,43 @@ object Dedup {
        |  SELECT doc_id, lang,
        |    $votes
        |  FROM wt GROUP BY 1, 2),
-       |sigs AS (SELECT doc_id, lang, $sig AS simhash FROM votes)
+       |sigs AS (SELECT doc_id, lang, $sig AS simhash FROM votes)""".stripMargin
+  }
+
+  val simhashSql: String =
+    s"""WITH $simhashSigsCte
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS lang,
        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
        |FROM sigs a JOIN sigs b ON a.lang = b.lang AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
-  }
+
+  /** SimHash near-dup CLUSTERS — the consumer SCALING.md routes pair-list-
+    * bottlenecked corpora to: on replicated/boilerplate-heavy data the
+    * all-pairs answer grows quadratically in duplicate-group size (54k →
+    * 5.7M pairs at the 10× sweep) while the CLUSTER count grows linearly;
+    * downstream dedup wants "groups + a representative", not the pair
+    * list. Same adaptive component pass as dd_clusters (driver union-find
+    * under 5M edges, distributed label propagation + pointer doubling
+    * above — the sf1 corpus crosses the threshold and exercises the
+    * distributed path for real). */
+  def simhashClusters(spark: SparkSession, sfDir: String): DataFrame =
+    clustersOf(simhash(spark, sfDir), spark, smallGraphMaxEdges)
+
+  val simhashClustersSql: String =
+    s"""WITH RECURSIVE $simhashSigsCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sigs a JOIN sigs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |edges AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT DISTINCT id_a, id_a FROM edges
+       |  UNION
+       |  SELECT e.id_a, r.lbl FROM edges e JOIN reach r ON e.id_b = r.node)
+       |SELECT node AS doc_id, min(lbl) AS cluster_id
+       |FROM reach GROUP BY node""".stripMargin
 
   // ---- benchmark decontamination ------------------------------------------
 
@@ -1140,6 +1179,7 @@ object Dedup {
     "dd_keep_best" -> (keepBest _),
     "dd_minhash_est" -> (minhashEst _),
     "dd_simhash" -> (simhash _),
+    "dd_simhash_clusters" -> (simhashClusters _),
     "dd_chunks" -> (chunkDups _),
     "dd_cdc" -> (cdcChunks _),
     "dd_intra" -> (intra _),
@@ -1162,6 +1202,7 @@ object Dedup {
     "dd_keep_best" -> keepBestSql,
     "dd_minhash_est" -> minhashEstSql,
     "dd_simhash" -> simhashSql,
+    "dd_simhash_clusters" -> simhashClustersSql,
     "dd_chunks" -> chunkDupsSql,
     "dd_cdc" -> cdcChunksSql,
     "dd_intra" -> intraSql,

@@ -49,6 +49,22 @@ class LshCapSpec extends AnyFunSuite {
     assert(capped.sameElements(uncapped))
   }
 
+  test("dd_simhash_clusters: every simhash pair's endpoints share a cluster; min-member rep") {
+    val pairs = dedup.Dedup.simhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val clusters = dedup.Dedup.simhashClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, "representative must be the min member")
+    }
+    // the whole point: clusters are far fewer than pairs on duplicate-heavy data
+    assert(clusters.groupBy(_._2).size < pairs.length)
+  }
+
   test("dd_minhash_est: estimate recounts from signatures; err reassembles; candidates covered") {
     val sigs = dedup.Dedup.shingleArrays(spark, sf)
       .filter(size(col("hs_arr")) > 0)
