@@ -54,6 +54,15 @@ object GraftApp {
       // are bounded by one sleep + one sweep.
       expiry.join(120000L)
       zulip.join(10000L)
+      // a timed-out join means a wedged worker is STILL a live writer —
+      // returning silently would re-open the exact after-shutdown
+      // reader/writer race the joins exist to close; fail loudly instead
+      // so the caller knows the store may still be mutating
+      if (expiry.isAlive || zulip.isAlive)
+        throw new IllegalStateException(
+          "GraftApp.shutdown: worker thread(s) still alive after join " +
+            s"timeout (expiry=${expiry.isAlive}, zulip=${zulip.isAlive}) — " +
+            "the rules store may still have a live writer")
     }
   }
 

@@ -18,15 +18,31 @@ object RuleStore {
     * the old store BEFORE the new one exists — a crash (or an interrupted
     * shutdown) mid-write loses every rule. Writing to a staged sibling
     * first shrinks the exposed window to one directory rename, and
-    * [[load]] recovers the rename-not-yet-done case from the staged dir. */
+    * [[load]] recovers the rename-not-yet-done case from the staged dir.
+    *
+    * The Hadoop FS API reports delete/rename failure via BOOLEAN, not
+    * exception (object-store rename semantics; or a concurrent
+    * out-of-lock load completing the swap first) — both results are
+    * checked and a failure THROWS rather than leaving the store silently
+    * stranded in `.staged` (the staged dir still holds the data, so
+    * [[load]]'s recovery path completes the swap on the next read).
+    * The delete→rename window itself is non-atomic: ALL in-process
+    * access must go through [[graft.GraftApp]]'s `rulesLock` (readers
+    * outside it can observe the store missing mid-swap). */
   def save(rules: DataFrame, path: String): Unit = {
     val staged = path + ".staged"
     rules.coalesce(1).write.mode("overwrite").json(staged)
     val conf = rules.sparkSession.sparkContext.hadoopConfiguration
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(conf)
-    fs.delete(hPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staged), hPath)
+    if (fs.exists(hPath) && !fs.delete(hPath, true))
+      throw new java.io.IOException(
+        s"RuleStore.save: could not delete old store at $path " +
+          s"(new state is intact in $staged; load() will recover it)")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staged), hPath))
+      throw new java.io.IOException(
+        s"RuleStore.save: rename $staged -> $path failed " +
+          s"(new state is intact in $staged; load() will recover it)")
   }
 
   /** Load keeps `exp_notification` (the once-only expiry-notice counter

@@ -19,10 +19,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon_df(df):
     """Driver-shaped canonicalization: sort columns by name, sort rows by all
-    columns (raises on unhashable cells, as the driver does), stringify."""
+    columns (raises on unhashable cells, as the driver does), stringify.
+    NaN and None get DISTINCT markers: a query producing IEEE NaN on one
+    engine and SQL NULL on the other is a real semantic difference (e.g.
+    x/0 is NULL in Spark SQL, NaN in DuckDB) and must FAIL here, not pass."""
     df = df[sorted(df.columns)]
     df = df.sort_values(list(df.columns)).reset_index(drop=True)
-    return [tuple("NULL" if v is None or (isinstance(v, float) and v != v)
+    return [tuple("NULL" if v is None
+                  else "NaN" if isinstance(v, float) and v != v
                   else str(v) for v in row)
             for row in df.itertuples(index=False, name=None)]
 
