@@ -372,6 +372,38 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** Bucket-min OWNERSHIP edges over the UNCAPPED band rows: each (band,
+    * key) bucket member pairs with the bucket's min doc_id — the same
+    * ownership shape st_minhash_dedup already streams. For LSH semantics a
+    * bucket is a candidate CLIQUE (co-membership needs no further check),
+    * so the star's transitive closure equals the clique's and connected
+    * components over these edges are IDENTICAL to components over the full
+    * intra-bucket pairwise join — computed from O(n·bands) edges with NO
+    * per-bucket cap. This is what the component/duplicate-flag consumers
+    * (dd_clusters, dd_keep_best, dd_incremental, pipe_dedup) ride: the
+    * [[lshBucketCap]] truncation trade (a doc beyond the cap in every one
+    * of its buckets silently loses all candidates — worst exactly on the
+    * degenerate boilerplate corpora the cap defends against) applies ONLY
+    * to consumers whose OUTPUT is genuinely pairwise (dd_minhash,
+    * dd_minhash_est, dd_source_matrix, the audits), where a quadratic
+    * answer is the contract and the cap bounds it. One (band, key)
+    * exchange — the same shuffle [[capBands]] pays. */
+  def ownershipEdges(bands: DataFrame): DataFrame =
+    bands
+      .withColumn("own", min(col("doc_id")).over(
+        Window.partitionBy(col("band"), col("key"))))
+      .filter(col("doc_id") =!= col("own"))
+      .select(col("own").as("id_a"), col("doc_id").as("id_b"))
+      .distinct()
+
+  /** Oracle twin of [[ownershipEdges]] — reads the uncapped `bands` CTE. */
+  private val ownershipEdgesCte: String =
+    s"""own AS (SELECT band, key, min(doc_id) AS own FROM bands GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT DISTINCT o.own AS id_a, b.doc_id AS id_b
+       |  FROM bands b JOIN own o ON b.band = o.band AND b.key = o.key
+       |  WHERE b.doc_id <> o.own)""".stripMargin
+
   def minhashLshFromArrays(arrs: DataFrame): DataFrame = {
     // the first exchange in the whole pipeline is the band-bucket rank; the
     // self-join reuses its (band, key) partitioning
@@ -392,47 +424,44 @@ object Dedup {
   /** Incremental MinHash dedup — the production ingestion contract: a NEW
     * batch dedupes against the standing corpus without ever re-pairing
     * old×old (the standing band index is a staged table at 100 TB; only
-    * delta bands join against it, so per-increment work is O(delta·bands),
+    * delta rows consult it, so per-increment work is O(delta·bands),
     * independent of corpus age). Keep-first semantics: a new doc is a
     * duplicate iff it shares an LSH bucket with ANY smaller-id doc; its
-    * canonical copy is the smallest such id. */
+    * canonical copy is the smallest such id.
+    *
+    * Duplicate-flagging consumer ⇒ rides bucket-MIN ownership, not the
+    * capped pairwise join: per bucket the standing index needs only the
+    * minimum resident doc_id (the smallest id sharing ANY bucket with d is
+    * provably the min over d's buckets of each bucket's min-below-d), so
+    * the verdict is exact with NO cap-induced recall loss and no pair
+    * materialization at all. Per delta doc: `n_dup_bands` = how many of
+    * its band buckets hold a smaller doc (the candidate-strength signal
+    * the old pair count served), `dup_of` = the canonical copy (null =
+    * genuinely new). */
   def incremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val all = bandRows(shingleArrays(spark, sfDir)).persist()
-    // candidates from the CAPPED buckets (bounded-pair contract); the
-    // verdict universe from the raw rows so every delta doc gets a row even
-    // when a hot bucket truncated all its band entries
-    val bands = capBands(all).persist()
-    val delta = bands.filter(pmod(col("doc_id"), lit(incrMod)) === 0)
-    val cand = delta.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("b.doc_id") < col("a.doc_id"))
-      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("other_id"))
-      .distinct()
-    val verdicts = cand.groupBy(col("new_id"))
-      .agg(count(lit(1)).as("n_cands"), min(col("other_id")).as("dup_of"))
-    all.filter(pmod(col("doc_id"), lit(incrMod)) === 0)
-      .select(col("doc_id").as("new_id")).distinct()
-      .join(verdicts, Seq("new_id"), "left")
-      .select(col("new_id"), coalesce(col("n_cands"), lit(0L)).as("n_cands"),
-        col("dup_of"))
+    val withMin = bandRows(shingleArrays(spark, sfDir))
+      .withColumn("own", min(col("doc_id")).over(
+        Window.partitionBy(col("band"), col("key"))))
+    withMin.filter(pmod(col("doc_id"), lit(incrMod)) === 0)
+      .groupBy(col("doc_id").as("new_id"))
+      .agg(sum(when(col("own") < col("doc_id"), 1L).otherwise(0L)).as("n_dup_bands"),
+        min(when(col("own") < col("doc_id"), col("own"))).as("dup_of"))
   }
 
   /** Oracle for [[incremental]] — declared as a def: it references
     * [[minhashCtes]], which initializes later in this object. */
   def incrementalSql: String =
-    s"""WITH $minhashCappedCtes,
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS other_id
-       |  FROM bandsc a JOIN bandsc b
-       |    ON a.band = b.band AND a.key = b.key AND b.doc_id < a.doc_id
-       |  WHERE a.doc_id % $incrMod = 0),
-       |verdicts AS (
-       |  SELECT new_id, count(*) AS n_cands, min(other_id) AS dup_of
-       |  FROM cand GROUP BY 1)
-       |SELECT d.new_id, coalesce(v.n_cands, 0) AS n_cands, v.dup_of
-       |FROM (SELECT DISTINCT doc_id AS new_id FROM bands
-       |      WHERE doc_id % $incrMod = 0) d
-       |LEFT JOIN verdicts v ON v.new_id = d.new_id""".stripMargin
+    s"""WITH $minhashCtes,
+       |own AS (SELECT band, key, min(doc_id) AS own FROM bands GROUP BY 1, 2),
+       |d AS (
+       |  SELECT b.doc_id, o.own FROM bands b
+       |  JOIN own o ON b.band = o.band AND b.key = o.key
+       |  WHERE b.doc_id % $incrMod = 0)
+       |SELECT doc_id AS new_id,
+       |  CAST(sum(CASE WHEN own < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_bands,
+       |  min(CASE WHEN own < doc_id THEN own END) AS dup_of
+       |FROM d GROUP BY 1""".stripMargin
 
   /** CTE chain shared by the minhash query and the cluster oracle. */
   val minhashCtes: String = {
@@ -666,16 +695,22 @@ object Dedup {
   val smallGraphMaxEdges = 5000000L
 
   /** Connected components over the MinHash candidate graph — the step that
-    * turns pairs into dedup groups (keep one doc per cluster). Adaptive:
-    * union-find on the driver when the pair list is tiny relative to the
-    * corpus (the common case — near-dup pairs are sparse), else iterative
-    * min-label propagation with pointer doubling (≤ log₂(diameter) rounds).
-    * The oracle replays it as a recursive CTE. */
+    * turns candidates into dedup groups (keep one doc per cluster).
+    * Consumes [[ownershipEdges]] (bucket-min stars over the UNCAPPED band
+    * rows), not the capped pairwise join: components are identical to the
+    * full intra-bucket clique graph's, from O(n·bands) edges, with none of
+    * the cap's tail recall loss — on a corpus of 40k identical docs the
+    * capped join would dedup 512 and leave the rest "unique"; the
+    * ownership form clusters all 40k from 40k·bands edges. Component pass
+    * is adaptive: union-find on the driver when the edge list is tiny
+    * relative to the corpus (the common case), else iterative min-label
+    * propagation with pointer doubling (≤ log₂(diameter) rounds). The
+    * oracle replays it as a recursive CTE. */
   def clusters(spark: SparkSession, sfDir: String): DataFrame =
     clustersImpl(spark, sfDir, smallGraphMaxEdges)
 
   def clustersImpl(spark: SparkSession, sfDir: String, smallMax: Long): DataFrame =
-    clustersOf(minhashLsh(spark, sfDir), spark, smallMax)
+    clustersOf(ownershipEdges(bandRows(shingleArrays(spark, sfDir))), spark, smallMax)
 
   /** The component pass over ANY (id_a, id_b) candidate-pair frame — shared
     * by the MinHash clusters row and the SimHash clusters row (the consumer
@@ -742,14 +777,13 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
-  /** The candidate-pairs → components recursive chain (ends at `reach`) —
-    * shared by the clusters oracle and the keep-best representative row. */
-  private val clusterChainCte: String =
-    s"""$minhashCappedCtes,
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bandsc a JOIN bandsc b
-       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+  /** The ownership-edges → components recursive chain (ends at `reach`) —
+    * shared by the clusters oracle, the keep-best representative row, and
+    * the pipe_dedup manifest. Uncapped bucket-min stars, the oracle twin
+    * of [[ownershipEdges]]. */
+  private[graft] val clusterChainCte: String =
+    s"""$minhashCtes,
+       |$ownershipEdgesCte,
        |edges AS (
        |  SELECT id_a, id_b FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs),
@@ -839,10 +873,11 @@ object Dedup {
     * keeps whichever copy happened to be crawled first. One row per
     * cluster: (cluster_id, keep_id, keep_quality, n_members); ties break
     * doc_id-ASC so the choice is total. Scale shape: clusters ride the
-    * capped band join + component pass unchanged; the quality join is
-    * co-partitioned on doc_id; the argmax is a window over cluster
-    * partitions (bounded by cluster size — near-dup clusters are small by
-    * construction, and the band cap bounds the worst case). */
+    * uncapped ownership edges + component pass unchanged (O(n·bands), no
+    * recall loss); the quality join is co-partitioned on doc_id; the
+    * argmax is a window over cluster partitions — a degenerate
+    * boilerplate corpus makes ONE cluster huge, but its window partition
+    * carries only (id, quality, label) rows, not text. */
   def keepBest(spark: SparkSession, sfDir: String): DataFrame = {
     val clu = clusters(spark, sfDir)
     val q = graft.text.TextOps.quality(spark, sfDir)
@@ -1069,12 +1104,21 @@ object Dedup {
     * all-pairs answer grows quadratically in duplicate-group size (54k →
     * 5.7M pairs at the 10× sweep) while the CLUSTER count grows linearly;
     * downstream dedup wants "groups + a representative", not the pair
-    * list. Same adaptive component pass as dd_clusters (driver union-find
-    * under 5M edges, distributed label propagation + pointer doubling
-    * above — the sf1 corpus crosses the threshold and exercises the
-    * distributed path for real). */
+    * list. Edge generation is the verified spanning subset
+    * ([[graft.functions.Banding.hammingStarEdges]]): bucket-min star
+    * edges checked by the same hamming ≤ 3 test, failures re-paired
+    * within their bucket — components PROVABLY identical to the full
+    * [[simhash]] pair graph (the oracle replays the full graph; the spec
+    * pins equality on an adversarial fixture), intermediate O(n·bands)
+    * instead of O(Σ g²). Same adaptive component pass as dd_clusters
+    * (driver union-find under 5M edges, distributed label propagation +
+    * pointer doubling above). */
   def simhashClusters(spark: SparkSession, sfDir: String): DataFrame =
-    clustersOf(simhash(spark, sfDir), spark, smallGraphMaxEdges)
+    clustersOf(
+      graft.functions.Banding.hammingStarEdges(
+        simhashSigs(spark, sfDir), "simhash", "doc_id", Seq("lang"),
+        simBands, simBandBits, maxHamming = 3),
+      spark, smallGraphMaxEdges)
 
   val simhashClustersSql: String =
     s"""WITH RECURSIVE $simhashSigsCte,

@@ -1862,13 +1862,21 @@ object EventOps {
     * dim. Shares are single divisions of exact-int operands; the L1 sums
     * its |Δshare| terms in the explicit [[driftTypes]] order, so the
     * double is bit-identical across engines and partitionings. */
-  def drift(spark: SparkSession, sfDir: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val wDay = W.orderBy(col("day_epoch"))
-    val counts = Tables(spark, sfDir).events
+  def drift(spark: SparkSession, sfDir: String): DataFrame =
+    driftOver(Tables(spark, sfDir).events
       .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"),
         col("event_type"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The drift verdict as a READ-TIME VIEW over a drained (day_epoch,
+    * event_type, c) count matrix — the detector's full sufficient
+    * statistic, whose cells are mergeable order/partition/micro-batch-
+    * invariant SUMS bounded by the calendar. Shared verbatim by the batch
+    * row above and the streaming twin (st_drift), so the live verdict set
+    * EQUALS the batch verdict set and the batch oracle is reused. */
+  def driftOver(counts: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wDay = W.orderBy(col("day_epoch"))
     val pivoted = counts.groupBy(col("day_epoch"))
       .pivot("event_type", driftTypes)
       .agg(first(col("c")))

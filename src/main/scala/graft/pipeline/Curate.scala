@@ -243,13 +243,72 @@ object Curate {
        |WHERE $bucket < ${graft.sample.Sampling.splitTrainPct}""".stripMargin
   }
 
+  // ---- the production dedup pipeline end-to-end ----------------------------
+
+  /** The dedup pipeline as ONE composed flow — what pipe_curate is to the
+    * quality gates, this is to near-dup removal: minhash signatures → band
+    * rows → bucket-min ownership edges → connected components → keep-BEST
+    * survivor per cluster, over the WHOLE corpus (singletons survive as
+    * their own cluster), producing the survivor manifest a training run
+    * reads. Every stage is the already-verified operator composed as a
+    * subtree, and the fat `text` column dies inside the scan projection:
+    * [[graft.dedup.Dedup.shingleArrays]] folds it to hash arrays in the
+    * scan stage and the signature expression folds those per-row, so the
+    * (band, key) exchange — the pipeline's first shuffle — carries three
+    * ints per row and nothing else (plan-pinned in DedupPipeSpec). The
+    * quality join is doc_id-co-partitioned; the keep-best window rides the
+    * component labels. At 100 TB: O(n·bands) edges (no per-bucket cap, no
+    * pairwise blowup — the [[graft.dedup.Dedup.ownershipEdges]] contract),
+    * one bounded component pass, one survivor row per doc. */
+  def dedupPipe(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val edges = Dedup.ownershipEdges(
+      Dedup.bandRows(Dedup.shingleArrays(spark, sfDir)))
+    val clu = Dedup.clustersOf(edges, spark, Dedup.smallGraphMaxEdges)
+    val q = graft.text.TextOps.quality(spark, sfDir)
+      .select(col("doc_id"), col("quality"))
+    val members = q.join(clu, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    members
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("quality").as("keep_quality"), col("n_members"))
+  }
+
+  val dedupPipeSql: String =
+    s"""WITH RECURSIVE ${graft.dedup.Dedup.clusterChainCte},
+       |clu AS (
+       |  SELECT node AS doc_id, min(lbl) AS cluster_id
+       |  FROM reach GROUP BY node),
+       |qual AS (
+       |  SELECT doc_id, quality
+       |  FROM (${graft.text.TextOps.qualitySql.replace("\n", "\n  ")}) qq),
+       |m AS (
+       |  SELECT q.doc_id, coalesce(c.cluster_id, q.doc_id) AS cluster_id,
+       |    q.quality
+       |  FROM qual q LEFT JOIN clu c ON c.doc_id = q.doc_id)
+       |SELECT cluster_id, keep_id, keep_quality, n_members FROM (
+       |  SELECT cluster_id, doc_id AS keep_id, quality AS keep_quality,
+       |    count(*) OVER (PARTITION BY cluster_id) AS n_members,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY quality DESC, doc_id ASC) AS rk
+       |  FROM m) t
+       |WHERE rk = 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_curate" -> (curate _),
     "pipe_incr" -> (incr _),
+    "pipe_dedup" -> (dedupPipe _),
     "pipe_funnel" -> (funnel _))
 
   def oracleSql: Map[String, String] = Map(
     "pipe_curate" -> curateSql,
     "pipe_incr" -> incrSql,
+    "pipe_dedup" -> dedupPipeSql,
     "pipe_funnel" -> funnelSql)
 }

@@ -828,6 +828,28 @@ object StreamOps {
   /** Batch oracle reused verbatim — the drift-proof twin contract. */
   def stCusumSql: String = graft.events.EventOps.cusumSql
 
+  /** Day-over-day distribution drift under the STREAMING state store —
+    * ev_drift's live twin, and the monitor that exists PRECISELY to run
+    * live (training/serving skew pages someone today, not at the nightly
+    * batch): state = the (day, type) count matrix — one BIGINT cell per
+    * pair, mergeable order/partition/micro-batch-invariant SUMS,
+    * calendar-bounded (the st_cusum state family); the fixed-order pivot,
+    * lag window, and L1 fold run as the READ-TIME VIEW over the drained
+    * matrix ([[graft.events.EventOps.driftOver]] — literally the batch
+    * code), so the live drift verdicts EQUAL the batch verdicts and the
+    * batch oracle is reused verbatim. */
+  def driftLive(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = runToTable(spark, sfDir, OutputMode.Complete()) { src =>
+      src.groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"),
+        col("event_type"))
+        .agg(count(lit(1)).as("c"))
+    }
+    graft.events.EventOps.driftOver(counts)
+  }
+
+  /** Batch oracle reused verbatim — the drift-proof twin contract. */
+  def stDriftSql: String = graft.events.EventOps.driftSql
+
   /** Robust (median/MAD) anomaly detection under the STREAMING state store —
     * ev_anomaly_mad's live twin, same family as st_cusum: the detector's
     * full sufficient statistic is the (type, hour) count matrix, each cell
@@ -1396,6 +1418,7 @@ object StreamOps {
     "st_hll_users" -> (hllUsers _),
     "st_theta_kmv" -> (thetaKmv _),
     "st_cusum" -> (cusumLive _),
+    "st_drift" -> (driftLive _),
     "st_anomaly_mad" -> (anomalyMadLive _),
     "st_error_budget" -> (errorBudgetLive _),
     "st_xcorr" -> (xcorrLive _),
@@ -1429,6 +1452,7 @@ object StreamOps {
     "st_hll_users" -> hllUsersSql,
     "st_theta_kmv" -> thetaKmvSql,
     "st_cusum" -> stCusumSql,
+    "st_drift" -> stDriftSql,
     "st_anomaly_mad" -> stAnomalyMadSql,
     "st_error_budget" -> stErrorBudgetSql,
     "st_xcorr" -> stXcorrSql,

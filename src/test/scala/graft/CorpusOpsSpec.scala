@@ -261,19 +261,26 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("est_n") >= r.getAs[Long]("true_n"), r.toString))
   }
 
-  test("dd_incremental: delta-only verdicts, consistent with the full pipeline") {
+  test("dd_incremental: delta-only verdicts match the uncapped band index exactly") {
     val out = dedup.Dedup.incremental(spark, sf).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       assert(r.getAs[Long]("new_id") % dedup.Dedup.incrMod == 0)
-      if (r.getAs[Long]("n_cands") == 0L) assert(r.isNullAt(r.fieldIndex("dup_of")))
+      if (r.getAs[Long]("n_dup_bands") == 0L) assert(r.isNullAt(r.fieldIndex("dup_of")))
       else assert(r.getAs[Long]("dup_of") < r.getAs[Long]("new_id"))
     }
-    // every (dup_of, new_id) pair is also a full-pipeline candidate pair
-    val full = dedup.Dedup.minhashLsh(spark, sf).collect()
-      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
-    out.filter(_.getAs[Long]("n_cands") > 0).foreach { r =>
-      assert(full.contains((r.getAs[Long]("dup_of"), r.getAs[Long]("new_id"))))
+    // the ownership shortcut must be EXACT vs the uncapped definition:
+    // dup_of = the smallest doc sharing ANY band bucket (no cap, no pair
+    // join) — recomputed independently from the raw band rows
+    val bands = dedup.Dedup.bandRows(dedup.Dedup.shingleArrays(spark, sf)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), (r.getAs[Int]("band"), r.getAs[Long]("key"))))
+    val byBucket = bands.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val byDoc = bands.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("new_id")
+      val sharing = byDoc(id).flatMap(byBucket).filter(_ < id)
+      if (sharing.isEmpty) assert(r.isNullAt(r.fieldIndex("dup_of")), s"doc $id")
+      else assert(r.getAs[Long]("dup_of") == sharing.min, s"doc $id")
     }
   }
 
