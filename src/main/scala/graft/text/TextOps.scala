@@ -1492,6 +1492,7 @@ object TextOps {
     "tx_profile_train" -> (profileTrain _),
     "tx_bpe_tokens" -> (BpeQueries.bpeTokens _),
     "tx_bpe_train" -> (BpeQueries.bpeTrain _),
+    "tx_unigram_train" -> (UnigramLm.unigramTrain _),
     "tx_wordpiece" -> (WordPieceQueries.wordpiece _),
     "tx_oov" -> (oov _),
     "tx_readability" -> (readability _),
@@ -1528,6 +1529,7 @@ object TextOps {
     "tx_profile_train" -> profileTrainSql,
     "tx_bpe_tokens" -> BpeQueries.bpeTokensSql,
     "tx_bpe_train" -> BpeQueries.bpeTrainSql,
+    "tx_unigram_train" -> UnigramLm.unigramTrainSql,
     "tx_wordpiece" -> WordPieceQueries.wordpieceSql,
     "tx_oov" -> oovSql,
     "tx_readability" -> readabilitySql,

@@ -1,160 +1,229 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Unigram-LM tokenization (Kudo 2018 — the SentencePiece default),
-  * completing the tokenizer triad next to byte-level BPE ([[Bpe]]) and
-  * WordPiece ([[WordPiece]]): per whitespace-word VITERBI segmentation
-  * minimizing total piece cost (cost = −log p in exact integer
-  * milli-nats — no float DP, so both engines and the oracle agree
-  * bit-for-bit). A character not covered by the vocabulary falls back to a
-  * single-char piece at `unkCost`.
+/** Unigram-LM (SentencePiece-family, Kudo 2018) tokenizer TRAINING — the
+  * third production tokenizer trainer next to BPE (tx_bpe_train) and
+  * WordPiece (tx_wordpiece): seed a large candidate vocabulary from corpus
+  * substrings, alternate (E) segment the corpus under the current piece
+  * scores with (M) re-score + prune to the best pieces, and emit the
+  * surviving vocabulary with its usage counts.
   *
-  * Tie-break (deterministic, documented): among equal-cost segmentations
-  * the LONGEST final piece wins at every DP cell (ascending split-point
-  * scan with strict improvement keeps the smallest split). The built-in
-  * vocabulary is designed with unique optima anyway; a real SentencePiece
-  * model's `piece → -log p` table drops in via [[UnigramLm.vocab]] with
-  * costs pre-scaled to milli-nats. */
+  * Determinism contract (what makes the row hash-checkable cross-engine):
+  * the published trainer is soft-EM over float log-probs — float sums in a
+  * nondeterministic reduction order cannot hash-match, so this uses the
+  * HARD-EM (Viterbi) variant with an integer-exact objective: segment each
+  * word into the FEWEST pieces, breaking ties by the LARGEST total piece
+  * score (exact BIGINT sums), then by earliest split point. Scores are
+  * exact integer corpus counts throughout (seed pass: substring occurrence
+  * counts; EM pass: Viterbi usage counts), and every prune is an (score
+  * DESC, piece ASC) top-K — total order, no RNG, no floats anywhere.
+  *
+  * Scale shape (the tx_bpe_train posture, which is also how production
+  * trainers work — one corpus-sized counting pass, then local iteration
+  * over the bounded vocabulary): the DISTRIBUTED work is the word-frequency
+  * aggregation (explode + one hash agg — the only corpus-sized pass, runs
+  * at 100 TB); the collected (word, freq) table is the Zipf-bounded
+  * vocabulary, and the Viterbi-EM loop runs driver-side over it. Words are
+  * truncated to [[maxWordLen]] chars before counting (identically in the
+  * oracle; the corpus is ASCII so char/byte/codepoint semantics agree
+  * across engines).
+  */
 object UnigramLm {
 
-  final case class UgVocab(cost: Map[String, Long], maxLen: Int,
-      unkCost: Long) extends Serializable
+  /** Words are truncated to this many chars before counting (bounds the
+    * DP and the oracle's unrolled SQL alike). */
+  val maxWordLen = 12
+  /** Candidate pieces are substrings up to this length (single chars are
+    * always segmentable, vocab or not — the UNK-free guarantee). */
+  val maxPieceLen = 4
+  /** Seed vocabulary: top-K multi-char substrings by occurrence count. */
+  val seedK = 120
+  /** EM prune: multi-char pieces surviving into the final vocabulary. */
+  val pruneK = 48
 
-  def vocab(pieces: Map[String, Long], unkCost: Long = 1000L): UgVocab =
-    UgVocab(pieces, pieces.keys.map(_.length).max, unkCost)
-
-  /** Built-in: all singles at 100, multi-char pieces priced so greedy and
-    * Viterbi DISAGREE somewhere (see the "abase" fixture — greedy
-    * longest-prefix would take "ab", Viterbi pays for "a"+"base"). */
-  val builtinPieces: Map[String, Long] =
-    (('a' to 'z').map(c => c.toString -> 100L) ++ Seq(
-      "da" -> 90L, "ta" -> 90L, "data" -> 150L, "bas" -> 140L,
-      "base" -> 150L, "database" -> 240L, "se" -> 95L, "ab" -> 95L,
-      "un" -> 80L)).toMap
-
-  lazy val builtin: UgVocab = vocab(builtinPieces)
-
-  /** Viterbi over one word: minimal-cost cover; returns pieces + cost. */
-  private[text] def segment(word: String, v: UgVocab): (Array[String], Long) = {
-    val n = word.length
-    if (n == 0) return (Array.empty, 0L)
-    val best = Array.fill(n + 1)(Long.MaxValue)
-    val back = new Array[Int](n + 1)
-    best(0) = 0L
-    var i = 1
-    while (i <= n) {
-      var j = math.max(0, i - v.maxLen)
-      while (j < i) {
-        if (best(j) != Long.MaxValue) {
-          val pc = v.cost.get(word.substring(j, i)) match {
-            case Some(c) => c
-            case None => if (i - j == 1) v.unkCost else Long.MaxValue
+  /** One Viterbi segmentation pass: per word, fewest pieces → largest
+    * total score → earliest split, each piece either in-vocab or a single
+    * char (score 0 if an unscored single); returns per-piece usage counts
+    * weighted by word frequency. */
+  private[text] def viterbiCounts(wf: Seq[(String, Long)],
+      voc: Map[String, Long]): Map[String, Long] = {
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    wf.foreach { case (w, f) =>
+      val L = w.length
+      // dp(j) = (pieces, totalScore, backPointer) for the best prefix cut
+      val np = new Array[Int](L + 1)
+      val sf = new Array[Long](L + 1)
+      val bi = new Array[Int](L + 1)
+      var j = 1
+      while (j <= L) {
+        var bestNp = Int.MaxValue; var bestSf = Long.MinValue; var bestBi = -1
+        var l = 1
+        while (l <= math.min(maxPieceLen, j)) {
+          val i = j - l
+          val piece = w.substring(i, j)
+          val pf: Option[Long] =
+            if (l == 1) Some(voc.getOrElse(piece, 0L)) else voc.get(piece)
+          pf.foreach { s =>
+            val cNp = np(i) + 1; val cSf = sf(i) + s
+            // (np ASC, sf DESC, bi ASC) — bi ASC means the LOWER i wins a
+            // full tie, and we scan l ascending ⇒ i descending, so strict
+            // improvement OR equal-key-lower-i replacement
+            if (cNp < bestNp || (cNp == bestNp && (cSf > bestSf ||
+                (cSf == bestSf && i < bestBi))))
+              { bestNp = cNp; bestSf = cSf; bestBi = i }
           }
-          if (pc != Long.MaxValue && best(j) + pc < best(i)) {
-            best(i) = best(j) + pc
-            back(i) = j
-          }
+          l += 1
         }
+        np(j) = bestNp; sf(j) = bestSf; bi(j) = bestBi
         j += 1
       }
-      i += 1
+      var cur = L
+      while (cur > 0) {
+        val i = bi(cur)
+        val piece = w.substring(i, cur)
+        counts(piece) = counts.getOrElse(piece, 0L) + f
+        cur = i
+      }
     }
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var p = n
-    while (p > 0) { out += word.substring(back(p), p); p = back(p) }
-    (out.reverseIterator.toArray, best(n))
+    counts.toMap
   }
 
-  def encode(text: String, v: UgVocab): (Array[String], Long) = {
-    val words = text.split("\\s+").filter(_.nonEmpty)
-    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
-    var cost = 0L
-    words.foreach { w =>
-      val (t, c) = segment(w, v)
-      toks ++= t; cost += c
+  /** Deterministic (score DESC, piece ASC) top-K. */
+  private def topK(m: Iterable[(String, Long)], k: Int): Seq[(String, Long)] =
+    m.toSeq.sortBy { case (p, s) => (-s, p) }.take(k)
+
+  /** The full trainer over a (word, freq) table: seed → segment → prune →
+    * re-segment; returns the final (piece, usageCount) vocabulary. */
+  private[text] def train(wf: Seq[(String, Long)]): Seq[(String, Long)] = {
+    // seed scores: exact substring occurrence counts over the corpus
+    val seedCounts = scala.collection.mutable.Map.empty[String, Long]
+    val charCounts = scala.collection.mutable.Map.empty[String, Long]
+    wf.foreach { case (w, f) =>
+      var i = 0
+      while (i < w.length) {
+        charCounts(w.substring(i, i + 1)) =
+          charCounts.getOrElse(w.substring(i, i + 1), 0L) + f
+        var l = 2
+        while (l <= maxPieceLen && i + l <= w.length) {
+          val p = w.substring(i, i + l)
+          seedCounts(p) = seedCounts.getOrElse(p, 0L) + f
+          l += 1
+        }
+        i += 1
+      }
     }
-    (toks.toArray, cost)
+    val voc1 = (topK(seedCounts, seedK) ++ charCounts.toSeq).toMap
+    val cnt1 = viterbiCounts(wf, voc1)
+    // M-step prune: best multis by pass-1 usage; singles always survive,
+    // re-scored to their pass-1 usage (0 if the segmentation never chose
+    // them standalone)
+    val voc2 = (topK(cnt1.filter(_._1.length >= 2), pruneK) ++
+      charCounts.keys.map(c => c -> cnt1.getOrElse(c, 0L))).toMap
+    viterbiCounts(wf, voc2).toSeq.sortBy { case (p, c) => (-c, p) }
   }
 
-  def evalStruct(input: UTF8String, v: UgVocab): InternalRow = {
-    val (toks, cost) = encode(input.toString, v)
-    new GenericInternalRow(Array[Any](
-      new GenericArrayData(toks.map(UTF8String.fromString(_)): Array[Any]),
-      cost))
-  }
-
-  def tokens(c: Column, v: UgVocab = builtin): Column =
-    GraftBridge.column(UnigramTokens(GraftBridge.expression(c), v))
-}
-
-/** `text → struct(toks array<string>, cost_milli bigint)` — one Viterbi
-  * pass serves both outputs (tokens and the exact segmentation cost). */
-case class UnigramTokens(child: Expression, v: UnigramLm.UgVocab)
-    extends UnaryExpression {
-  override def dataType: DataType = StructType(Seq(
-    StructField("toks", ArrayType(StringType, containsNull = false), nullable = false),
-    StructField("cost_milli", LongType, nullable = false)))
-  override def nullable: Boolean = child.nullable
-  override def prettyName: String = "unigram_tokens"
-
-  override def nullSafeEval(input: Any): Any =
-    UnigramLm.evalStruct(input.asInstanceOf[UTF8String], v)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val ref = ctx.addReferenceObj("ugVocab", v, "graft.text.UnigramLm.UgVocab")
-      s"""${ev.value} = graft.text.UnigramLm.evalStruct($c, $ref);"""
-    })
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** Driver row (tx_unigram): fixtures where single-char, multi-piece, and
-  * whole-word segmentations compete; hand-traced Viterbi costs. */
-object UnigramQueries {
-  import org.apache.spark.sql.functions.{array_join, col, size}
-
-  val corpus: Seq[String] = Seq(
-    "data",       // 0: data(150) beats da+ta(180) and singles(400)
-    "database",   // 1: whole piece 240 beats data+base 300
-    "databases",  // 2: database+s 340 beats data+base+s 400
-    "dada",       // 3: da+da 180
-    "abase",      // 4: a+base 250 — GREEDY would take ab(95)+a+se = 290
-    "sese xyz",   // 5: se+se 190 | x+y+z 300
-    "q!",         // 6: q 100 + unk '!' 1000
-    "")           // 7: zero tokens, zero cost
-
-  def unigram(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The registered row: distributed word-frequency pass over `documents`,
+    * then the driver-side Viterbi-EM over the bounded vocab. */
+  def unigramTrain(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("sid", "text")
-      .select(col("sid"), UnigramLm.tokens(col("text")).as("u"))
-      .select(col("sid"),
-        size(col("u.toks")).cast("long").as("n_tokens"),
-        array_join(col("u.toks"), "|").as("tokens"),
-        col("u.cost_milli"))
+    val wf = graft.Tables(spark, sfDir).documents
+      .select(explode(Portable.words(col("text"))).as("w0"))
+      .select(substring(col("w0"), 1, maxWordLen).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .collect() // bounded: the distinct-word vocab, not the corpus
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    train(wf).map { case (p, c) => (p, p.length.toLong, c) }
+      .toDF("piece", "n_chars", "freq")
   }
 
-  /** Hand-traced Viterbi: each row's runner-up segmentation and its cost
-    * are listed in the corpus comments above. */
-  val unigramSql: String =
-    """SELECT CAST(sid AS BIGINT) AS sid, CAST(n_tokens AS BIGINT) AS n_tokens,
-      |  tokens, CAST(cost_milli AS BIGINT) AS cost_milli
-      |FROM (VALUES
-      |  (0, 1, 'data', 150),
-      |  (1, 1, 'database', 240),
-      |  (2, 2, 'database|s', 340),
-      |  (3, 2, 'da|da', 180),
-      |  (4, 2, 'a|base', 250),
-      |  (5, 5, 'se|se|x|y|z', 490),
-      |  (6, 2, 'q|!', 1100),
-      |  (7, 0, '', 0)
-      |) t(sid, n_tokens, tokens, cost_milli)""".stripMargin
+  // ---- the DuckDB oracle: the same trainer, unrolled ------------------------
+
+  /** One Viterbi pass as generated SQL: DP CTEs `b<tag>_1..L` (argmin per
+    * prefix), the collected back-pointer table, the unrolled backtrack,
+    * and the usage-count CTE `cnt<tag>`. `vocCte` must expose
+    * (piece, sc). */
+  private def viterbiCtes(tag: String, vocCte: String): String = {
+    val cand =
+      s"""cand$tag AS MATERIALIZED (
+         |  SELECT c.w, c.i, c.j, c.piece,
+         |    CASE WHEN c.l = 1 THEN coalesce(v.sc, 0) ELSE v.sc END AS pf
+         |  FROM (
+         |    SELECT wf.w, j - l AS i, j, substr(wf.w, j - l + 1, l) AS piece, l
+         |    FROM wf,
+         |      LATERAL unnest(range(1, len(w) + 1)) tj(j),
+         |      LATERAL unnest(range(1, ${maxPieceLen + 1})) tl(l)
+         |    WHERE l <= j) c
+         |  LEFT JOIN $vocCte v ON v.piece = c.piece
+         |  WHERE c.l = 1 OR v.sc IS NOT NULL)""".stripMargin
+    val b0 = s"b${tag}_0 AS MATERIALIZED (SELECT w, 0 AS np, CAST(0 AS BIGINT) AS sf, -1 AS bi FROM wf)"
+    val bs = (1 to maxWordLen).map { j =>
+      val arms = (math.max(0, j - maxPieceLen) until j).map { jp =>
+        s"""    SELECT c.w, p.np + 1 AS np, p.sf + c.pf AS sf, c.i AS bi
+           |    FROM cand$tag c JOIN b${tag}_$jp p ON p.w = c.w
+           |    WHERE c.j = $j AND c.i = $jp""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""b${tag}_$j AS MATERIALIZED (
+         |  SELECT w, np, sf, bi FROM (
+         |    SELECT u.*, row_number() OVER (PARTITION BY u.w
+         |      ORDER BY u.np ASC, u.sf DESC, u.bi ASC) AS rn
+         |    FROM (
+         |$arms) u) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val ball = s"ball$tag AS MATERIALIZED (" + (1 to maxWordLen)
+      .map(j => s"SELECT w, $j AS pos, bi FROM b${tag}_$j")
+      .mkString("\n  UNION ALL ") + ")"
+    val t0 = s"t${tag}_0 AS MATERIALIZED (SELECT w, len(w) AS cur FROM wf)"
+    val steps = (1 to maxWordLen).map { k =>
+      s"""p${tag}_$k AS MATERIALIZED (
+         |  SELECT t.w, substr(t.w, b.bi + 1, t.cur - b.bi) AS piece, b.bi
+         |  FROM t${tag}_${k - 1} t JOIN ball$tag b ON b.w = t.w AND b.pos = t.cur
+         |  WHERE t.cur > 0),
+         |t${tag}_$k AS MATERIALIZED (SELECT w, bi AS cur FROM p${tag}_$k)""".stripMargin
+    }.mkString(",\n")
+    val pieces = s"pieces$tag AS MATERIALIZED (" + (1 to maxWordLen)
+      .map(k => s"SELECT w, piece FROM p${tag}_$k")
+      .mkString("\n  UNION ALL ") + ")"
+    val cnt =
+      s"""cnt$tag AS MATERIALIZED (
+         |  SELECT p.piece, CAST(sum(wf.f) AS BIGINT) AS c
+         |  FROM pieces$tag p JOIN wf ON wf.w = p.w GROUP BY 1)""".stripMargin
+    Seq(cand, b0, bs, ball, t0, steps, pieces, cnt).mkString(",\n")
+  }
+
+  /** Independent replay of the whole trainer in DuckDB: word freqs, seed
+    * scores, Viterbi pass 1, prune, Viterbi pass 2, final counts. */
+  val unigramTrainSql: String =
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT substr(w0, 1, $maxWordLen) AS w, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(${Portable.wordsSql}) AS w0 FROM documents)
+       |  GROUP BY 1),
+       |subs AS MATERIALIZED (
+       |  SELECT substr(w, i, l) AS piece, f
+       |  FROM wf,
+       |    LATERAL unnest(range(1, len(w) + 1)) t1(i),
+       |    LATERAL unnest(range(2, ${maxPieceLen + 1})) t2(l)
+       |  WHERE i + l - 1 <= len(w)),
+       |seedm AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(f) AS BIGINT) AS sc FROM subs GROUP BY 1
+       |  ORDER BY sc DESC, piece ASC LIMIT $seedK),
+       |chars0 AS MATERIALIZED (
+       |  SELECT substr(w, i, 1) AS piece, CAST(sum(f) AS BIGINT) AS sc
+       |  FROM wf, LATERAL unnest(range(1, len(w) + 1)) t(i) GROUP BY 1),
+       |voc1 AS MATERIALIZED (SELECT piece, sc FROM seedm
+       |         UNION ALL SELECT piece, sc FROM chars0),
+       |${viterbiCtes("1", "voc1")},
+       |voc2 AS MATERIALIZED (
+       |  SELECT piece, c AS sc FROM (
+       |    SELECT piece, c FROM cnt1 WHERE len(piece) >= 2
+       |    ORDER BY c DESC, piece ASC LIMIT $pruneK)
+       |  UNION ALL
+       |  SELECT c0.piece, coalesce(c1.c, 0) AS sc
+       |  FROM chars0 c0 LEFT JOIN cnt1 c1
+       |    ON c1.piece = c0.piece AND len(c1.piece) = 1),
+       |${viterbiCtes("2", "voc2")}
+       |SELECT piece, CAST(len(piece) AS BIGINT) AS n_chars, c AS freq
+       |FROM cnt2""".stripMargin
 }
