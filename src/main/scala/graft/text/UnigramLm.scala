@@ -48,7 +48,7 @@ object UnigramLm {
     * total score → earliest split, each piece either in-vocab or a single
     * char (score 0 if an unscored single); returns per-piece usage counts
     * weighted by word frequency. */
-  private[text] def viterbiCounts(wf: Seq[(String, Long)],
+  private[graft] def viterbiCounts(wf: Seq[(String, Long)],
       voc: Map[String, Long]): Map[String, Long] = {
     val counts = scala.collection.mutable.Map.empty[String, Long]
     wf.foreach { case (w, f) =>
@@ -97,7 +97,7 @@ object UnigramLm {
 
   /** The full trainer over a (word, freq) table: seed → segment → prune →
     * re-segment; returns the final (piece, usageCount) vocabulary. */
-  private[text] def train(wf: Seq[(String, Long)]): Seq[(String, Long)] = {
+  private[graft] def train(wf: Seq[(String, Long)]): Seq[(String, Long)] = {
     // seed scores: exact substring occurrence counts over the corpus
     val seedCounts = scala.collection.mutable.Map.empty[String, Long]
     val charCounts = scala.collection.mutable.Map.empty[String, Long]
