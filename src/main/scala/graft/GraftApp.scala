@@ -223,10 +223,18 @@ object GraftApp {
       silenceRestartMs = zulipSilenceRestartMs, checkMs = zulipCheckMs)
     val zulipThread = supervisor.start(stop)
 
-    // signup::rules::expiry_loop: once-only notices + expired-rule sweep
+    // signup::rules::expiry_loop: once-only notices + expired-rule sweep.
+    // The sleep is sliced so shutdown latency is ~200 ms + one in-flight
+    // sweep, not the sweep cadence (an hourly-config sweep would otherwise
+    // blow through shutdown's 120 s join and read as a wedged writer).
     val expiryThread = new Thread(() => {
       while (!stop.get()) {
-        Thread.sleep(sweepMs)
+        val end = System.currentTimeMillis() + sweepMs
+        var left = sweepMs
+        while (!stop.get() && left > 0) {
+          Thread.sleep(math.min(200L, left))
+          left = end - System.currentTimeMillis()
+        }
         if (!stop.get()) {
           try {
             val now = Rules.nowUs

@@ -2335,13 +2335,18 @@ object EventOps {
     * from the statistic, surfaced in `n_new_types`. Scale shape: ONE
     * corpus aggregation to (day, type); everything after runs on the
     * bounded day dim. */
-  def chi2Drift(spark: SparkSession, sfDir: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val wDay = W.orderBy(col("day_epoch"))
-    val counts = Tables(spark, sfDir).events
+  def chi2Drift(spark: SparkSession, sfDir: String): DataFrame =
+    chi2DriftOver(Tables(spark, sfDir).events
       .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"),
         col("event_type"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The χ² verdict as a READ-TIME VIEW over the same drained (day_epoch,
+    * event_type, c) matrix [[driftOver]] reads — shared verbatim by the
+    * batch row and the streaming twin (st_chi2_drift). */
+  def chi2DriftOver(counts: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wDay = W.orderBy(col("day_epoch"))
     val pivoted = counts.groupBy(col("day_epoch"))
       .pivot("event_type", driftTypes)
       .agg(first(col("c")))

@@ -850,6 +850,26 @@ object StreamOps {
   /** Batch oracle reused verbatim — the drift-proof twin contract. */
   def stDriftSql: String = graft.events.EventOps.driftSql
 
+  /** χ² drift TEST under the STREAMING state store — ev_chi2_drift's live
+    * twin and st_drift's significance layer (a raw L1 threshold can't tell
+    * a quiet Sunday from real breakage; the χ² verdict can): the SAME
+    * (day, type) BIGINT count-matrix state, with the cross-multiplied
+    * exact-integer χ² pass as the READ-TIME VIEW
+    * ([[graft.events.EventOps.chi2DriftOver]] — literally the batch code),
+    * so live verdicts EQUAL batch verdicts and the batch oracle is reused
+    * verbatim. */
+  def chi2DriftLive(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = runToTable(spark, sfDir, OutputMode.Complete()) { src =>
+      src.groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"),
+        col("event_type"))
+        .agg(count(lit(1)).as("c"))
+    }
+    graft.events.EventOps.chi2DriftOver(counts)
+  }
+
+  /** Batch oracle reused verbatim — the drift-proof twin contract. */
+  def stChi2DriftSql: String = graft.events.EventOps.chi2DriftSql
+
   /** Robust (median/MAD) anomaly detection under the STREAMING state store —
     * ev_anomaly_mad's live twin, same family as st_cusum: the detector's
     * full sufficient statistic is the (type, hour) count matrix, each cell
@@ -1419,6 +1439,7 @@ object StreamOps {
     "st_theta_kmv" -> (thetaKmv _),
     "st_cusum" -> (cusumLive _),
     "st_drift" -> (driftLive _),
+    "st_chi2_drift" -> (chi2DriftLive _),
     "st_anomaly_mad" -> (anomalyMadLive _),
     "st_error_budget" -> (errorBudgetLive _),
     "st_xcorr" -> (xcorrLive _),
@@ -1453,6 +1474,7 @@ object StreamOps {
     "st_theta_kmv" -> thetaKmvSql,
     "st_cusum" -> stCusumSql,
     "st_drift" -> stDriftSql,
+    "st_chi2_drift" -> stChi2DriftSql,
     "st_anomaly_mad" -> stAnomalyMadSql,
     "st_error_budget" -> stErrorBudgetSql,
     "st_xcorr" -> stXcorrSql,

@@ -1493,6 +1493,7 @@ object TextOps {
     "tx_bpe_tokens" -> (BpeQueries.bpeTokens _),
     "tx_bpe_train" -> (BpeQueries.bpeTrain _),
     "tx_unigram_train" -> (UnigramLm.unigramTrain _),
+    "tx_unigram_tokens" -> (UnigramLm.unigramTokens _),
     "tx_wordpiece" -> (WordPieceQueries.wordpiece _),
     "tx_oov" -> (oov _),
     "tx_readability" -> (readability _),
@@ -1530,6 +1531,7 @@ object TextOps {
     "tx_bpe_tokens" -> BpeQueries.bpeTokensSql,
     "tx_bpe_train" -> BpeQueries.bpeTrainSql,
     "tx_unigram_train" -> UnigramLm.unigramTrainSql,
+    "tx_unigram_tokens" -> UnigramLm.unigramTokensSql,
     "tx_wordpiece" -> WordPieceQueries.wordpieceSql,
     "tx_oov" -> oovSql,
     "tx_readability" -> readabilitySql,

@@ -44,48 +44,56 @@ object UnigramLm {
   /** EM prune: multi-char pieces surviving into the final vocabulary. */
   val pruneK = 48
 
-  /** One Viterbi segmentation pass: per word, fewest pieces → largest
-    * total score → earliest split, each piece either in-vocab or a single
-    * char (score 0 if an unscored single); returns per-piece usage counts
-    * weighted by word frequency. */
+  /** Viterbi segmentation of one word under a scored vocab: fewest pieces
+    * → largest total score → earliest split, each piece either in-vocab or
+    * a single char (score 0 if an unscored single). */
+  private[graft] def segment(w: String, voc: Map[String, Long]): Seq[String] = {
+    val L = w.length
+    // dp(j) = (pieces, totalScore, backPointer) for the best prefix cut
+    val np = new Array[Int](L + 1)
+    val sf = new Array[Long](L + 1)
+    val bi = new Array[Int](L + 1)
+    var j = 1
+    while (j <= L) {
+      var bestNp = Int.MaxValue; var bestSf = Long.MinValue; var bestBi = -1
+      var l = 1
+      while (l <= math.min(maxPieceLen, j)) {
+        val i = j - l
+        val piece = w.substring(i, j)
+        val pf: Option[Long] =
+          if (l == 1) Some(voc.getOrElse(piece, 0L)) else voc.get(piece)
+        pf.foreach { s =>
+          val cNp = np(i) + 1; val cSf = sf(i) + s
+          // (np ASC, sf DESC, bi ASC) — bi ASC means the LOWER i wins a
+          // full tie, and we scan l ascending ⇒ i descending, so strict
+          // improvement OR equal-key-lower-i replacement
+          if (cNp < bestNp || (cNp == bestNp && (cSf > bestSf ||
+              (cSf == bestSf && i < bestBi))))
+            { bestNp = cNp; bestSf = cSf; bestBi = i }
+        }
+        l += 1
+      }
+      np(j) = bestNp; sf(j) = bestSf; bi(j) = bestBi
+      j += 1
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var cur = L
+    while (cur > 0) {
+      val i = bi(cur)
+      w.substring(i, cur) +=: out
+      cur = i
+    }
+    out.toList
+  }
+
+  /** One Viterbi segmentation pass over the word table: per-piece usage
+    * counts weighted by word frequency. */
   private[graft] def viterbiCounts(wf: Seq[(String, Long)],
       voc: Map[String, Long]): Map[String, Long] = {
     val counts = scala.collection.mutable.Map.empty[String, Long]
     wf.foreach { case (w, f) =>
-      val L = w.length
-      // dp(j) = (pieces, totalScore, backPointer) for the best prefix cut
-      val np = new Array[Int](L + 1)
-      val sf = new Array[Long](L + 1)
-      val bi = new Array[Int](L + 1)
-      var j = 1
-      while (j <= L) {
-        var bestNp = Int.MaxValue; var bestSf = Long.MinValue; var bestBi = -1
-        var l = 1
-        while (l <= math.min(maxPieceLen, j)) {
-          val i = j - l
-          val piece = w.substring(i, j)
-          val pf: Option[Long] =
-            if (l == 1) Some(voc.getOrElse(piece, 0L)) else voc.get(piece)
-          pf.foreach { s =>
-            val cNp = np(i) + 1; val cSf = sf(i) + s
-            // (np ASC, sf DESC, bi ASC) — bi ASC means the LOWER i wins a
-            // full tie, and we scan l ascending ⇒ i descending, so strict
-            // improvement OR equal-key-lower-i replacement
-            if (cNp < bestNp || (cNp == bestNp && (cSf > bestSf ||
-                (cSf == bestSf && i < bestBi))))
-              { bestNp = cNp; bestSf = cSf; bestBi = i }
-          }
-          l += 1
-        }
-        np(j) = bestNp; sf(j) = bestSf; bi(j) = bestBi
-        j += 1
-      }
-      var cur = L
-      while (cur > 0) {
-        val i = bi(cur)
-        val piece = w.substring(i, cur)
+      segment(w, voc).foreach { piece =>
         counts(piece) = counts.getOrElse(piece, 0L) + f
-        cur = i
       }
     }
     counts.toMap
@@ -95,9 +103,9 @@ object UnigramLm {
   private def topK(m: Iterable[(String, Long)], k: Int): Seq[(String, Long)] =
     m.toSeq.sortBy { case (p, s) => (-s, p) }.take(k)
 
-  /** The full trainer over a (word, freq) table: seed → segment → prune →
-    * re-segment; returns the final (piece, usageCount) vocabulary. */
-  private[graft] def train(wf: Seq[(String, Long)]): Seq[(String, Long)] = {
+  /** Seed → segment → prune: the TRAINED (piece → score) vocabulary the
+    * final pass (and the inference row) segments under. */
+  private[graft] def trainedVocab(wf: Seq[(String, Long)]): Map[String, Long] = {
     // seed scores: exact substring occurrence counts over the corpus
     val seedCounts = scala.collection.mutable.Map.empty[String, Long]
     val charCounts = scala.collection.mutable.Map.empty[String, Long]
@@ -120,23 +128,54 @@ object UnigramLm {
     // M-step prune: best multis by pass-1 usage; singles always survive,
     // re-scored to their pass-1 usage (0 if the segmentation never chose
     // them standalone)
-    val voc2 = (topK(cnt1.filter(_._1.length >= 2), pruneK) ++
+    (topK(cnt1.filter(_._1.length >= 2), pruneK) ++
       charCounts.keys.map(c => c -> cnt1.getOrElse(c, 0L))).toMap
-    viterbiCounts(wf, voc2).toSeq.sortBy { case (p, c) => (-c, p) }
   }
 
-  /** The registered row: distributed word-frequency pass over `documents`,
-    * then the driver-side Viterbi-EM over the bounded vocab. */
-  def unigramTrain(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val wf = graft.Tables(spark, sfDir).documents
+  /** The full trainer over a (word, freq) table: seed → segment → prune →
+    * re-segment; returns the final (piece, usageCount) vocabulary. */
+  private[graft] def train(wf: Seq[(String, Long)]): Seq[(String, Long)] =
+    viterbiCounts(wf, trainedVocab(wf)).toSeq.sortBy { case (p, c) => (-c, p) }
+
+  /** The distributed word-frequency pass — the one corpus-sized scan;
+    * shared by the trainer and the inference row. */
+  private def wordFreqs(spark: SparkSession, sfDir: String): Seq[(String, Long)] =
+    graft.Tables(spark, sfDir).documents
       .select(explode(Portable.words(col("text"))).as("w0"))
       .select(substring(col("w0"), 1, maxWordLen).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .collect() // bounded: the distinct-word vocab, not the corpus
       .map(r => (r.getString(0), r.getLong(1))).toSeq
-    train(wf).map { case (p, c) => (p, p.length.toLong, c) }
+
+  /** The registered row: distributed word-frequency pass over `documents`,
+    * then the driver-side Viterbi-EM over the bounded vocab. */
+  def unigramTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    train(wordFreqs(spark, sfDir)).map { case (p, c) => (p, p.length.toLong, c) }
       .toDF("piece", "n_chars", "freq")
+  }
+
+  /** Unigram tokenizer INFERENCE at corpus scale — consumes the TRAINED
+    * vocabulary the way ann_ivf_trained consumes ann_kmeans centroids:
+    * train once, precompute each distinct word's Viterbi piece count over
+    * the bounded vocab, BROADCAST that (word → n_pieces) dim, and the
+    * corpus-sized pass is explode + broadcast equi-join + one per-doc sum
+    * (no DP ever runs per occurrence; the dim is Zipf-bounded). Output per
+    * doc: whitespace word count and unigram token count — the "how many
+    * tokens is this corpus under MY tokenizer" budgeting query every
+    * pre-training run prices first. */
+  def unigramTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wf = wordFreqs(spark, sfDir)
+    val voc = trainedVocab(wf)
+    val dim = wf.map { case (w, _) => (w, segment(w, voc).length.toLong) }
+      .toDF("w", "np_w")
+    graft.Tables(spark, sfDir).documents
+      .select(col("doc_id"), explode(Portable.words(col("text"))).as("w0"))
+      .select(col("doc_id"), substring(col("w0"), 1, maxWordLen).as("w"))
+      .join(broadcast(dim), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np_w")).as("n_pieces"))
   }
 
   // ---- the DuckDB oracle: the same trainer, unrolled ------------------------
@@ -193,10 +232,10 @@ object UnigramLm {
     Seq(cand, b0, bs, ball, t0, steps, pieces, cnt).mkString(",\n")
   }
 
-  /** Independent replay of the whole trainer in DuckDB: word freqs, seed
-    * scores, Viterbi pass 1, prune, Viterbi pass 2, final counts. */
-  val unigramTrainSql: String =
-    s"""WITH wf AS MATERIALIZED (
+  /** The full trainer CTE chain (word freqs → seed → Viterbi pass 1 →
+    * prune → Viterbi pass 2) — the single source both oracles extend. */
+  private val trainerCtes: String =
+    s"""wf AS MATERIALIZED (
        |  SELECT substr(w0, 1, $maxWordLen) AS w, CAST(count(*) AS BIGINT) AS f
        |  FROM (SELECT unnest(${Portable.wordsSql}) AS w0 FROM documents)
        |  GROUP BY 1),
@@ -223,7 +262,29 @@ object UnigramLm {
        |  SELECT c0.piece, coalesce(c1.c, 0) AS sc
        |  FROM chars0 c0 LEFT JOIN cnt1 c1
        |    ON c1.piece = c0.piece AND len(c1.piece) = 1),
-       |${viterbiCtes("2", "voc2")}
+       |${viterbiCtes("2", "voc2")}""".stripMargin
+
+  /** Independent replay of the whole trainer in DuckDB: word freqs, seed
+    * scores, Viterbi pass 1, prune, Viterbi pass 2, final counts. */
+  val unigramTrainSql: String =
+    s"""WITH $trainerCtes
        |SELECT piece, CAST(len(piece) AS BIGINT) AS n_chars, c AS freq
        |FROM cnt2""".stripMargin
+
+  /** Inference oracle: each word's piece count is the pass-2 DP value at
+    * its own length (`b2_len(w)` row), joined back under every occurrence. */
+  val unigramTokensSql: String = {
+    val wnp = (1 to maxWordLen)
+      .map(j => s"SELECT w, np FROM b2_$j WHERE len(w) = $j")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $trainerCtes,
+       |wnp AS MATERIALIZED ($wnp),
+       |dw AS (
+       |  SELECT doc_id, substr(w0, 1, $maxWordLen) AS w
+       |  FROM (SELECT doc_id, unnest(${Portable.wordsSql}) AS w0 FROM documents))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(wnp.np) AS BIGINT) AS n_pieces
+       |FROM dw JOIN wnp ON wnp.w = dw.w
+       |GROUP BY 1""".stripMargin
+  }
 }

@@ -49,12 +49,25 @@ final class ZulipSupervisor(
     loopThread.start()
   }
 
+  /** Sleep `ms` in short slices, returning early the moment `stop` flips —
+    * a monolithic `Thread.sleep(checkMs)` makes shutdown latency equal the
+    * watchdog cadence (60 s configs blew straight through the caller's
+    * join timeout and left a "live writer" verdict on a healthy exit). */
+  private def sleepUnless(stop: AtomicBoolean, ms: Long): Unit = {
+    val end = System.currentTimeMillis() + ms
+    var left = ms
+    while (!stop.get() && left > 0) {
+      Thread.sleep(math.min(200L, left))
+      left = end - System.currentTimeMillis()
+    }
+  }
+
   /** Run the supervised connection until `stop`; blocking (the watchdog IS
     * this loop — use [[start]] for the daemon-thread form). */
   def run(stop: AtomicBoolean): Unit = {
     startRtm()
     while (!stop.get()) {
-      Thread.sleep(checkMs)
+      sleepUnless(stop, checkMs)
       if (!stop.get()) {
         val silent = System.currentTimeMillis() - lastPingMs > silenceRestartMs
         if (silent || !loopThread.isAlive) {
