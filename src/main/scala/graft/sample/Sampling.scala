@@ -363,13 +363,9 @@ object Sampling {
   /** Target draw count for [[pps]]. */
   val ppsK = 50
 
-  /** doc_id block span for the two-level prefix sum in [[pps]] — bounds
-    * both the per-window partition size and the cross-block dim. Assumes
-    * roughly-dense ids (the corpus contract here); for hash-like sparse
-    * ids the equivalent decomposition is repartitionByRange(doc_id) +
-    * per-partition sums keyed by spark_partition_id — same shape, no
-    * density assumption. */
-  val ppsBlock = 8192L
+  /** Number of range blocks for the two-level prefix sum in [[pps]] when
+    * the session doesn't configure shuffle partitions higher. */
+  val ppsMinBlocks = 32
 
   /** Systematic PPS sampling — each document's selection probability is
     * proportional to its LENGTH (n_chars), the survey-sampling classic
@@ -381,16 +377,27 @@ object Sampling {
     * estimators require). ALL math is integer (cumsum, floor-div stride
     * crossings) — deterministic on both engines with no RNG and no floats.
     * Scale shape: the corpus-order prefix sum runs as the ev_disorder
-    * two-level decomposition — doc_id blocks of [[ppsBlock]] get per-block
-    * totals, the cross-block exclusive prefix runs over the BOUNDED block
-    * dim and broadcasts back, the in-block cumsum is a window whose
-    * partitions are capped at the block size. No single task ever owns the
-    * whole corpus ordering. Then a map-side crossing test; output is k
-    * rows. */
+    * two-level decomposition, with blocks defined by a RANGE SHUFFLE on
+    * doc_id (`repartitionByRange` + `spark_partition_id`) rather than
+    * `doc_id DIV span` — range boundaries come from sampling, so the
+    * blocks stay balanced for dense, sparse, or clustered id spaces alike
+    * (the round-6 caveat: DIV-blocking skews back toward one fat window
+    * partition when ids cluster). Per-block totals aggregate locally, the
+    * cross-block exclusive prefix runs over the BOUNDED block dim and
+    * broadcasts back, the in-block cumsum is a window whose partitions are
+    * the range blocks. The block id is an execution detail — the resulting
+    * corpus-order cumsum is blocking-invariant, so the oracle replays a
+    * plain global cumsum. The frame is persisted so the offsets pass and
+    * the cumsum pass read ONE materialized block assignment. No single
+    * task ever owns the whole corpus ordering. Then a map-side crossing
+    * test; output is k rows. */
   def pps(spark: SparkSession, sfDir: String): DataFrame = {
+    val nBlocks = math.max(ppsMinBlocks, spark.sessionState.conf.numShufflePartitions)
     val docs = Tables(spark, sfDir).documents
       .select(col("doc_id"), col("n_chars"))
-      .withColumn("blk", expr(s"doc_id DIV $ppsBlock"))
+      .repartitionByRange(nBlocks, col("doc_id"))
+      .withColumn("blk", spark_partition_id().cast("long"))
+      .persist()
     val offsets = docs.groupBy(col("blk")).agg(sum(col("n_chars")).as("bs"))
       .withColumn("off", coalesce(
         sum(col("bs")).over(Window.orderBy(col("blk"))
