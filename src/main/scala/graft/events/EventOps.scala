@@ -777,9 +777,22 @@ object EventOps {
       .select(((expr(s"ts_us DIV $dayUs") + 4) % 7).as("dow"),
         expr(s"(ts_us % $dayUs) DIV 3600000000").as("hour"),
         col("user_id"))
-    val total = ev.agg(count(lit(1)).as("total"))
-    ev.groupBy(col("dow"), col("hour"))
-      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    seasonalityOver(ev.groupBy(col("dow"), col("hour"), col("user_id"))
+      .agg(count(lit(1)).as("c")))
+  }
+
+  /** The seasonality readout as a READ-TIME VIEW over a drained
+    * (dow, hour, user_id, c) presence matrix. The matrix cells are
+    * mergeable order/partition/micro-batch-invariant SUMS (distinct
+    * actives themselves cannot fold incrementally, but the per-user
+    * presence rows they are counted FROM can — the same move madOver
+    * makes for medians); state is bounded by 168 × population. Shared
+    * verbatim by the batch row and the streaming twin (st_seasonality). */
+  def seasonalityOver(presence: DataFrame): DataFrame = {
+    val cells = presence.groupBy(col("dow"), col("hour"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_users"))
+    val total = cells.agg(sum(col("n")).as("total"))
+    cells
       .crossJoin(broadcast(total))
       .select(col("dow"), col("hour"), col("n"), col("n_users"),
         round(col("n").cast("double") / col("total"), 6).as("share"))
@@ -1913,13 +1926,20 @@ object EventOps {
     * partition orders, with no float-summation hazard. Scale shape: one
     * corpus aggregation to the (type, day) dim; everything after runs over
     * ≤ W rows per type. */
-  def forecast(spark: SparkSession, sfDir: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val wr = W.partitionBy(col("event_type")).orderBy(col("day_epoch").desc)
-    Tables(spark, sfDir).events
+  def forecast(spark: SparkSession, sfDir: String): DataFrame =
+    forecastOver(Tables(spark, sfDir).events
       .groupBy(col("event_type"),
         unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The EWMA + OLS forecast as a READ-TIME VIEW over a drained
+    * (event_type, day_epoch, c) count matrix — the same mergeable
+    * calendar-bounded state family as [[driftOver]]/[[cusumOver]]; shared
+    * verbatim by the batch row and the streaming twin (st_forecast). */
+  def forecastOver(counts: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wr = W.partitionBy(col("event_type")).orderBy(col("day_epoch").desc)
+    counts
       .withColumn("r", row_number().over(wr))
       .filter(col("r") <= fcWindow)
       .withColumn("t", lit(fcWindow + 1) - col("r")) // later day = larger t

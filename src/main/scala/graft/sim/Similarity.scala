@@ -287,10 +287,12 @@ object Similarity {
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame =
     ivfTopKWith(spark, sfDir, centroids(spark, sfDir))
 
-  /** The probe pipeline over an arbitrary coarse quantizer `(cid, cv,
-    * cnrm)` — the first-N default and the k-means-trained table run the
-    * identical plan. */
-  def ivfTopKWith(spark: SparkSession, sfDir: String, cents: DataFrame): DataFrame = {
+  /** The shared probe-and-score stage over an arbitrary coarse quantizer
+    * `(cid, cv, cnrm)`: every (query, probed-list candidate) exact cosine
+    * — the top-k cut (ivf_topk) and the radius cut (ann_radius) are two
+    * consumers of this one frame. */
+  private def probedScoresWith(spark: SparkSession, sfDir: String,
+      cents: DataFrame): DataFrame = {
     val e = emb(spark, sfDir)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
     val lists = assignedListsWith(spark, sfDir, cents).persist()
@@ -307,18 +309,42 @@ object Similarity {
     val q = lists.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
       .join(probes, "qid")
-    val scored = lists.join(broadcast(q),
+    lists.join(broadcast(q),
         col("cid") === col("pcid") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cand"),
         round(graft.plans.VectorDot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6)
           .as("cos"))
+  }
+
+  /** The probe pipeline over an arbitrary coarse quantizer `(cid, cv,
+    * cnrm)` — the first-N default and the k-means-trained table run the
+    * identical plan. */
+  def ivfTopKWith(spark: SparkSession, sfDir: String, cents: DataFrame): DataFrame = {
+    val scored = probedScoresWith(spark, sfDir, cents)
     val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand").asc)
     scored.withColumn("rank", row_number().over(wRank)).filter(col("rank") <= 3)
   }
 
-  /** probes→q→scored + final top-3 cut over the [[assignChainCte]] names —
-    * the second quantizer-agnostic half of the shared probe pipeline. */
-  private val probeSelectSql: String =
+  /** Radius threshold for [[radiusSearch]]. */
+  val radiusTau = 0.25
+
+  /** RANGE (radius) search — the similarity-search dual of top-k (FAISS
+    * `range_search`): every probed candidate with cosine ≥ [[radiusTau]],
+    * however many or few that is per query. This is the retrieval shape
+    * dedup gates and near-duplicate filters actually want — "everything
+    * at least this similar", where a fixed k either truncates a dense
+    * neighborhood or pads a sparse one with junk. Rides the identical
+    * IVF probe stage as ann_ivf_topk (O(n·K) assignment, nprobe lists
+    * per query, exact re-score on candidates only); the cut is a
+    * codegen'd filter instead of a rank window — no per-query sort at
+    * all, so output cost is exactly the matching rows. */
+  def radiusSearch(spark: SparkSession, sfDir: String): DataFrame =
+    probedScoresWith(spark, sfDir, centroids(spark, sfDir))
+      .filter(col("cos") >= radiusTau)
+
+  /** probes→q→scored over the [[assignChainCte]] names — the SQL twin of
+    * [[probedScoresWith]], shared by the top-k and radius selects. */
+  private val probeScoredCte: String =
     s"""probes AS (
        |  SELECT vec_id AS qid, cid AS pcid FROM assigned
        |  WHERE vec_id < $numQueries AND crn <= $nprobe),
@@ -329,12 +355,23 @@ object Similarity {
        |scored AS (
        |  SELECT q.qid, l.vec_id AS cand,
        |    round(${Portable.cosineSql("l.v", "qv")}, 6) AS cos
-       |  FROM lists l JOIN q ON l.cid = q.pcid AND l.vec_id <> q.qid)
+       |  FROM lists l JOIN q ON l.cid = q.pcid AND l.vec_id <> q.qid)""".stripMargin
+
+  /** probes→q→scored + final top-3 cut over the [[assignChainCte]] names —
+    * the second quantizer-agnostic half of the shared probe pipeline. */
+  private val probeSelectSql: String =
+    s"""$probeScoredCte
        |SELECT qid, cand, cos, rank FROM (
        |  SELECT qid, cand, cos,
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand ASC) AS rank
        |  FROM scored) t
        |WHERE rank <= 3""".stripMargin
+
+  val radiusSearchSql: String =
+    s"""WITH $embCte,
+       |$assignedCte,
+       |$probeScoredCte
+       |SELECT qid, cand, cos FROM scored WHERE cos >= $radiusTau""".stripMargin
 
   val ivfTopKSql: String =
     s"""WITH $embCte,
@@ -1702,6 +1739,7 @@ object Similarity {
     "ann_brute_topk" -> (bruteTopK _),
     "ann_lsh_topk" -> (lshTopK _),
     "ann_ivf_topk" -> (ivfTopK _),
+    "ann_radius" -> (radiusSearch _),
     "ann_ivf_trained" -> (ivfTrainedTopK _),
     "ann_incremental" -> (incrementalIndex _),
     "ann_knn_join" -> (knnJoin _),
@@ -1725,6 +1763,7 @@ object Similarity {
     "ann_brute_topk" -> bruteTopKSql,
     "ann_lsh_topk" -> lshTopKSql,
     "ann_ivf_topk" -> ivfTopKSql,
+    "ann_radius" -> radiusSearchSql,
     "ann_ivf_trained" -> ivfTrainedSql,
     "ann_incremental" -> incrementalIndexSql,
     "ann_knn_join" -> knnJoinSql,

@@ -870,6 +870,52 @@ object StreamOps {
   /** Batch oracle reused verbatim — the drift-proof twin contract. */
   def stChi2DriftSql: String = graft.events.EventOps.chi2DriftSql
 
+  /** Per-type activity FORECAST under the STREAMING state store —
+    * ev_forecast's live twin (the capacity dashboard that matters live):
+    * state = the (type, day) BIGINT count matrix — mergeable
+    * order/partition/micro-batch-invariant SUMS, calendar-bounded; the
+    * truncated-EWMA + OLS-trend pass (integer weighted sums, one double
+    * division) is the READ-TIME VIEW over the drained matrix
+    * ([[graft.events.EventOps.forecastOver]] — literally the batch code),
+    * so live forecasts EQUAL batch forecasts and the batch oracle is
+    * reused verbatim. */
+  def forecastLive(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = runToTable(spark, sfDir, OutputMode.Complete()) { src =>
+      src.groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"))
+        .agg(count(lit(1)).as("c"))
+    }
+    graft.events.EventOps.forecastOver(counts)
+  }
+
+  /** Batch oracle reused verbatim — the drift-proof twin contract. */
+  def stForecastSql: String = graft.events.EventOps.forecastSql
+
+  /** (day-of-week × hour-of-day) seasonality under the STREAMING state
+    * store — ev_seasonality's live twin: distinct actives cannot fold
+    * incrementally, so state is the (dow, hour, user_id) PRESENCE matrix
+    * (mergeable BIGINT sums, bounded by 168 × population — the same move
+    * st_anomaly_mad makes for medians), and the distinct-count + share
+    * readout is the READ-TIME VIEW over the drained matrix
+    * ([[graft.events.EventOps.seasonalityOver]] — literally the batch
+    * code), so the live matrix EQUALS the batch matrix and the batch
+    * oracle is reused verbatim. */
+  def seasonalityLive(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val counts = runToTable(spark, sfDir, OutputMode.Complete()) { src =>
+      src.select(graft.epochUs(col("ts")).as("ts_us"), col("user_id"))
+        .select(((expr(s"ts_us DIV $dayUs") + 4) % 7).as("dow"),
+          expr(s"(ts_us % $dayUs) DIV 3600000000").as("hour"),
+          col("user_id"))
+        .groupBy(col("dow"), col("hour"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+    }
+    graft.events.EventOps.seasonalityOver(counts)
+  }
+
+  /** Batch oracle reused verbatim — the drift-proof twin contract. */
+  def stSeasonalitySql: String = graft.events.EventOps.seasonalitySql
+
   /** Robust (median/MAD) anomaly detection under the STREAMING state store —
     * ev_anomaly_mad's live twin, same family as st_cusum: the detector's
     * full sufficient statistic is the (type, hour) count matrix, each cell
@@ -1440,6 +1486,8 @@ object StreamOps {
     "st_cusum" -> (cusumLive _),
     "st_drift" -> (driftLive _),
     "st_chi2_drift" -> (chi2DriftLive _),
+    "st_forecast" -> (forecastLive _),
+    "st_seasonality" -> (seasonalityLive _),
     "st_anomaly_mad" -> (anomalyMadLive _),
     "st_error_budget" -> (errorBudgetLive _),
     "st_xcorr" -> (xcorrLive _),
@@ -1475,6 +1523,8 @@ object StreamOps {
     "st_cusum" -> stCusumSql,
     "st_drift" -> stDriftSql,
     "st_chi2_drift" -> stChi2DriftSql,
+    "st_forecast" -> stForecastSql,
+    "st_seasonality" -> stSeasonalitySql,
     "st_anomaly_mad" -> stAnomalyMadSql,
     "st_error_budget" -> stErrorBudgetSql,
     "st_xcorr" -> stXcorrSql,

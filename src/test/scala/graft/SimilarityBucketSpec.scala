@@ -145,4 +145,20 @@ class SimilarityBucketSpec extends AnyFunSuite {
     // augmented bucketing, raw-dot re-score) while the oracle pins the
     // values; norm-diverse corpora are where the two operators split
   }
+
+  test("ann_radius: every row clears tau; agrees with ivf_topk on the overlap") {
+    val radius = sim.Similarity.radiusSearch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand")) -> r.getAs[Double]("cos"))
+      .toMap
+    assert(radius.nonEmpty)
+    assert(radius.values.forall(_ >= sim.Similarity.radiusTau))
+    // both rows consume the identical probe-scored stage: any top-k hit at
+    // or above tau MUST appear in the radius answer with the same cosine
+    sim.Similarity.ivfTopK(spark, sf).collect().foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("cand"))
+      val cos = r.getAs[Double]("cos")
+      if (cos >= sim.Similarity.radiusTau)
+        assert(radius.get(key).contains(cos), s"topk hit $key missing from radius")
+    }
+  }
 }
