@@ -733,6 +733,43 @@ object Multimodal {
        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.phash, b.phash)) <= $phashMaxHamming""".stripMargin
 
+  /** Perceptual near-dup CLUSTERS — mm_phash's component consumer, closing
+    * the last output-bound pair surface the same way dd_simhash_clusters
+    * closed SimHash's: on a replicated media corpus the exact pair answer
+    * grows as O(Σ g²) in duplicate-group size (99 pairs at sf0.1 → 215k at
+    * the 10× sweep) while clusters grow linearly, and image dedup wants
+    * "groups + a representative", not the pair list. Edge generation is
+    * the verified spanning subset
+    * ([[graft.functions.Banding.hammingStarEdges]] — bucket-min stars
+    * checked by the same hamming ≤ 3 test, failures re-paired within their
+    * bucket; components provably identical to the full [[mmPhash]] graph,
+    * intermediate O(n·bands)); the component pass is the shared adaptive
+    * [[graft.dedup.Dedup.clustersOf]]. The oracle replays the FULL pair
+    * graph — independent of the generator. */
+  def mmPhashClusters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.Dedup.clustersOf(
+      graft.functions.Banding.hammingStarEdges(
+        mmPhashSigs(spark, sfDir), "phash", "doc_id", Nil,
+        phashBands, phashBandBits, phashMaxHamming),
+      spark, graft.dedup.Dedup.smallGraphMaxEdges)
+
+  val mmPhashClustersSql: String =
+    s"""WITH RECURSIVE $dimsSqlCte,
+       |${phashSigCtes("")},
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= $phashMaxHamming),
+       |edges AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(node, lbl) AS (
+       |  SELECT DISTINCT id_a, id_a FROM edges
+       |  UNION
+       |  SELECT e.id_a, r.lbl FROM edges e JOIN reach r ON e.id_b = r.node)
+       |SELECT node AS doc_id, min(lbl) AS cluster_id
+       |FROM reach GROUP BY node""".stripMargin
+
   // ---- GPU batch packing ---------------------------------------------------
 
   val pixelBudget = 16384L
@@ -851,6 +888,7 @@ object Multimodal {
     "mm_features" -> (mmFeatures _),
     "mm_pair" -> (mmPair _),
     "mm_phash" -> (mmPhash _),
+    "mm_phash_clusters" -> (mmPhashClusters _),
     "mm_batchpack" -> (mmBatchPack _))
 
   def oracleSql: Map[String, String] = Map(
@@ -863,5 +901,6 @@ object Multimodal {
     "mm_features" -> mmFeaturesSql,
     "mm_pair" -> mmPairSql,
     "mm_phash" -> mmPhashSql,
+    "mm_phash_clusters" -> mmPhashClustersSql,
     "mm_batchpack" -> mmBatchPackSql)
 }
