@@ -61,6 +61,30 @@ class StarEdgeSpec extends AnyFunSuite {
     assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), "the fallback must bridge 2–3")
   }
 
+  test("hammingStarEdges ≡ hammingPairs components under seeded random signatures") {
+    import spark.implicits._
+    // 300 signatures = 12 random bases each perturbed by 0-4 random bit
+    // flips: dense mixed-similarity buckets (hamming 0-8 between group
+    // members, so verify-pass, verify-fail, AND cross-pair cases all
+    // occur) — maximal pressure on the verify/fallback split
+    var s = 42L
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    val bases = Array.fill(12)(next())
+    val sigs = (0L until 300L).map { i =>
+      var sig = bases((i % 12).toInt)
+      val flips = (next() & 0x7fffffffL % 5).toInt % 5
+      for (_ <- 0 until flips) sig ^= 1L << ((next() & 0x3f).toInt)
+      (i, s"g${i % 2}", sig)
+    }.toDF("doc_id", "lang", "simhash")
+    def comps(df: org.apache.spark.sql.DataFrame) = components(
+      df.select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))))
+    val full = comps(graft.functions.Banding.hammingPairs(
+      sigs, "simhash", "doc_id", Seq("lang"), 4, 16, 3))
+    val star = comps(graft.functions.Banding.hammingStarEdges(
+      sigs, "simhash", "doc_id", Seq("lang"), 4, 16, 3))
+    assert(full.nonEmpty && full == star)
+  }
+
   test("hammingStarEdges ≡ hammingPairs components on the real corpus (sig-level fuzz)") {
     // every simhash signature of the corpus — buckets, failures, bridges
     // as the data happens to produce them
