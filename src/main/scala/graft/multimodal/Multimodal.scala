@@ -843,10 +843,16 @@ object Multimodal {
     val sigs = phashSigsFrom(
       Tables(spark, sfDir).documents.join(kept, "doc_id")
         .select(col("doc_id"), col("text").cast("binary").as("payload")))
-    val pairs = graft.functions.Banding.hammingPairs(
-      sigs, "phash", "doc_id", Nil, phashBands, phashBandBits, phashMaxHamming)
     // min-id keeper: a doc drops iff it has a LOWER-id perceptual near-dup
-    // among the gate survivors (id_a < id_b by construction)
+    // among the gate survivors. Edges come from the verified spanning
+    // subset, not the full pair list (the round-7 consumer posture): every
+    // emitted edge has id_a < id_b, and a doc with ANY lower-id true
+    // neighbor is guaranteed an edge as id_b (verified star to the bucket
+    // min if that verifies, else the fallback re-pairs it directly) — so
+    // the drop set is IDENTICAL to the full pair list's {id_b}, from an
+    // O(n·bands) intermediate instead of O(Σ g²) on replicated corpora.
+    val pairs = graft.functions.Banding.hammingStarEdges(
+      sigs, "phash", "doc_id", Nil, phashBands, phashBandBits, phashMaxHamming)
     val dups = pairs.select(col("id_b").as("doc_id")).distinct()
     val survivors = kept.join(dups, Seq("doc_id"), "left_anti")
     packFrom(resized(spark, sfDir).join(survivors, "doc_id"))
