@@ -797,6 +797,60 @@ object Dedup {
        |SELECT node AS doc_id, min(lbl) AS cluster_id
        |FROM reach GROUP BY node""".stripMargin
 
+  // ---- duplication profile (the dedup run's summary readout) ---------------
+
+  /** Corpus duplication profile — the one-page readout every dedup run
+    * logs: how much of the corpus lives in near-dup clusters of which
+    * size. One row per log₂ size bucket (bucket b = cluster sizes
+    * [2^b, 2^(b+1)), so 2-3, 4-7, 8-15, …) with cluster count, doc count,
+    * and corpus share; bucket 0 is the singleton mass (docs in no
+    * cluster). The decision it feeds: heavy mass in big buckets ⇒
+    * mirror-dominated corpus, dedup before paying for the full pipeline.
+    * Numerics: the bucket is `length(bin(sz)) - 1` — exact integer
+    * floor(log₂) on both engines (a float log₂ can land 1.9999… on exact
+    * powers and mis-bucket); the only double is the final share division.
+    * Scale shape: rides the ownership-edge clusters; everything after is
+    * a ≤64-row dim. */
+  def dupStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val clu = clusters(spark, sfDir).persist()
+    val sizes = clu.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+    val buckets = sizes
+      .withColumn("bucket", (length(bin(col("sz"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+    val totals = docs(spark, sfDir).agg(count(lit(1)).as("total"))
+      .crossJoin(clu.agg(count(lit(1)).as("n_in")))
+    val singles = totals.select(lit(0L).as("bucket"),
+      (col("total") - col("n_in")).as("n_clusters"),
+      (col("total") - col("n_in")).as("n_docs"))
+    singles.unionAll(buckets)
+      .crossJoin(broadcast(totals.select(col("total"))))
+      .select(col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))").as("min_sz"),
+        col("n_clusters"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("total"), 6).as("pct"))
+  }
+
+  val dupStatsSql: String =
+    s"""WITH RECURSIVE $clusterChainCte,
+       |clu AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+       |csz AS (SELECT cluster_id, count(*) AS sz FROM clu GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+       |cin AS (SELECT CAST(count(*) AS BIGINT) AS n_in FROM clu),
+       |b AS (
+       |  SELECT CAST(length(bin(CAST(sz AS BIGINT))) - 1 AS BIGINT) AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_clusters,
+       |    CAST(sum(sz) AS BIGINT) AS n_docs
+       |  FROM csz GROUP BY 1),
+       |allb AS (
+       |  SELECT CAST(0 AS BIGINT) AS bucket, total - n_in AS n_clusters,
+       |    total - n_in AS n_docs
+       |  FROM tot, cin
+       |  UNION ALL SELECT bucket, n_clusters, n_docs FROM b)
+       |SELECT bucket, CAST(1 << bucket AS BIGINT) AS min_sz, n_clusters, n_docs,
+       |  round(CAST(n_docs AS DOUBLE) / total, 6) AS pct
+       |FROM allb, tot""".stripMargin
+
   // ---- signature-estimate audit (est vs exact Jaccard per candidate) ------
 
   /** MinHash ESTIMATOR-quality audit — the other half of the sketch story:
@@ -1220,6 +1274,7 @@ object Dedup {
     "dd_containment" -> (containment _),
     "dd_minhash" -> (minhashLsh _),
     "dd_clusters" -> (clusters _),
+    "dd_dup_stats" -> (dupStats _),
     "dd_keep_best" -> (keepBest _),
     "dd_minhash_est" -> (minhashEst _),
     "dd_simhash" -> (simhash _),
@@ -1243,6 +1298,7 @@ object Dedup {
     "dd_containment" -> containmentSql,
     "dd_minhash" -> minhashLshSql,
     "dd_clusters" -> clustersSql,
+    "dd_dup_stats" -> dupStatsSql,
     "dd_keep_best" -> keepBestSql,
     "dd_minhash_est" -> minhashEstSql,
     "dd_simhash" -> simhashSql,

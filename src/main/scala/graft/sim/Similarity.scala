@@ -325,6 +325,58 @@ object Similarity {
     scored.withColumn("rank", row_number().over(wRank)).filter(col("rank") <= 3)
   }
 
+  /** IVF index-health audit — the readout a production vector deployment
+    * monitors between rebuilds: per centroid, its inverted-list occupancy
+    * (skewed lists are the IVF failure mode — probe latency is the MAX
+    * list touched, so one hot list throttles every query routed to it),
+    * its share of the corpus, the load factor vs perfect balance, and the
+    * assignment-quality cosines (a list whose members barely cohere to
+    * their centroid is a retrain signal). Numerics are order-proof: each
+    * member's centroid cosine is already rounded to 6dp; the mean
+    * aggregates them as EXACT 1e6-scaled BIGINTs (sum order invariant)
+    * with ONE double division at the end; min/max need no sums at all.
+    * Scale shape: rides the same O(n·K) assignment pass as ann_ivf_topk,
+    * then one K-row aggregation. */
+  def ivfStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = centroids(spark, sfDir)
+    val e = emb(spark, sfDir)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        round(graft.plans.VectorDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+          .as("ccos"))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+    val lists = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("ccos")).as("min_cos"), max(col("ccos")).as("max_cos"),
+        sum(round(col("ccos") * 1e6).cast("long")).as("sum_e6"))
+    val total = lists.agg(sum(col("n_vecs")).as("total"))
+    lists.crossJoin(broadcast(total))
+      .select(col("cid"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("total"), 6).as("share"),
+        round(col("n_vecs").cast("double") * numCentroids / col("total"), 6)
+          .as("load_factor"),
+        col("min_cos"), col("max_cos"),
+        round(col("sum_e6").cast("double") / col("n_vecs") / 1e6, 6).as("mean_cos"))
+  }
+
+  val ivfStatsSql: String =
+    s"""WITH $embCte,
+       |$assignedCte,
+       |lsts AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+       |    min(ccos) AS min_cos, max(ccos) AS max_cos,
+       |    CAST(sum(CAST(round(ccos * 1e6) AS BIGINT)) AS BIGINT) AS sum_e6
+       |  FROM assigned WHERE crn = 1 GROUP BY cid),
+       |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total FROM lsts)
+       |SELECT cid, n_vecs,
+       |  round(CAST(n_vecs AS DOUBLE) / total, 6) AS share,
+       |  round(CAST(n_vecs AS DOUBLE) * $numCentroids / total, 6) AS load_factor,
+       |  min_cos, max_cos,
+       |  round(CAST(sum_e6 AS DOUBLE) / n_vecs / 1e6, 6) AS mean_cos
+       |FROM lsts CROSS JOIN tot""".stripMargin
+
   /** Radius threshold for [[radiusSearch]]. */
   val radiusTau = 0.25
 
@@ -1740,6 +1792,7 @@ object Similarity {
     "ann_lsh_topk" -> (lshTopK _),
     "ann_ivf_topk" -> (ivfTopK _),
     "ann_radius" -> (radiusSearch _),
+    "ann_ivf_stats" -> (ivfStats _),
     "ann_ivf_trained" -> (ivfTrainedTopK _),
     "ann_incremental" -> (incrementalIndex _),
     "ann_knn_join" -> (knnJoin _),
@@ -1764,6 +1817,7 @@ object Similarity {
     "ann_lsh_topk" -> lshTopKSql,
     "ann_ivf_topk" -> ivfTopKSql,
     "ann_radius" -> radiusSearchSql,
+    "ann_ivf_stats" -> ivfStatsSql,
     "ann_ivf_trained" -> ivfTrainedSql,
     "ann_incremental" -> incrementalIndexSql,
     "ann_knn_join" -> knnJoinSql,
