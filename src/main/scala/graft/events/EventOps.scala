@@ -2691,12 +2691,17 @@ object EventOps {
     * dedup); the lag/lead windows re-key on user_id — a second, much
     * smaller exchange over ≤ users·days rows; the final per-day agg is
     * calendar-bounded. All counts exact BIGINT. */
-  def growth(spark: SparkSession, sfDir: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val ud = Tables(spark, sfDir).events
+  def growth(spark: SparkSession, sfDir: String): DataFrame =
+    growthOver(Tables(spark, sfDir).events
       .select(col("user_id"),
         expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
-      .distinct()
+      .distinct())
+
+  /** The decomposition over a distinct (user_id, day_idx) frame — shared
+    * with the streaming twin (st_growth reconstructs the same frame from
+    * per-user bitmap state, then runs literally this code). */
+  def growthOver(ud: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val w = W.partitionBy(col("user_id")).orderBy(col("day_idx"))
     val flagged = ud
       .withColumn("prev", lag(col("day_idx"), 1).over(w))

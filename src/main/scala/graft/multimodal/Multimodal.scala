@@ -287,6 +287,83 @@ object Multimodal {
        |  agg.abs_sum, agg.peak, agg.zero_cross
        |FROM au a JOIN agg ON agg.doc_id = a.doc_id""".stripMargin
 
+  // ---- audio fingerprint dedup ---------------------------------------------
+
+  final case class AudioFp(doc_id: Long, fp: Long)
+
+  /** Fingerprint windows per clip (n is always divisible by 16: 512 and the
+    * 128 step share the factor). */
+  val audioFpWindows = 16
+
+  /** Audio-fingerprint dedup — the audio leg of the near-dup family
+    * ([[mmPhash]] is the image leg): per clip, REALLY decode the WAV and
+    * compute a Chromaprint-style fingerprint (the energy-delta bit vector:
+    * bit w = 1 iff window w+1 carries more |amplitude| mass than window w —
+    * the same "compare adjacent band energies" construction Chromaprint/
+    * Shazam-family fingerprints quantize), then resolve duplicates by
+    * EXACT fingerprint lookup, which is precisely the industrial first
+    * stage (hash the fp, bucket-join, verify). Ownership output (every
+    * clip → its group's min doc_id), the st_minhash_dedup shape — O(n)
+    * rows on any corpus, no pair list, so the operator stays linear even
+    * on a fully-replicated 100 TB audio set.
+    * Scale shape: decode + fingerprint are batched per-partition column
+    * math (zero shuffle); the ownership pass is ONE hash exchange on fp.
+    * The oracle replays decode + windows + bits from the generation rule —
+    * integer-exact end to end. */
+  def mmAudioFp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fps = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[Payload]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap(_.map { p =>
+          val wav = encodeWav(audioSamplesFor(p.doc_id, p.payload), audioRate)
+          val (_, s) = decodeWav(wav)
+          val step = s.length / audioFpWindows
+          val energy = new Array[Long](audioFpWindows)
+          var i = 0
+          while (i < s.length) {
+            energy(i / step) += math.abs(s(i).toInt)
+            i += 1
+          }
+          var fp = 0L
+          var w = 0
+          while (w < audioFpWindows - 1) {
+            if (energy(w + 1) > energy(w)) fp |= 1L << w
+            w += 1
+          }
+          AudioFp(p.doc_id, fp)
+        })
+      }
+      .toDF()
+    val w = Window.partitionBy(col("fp"))
+    fps
+      .withColumn("owner_doc", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("fp"), col("owner_doc"),
+        (col("doc_id") =!= col("owner_doc")).as("is_dup"))
+  }
+
+  /** Replays the sample rule → window |amplitude| mass → delta bits. */
+  val mmAudioFpSql: String =
+    s"""WITH au AS (
+       |  SELECT doc_id, text, 512 + (doc_id % 7) * 128 AS n FROM documents),
+       |s AS (
+       |  SELECT doc_id, i, i // (n // $audioFpWindows) AS wnd,
+       |    abs((ascii(substr(text, CAST(i % length(text) AS INTEGER) + 1, 1)) - 96) * 128) AS a
+       |  FROM au, LATERAL unnest(range(0, n)) t(i)),
+       |e AS (SELECT doc_id, wnd, sum(a) AS energy FROM s GROUP BY 1, 2),
+       |b AS (SELECT doc_id, wnd,
+       |        CASE WHEN lead(energy) OVER (PARTITION BY doc_id ORDER BY wnd) > energy
+       |          THEN 1 ELSE 0 END AS bit
+       |      FROM e),
+       |fp AS (SELECT doc_id,
+       |        CAST(sum(bit * (1 << CAST(wnd AS INTEGER))) AS BIGINT) AS fp
+       |       FROM b WHERE wnd < ${audioFpWindows - 1} GROUP BY 1)
+       |SELECT doc_id, fp,
+       |  min(doc_id) OVER (PARTITION BY fp) AS owner_doc,
+       |  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+       |FROM fp""".stripMargin
+
   // ---- frame sampling ------------------------------------------------------
 
   final case class Frame(doc_id: Long, frame_idx: Long, frame_md5: String)
@@ -888,6 +965,7 @@ object Multimodal {
     "pipe_mm" -> (pipeMm _),
     "mm_meta" -> (mmMeta _),
     "mm_audio" -> (mmAudio _),
+    "mm_audio_fp" -> (mmAudioFp _),
     "mm_video_shots" -> (mmVideoShots _),
     "mm_framesample" -> (mmFrameSample _),
     "mm_resize" -> (mmResize _),
@@ -901,6 +979,7 @@ object Multimodal {
     "pipe_mm" -> pipeMmSql,
     "mm_meta" -> mmMetaSql,
     "mm_audio" -> mmAudioSql,
+    "mm_audio_fp" -> mmAudioFpSql,
     "mm_video_shots" -> mmVideoShotsSql,
     "mm_framesample" -> mmFrameSampleSql,
     "mm_resize" -> mmResizeSql,

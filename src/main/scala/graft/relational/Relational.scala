@@ -625,6 +625,69 @@ object Relational {
       |  min(sx) AS min_sx, max(sx) AS max_sx
       |FROM s4 GROUP BY 1""".stripMargin
 
+  /** Packing budget for [[qCompaction]] (chars stand in for bytes at test
+    * scale; production sets ~128 MB). */
+  val compactTarget = 2048L
+
+  /** Small-file compaction planner — the lakehouse table-maintenance pass
+    * behind Delta OPTIMIZE / Iceberg rewrite_data_files: given the table's
+    * file manifest (here each (source, lang) partition-group with its data
+    * mass — at scale, the real file listing), leave files already at
+    * target size alone and bin-pack the small ones into target-sized
+    * output files WITHOUT crossing partition (source) boundaries, exactly
+    * as a real compactor must. The pack is the standard sorted-greedy
+    * plan: within a source, small files in manifest order, bin index =
+    * running-offset DIV target — deterministic, no RNG.
+    * Scale shape: the manifest is METADATA (O(files), dim-sized relative
+    * to the data); the single window runs per-source over that bounded
+    * manifest, so the plan costs one exchange on the manifest, zero data
+    * IO — the planner's whole point. A 100 TB table's manifest is a few
+    * million rows; the same per-partition window holds. */
+  def qCompaction(spark: SparkSession, sfDir: String): DataFrame = {
+    val manifest = Tables(spark, sfDir).documents
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sz"))
+    val small = manifest.filter(col("sz") < compactTarget)
+    val w = Window.partitionBy(col("source")).orderBy(col("lang"))
+    val packed = small
+      .withColumn("bin", ((sum(col("sz")).over(w) - col("sz"))
+        / compactTarget).cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_inputs"), sum(col("n_docs")).as("n_docs"),
+        sum(col("sz")).as("total_chars"),
+        min(col("lang")).as("first_part"), max(col("lang")).as("last_part"))
+      .select(col("source"), col("bin"), lit(true).as("compacted"),
+        col("n_inputs"), col("n_docs"), col("total_chars"),
+        col("first_part"), col("last_part"))
+    val passthrough = manifest.filter(col("sz") >= compactTarget)
+      .select(col("source"), lit(-1L).as("bin"), lit(false).as("compacted"),
+        lit(1L).as("n_inputs"), col("n_docs"), col("sz").as("total_chars"),
+        col("lang").as("first_part"), col("lang").as("last_part"))
+    packed.unionAll(passthrough)
+  }
+
+  val qCompactionSql: String =
+    s"""WITH manifest AS (
+       |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS sz
+       |  FROM documents GROUP BY 1, 2),
+       |small AS (
+       |  SELECT *,
+       |    (sum(sz) OVER (PARTITION BY source ORDER BY lang) - sz)
+       |      // $compactTarget AS bin
+       |  FROM manifest WHERE sz < $compactTarget)
+       |SELECT source, CAST(bin AS BIGINT) AS bin, true AS compacted,
+       |  CAST(count(*) AS BIGINT) AS n_inputs,
+       |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(sum(sz) AS BIGINT) AS total_chars,
+       |  min(lang) AS first_part, max(lang) AS last_part
+       |FROM small GROUP BY 1, 2
+       |UNION ALL
+       |SELECT source, CAST(-1 AS BIGINT) AS bin, false AS compacted,
+       |  CAST(1 AS BIGINT) AS n_inputs, n_docs, sz AS total_chars,
+       |  lang AS first_part, lang AS last_part
+       |FROM manifest WHERE sz >= $compactTarget""".stripMargin
+
   /** Snapshot diff — the INVERSE of q_merge_upsert: given two table
     * versions, derive the delta (the time-travel `table_changes` primitive;
     * also how you CDC a source that only gives you full dumps). The new
@@ -1850,6 +1913,7 @@ object Relational {
     "q_profile" -> (qProfile _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_zorder" -> (qZorder _),
+    "q_compaction" -> (qCompaction _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_scd2" -> (qScd2 _),
@@ -1891,6 +1955,7 @@ object Relational {
     "q_profile" -> qProfileSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_zorder" -> qZorderSql,
+    "q_compaction" -> qCompactionSql,
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_scd2" -> qScd2Sql,

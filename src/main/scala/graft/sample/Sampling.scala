@@ -544,6 +544,105 @@ object Sampling {
        |FROM m WHERE mult > 0 GROUP BY 1""".stripMargin
   }
 
+  // ---- importance-weight health audit (effective sample size) -------------
+
+  /** Effective-sample-size audit of the corpus's importance-weighting
+    * schemes — the check run BEFORE trusting a weighted or resampled
+    * corpus (Kong 1992's ESS = (Σw)²/Σw²; ess/n is the standard
+    * weight-degeneracy dial): an ESS collapsing toward 1 means the
+    * weighted corpus is effectively ONE document no matter how many rows
+    * it has, and the concentration column (max w / Σw) quantifies the
+    * worst offender's share. Three production schemes side by side:
+    *   - `dsir_mean`    — [[dsir]]'s per-token mean ratio (near-flat by
+    *                      construction: the sanity baseline);
+    *   - `dsir_product` — the Xie et al. 2023 document likelihood ratio
+    *                      (Π token ratios), the weight DSIR actually
+    *                      resamples on — computed in log space with the
+    *                      max-subtraction trick, the only stable form at
+    *                      corpus scale;
+    *   - `quality`      — [[graft.text.TextOps.quality]]'s score used as
+    *                      a sampling weight (quality-weighted mixing).
+    * Portability: each scheme's per-doc weight (or log-weight) is rounded
+    * to 6dp FIRST, so both engines fold identical values; the folds
+    * differ only in accumulation order (≪ the output rounding grid).
+    * Scale shape: the dsir token plan + one groupBy(doc_id) per scheme,
+    * then a single-row aggregate each — three map-side-combinable
+    * exchanges over O(docs) rows, unioned as a 3-row audit dim. */
+  def ess(spark: SparkSession, sfDir: String): DataFrame = {
+    def essOf(scheme: String, weighted: DataFrame): DataFrame = {
+      // `weighted` has (doc_id, lw) with lw = ln(weight) rounded 6dp; the
+      // max-subtract keeps every exp() in [0, 1] regardless of scale.
+      val m = weighted.agg(max(col("lw")).as("m"))
+      weighted.crossJoin(broadcast(m))
+        .select(exp(col("lw") - col("m")).as("e"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(pow(sum(col("e")), 2) / sum(col("e") * col("e")), 3).as("ess"),
+          round(pow(sum(col("e")), 2) / sum(col("e") * col("e")) /
+            count(lit(1)), 6).as("ess_ratio"),
+          round(lit(1.0) / sum(col("e")), 6).as("wmax_share"))
+        .select(lit(scheme).as("scheme"), col("n_docs"), col("ess"),
+          col("ess_ratio"), col("wmax_share"))
+    }
+    val words = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("source"),
+        explode(Portable.words(col("text"))).as("w"))
+    val corpus = words.groupBy(col("w")).agg(count(lit(1)).as("cc"))
+    val target = words.filter(col("source").isin(dsirTargetSources: _*))
+      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    val totals = corpus.agg(sum(col("cc")).as("nc"), count(lit(1)).as("v"))
+      .crossJoin(target.agg(sum(col("ct")).as("nt")))
+    val prodLw = words
+      .join(corpus, "w").join(target, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(log(((coalesce(col("ct"), lit(0L)) + 1L) * (col("nc") + col("v"))) /
+        ((col("cc") + 1L) * (col("nt") + col("v"))))), 6).as("lw"))
+    val meanLw = dsir(spark, sfDir)
+      .select(col("doc_id"), round(log(col("dsir_weight")), 6).as("lw"))
+    val qualLw = graft.text.TextOps.quality(spark, sfDir)
+      .select(col("doc_id"), round(log(col("quality")), 6).as("lw"))
+    essOf("dsir_mean", meanLw)
+      .unionAll(essOf("dsir_product", prodLw))
+      .unionAll(essOf("quality", qualLw))
+  }
+
+  val essSql: String = {
+    def essOf(scheme: String, lwCte: String): String =
+      s"""SELECT '$scheme' AS scheme, n_docs, ess, ess_ratio, wmax_share
+         |FROM (
+         |  SELECT count(*) AS n_docs,
+         |    round(pow(sum(e), 2) / sum(e * e), 3) AS ess,
+         |    round(pow(sum(e), 2) / sum(e * e) / count(*), 6) AS ess_ratio,
+         |    round(1.0 / sum(e), 6) AS wmax_share
+         |  FROM (SELECT exp(lw - (SELECT max(lw) FROM $lwCte)) AS e
+         |        FROM $lwCte) x) y""".stripMargin
+    val tgt = dsirTargetSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, source, unnest(${Portable.wordsSql}) AS w FROM documents),
+       |cc AS (SELECT w, count(*) AS cc FROM w GROUP BY 1),
+       |ct AS (SELECT w, count(*) AS ct FROM w WHERE source IN ($tgt) GROUP BY 1),
+       |tot AS (SELECT
+       |  (SELECT CAST(sum(cc) AS BIGINT) FROM cc) AS nc,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM cc) AS v,
+       |  (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS nt),
+       |prod_lw AS (
+       |  SELECT doc_id, round(sum(ln(((coalesce(ct, 0) + 1) * (nc + v)) /
+       |    ((cc + 1) * (nt + v)))), 6) AS lw
+       |  FROM w JOIN cc USING (w) LEFT JOIN ct USING (w) CROSS JOIN tot
+       |  GROUP BY doc_id),
+       |mean_lw AS (
+       |  SELECT doc_id, round(ln(dsir_weight), 6) AS lw
+       |  FROM (${dsirSql.replace("\n", "\n  ")}) d),
+       |qual_lw AS (
+       |  SELECT doc_id, round(ln(quality), 6) AS lw
+       |  FROM (${graft.text.TextOps.qualitySql.replace("\n", "\n  ")}) q)
+       |${essOf("dsir_mean", "mean_lw")}
+       |UNION ALL
+       |${essOf("dsir_product", "prod_lw")}
+       |UNION ALL
+       |${essOf("quality", "qual_lw")}""".stripMargin
+  }
+
   /** Labeling-batch size for [[uncertainty]]. */
   val uncertaintyK = 50
 
@@ -583,7 +682,8 @@ object Sampling {
     "samp_reservoir" -> (reservoir _),
     "samp_mixture" -> (mixture _),
     "samp_temperature" -> (temperature _),
-    "samp_dsir" -> (dsir _))
+    "samp_dsir" -> (dsir _),
+    "samp_ess" -> (ess _))
 
   def oracleSql: Map[String, String] = Map(
     "samp_uncertainty" -> uncertaintySql,
@@ -597,5 +697,6 @@ object Sampling {
     "samp_reservoir" -> reservoirSql,
     "samp_mixture" -> mixtureSql,
     "samp_temperature" -> temperatureSql,
-    "samp_dsir" -> dsirSql)
+    "samp_dsir" -> dsirSql,
+    "samp_ess" -> essSql)
 }

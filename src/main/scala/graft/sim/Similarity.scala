@@ -515,6 +515,80 @@ object Similarity {
        |  FROM directed) t
        |WHERE rank <= 3""".stripMargin
 
+  // ---- top principal direction (power iteration) ---------------------------
+
+  /** Power-iteration rounds for [[pca]] — fixed, like [[kmIters]]. */
+  val pcaIters = 3
+
+  /** Top principal direction of the (uncentered) embedding matrix by power
+    * iteration — the rank-1 energy analysis under every whitening /
+    * dimensionality-reduction / "is this embedding space collapsed?"
+    * audit (a share → 1 means the embeddings have degenerated onto one
+    * axis — the representation-collapse symptom): v ← Aᵥ/‖Aᵥ‖ with
+    * A = ΣxxᵀV applied WITHOUT materializing A — each round is one
+    * broadcast dot per row (s = x·v) and one per-dim sum (u_d = Σ x_d·s),
+    * the standard distributed matvec that scales to any corpus at
+    * O(n·dim) per round with dim-sized driver state. Determinism across
+    * engines: v₀ = 1/8 exactly, and each round's normalized vector is
+    * rounded to 6dp BEFORE the next round, so both engines fold
+    * bit-identical inputs every round (the kmeansSql move); the final
+    * eigenvalue is the last ‖Aᵥ‖ (the Rayleigh estimate) and
+    * share = λ / trace(A) = λ / Σ‖x‖². Fixed-round contract, like
+    * [[kmIters]]: rounds are a constant, not a convergence test — on a
+    * spiked real-embedding spectrum 3 rounds land on the top direction;
+    * on this synthetic near-flat spectrum the output is the deterministic
+    * 3-round energy-ascent direction (each round provably increases ‖Aᵥ‖,
+    * pinned in Round7OpsSpec), which is exactly what both engines
+    * reproduce. */
+  def pca(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, sfDir).select(col("v")).persist()
+    var v: Seq[Double] = Seq.fill(64)(0.125)
+    var lam = 0.0
+    for (_ <- 0 until pcaIters) {
+      val u = e
+        .select(col("v"), graft.plans.VectorDot(col("v"), typedlit(v)).as("s"))
+        .select(posexplode(col("v")).as(Seq("dim", "x")), col("s"))
+        .groupBy(col("dim")).agg(sum(col("x") * col("s")).as("u"))
+        .collect().map(r => r.getAs[Int]("dim") -> r.getAs[Double]("u"))
+        .sortBy(_._1).map(_._2)
+      lam = math.sqrt(u.map(x => x * x).sum)
+      v = u.map(x => BigDecimal(x / lam)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toSeq
+    }
+    val trace = e.select(graft.plans.VectorDot(col("v"), col("v")).as("sq"))
+      .agg(sum(col("sq"))).head.getDouble(0)
+    val share = BigDecimal(lam / trace)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lamOut = BigDecimal(lam).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    v.zipWithIndex
+      .map { case (c, d) => (d.toLong, c, lamOut, share) }
+      .toDF("dim", "pc", "eig", "share")
+  }
+
+  /** The same rounds unrolled as CTEs (the kmeansSql pattern). */
+  val pcaSql: String = {
+    val rounds = (1 to pcaIters).map { k =>
+      val prev = s"v${k - 1}"
+      s"""s$k AS (SELECT vec_id, sum(x * c) AS s
+         |  FROM ev JOIN $prev USING (dim) GROUP BY 1),
+         |u$k AS (SELECT ev.dim, sum(x * s) AS u
+         |  FROM ev JOIN s$k USING (vec_id) GROUP BY 1),
+         |n$k AS (SELECT sqrt(sum(u * u)) AS nn FROM u$k),
+         |v$k AS (SELECT dim, round(u / nn, 6) AS c FROM u$k, n$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embCte,
+       |ev AS (SELECT vec_id, i - 1 AS dim, v[i] AS x
+       |  FROM e, LATERAL unnest(range(1, len(v) + 1)) t(i)),
+       |v0 AS (SELECT CAST(i AS BIGINT) AS dim, 0.125 AS c
+       |  FROM range(0, 64) t(i)),
+       |$rounds,
+       |tr AS (SELECT sum(x * x) AS tr FROM ev)
+       |SELECT dim, c AS pc, round(nn, 3) AS eig, round(nn / tr, 6) AS share
+       |FROM v$pcaIters, n$pcaIters, tr""".stripMargin
+  }
+
   // ---- k-means training (Lloyd iterations) --------------------------------
 
   val kmK = 8
@@ -1798,7 +1872,8 @@ object Similarity {
     "ann_knn_join" -> (knnJoin _),
     "dd_embed" -> (embedNearDup _),
     "dd_semdedup" -> (semDedup _),
-    "ann_kmeans" -> (kmeans _))
+    "ann_kmeans" -> (kmeans _),
+    "ann_pca" -> (pca _))
 
   def oracleSql: Map[String, String] = Map(
     "ann_hybrid" -> hybridSql,
@@ -1823,5 +1898,6 @@ object Similarity {
     "ann_knn_join" -> knnJoinSql,
     "dd_embed" -> embedNearDupSql,
     "dd_semdedup" -> semDedupSql,
-    "ann_kmeans" -> kmeansSql)
+    "ann_kmeans" -> kmeansSql,
+    "ann_pca" -> pcaSql)
 }

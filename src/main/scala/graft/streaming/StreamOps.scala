@@ -891,6 +891,42 @@ object StreamOps {
   /** Batch oracle reused verbatim — the drift-proof twin contract. */
   def stForecastSql: String = graft.events.EventOps.forecastSql
 
+  /** Growth accounting under the STREAMING state store — ev_growth's live
+    * twin (the DAU decomposition dashboards poll all day): new/retained/
+    * resurrected/churned need each user's day-activity SET, which cannot
+    * fold as plain sums — so state is the per-user lifecycle bitmap
+    * (st_bitmap's 16 B/user `ShiftingBitmap`: first_day + a 63-day
+    * activity mask, merge = min/OR — order/partition/micro-batch
+    * invariant), and the read-time view expands set bits back to the
+    * distinct (user, day) frame and runs LITERALLY the batch code
+    * ([[graft.events.EventOps.growthOver]]), so live flows EQUAL batch
+    * flows and the batch oracle is reused verbatim. Horizon contract:
+    * the mask covers 63 days from each user's first sighting — st_bitmap's
+    * documented window, ≥ 2× the fixture's 30-day calendar; a longer-lived
+    * deployment pages the bitmap (the roaring-bitmap move), same state
+    * algebra. */
+  def growthLive(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = runToTable(spark, sfDir, OutputMode.Complete()) { src =>
+      src.select(col("user_id"), expr("ts_us DIV 86400000000").as("day"))
+        .groupBy(col("user_id"))
+        .agg(graft.plans.ShiftingBitmap.of(col("day")).as("s"))
+        .select(col("user_id"), col("s.first_day").as("first_day"),
+          col("s.bitmap").as("bitmap"))
+    }
+    val ud = users
+      .select(col("user_id"), col("first_day"),
+        explode(expr(
+          "filter(sequence(0, 62), p -> (bitmap & (CAST(1 AS BIGINT) << p)) <> 0)"))
+          .as("p"))
+      .select(col("user_id"),
+        (col("first_day") + col("p")).cast("long").as("day_idx"))
+    graft.events.EventOps.growthOver(ud)
+  }
+
+  /** Batch oracle reused verbatim — the bitmap expands to the identical
+    * (user, day) frame. */
+  def stGrowthSql: String = graft.events.EventOps.growthSql
+
   /** (day-of-week × hour-of-day) seasonality under the STREAMING state
     * store — ev_seasonality's live twin: distinct actives cannot fold
     * incrementally, so state is the (dow, hour, user_id) PRESENCE matrix
@@ -1487,6 +1523,7 @@ object StreamOps {
     "st_drift" -> (driftLive _),
     "st_chi2_drift" -> (chi2DriftLive _),
     "st_forecast" -> (forecastLive _),
+    "st_growth" -> (growthLive _),
     "st_seasonality" -> (seasonalityLive _),
     "st_anomaly_mad" -> (anomalyMadLive _),
     "st_error_budget" -> (errorBudgetLive _),
@@ -1524,6 +1561,7 @@ object StreamOps {
     "st_drift" -> stDriftSql,
     "st_chi2_drift" -> stChi2DriftSql,
     "st_forecast" -> stForecastSql,
+    "st_growth" -> stGrowthSql,
     "st_seasonality" -> stSeasonalitySql,
     "st_anomaly_mad" -> stAnomalyMadSql,
     "st_error_budget" -> stErrorBudgetSql,

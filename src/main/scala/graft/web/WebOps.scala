@@ -152,6 +152,37 @@ object WebOps {
   def htmlLinks(c: Column): Column =
     GraftBridge.column(HtmlLinks(GraftBridge.expression(c)))
 
+  private val anchorRe = java.util.regex.Pattern.compile(
+    "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>]+))" +
+      "[^>]*>(.*?)</a>")
+
+  /** All CLOSED `<a href=...>text</a>` elements in document order as
+    * (href, anchor text) pairs; the anchor text is the inner content with
+    * tags stripped and whitespace collapsed. Unclosed anchors have no text
+    * to harvest and are skipped (href-only harvesting is [[htmlLinkList]]). */
+  def htmlAnchorList(html: String): Array[(String, String)] = {
+    val m = anchorRe.matcher(html)
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    while (m.find()) {
+      val href = if (m.group(1) != null) m.group(1)
+        else if (m.group(2) != null) m.group(2) else m.group(3)
+      val txt = m.group(4).replaceAll("<[^>]*>", " ")
+        .replaceAll("\\s+", " ").trim
+      out += ((href, txt))
+    }
+    out.toArray
+  }
+
+  def evalAnchors(input: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      htmlAnchorList(input.toString).map { case (h, t) =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(h), UTF8String.fromString(t))
+      })
+
+  def htmlAnchors(c: Column): Column =
+    GraftBridge.column(HtmlAnchors(GraftBridge.expression(c)))
+
   /** Resolve an href against its page URL — the simplified RFC 3986 merge
     * every frontier builder needs, documented rule by rule:
     *  1. empty or `#...` → null (intra-page);
@@ -401,6 +432,62 @@ object WebOps {
       .select(col("page_id"), urlCanonical(col("abs")).as("link"))
       .distinct()
   }
+
+  /** Anchor-text aggregation per canonical TARGET — the web-search ranking
+    * signal anchor text has carried since the original PageRank-era
+    * engines (the target page is described by the text OTHERS link to it
+    * with): every closed `<a href>text</a>` element yields a
+    * (target, anchor text) pair via [[HtmlAnchors]] (tag-stripped,
+    * whitespace-collapsed inner text), resolution + canonicalization
+    * shared verbatim with [[linkExtract]], then one rollup per target:
+    * anchor count, distinct referring pages, and the sorted distinct
+    * anchor vocabulary. Scale shape: per-row codegen'd extraction plus ONE
+    * hash exchange on the target url; the vocabulary column is bounded by
+    * per-target anchor diversity (production caps it — here the fixture is
+    * bounded by construction). */
+  def anchorText(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    linkCorpus.toDF("page_id", "base_url", "html")
+      .select(col("page_id"), col("base_url"),
+        explode(htmlAnchors(col("html"))).as("a"))
+      .select(col("page_id"),
+        urlResolve(col("base_url"), col("a.href")).as("abs"),
+        col("a.txt").as("txt"))
+      .filter(col("abs").isNotNull)
+      .select(col("page_id"), urlCanonical(col("abs")).as("link"), col("txt"))
+      .groupBy(col("link"))
+      .agg(count(lit(1)).as("n_anchors"),
+        countDistinct(col("page_id")).as("n_pages"),
+        array_join(sort_array(collect_set(col("txt"))), "|").as("anchor_texts"))
+  }
+
+  /** Hand-traced (page, target, text) triples — [[linkExtractSql]]'s trace
+    * WITHOUT the distinct (same-target anchors are the signal here), plus
+    * each anchor's inner text. */
+  val anchorTextSql: String =
+    """WITH a AS (
+      |  SELECT CAST(page_id AS BIGINT) AS page_id, link, txt
+      |  FROM (VALUES
+      |    (0, 'https://example.com/dir/a.html', 'A'),
+      |    (0, 'https://example.com/root.html', 'R'),
+      |    (0, 'https://example.com/up.html', 'U'),
+      |    (0, 'https://other.org/x?id=2', 'O'),
+      |    (0, 'https://cdn.example.net/lib/app.js', 'C'),
+      |    (0, 'https://example.com/dir/a.html', 'A2'),
+      |    (1, 'http://example.com/single.html', 's'),
+      |    (1, 'http://example.com/bare.html', 'b'),
+      |    (1, 'http://example.com/rel/y.html', 'y'),
+      |    (3, 'https://example.com/sp.html', 's'),
+      |    (4, 'https://example.com/public/a.html', '1'),
+      |    (4, 'https://example.com/public/tmp/x.html', '2'),
+      |    (4, 'https://example.com/api/docs/ref.html', '3'),
+      |    (4, 'https://example.com/api/v1/z', '4'),
+      |    (4, 'https://example.com/dual/d', '5')
+      |  ) t(page_id, link, txt))
+      |SELECT link, CAST(count(*) AS BIGINT) AS n_anchors,
+      |  CAST(count(DISTINCT page_id) AS BIGINT) AS n_pages,
+      |  array_to_string(list_sort(list(DISTINCT txt)), '|') AS anchor_texts
+      |FROM a GROUP BY link""".stripMargin
 
   /** Hand-traced through [[resolveUrl]]'s numbered rules + the
     * canonicalizer: rel/abs/protocol-relative/dot-segments resolve; frag,
@@ -1482,6 +1569,7 @@ object WebOps {
     "web_html" -> (htmlExtract _),
     "web_wet" -> (wetExtract _),
     "web_links" -> (linkExtract _),
+    "web_anchor_text" -> (anchorText _),
     "web_hostgraph" -> (hostGraph _),
     "web_etld" -> (etld _),
     "web_cdx" -> (cdxIndex _),
@@ -1502,6 +1590,7 @@ object WebOps {
     "web_html" -> htmlExtractSql,
     "web_wet" -> wetExtractSql,
     "web_links" -> linkExtractSql,
+    "web_anchor_text" -> anchorTextSql,
     "web_hostgraph" -> hostGraphSql,
     "web_etld" -> etldSql,
     "web_cdx" -> cdxIndexSql,
@@ -1550,6 +1639,29 @@ case class HtmlLinks(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"""${ev.value} = graft.web.WebOps.evalLinks($c);""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `html → array<struct<href, txt>>` for closed anchors (rules in
+  * [[WebOps.htmlAnchorList]]). */
+case class HtmlAnchors(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("href", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("txt", StringType, nullable = false))),
+      containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "html_anchors"
+
+  override def nullSafeEval(input: Any): Any =
+    WebOps.evalAnchors(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.web.WebOps.evalAnchors($c);""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-7 session-2 additions: ESS audit, compaction
+  * planner, audio fingerprint dedup, anchor-text rollup, live growth. */
+class Round7OpsSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("samp_ess: three schemes, each 1 <= ess <= n, product-DSIR strictly more degenerate than mean-DSIR") {
+    val rows = sample.Sampling.ess(spark, sf).collect()
+      .map(r => r.getAs[String]("scheme") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("ess"),
+          r.getAs[Double]("ess_ratio"), r.getAs[Double]("wmax_share"))).toMap
+    assert(rows.keySet == Set("dsir_mean", "dsir_product", "quality"))
+    rows.foreach { case (scheme, (n, ess, ratio, wshare)) =>
+      assert(ess >= 1.0 - 1e-9 && ess <= n + 1e-6, s"$scheme ess=$ess out of [1, n=$n]")
+      assert(math.abs(ratio - ess / n) < 1e-3, s"$scheme ratio inconsistent")
+      assert(wshare >= 1.0 / n - 1e-9 && wshare <= 1.0 + 1e-9, s"$scheme wmax_share=$wshare")
+    }
+    // the mean-of-ratios weight is near-flat by construction; the product
+    // (the weight DSIR actually resamples on) concentrates — the audit
+    // must SHOW that, or it isn't measuring anything.
+    assert(rows("dsir_product")._2 < rows("dsir_mean")._2,
+      "product weights must be more degenerate than mean weights")
+  }
+
+  test("q_compaction: plan conserves the manifest; pass-throughs are big; bins pack small files in order") {
+    val t = Tables(spark, sf).documents
+    val manifestMass = t.agg(sum(col("n_chars"))).head.getLong(0)
+    val manifestDocs = t.count()
+    val plan = relational.Relational.qCompaction(spark, sf).collect()
+    assert(plan.map(_.getAs[Long]("total_chars")).sum == manifestMass,
+      "planned outputs must cover every char exactly once")
+    assert(plan.map(_.getAs[Long]("n_docs")).sum == manifestDocs)
+    val target = relational.Relational.compactTarget
+    plan.filter(!_.getAs[Boolean]("compacted")).foreach { r =>
+      assert(r.getAs[Long]("total_chars") >= target,
+        s"pass-through below target: $r")
+      assert(r.getAs[Long]("n_inputs") == 1L)
+    }
+    plan.filter(_.getAs[Boolean]("compacted")).foreach { r =>
+      assert(r.getAs[Long]("n_inputs") >= 1L)
+      assert(r.getAs[String]("first_part") <= r.getAs[String]("last_part"))
+    }
+    // bins never cross the partition (source) boundary by construction of
+    // the window; assert the planner emitted a bounded number of bins
+    plan.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val smallMass = rows.filter(_.getAs[Boolean]("compacted"))
+        .map(_.getAs[Long]("total_chars")).sum
+      val nBins = rows.count(_.getAs[Boolean]("compacted"))
+      assert(nBins <= smallMass / target + 1,
+        s"$src: $nBins bins for $smallMass chars at target $target")
+    }
+  }
+
+  test("mm_audio_fp: fingerprints are 15-bit, ownership is group-min, dups exist and verify") {
+    val fp = multimodal.Multimodal.mmAudioFp(spark, sf).collect()
+    assert(fp.forall(r => r.getAs[Long]("fp") >= 0L && r.getAs[Long]("fp") < (1L << 15)))
+    assert(fp.forall(r => r.getAs[Long]("owner_doc") <= r.getAs[Long]("doc_id")))
+    val byFp = fp.groupBy(_.getAs[Long]("fp"))
+    byFp.foreach { case (_, rows) =>
+      val owner = rows.map(_.getAs[Long]("doc_id")).min
+      assert(rows.forall(_.getAs[Long]("owner_doc") == owner))
+      rows.foreach(r => assert(
+        r.getAs[Boolean]("is_dup") == (r.getAs[Long]("doc_id") != owner)))
+    }
+    assert(fp.exists(_.getAs[Boolean]("is_dup")),
+      "fixture must exercise at least one audio duplicate")
+    // two docs with identical text and the same length class MUST collide
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val sameKey = docs.groupBy { case (id, tx) => (tx, id % 7) }
+      .values.filter(_.length >= 2)
+    val fpOf = fp.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
+    sameKey.foreach { grp =>
+      val fps = grp.map { case (id, _) => fpOf(id) }.distinct
+      assert(fps.length == 1, s"replicated clip split fingerprints: $grp")
+    }
+  }
+
+  test("web_anchor_text: same-target anchors aggregate; counts match the href trace") {
+    val at = web.WebOps.anchorText(spark, sf).collect()
+      .map(r => r.getAs[String]("link") ->
+        (r.getAs[Long]("n_anchors"), r.getAs[Long]("n_pages"),
+          r.getAs[String]("anchor_texts"))).toMap
+    assert(at("https://example.com/dir/a.html") == ((2L, 1L, "A|A2")),
+      "a.html and a.html#sec2 must land on one target with both texts")
+    assert(at.values.map(_._1).sum == 15L, "15 followed anchors in the fixture")
+    // every anchor target must also be a web_links edge (same resolve +
+    // canonicalize chain) and vice versa
+    val links = web.WebOps.linkExtract(spark, sf).select(col("link"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(at.keySet == links, "anchor targets and link edges must agree")
+  }
+
+  test("ann_pca: unit direction, positive eigenvalue, share in (0,1], matvec residual small") {
+    val rows = sim.Similarity.pca(spark, sf).collect().sortBy(_.getAs[Long]("dim"))
+    assert(rows.length == 64)
+    val v = rows.map(_.getAs[Double]("pc"))
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-4, s"direction not unit: $nrm")
+    val eig = rows.head.getAs[Double]("eig")
+    val share = rows.head.getAs[Double]("share")
+    assert(eig > 0 && share > 0 && share <= 1.0)
+    // fixed-round contract (the kmIters precedent): every round must
+    // IMPROVE the captured energy, and the found direction must beat the
+    // flat-spectrum average (trace/dim) — replayed in-test from the data
+    val e = Tables(spark, sf).embeddings
+      .select(col("embedding").cast("array<double>").as("emb")).collect()
+      .map(_.getSeq[Double](0).toArray)
+      .filter(x => x.map(a => a * a).sum > 0)
+    val trace = e.map(x => x.map(a => a * a).sum).sum
+    var w = Array.fill(64)(0.125)
+    var prevLam = 0.0
+    (1 to sim.Similarity.pcaIters).foreach { _ =>
+      val u = Array.fill(64)(0.0)
+      e.foreach { x =>
+        val s = x.indices.map(i => x(i) * w(i)).sum
+        x.indices.foreach(i => u(i) += x(i) * s)
+      }
+      val lam = math.sqrt(u.map(x => x * x).sum)
+      assert(lam > prevLam, "each power round must capture more energy")
+      prevLam = lam
+      w = u.map(x => BigDecimal(x / lam)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(math.abs(prevLam - eig) < 1e-2, s"replay eig $prevLam vs $eig")
+    assert(eig > trace / 64.0,
+      s"direction must beat the flat-spectrum average: $eig vs ${trace / 64}")
+    v.indices.foreach(i => assert(math.abs(v(i) - w(i)) < 2e-6,
+      s"replayed component $i: ${w(i)} vs ${v(i)}"))
+  }
+
+  test("st_growth: live bitmap-state decomposition equals the batch flows exactly") {
+    val batch = events.EventOps.growth(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val live = streaming.StreamOps.growthLive(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(live == batch, "bitmap expansion must reproduce the batch (user, day) frame")
+    assert(batch.nonEmpty)
+  }
+}
