@@ -100,15 +100,40 @@ object Bench {
       }
       name -> (if (times.size == passes) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Outlier re-time: a single-shot sweep timing is exposed to transient
+    // box noise the headline's min-of-3 already sheds (observed on this
+    // box: the SAME query recording 1.0 s and 44 s in back-to-back sweeps
+    // under decaying external load). Any sweep query > max(3 s, 6× the
+    // sweep median) gets ONE re-run and keeps the min — steady-state plan
+    // cost is the declared metric; the re-timed names are stamped into the
+    // artifact so a spike-heavy run is self-evident. Bounded at 10 re-runs.
+    val sweepOk = results.filter { case (n, v) => !headline(n) && v >= 0 }
+    val med =
+      if (sweepOk.isEmpty) 0.0
+      else sweepOk.map(_._2).sorted.apply(sweepOk.size / 2)
+    val spikeCut = math.max(3.0, 6.0 * med)
+    val outliers = sweepOk.filter(_._2 > spikeCut).sortBy(-_._2)
+      .take(10).map(_._1).toSet
+    val finalResults = results.map { case (n, v) =>
+      if (!outliers(n)) n -> v
+      else {
+        val t0 = System.nanoTime()
+        val ok = try { SparkEntry.queries(n)(spark, sfDir).count(); true }
+          catch { case NonFatal(_) => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        n -> (if (ok) math.min(v, dt) else v)
+      }
+    }
+    val qs = finalResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failed queries are EXCLUDED from the sums (a -1 summed in would make
     // a crash read as a perf win); a failed HEADLINE query adds a 600 s
     // timeout-equivalent penalty, so the graded lower-is-better value reads
     // strictly WORSE than any healthy run under plain numeric comparison —
     // no consumer has to special-case a sentinel. errors carries the names.
-    val failed = results.filter(_._2 < 0).map(_._1)
-    val okResults = results.filter(_._2 >= 0)
+    val failed = finalResults.filter(_._2 < 0).map(_._1)
+    val okResults = finalResults.filter(_._2 >= 0)
     val headlineTotal =
       okResults.filter(r => headline(r._1)).map(_._2).sum +
         600.0 * failed.count(headline)
@@ -120,8 +145,10 @@ object Bench {
     // emission; other_jvms counts concurrent java processes (an sbt launcher
     // parent is expected — anything beyond ~2 on a CI box means another
     // build/Spark shared the cores and the artifact is suspect)
+    val retimedJson = outliers.toSeq.sorted.map(n => s""""$n"""")
+      .mkString("[", ",", "]")
     val telemetry =
-      s""""protocol":"headline-min-of-3-warm-cache","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"other_jvms":$jvms,"cpus":"$cpus""""
+      s""""protocol":"headline-min-of-3-warm-cache-sweep-retime","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"other_jvms":$jvms,"cpus":"$cpus","retimed":$retimedJson"""
     val metricJson =
       s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","queries":$qs,"all_total":$total,"n_queries":${results.size},"errors":$errors,"sf":"$sfDir",$telemetry}"""
     println(metricJson)
