@@ -1926,6 +1926,119 @@ object EventOps {
     * partition orders, with no float-summation hazard. Scale shape: one
     * corpus aggregation to the (type, day) dim; everything after runs over
     * ≤ W rows per type. */
+  final case class HwRow(event_type: String, h: Long, yhat: Double,
+      level: Double, trend: Double)
+
+  /** Fixed-point scale for [[hwForecast]]: 2^20 sub-count units. */
+  val hwScale: Long = 1L << 20
+
+  /** Holt–Winters seasonal forecast (Winters 1960, additive form) — the
+    * seasonality-aware member of the forecast family: [[forecast]] fits
+    * level+trend only, yet [[seasonality]] shows the fixture's strong
+    * day-of-week cycle; HW carries a period-7 seasonal state so Friday's
+    * forecast learns from Fridays. α=1/2, β=γ=1/4 — DYADIC smoothing
+    * constants on purpose: the whole recursion runs in 2^20 fixed-point
+    * BIGINTs with arithmetic-shift halving/quartering (floor — Spark's
+    * `>>`and DuckDB's `>>` agree on negatives where `//`/`DIV` do NOT:
+    * DuckDB `//` truncates BIGINTs toward zero), so every state value and
+    * forecast is EXACT — no float recursion, no rounding-boundary
+    * cascade, bit-identical engines (outputs are dyadics ≤ 2^40, exact in
+    * double). Init is dyadic too: level = 8-day mean (shift, not /7),
+    * trend = adjacent-week mean delta /64, seasons = first-week residuals.
+    * Scale shape: one corpus agg to the calendar-bounded (type, day)
+    * matrix (the [[forecastOver]] family), zero-filled against the global
+    * spine, then a per-type ordered fold via `flatMapGroups` — the
+    * bounded-per-key sequential-state idiom (state = level, trend, 7
+    * seasons; group size = calendar days); output 7 horizons per type. */
+  def hwForecast(spark: SparkSession, sfDir: String): DataFrame =
+    hwForecastOver(Tables(spark, sfDir).events
+      .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c")))
+
+  /** The fold over a (event_type, day, c) count matrix — shared with the
+    * streaming twin (st_hw_forecast drains the SAME matrix from state). */
+  def hwForecastOver(cc: DataFrame): DataFrame = {
+    val spark = cc.sparkSession
+    import spark.implicits._
+    val cal = cc.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = cc.select(col("event_type")).distinct()
+      .crossJoin(broadcast(cal))
+      .select(col("event_type"),
+        explode(sequence(lit(0L), col("d1") - col("d0"))).as("t"), col("d0"))
+    val y = spine.join(cc.withColumnRenamed("event_type", "cet"),
+        col("cet") === col("event_type") && col("day") === col("t") + col("d0"),
+        "left")
+      .select(col("event_type"), col("t"),
+        (coalesce(col("c"), lit(0L)) * hwScale).as("y"))
+    y.as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (tpe, it) =>
+        val ys = it.toArray.sortBy(_._2).map(_._3)
+        require(ys.length >= 16, s"HW init needs 16 days, got ${ys.length}")
+        var l = ys.take(8).sum >> 3
+        var b = (ys.slice(8, 16).sum - ys.take(8).sum) >> 6
+        var s = ys.take(7).map(_ - l)
+        var t = 7
+        while (t < ys.length) {
+          val su = s(0)
+          val ln = (ys(t) - su + l + b) >> 1
+          val bn = (ln - l + 3 * b) >> 2
+          val sn = (ys(t) - ln + 3 * su) >> 2
+          l = ln; b = bn
+          s = s.drop(1) :+ sn
+          t += 1
+        }
+        (1 to 7).map(h => HwRow(tpe, h.toLong,
+          (l + h * b + s(h - 1)).toDouble / hwScale,
+          l.toDouble / hwScale, b.toDouble / hwScale))
+      }
+      .toDF()
+  }
+
+  val hwForecastSql: String =
+    s"""WITH RECURSIVE cc AS (
+       |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+       |    count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |cal AS (SELECT min(day) AS d0, max(day) AS d1 FROM cc),
+       |spine AS (
+       |  SELECT t.event_type, g.d AS day0
+       |  FROM (SELECT DISTINCT event_type FROM cc) t, cal,
+       |    LATERAL unnest(range(0, CAST(d1 - d0 + 1 AS INTEGER))) g(d)),
+       |y AS (
+       |  SELECT s.event_type, s.day0 AS t,
+       |    CAST(coalesce(c, 0) AS BIGINT) * $hwScale AS y
+       |  FROM spine s LEFT JOIN cc ON cc.event_type = s.event_type
+       |    AND cc.day = s.day0 + (SELECT d0 FROM cal)),
+       |lb AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN t < 8 THEN y ELSE 0 END) AS BIGINT) >> 3 AS l0,
+       |    (CAST(sum(CASE WHEN t >= 8 AND t < 16 THEN y ELSE 0 END) AS BIGINT)
+       |     - CAST(sum(CASE WHEN t < 8 THEN y ELSE 0 END) AS BIGINT)) >> 6 AS b0
+       |  FROM y GROUP BY event_type),
+       |init AS (
+       |  SELECT y.event_type, lb.l0, lb.b0, list(y.y - lb.l0 ORDER BY y.t) AS s0
+       |  FROM y JOIN lb ON lb.event_type = y.event_type
+       |  WHERE y.t < 7 GROUP BY y.event_type, lb.l0, lb.b0),
+       |rec AS (
+       |  SELECT event_type, CAST(7 AS BIGINT) AS t, l0 AS l, b0 AS b, s0 AS s
+       |  FROM init
+       |  UNION ALL
+       |  SELECT r.event_type, r.t + 1,
+       |    (y.y - r.s[1] + r.l + r.b) >> 1,
+       |    (((y.y - r.s[1] + r.l + r.b) >> 1) - r.l + 3 * r.b) >> 2,
+       |    list_append(r.s[2:7],
+       |      (y.y - ((y.y - r.s[1] + r.l + r.b) >> 1) + 3 * r.s[1]) >> 2)
+       |  FROM rec r JOIN y ON y.event_type = r.event_type AND y.t = r.t),
+       |fin AS (SELECT event_type, l, b, s FROM rec
+       |        WHERE t = (SELECT max(t) FROM rec)),
+       |h AS (SELECT CAST(i AS BIGINT) AS h FROM range(1, 8) t(i))
+       |SELECT event_type, h,
+       |  CAST(l + h * b + s[CAST(h AS INTEGER)] AS DOUBLE) / $hwScale AS yhat,
+       |  CAST(l AS DOUBLE) / $hwScale AS level,
+       |  CAST(b AS DOUBLE) / $hwScale AS trend
+       |FROM fin, h""".stripMargin
+
   def forecast(spark: SparkSession, sfDir: String): DataFrame =
     forecastOver(Tables(spark, sfDir).events
       .groupBy(col("event_type"),
@@ -2780,6 +2893,7 @@ object EventOps {
     "ev_heavy_hitters" -> (heavyHitters _),
     "ev_drift" -> (drift _),
     "ev_forecast" -> (forecast _),
+    "ev_hw_forecast" -> (hwForecast _),
     "ev_anomaly_mad" -> (anomalyMad _),
     "ev_quantile_sketch" -> (quantileSketch _),
     "ev_entry_paths" -> (entryPaths _),
@@ -2827,6 +2941,7 @@ object EventOps {
     "ev_heavy_hitters" -> heavyHittersSql,
     "ev_drift" -> driftSql,
     "ev_forecast" -> forecastSql,
+    "ev_hw_forecast" -> hwForecastSql,
     "ev_anomaly_mad" -> anomalyMadSql,
     "ev_quantile_sketch" -> quantileSketchSql,
     "ev_entry_paths" -> entryPathsSql,

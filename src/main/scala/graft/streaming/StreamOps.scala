@@ -891,6 +891,26 @@ object StreamOps {
   /** Batch oracle reused verbatim — the drift-proof twin contract. */
   def stForecastSql: String = graft.events.EventOps.forecastSql
 
+  /** Holt–Winters seasonal forecast under the STREAMING state store —
+    * ev_hw_forecast's live twin and st_forecast's seasonal sibling: the
+    * SAME calendar-bounded (type, day) BIGINT count matrix as state
+    * (mergeable order/partition/micro-batch-invariant SUMS), the
+    * fixed-point HW fold as the READ-TIME VIEW
+    * ([[graft.events.EventOps.hwForecastOver]] — literally the batch
+    * code), so live forecasts EQUAL batch forecasts and the batch oracle
+    * is reused verbatim. */
+  def hwForecastLive(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = runToTable(spark, sfDir, OutputMode.Complete()) { src =>
+      src.select(col("event_type"), expr("ts_us DIV 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("c"))
+    }
+    graft.events.EventOps.hwForecastOver(counts)
+  }
+
+  /** Batch oracle reused verbatim — the drift-proof twin contract. */
+  def stHwForecastSql: String = graft.events.EventOps.hwForecastSql
+
   /** Growth accounting under the STREAMING state store — ev_growth's live
     * twin (the DAU decomposition dashboards poll all day): new/retained/
     * resurrected/churned need each user's day-activity SET, which cannot
@@ -1524,6 +1544,7 @@ object StreamOps {
     "st_chi2_drift" -> (chi2DriftLive _),
     "st_forecast" -> (forecastLive _),
     "st_growth" -> (growthLive _),
+    "st_hw_forecast" -> (hwForecastLive _),
     "st_seasonality" -> (seasonalityLive _),
     "st_anomaly_mad" -> (anomalyMadLive _),
     "st_error_budget" -> (errorBudgetLive _),
@@ -1562,6 +1583,7 @@ object StreamOps {
     "st_chi2_drift" -> stChi2DriftSql,
     "st_forecast" -> stForecastSql,
     "st_growth" -> stGrowthSql,
+    "st_hw_forecast" -> stHwForecastSql,
     "st_seasonality" -> stSeasonalitySql,
     "st_anomaly_mad" -> stAnomalyMadSql,
     "st_error_budget" -> stErrorBudgetSql,

