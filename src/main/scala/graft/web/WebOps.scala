@@ -1029,6 +1029,96 @@ object WebOps {
     * broadcast prefix join + one per-link window; the oracle replays the
     * scope/robots stages RELATIONALLY in DuckDB from the traced link
     * VALUES — only the expression stage is transcribed, the policy is not. */
+  // ---- redirect-chain resolution -------------------------------------------
+
+  /** Redirect edges: (src, dst, http status). Covers a 3-hop chain into a
+    * terminal page, a 10-deep chain (exceeds the cap), a 2-cycle, a
+    * self-loop, and a redirect into a URL with no further edge. */
+  val redirectEdges: Seq[(String, String, Int)] = {
+    val deep = (0 until 10).map(i =>
+      (s"https://example.com/deep/$i", s"https://example.com/deep/${i + 1}", 301))
+    Seq(
+      ("https://example.com/old", "https://example.com/moved", 301),
+      ("https://example.com/moved", "https://example.com/v2", 302),
+      ("https://example.com/v2", "https://example.com/final", 301),
+      ("https://example.com/a", "https://example.com/b", 302),
+      ("https://example.com/b", "https://example.com/a", 302),
+      ("https://example.com/self", "https://example.com/self", 301),
+      ("https://example.com/out", "https://other.org/landing", 301)) ++ deep
+  }
+
+  /** Redirect-hop budget — part of the QUERY CONTRACT (curl's
+    * `--max-redirs` convention): both engines stop at the same horizon. */
+  val redirectCap = 8
+
+  /** Redirect-chain resolution — the crawl-frontier canonical-target step
+    * (a frontier that fetches `/old` must credit content, dedup, and link
+    * signals to `/final`; Common Crawl materializes exactly this map):
+    * every redirect SOURCE chases its chain to the terminal URL, bounded
+    * by [[redirectCap]] hops; chains still redirecting at the cap (cycles,
+    * over-deep chains) come out `capped` — the standard loop defense that
+    * needs NO path-set state (a path array per frontier row is the memory
+    * bomb; the cap bounds both memory and rounds).
+    * Scale shape: level-synchronous chase — each hop is ONE equi-join of
+    * the live frontier against the redirect-edge table (pre-partitioned
+    * once, reused every round; the web_bfs_depth posture), finished rows
+    * leave the frontier immediately, so round r carries only chains still
+    * alive at depth r. Fixed 8 rounds, plan depth O(cap). */
+  def redirects(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = redirectEdges.toDF("src", "dst", "status")
+      .repartition(col("src")).persist()
+    val starts = edges.select(col("src").as("start"))
+      .distinct()
+      .select(col("start"), col("start").as("cur"), lit(0L).as("hops"))
+    var live = starts
+    var done = spark.emptyDataFrame
+    var doneInit = false
+    for (_ <- 0 until redirectCap) {
+      val stepped = live.join(edges, col("cur") === col("src"), "left")
+      val finished = stepped.filter(col("dst").isNull)
+        .select(col("start"), col("cur").as("final_url"), col("hops"),
+          lit(false).as("capped"))
+      done = if (doneInit) done.unionAll(finished) else finished
+      doneInit = true
+      live = stepped.filter(col("dst").isNotNull)
+        .select(col("start"), col("dst").as("cur"), (col("hops") + 1L).as("hops"))
+        .localCheckpoint()
+    }
+    // horizon rows: capped ⟺ the terminal-so-far STILL has an outgoing
+    // edge (a chain of exactly `cap` hops into a true terminal is NOT
+    // capped — same predicate as the oracle's EXISTS)
+    done.unionAll(
+      live.join(edges, col("cur") === col("src"), "left")
+        .select(col("start"), col("cur").as("final_url"), col("hops"),
+          col("dst").isNotNull.as("capped")))
+  }
+
+  /** The same chase as a capped recursive CTE; `capped` = the row is still
+    * alive at the horizon (its cur URL has an outgoing edge). */
+  val redirectsSql: String = {
+    val edgeRows = redirectEdges
+      .map { case (s, d, c) => s"('$s', '$d', $c)" }.mkString(",\n    ")
+    s"""WITH RECURSIVE e AS (
+       |  SELECT * FROM (VALUES
+       |    $edgeRows) v(src, dst, status)),
+       |rec AS (
+       |  SELECT src AS start, src AS cur, CAST(0 AS BIGINT) AS hops
+       |  FROM (SELECT DISTINCT src FROM e) s
+       |  UNION ALL
+       |  SELECT r.start, e.dst, r.hops + 1
+       |  FROM rec r JOIN e ON e.src = r.cur
+       |  WHERE r.hops < $redirectCap),
+       |last AS (
+       |  SELECT start, cur, hops,
+       |    row_number() OVER (PARTITION BY start ORDER BY hops DESC) AS rn
+       |  FROM rec)
+       |SELECT start, cur AS final_url, hops,
+       |  hops = $redirectCap AND EXISTS (SELECT 1 FROM e WHERE e.src = last.cur)
+       |    AS capped
+       |FROM last WHERE rn = 1""".stripMargin
+  }
+
   def frontier(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val scoped = linkExtract(spark, sfDir)
@@ -1570,6 +1660,7 @@ object WebOps {
     "web_wet" -> (wetExtract _),
     "web_links" -> (linkExtract _),
     "web_anchor_text" -> (anchorText _),
+    "web_redirects" -> (redirects _),
     "web_hostgraph" -> (hostGraph _),
     "web_etld" -> (etld _),
     "web_cdx" -> (cdxIndex _),
@@ -1591,6 +1682,7 @@ object WebOps {
     "web_wet" -> wetExtractSql,
     "web_links" -> linkExtractSql,
     "web_anchor_text" -> anchorTextSql,
+    "web_redirects" -> redirectsSql,
     "web_hostgraph" -> hostGraphSql,
     "web_etld" -> etldSql,
     "web_cdx" -> cdxIndexSql,

@@ -134,6 +134,26 @@ class Round7OpsSpec extends AnyFunSuite {
       s"replayed component $i: ${w(i)} vs ${v(i)}"))
   }
 
+  test("web_redirects: terminal chains resolve, cycles and over-deep chains cap, exact-cap terminals don't") {
+    val out = web.WebOps.redirects(spark, sf).collect()
+      .map(r => r.getAs[String]("start") ->
+        (r.getAs[String]("final_url"), r.getAs[Long]("hops"),
+          r.getAs[Boolean]("capped"))).toMap
+    assert(out("https://example.com/old") ==
+      (("https://example.com/final", 3L, false)))
+    assert(out("https://example.com/self")._3, "self-loop must cap")
+    assert(out("https://example.com/a")._3 && out("https://example.com/b")._3,
+      "2-cycle must cap")
+    // chain of exactly cap hops into a true terminal is NOT capped
+    assert(out("https://example.com/deep/2") ==
+      (("https://example.com/deep/10", 8L, false)))
+    assert(out("https://example.com/deep/0")._3, "10-deep chain must cap")
+    assert(out("https://example.com/out") ==
+      (("https://other.org/landing", 1L, false)))
+    assert(out.size == web.WebOps.redirectEdges.map(_._1).distinct.size,
+      "one resolution per redirect source")
+  }
+
   test("ev_hw_forecast: fixed-point exactness, 7 horizons per type, live twin equal") {
     val rows = events.EventOps.hwForecast(spark, sf).collect()
     val types = Tables(spark, sf).events
