@@ -176,6 +176,31 @@ class Round7OpsSpec extends AnyFunSuite {
       "streaming HW must equal batch HW exactly")
   }
 
+  test("plan pins: compaction prunes text, audio_fp shuffles once, ess/hw never go cartesian") {
+    // q_compaction is a METADATA plan: the scan must never read the text
+    // column — only the manifest columns reach the parquet reader
+    val comp = relational.Relational.qCompaction(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!comp.contains("text"), "compaction planner must not scan text:\n" +
+      comp.take(600))
+    // mm_audio_fp: decode+fingerprint are per-partition math; ownership is
+    // ONE hash exchange on fp (plus AQE reuse nodes, never a second hash)
+    val afp = multimodal.Multimodal.mmAudioFp(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(afp).length
+    assert(hashEx == 1, s"audio_fp must shuffle exactly once, saw $hashEx:\n" +
+      afp.take(600))
+    // degenerate-plan guards on the new aggregation chains
+    Seq(
+      "samp_ess" -> sample.Sampling.ess(spark, sf),
+      "ev_hw_forecast" -> events.EventOps.hwForecast(spark, sf)
+    ).foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name went cartesian:\n" +
+        p.take(600))
+    }
+  }
+
   test("st_growth: live bitmap-state decomposition equals the batch flows exactly") {
     val batch = events.EventOps.growth(spark, sf).collect()
       .map(_.toSeq).toSet
