@@ -625,6 +625,104 @@ object Relational {
       |  min(sx) AS min_sx, max(sx) AS max_sx
       |FROM s4 GROUP BY 1""".stripMargin
 
+  /** Buckets and inverse sample rate for [[qRangePlan]]. */
+  val rangePlanBuckets = 8
+  val rangePlanMod = 50
+
+  /** Range-partition boundary planner — the write-path planning step under
+    * every sorted/range-partitioned layout (Spark's own RangePartitioner,
+    * Delta/Iceberg sort-ordered writes, distributed sort): pick B−1 key
+    * boundaries from a deterministic ~2% sample so each output range gets
+    * ~1/B of the rows, and AUDIT the plan — per range, the sample's
+    * scaled estimate next to the true row count and the skew ratio the
+    * writer would actually see (the number that decides whether the
+    * boundaries ship). Sample membership is the portable hash-mod idiom
+    * (no RNG, no partition-order dependence); boundaries are exact
+    * discrete quantiles of the sample (rank ⌈i·n/B⌉ — value-deterministic
+    * under ties).
+    * Scale shape: the sample predicate rides the scan (the corpus never
+    * shuffles to be sampled); the global sort is of the SAMPLE ONLY —
+    * exactly the cost RangePartitioner itself pays, 2% of corpus and
+    * tunable down; ranges are a B-row broadcast dim, so both counting
+    * passes are broadcast joins + one agg each. */
+  def qRangePlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = rangePlanBuckets
+    val k = Tables(spark, sfDir).lineitem
+      .select(col("l_partkey").as("k"),
+        graft.functions.Portable.hash64(
+          concat_ws("#", col("l_orderkey"), col("l_linenumber")), "rangeplan")
+          .as("h"))
+    val samp = k.filter(pmod(col("h"), lit(rangePlanMod.toLong)) === 0L)
+      .select(col("k")).persist()
+    val ranked = samp
+      .withColumn("rn", row_number().over(Window.orderBy(col("k"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+    val bnd = ranked
+      .select(col("k").as("v"), col("rn"), col("cnt"),
+        explode(sequence(lit(1), lit(B - 1))).as("i"))
+      .filter(col("rn") === expr(s"(i * cnt + ${B - 1}) DIV $B"))
+      .select(col("i").cast("long").as("b"), col("v"))
+    val ranges = bnd
+      .unionAll(spark.range(1).select(lit(B.toLong).as("b"),
+        lit(null).cast("long").as("v")))
+      .select(col("b").as("bucket"),
+        lag(col("v"), 1).over(Window.orderBy(col("b"))).as("lo"),
+        col("v").as("hi"))
+    val inRange = (kc: Column, lo: Column, hi: Column) =>
+      (lo.isNull || kc > lo) && (hi.isNull || kc <= hi)
+    val act = k.join(broadcast(ranges), inRange(col("k"), col("lo"), col("hi")))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("actual_rows"))
+    val est = samp.join(broadcast(ranges), inRange(col("k"), col("lo"), col("hi")))
+      .groupBy(col("bucket"))
+      .agg((count(lit(1)) * rangePlanMod).as("est_rows"))
+    val tot = k.agg(count(lit(1)).as("n"))
+    ranges
+      .join(act, Seq("bucket"), "left")
+      .join(est, Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("lo"), col("hi"),
+        coalesce(col("est_rows"), lit(0L)).as("est_rows"),
+        coalesce(col("actual_rows"), lit(0L)).as("actual_rows"),
+        round(coalesce(col("actual_rows"), lit(0L)).cast("double") * B / col("n"), 6)
+          .as("skew"))
+  }
+
+  val qRangePlanSql: String = {
+    val B = rangePlanBuckets
+    s"""WITH k AS (
+       |  SELECT l_partkey AS k,
+       |    ${graft.functions.Portable.hash64Sql("(l_orderkey || '#' || l_linenumber)", "rangeplan")} AS h
+       |  FROM lineitem),
+       |s AS (SELECT k FROM k WHERE h % $rangePlanMod = 0),
+       |r AS (SELECT k, row_number() OVER (ORDER BY k) AS rn,
+       |        count(*) OVER () AS cnt FROM s),
+       |bnd AS (
+       |  SELECT i.i AS b, r.k AS v
+       |  FROM r, LATERAL unnest(range(1, $B)) i(i)
+       |  WHERE r.rn = (i.i * cnt + ${B - 1}) // $B),
+       |ranges AS (
+       |  SELECT CAST(b AS BIGINT) AS bucket,
+       |    lag(v) OVER (ORDER BY b) AS lo, v AS hi
+       |  FROM (SELECT b, v FROM bnd UNION ALL SELECT $B, NULL) t),
+       |act AS (
+       |  SELECT r2.bucket, CAST(count(*) AS BIGINT) AS actual_rows
+       |  FROM k JOIN ranges r2
+       |    ON (r2.lo IS NULL OR k.k > r2.lo) AND (r2.hi IS NULL OR k.k <= r2.hi)
+       |  GROUP BY 1),
+       |est AS (
+       |  SELECT r2.bucket, CAST(count(*) * $rangePlanMod AS BIGINT) AS est_rows
+       |  FROM s JOIN ranges r2
+       |    ON (r2.lo IS NULL OR s.k > r2.lo) AND (r2.hi IS NULL OR s.k <= r2.hi)
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM k)
+       |SELECT r2.bucket, r2.lo, r2.hi,
+       |  coalesce(est_rows, 0) AS est_rows,
+       |  coalesce(actual_rows, 0) AS actual_rows,
+       |  round(CAST(coalesce(actual_rows, 0) AS DOUBLE) * $B / n, 6) AS skew
+       |FROM ranges r2 LEFT JOIN act USING (bucket) LEFT JOIN est USING (bucket)
+       |CROSS JOIN tot""".stripMargin
+  }
+
   /** Packing budget for [[qCompaction]] (chars stand in for bytes at test
     * scale; production sets ~128 MB). */
   val compactTarget = 2048L
@@ -1914,6 +2012,7 @@ object Relational {
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_zorder" -> (qZorder _),
     "q_compaction" -> (qCompaction _),
+    "q_range_plan" -> (qRangePlan _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_scd2" -> (qScd2 _),
@@ -1956,6 +2055,7 @@ object Relational {
     "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_zorder" -> qZorderSql,
     "q_compaction" -> qCompactionSql,
+    "q_range_plan" -> qRangePlanSql,
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_scd2" -> qScd2Sql,

@@ -134,6 +134,29 @@ class Round7OpsSpec extends AnyFunSuite {
       s"replayed component $i: ${w(i)} vs ${v(i)}"))
   }
 
+  test("q_range_plan: ranges partition the key space, counts conserve, estimates track truth") {
+    val plan = relational.Relational.qRangePlan(spark, sf).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    val B = relational.Relational.rangePlanBuckets
+    assert(plan.length == B)
+    assert(plan.head.isNullAt(plan.head.fieldIndex("lo")), "bucket 1 opens the line")
+    assert(plan.last.isNullAt(plan.last.fieldIndex("hi")), "bucket B closes it")
+    // contiguity: each bucket's lo is the previous bucket's hi
+    plan.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi") == b.getAs[Long]("lo"), s"gap between $a and $b")
+    }
+    val total = Tables(spark, sf).lineitem.count()
+    assert(plan.map(_.getAs[Long]("actual_rows")).sum == total,
+      "every row must land in exactly one range")
+    // the audit must be non-degenerate: sampled estimates within 3x of truth
+    // for every non-empty bucket at this sf (2% sample over ~6k rows)
+    plan.filter(_.getAs[Long]("actual_rows") > 100).foreach { r =>
+      val est = r.getAs[Long]("est_rows").toDouble
+      val act = r.getAs[Long]("actual_rows").toDouble
+      assert(est > act / 3 && est < act * 3, s"estimate off the rails: $r")
+    }
+  }
+
   test("web_redirects: terminal chains resolve, cycles and over-deep chains cap, exact-cap terminals don't") {
     val out = web.WebOps.redirects(spark, sf).collect()
       .map(r => r.getAs[String]("start") ->
