@@ -1160,6 +1160,59 @@ object WebOps {
        |FROM matched WHERE rn = 1""".stripMargin
   }
 
+  // ---- per-host politeness scheduling ---------------------------------------
+
+  /** Per-host crawl delays (seconds) — robots `Crawl-delay` / crawler
+    * config; hosts not listed get [[politenessDefault]]. */
+  val crawlDelays: Seq[(String, Long)] = Seq(
+    "example.com" -> 2L, "other.org" -> 5L)
+  val politenessDefault = 1L
+
+  /** Per-host politeness scheduling — the third leg of the crawl stack
+    * (web_robots says WHAT may be fetched, web_frontier says what's NEXT,
+    * this says WHEN): every frontier URL gets a fetch slot such that
+    * same-host fetches are spaced by the host's crawl delay — the
+    * rate-limit every polite crawler enforces per authority. Deterministic
+    * priority = canonical-URL order (production plugs its frontier score
+    * into the same ORDER BY). Scale shape: ONE hash exchange on host +
+    * a per-host window — the politeness queue IS per-host sequential by
+    * definition; per-host batch size is capped by the frontier cycle in
+    * production (the window partition never exceeds the cycle's quota). */
+  def politeness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val delays = crawlDelays.toDF("dhost", "delay_s")
+    val urls = linkExtract(spark, sfDir)
+      .select(col("link")).distinct()
+      .withColumn("host",
+        regexp_extract(col("link"), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("link"))
+    urls.join(broadcast(delays), col("host") === col("dhost"), "left")
+      .withColumn("delay_s", coalesce(col("delay_s"), lit(politenessDefault)))
+      .select(col("host"), col("link"),
+        row_number().over(w).cast("long").as("fetch_rank"),
+        ((row_number().over(w) - 1).cast("long") * col("delay_s")).as("start_s"),
+        col("delay_s"))
+  }
+
+  val politenessSql: String = {
+    val delayRows = crawlDelays.map { case (h, d) => s"('$h', $d)" }
+      .mkString(", ")
+    s"""WITH links AS (${linkExtractSql.replace("\n", "\n  ")}),
+       |u AS (
+       |  SELECT DISTINCT link,
+       |    regexp_extract(link, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host
+       |  FROM links),
+       |d AS (SELECT * FROM (VALUES $delayRows) v(dhost, delay_s))
+       |SELECT host, link,
+       |  CAST(row_number() OVER (PARTITION BY host ORDER BY link) AS BIGINT)
+       |    AS fetch_rank,
+       |  CAST((row_number() OVER (PARTITION BY host ORDER BY link) - 1)
+       |    * coalesce(delay_s, $politenessDefault) AS BIGINT) AS start_s,
+       |  CAST(coalesce(delay_s, $politenessDefault) AS BIGINT) AS delay_s
+       |FROM u LEFT JOIN d ON u.host = d.dhost""".stripMargin
+  }
+
   // ---- PageRank over a deterministic link graph ----------------------------
 
   /** Per-node out-links in the synthesized graph: doc d links to
@@ -1661,6 +1714,7 @@ object WebOps {
     "web_links" -> (linkExtract _),
     "web_anchor_text" -> (anchorText _),
     "web_redirects" -> (redirects _),
+    "web_politeness" -> (politeness _),
     "web_hostgraph" -> (hostGraph _),
     "web_etld" -> (etld _),
     "web_cdx" -> (cdxIndex _),
@@ -1683,6 +1737,7 @@ object WebOps {
     "web_links" -> linkExtractSql,
     "web_anchor_text" -> anchorTextSql,
     "web_redirects" -> redirectsSql,
+    "web_politeness" -> politenessSql,
     "web_hostgraph" -> hostGraphSql,
     "web_etld" -> etldSql,
     "web_cdx" -> cdxIndexSql,

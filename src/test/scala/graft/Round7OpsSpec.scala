@@ -157,6 +157,24 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("web_politeness: same-host fetches are spaced by exactly the host's delay, ranks dense") {
+    val sched = web.WebOps.politeness(spark, sf).collect()
+    sched.groupBy(_.getAs[String]("host")).foreach { case (host, rows) =>
+      val byRank = rows.sortBy(_.getAs[Long]("fetch_rank"))
+      byRank.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("fetch_rank") == i + 1, s"$host ranks not dense")
+        assert(r.getAs[Long]("start_s") == i * r.getAs[Long]("delay_s"),
+          s"$host slot $i violates the crawl delay: $r")
+      }
+      val delay = web.WebOps.crawlDelays.toMap
+        .getOrElse(host, web.WebOps.politenessDefault)
+      assert(byRank.head.getAs[Long]("delay_s") == delay)
+    }
+    // every frontier edge target is scheduled exactly once
+    assert(sched.length == web.WebOps.linkExtract(spark, sf)
+      .select(col("link")).distinct().count())
+  }
+
   test("web_redirects: terminal chains resolve, cycles and over-deep chains cap, exact-cap terminals don't") {
     val out = web.WebOps.redirects(spark, sf).collect()
       .map(r => r.getAs[String]("start") ->
