@@ -104,6 +104,37 @@ class WebOpsSpec extends AnyFunSuite {
     assert(WebOps.htmlLinkList("no anchors").isEmpty)
   }
 
+  test("htmlAnchorList: hrefs are a sub-sequence of htmlLinkList on generated HTML") {
+    // anchors come only from CLOSED <a> elements, so every (href) the
+    // anchor extractor sees must appear in htmlLinkList, in order — on
+    // arbitrary generated markup, not just the fixture
+    val word = Gen.alphaNumStr.map(_.take(5)).suchThat(_.nonEmpty)
+    val anchorGen = for {
+      href <- word
+      txt <- Gen.oneOf(Gen.const(""), word, word.map(w => s"<b>$w</b> x"))
+      closed <- Gen.frequency(4 -> true, 1 -> false)
+      quote <- Gen.oneOf("\"", "'", "")
+      attr <- Gen.oneOf("", " class=\"x\"", " rel=nofollow")
+    } yield s"<a$attr href=$quote$href.html$quote>" +
+      (if (closed) s"$txt</a>" else txt)
+    val htmlGen = for {
+      parts <- Gen.listOf(Gen.oneOf(anchorGen, word, Gen.const("<a name=\"n\">t</a>")))
+    } yield parts.mkString(" ")
+    check(Prop.forAll(htmlGen) { html =>
+      val anchors = WebOps.htmlAnchorList(html).map(_._1).toList
+      val links = WebOps.htmlLinkList(html).toList
+      // sub-sequence check: anchors in order within links
+      def isSubseq(a: List[String], l: List[String]): Boolean = (a, l) match {
+        case (Nil, _) => true
+        case (_, Nil) => false
+        case (x :: xs, y :: ys) => if (x == y) isSubseq(xs, ys) else isSubseq(a, ys)
+      }
+      isSubseq(anchors, links) &&
+        WebOps.htmlAnchorList(html).forall { case (_, t) =>
+          t == t.trim && !t.contains("<") }
+    })
+  }
+
   test("resolveUrl: each documented rule") {
     val base = "https://example.com/dir/page.html"
     assert(WebOps.resolveUrl(base, "") == null)                       // rule 1
