@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.int8QuantizeFn)
     ext.injectFunction(GraftExtensions.isInIpRangeFn)
     ext.injectFunction(GraftExtensions.zorderKeyFn)
+    GraftExtensions.webFns.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }
 }
@@ -95,6 +96,31 @@ object GraftExtensions {
     new ExpressionInfo(classOf[ZorderKey].getName, "zorder_key"),
     args => ZorderKey(args(0), args(1)))
 
+  /** The web-curation expression family as SQL functions — the full
+    * WebOps surface is reachable from `spark.sql` without Scala:
+    *
+    *   url_canonical(url)      → string (crawl-frontier key)
+    *   url_resolve(base, ref)  → string or null (RFC 3986 merge)
+    *   html_links(html)        → array<string> (href harvest)
+    *   html_anchors(html)      → array<struct<href,txt>> (closed anchors)
+    *   html_to_text(html)      → string (WET conversion) */
+  val webFns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("url_canonical"),
+      new ExpressionInfo(classOf[graft.web.UrlCanonicalize].getName, "url_canonical"),
+      (args: Seq[Expression]) => graft.web.UrlCanonicalize(args.head)),
+    (FunctionIdentifier("url_resolve"),
+      new ExpressionInfo(classOf[graft.web.UrlResolve].getName, "url_resolve"),
+      (args: Seq[Expression]) => graft.web.UrlResolve(args(0), args(1))),
+    (FunctionIdentifier("html_links"),
+      new ExpressionInfo(classOf[graft.web.HtmlLinks].getName, "html_links"),
+      (args: Seq[Expression]) => graft.web.HtmlLinks(args.head)),
+    (FunctionIdentifier("html_anchors"),
+      new ExpressionInfo(classOf[graft.web.HtmlAnchors].getName, "html_anchors"),
+      (args: Seq[Expression]) => graft.web.HtmlAnchors(args.head)),
+    (FunctionIdentifier("html_to_text"),
+      new ExpressionInfo(classOf[graft.web.HtmlToText].getName, "html_to_text"),
+      (args: Seq[Expression]) => graft.web.HtmlToText(args.head)))
+
   /** Register on a live session (the extensions path needs builder-time
     * configuration; this covers driver-provided sessions). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -105,6 +131,8 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("int8_quantize", int8QuantizeFn._3, "scala_udf")
     reg.createOrReplaceTempFunction("is_in_ip_range", isInIpRangeFn._3, "scala_udf")
     reg.createOrReplaceTempFunction("zorder_key", zorderKeyFn._3, "scala_udf")
+    webFns.foreach { case (id, _, builder) =>
+      reg.createOrReplaceTempFunction(id.funcName, builder, "scala_udf") }
     // optimizer rules can't be injected on a live session through the
     // extensions API — experimental.extraOptimizations is the public hook
     if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))

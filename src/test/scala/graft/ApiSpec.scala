@@ -24,6 +24,24 @@ class ApiSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 11.0)
   }
 
+  test("web expression family reachable from pure SQL after install") {
+    graft.plans.GraftExtensions.install(spark)
+    val r = spark.sql(
+      """SELECT
+        |  url_canonical('https://Example.COM:443/a/b?utm_source=x&id=1#f'),
+        |  url_resolve('https://example.com/dir/page.html', '../up.html'),
+        |  html_links('<a href="x.html">X</a><a name="n">t</a>'),
+        |  html_anchors('<a href="x.html"><b>X</b> y</a>'),
+        |  html_to_text('<p>hi <b>there</b></p>')""".stripMargin).head
+    assert(r.getString(0) == "https://example.com/a/b?id=1")
+    assert(r.getString(1) == "https://example.com/up.html")
+    assert(r.getSeq[String](2) == Seq("x.html"))
+    val a = r.getSeq[org.apache.spark.sql.Row](3)
+    assert(a.length == 1 && a.head.getString(0) == "x.html" &&
+      a.head.getString(1) == "X y")
+    assert(r.getString(4).trim == "hi there")
+  }
+
   test("is_in_ip_range: the Lua ip-range criterion helper in SQL") {
     graft.plans.GraftExtensions.install(spark)
     val r = spark.sql(
