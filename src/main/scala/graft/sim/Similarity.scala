@@ -602,9 +602,14 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("cid"),
         round(graft.plans.VectorDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
           .as("ccos"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
-    scored.withColumn("crn", row_number().over(w)).filter(col("crn") === 1)
-      .select(col("vec_id"), col("cid"))
+    // argmax as a PARTIAL-AGGREGABLE max_by (ties (ccos desc, cid asc) via
+    // lexicographic struct order, identical to the former row_number cut):
+    // the K candidate rows per vector are map-local (born of a broadcast
+    // against co-located e rows), so the partial agg collapses n·K → n
+    // BEFORE the exchange and nothing ever sorts
+    scored.groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
+        .as("cid"))
   }
 
   /** Per-cluster mean vectors of an assignment, repacked as ordered arrays
