@@ -251,10 +251,14 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
         round(graft.plans.VectorDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
           .as("ccos"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
-    simToCent.withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    // argmax as a partial-aggregable max_by (the kmAssign move): the K
+    // candidate rows per vector are map-local, so the exchange carries n
+    // rows and nothing sorts; ties (ccos desc, cid asc) via struct order
+    simToCent.groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("nrm"), col("cid")),
+        struct(col("ccos"), (-col("cid")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.nrm").as("nrm"),
+        col("best.cid").as("cid"))
   }
 
   /** sims→assigned→lists over a coarse-quantizer CTE named `cents(cid,
@@ -340,13 +344,14 @@ object Similarity {
   def ivfStats(spark: SparkSession, sfDir: String): DataFrame = {
     val cents = centroids(spark, sfDir)
     val e = emb(spark, sfDir)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
     val assigned = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         round(graft.plans.VectorDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
           .as("ccos"))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("ccos")),
+        struct(col("ccos"), (-col("cid")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"), col("best.ccos").as("ccos"))
     val lists = assigned.groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vecs"),
         min(col("ccos")).as("min_cos"), max(col("ccos")).as("max_cos"),
@@ -1606,9 +1611,11 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("label"), col("cid"),
         round(graft.plans.VectorDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
           .as("ccos"))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("label"), col("cid"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("nrm"), col("label"), col("cid")),
+        struct(col("ccos"), (-col("cid")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.nrm").as("nrm"),
+        col("best.label").as("label"), col("best.cid").as("cid"))
       .persist()
     val probes = e.filter(col("vec_id") < numQueries).crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
