@@ -287,6 +287,77 @@ object Multimodal {
        |  agg.abs_sum, agg.peak, agg.zero_cross
        |FROM au a JOIN agg ON agg.doc_id = a.doc_id""".stripMargin
 
+  final case class ResizedImg(doc_id: Long, out_w: Int, out_h: Int,
+      px_sum: Long, px_max: Int)
+
+  /** Resize EXECUTION — [[mmResize]] plans the target box; this row runs
+    * the resize on the really-decoded raster: integer nearest-neighbor
+    * (source pixel (dx·w DIV out_w, dy·h DIV out_h) — the deterministic
+    * kernel; production swaps in area/Lanczos, same plumbing) and emits
+    * integer features of the RESIZED raster, so a header-only decode or a
+    * planner-only "resize" cannot produce the row. Same batched
+    * `mapPartitions` decode shape as [[mmMeta]]; the fit-into-box math is
+    * shared with the planner (same `resizeMax` rule), so plan and
+    * execution cannot drift. Oracle replays decode + NN mapping from the
+    * generation rule — integer-exact. */
+  def mmResizeExec(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[Payload]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap(_.map { p =>
+          val d = decodeImage(imageFor(p.doc_id, p.payload))
+          val longest = math.max(d.width, d.height)
+          val (ow, oh) =
+            if (longest <= resizeMax) (d.width, d.height)
+            else (math.max(1, d.width * resizeMax / longest),
+              math.max(1, d.height * resizeMax / longest))
+          var sum = 0L
+          var mx = 0
+          var dy = 0
+          while (dy < oh) {
+            val sy = dy * d.height / oh
+            var dx = 0
+            while (dx < ow) {
+              val sx = dx * d.width / ow
+              val v = d.gray(sy * d.width + sx) & 0xff
+              sum += v
+              if (v > mx) mx = v
+              dx += 1
+            }
+            dy += 1
+          }
+          ResizedImg(p.doc_id, ow, oh, sum, mx)
+        })
+      }
+      .toDF()
+  }
+
+  /** Replays the pixel-cycling rule through the same NN mapping; the `m`/
+    * `rsz` chain is [[metaChainCtes]] verbatim so plan and execution share
+    * one fit rule. */
+  // def, not val: metaChainCtes initializes later in this object
+  def mmResizeExecSql: String =
+    s"""WITH $dimsSqlCte,
+       |$metaChainCtes,
+       |px AS (
+       |  SELECT r.doc_id,
+       |    CAST(coalesce(sum(ascii(substr(d.text,
+       |      CAST((((p // out_w) * height // out_h) * width
+       |            + ((p % out_w) * width // out_w)) % length(d.text) AS INTEGER) + 1, 1))), 0)
+       |      AS BIGINT) AS px_sum,
+       |    CAST(coalesce(max(ascii(substr(d.text,
+       |      CAST((((p // out_w) * height // out_h) * width
+       |            + ((p % out_w) * width // out_w)) % length(d.text) AS INTEGER) + 1, 1))), 0)
+       |      AS INTEGER) AS px_max
+       |  FROM rsz r JOIN dims d ON d.doc_id = r.doc_id,
+       |    LATERAL unnest(range(0, CAST(out_w AS BIGINT) * out_h)) t(p)
+       |  GROUP BY r.doc_id)
+       |SELECT r.doc_id, CAST(out_w AS INTEGER) AS out_w,
+       |  CAST(out_h AS INTEGER) AS out_h, px.px_sum, px.px_max
+       |FROM rsz r JOIN px ON px.doc_id = r.doc_id""".stripMargin
+
   // ---- audio fingerprint dedup ---------------------------------------------
 
   final case class AudioFp(doc_id: Long, fp: Long)
@@ -966,6 +1037,7 @@ object Multimodal {
     "mm_meta" -> (mmMeta _),
     "mm_audio" -> (mmAudio _),
     "mm_audio_fp" -> (mmAudioFp _),
+    "mm_resize_exec" -> (mmResizeExec _),
     "mm_video_shots" -> (mmVideoShots _),
     "mm_framesample" -> (mmFrameSample _),
     "mm_resize" -> (mmResize _),
@@ -980,6 +1052,7 @@ object Multimodal {
     "mm_meta" -> mmMetaSql,
     "mm_audio" -> mmAudioSql,
     "mm_audio_fp" -> mmAudioFpSql,
+    "mm_resize_exec" -> mmResizeExecSql,
     "mm_video_shots" -> mmVideoShotsSql,
     "mm_framesample" -> mmFrameSampleSql,
     "mm_resize" -> mmResizeSql,

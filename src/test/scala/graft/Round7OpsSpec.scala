@@ -157,6 +157,29 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_resize_exec: box respected, identity resize reproduces mm_meta's checksum") {
+    val rs = multimodal.Multimodal.mmResizeExec(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val plan = multimodal.Multimodal.mmResize(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val meta = multimodal.Multimodal.mmMeta(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    rs.foreach { case (id, r) =>
+      val ow = r.getAs[Int]("out_w"); val oh = r.getAs[Int]("out_h")
+      assert(math.max(ow, oh) <= 64 || plan(id).getAs[Int]("out_w") == ow)
+      // execution uses the PLANNER's box exactly
+      assert(ow == plan(id).getAs[Int]("out_w") && oh == plan(id).getAs[Int]("out_h"))
+      assert(r.getAs[Int]("px_max") <= 255 && r.getAs[Long]("px_sum") >= 0)
+      // an image already inside the box resizes to itself: the NN map is
+      // the identity and the resized checksum must equal mm_meta's
+      val m = meta(id)
+      if (math.max(m.getAs[Int]("width"), m.getAs[Int]("height")) <= 64)
+        assert(r.getAs[Long]("px_sum") == m.getAs[Long]("pixel_sum"),
+          s"identity resize drifted from the decode checksum for doc $id")
+    }
+    assert(rs.nonEmpty)
+  }
+
   test("web_politeness: same-host fetches are spaced by exactly the host's delay, ranks dense") {
     val sched = web.WebOps.politeness(spark, sf).collect()
     sched.groupBy(_.getAs[String]("host")).foreach { case (host, rows) =>
