@@ -1926,6 +1926,73 @@ object EventOps {
     * partition orders, with no float-summation hazard. Scale shape: one
     * corpus aggregation to the (type, day) dim; everything after runs over
     * ≤ W rows per type. */
+  /** Probe selector for [[seriesSim]] (every 29th user — scale-free). */
+  val seriesSimProbeMod = 29
+
+  /** Behavioral time-series similarity search — "which users' activity
+    * CURVES look like this one's" (the retention-twin / cohort-matching /
+    * anomaly-triage query; the distributed-streaming similarity-search
+    * capability of the EDBT'19 line): each user's per-day activity counts
+    * form a calendar-length series; probes get their top-3 most similar
+    * other users by cosine over those series. Formulated SPARSELY — the
+    * dot product is one equi-join on day (days both series are zero
+    * contribute nothing, so the dense-vector dot equals the sparse sum),
+    * norms are per-user exact-integer Σc²; cosine = exact-int dot / two
+    * IEEE sqrts, rounded 6dp BEFORE ranking so both engines rank identical
+    * doubles (ties cand asc). Scale shape: one (user, day) agg, one
+    * norm agg, one day-keyed join bounded by probes×active-users-per-day
+    * (the brute baseline — production swaps the probe join for an LSH
+    * bucket join exactly like ann_lsh_topk; the series CONSTRUCTION and
+    * scoring stages are what this row pins), one probe-keyed top-3 window
+    * (WindowGroupLimit). */
+  def seriesSim(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables(spark, sfDir).events
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("c"))
+      .persist()
+    val nrm = ud.groupBy(col("user_id")).agg(sum(col("c") * col("c")).as("n2"))
+    val probe = ud.filter(col("user_id") % seriesSimProbeMod === 0)
+      .select(col("user_id").as("pu"), col("day"), col("c").as("pc"))
+    val dots = probe
+      .join(ud.select(col("user_id").as("cu"), col("day"), col("c").as("cc")),
+        Seq("day"))
+      .filter(col("cu") =!= col("pu"))
+      .groupBy(col("pu"), col("cu")).agg(sum(col("pc") * col("cc")).as("dot"))
+    val scored = dots
+      .join(nrm.select(col("user_id").as("pu"), col("n2").as("np")), "pu")
+      .join(nrm.select(col("user_id").as("cu"), col("n2").as("nc")), "cu")
+      .select(col("pu"), col("cu"),
+        round(col("dot").cast("double") / (sqrt(col("np")) * sqrt(col("nc"))), 6)
+          .as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pu")).orderBy(col("cos_sim").desc, col("cu").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("pu").as("probe_user"), col("cu").as("cand_user"),
+        col("cos_sim"), col("rk"))
+  }
+
+  val seriesSimSql: String =
+    s"""WITH ud AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |nrm AS (SELECT user_id, sum(c * c) AS n2 FROM ud GROUP BY 1),
+       |probe AS (SELECT * FROM ud WHERE user_id % $seriesSimProbeMod = 0),
+       |dots AS (
+       |  SELECT p.user_id AS pu, u.user_id AS cu, sum(p.c * u.c) AS dot
+       |  FROM probe p JOIN ud u ON u.day = p.day AND u.user_id <> p.user_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT pu, cu,
+       |    round(CAST(dot AS DOUBLE) / (sqrt(np.n2) * sqrt(nc.n2)), 6) AS cos_sim
+       |  FROM dots JOIN nrm np ON np.user_id = dots.pu
+       |    JOIN nrm nc ON nc.user_id = dots.cu)
+       |SELECT pu AS probe_user, cu AS cand_user, cos_sim, rk FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY pu
+       |    ORDER BY cos_sim DESC, cu ASC) AS BIGINT) AS rk
+       |  FROM scored) t WHERE rk <= 3""".stripMargin
+
   final case class HwRow(event_type: String, h: Long, yhat: Double,
       level: Double, trend: Double)
 
@@ -2894,6 +2961,7 @@ object EventOps {
     "ev_drift" -> (drift _),
     "ev_forecast" -> (forecast _),
     "ev_hw_forecast" -> (hwForecast _),
+    "ev_series_sim" -> (seriesSim _),
     "ev_anomaly_mad" -> (anomalyMad _),
     "ev_quantile_sketch" -> (quantileSketch _),
     "ev_entry_paths" -> (entryPaths _),
@@ -2942,6 +3010,7 @@ object EventOps {
     "ev_drift" -> driftSql,
     "ev_forecast" -> forecastSql,
     "ev_hw_forecast" -> hwForecastSql,
+    "ev_series_sim" -> seriesSimSql,
     "ev_anomaly_mad" -> anomalyMadSql,
     "ev_quantile_sketch" -> quantileSketchSql,
     "ev_entry_paths" -> entryPathsSql,

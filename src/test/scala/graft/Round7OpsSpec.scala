@@ -157,6 +157,33 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_series_sim: top-3 equals a driver-side brute recomputation over dense series") {
+    val got = events.EventOps.seriesSim(spark, sf).collect()
+      .groupBy(_.getAs[Long]("probe_user"))
+      .map { case (p, rows) =>
+        p -> rows.sortBy(_.getAs[Long]("rk"))
+          .map(r => (r.getAs[Long]("cand_user"), r.getAs[Double]("cos_sim"))).toList }
+    // dense reference: per-user day→count map, cosine over the union grid
+    val ud = Tables(spark, sf).events
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    def cos(a: Map[Long, Long], b: Map[Long, Long]): Double = {
+      val dot = a.keysIterator.map(d => a(d) * b.getOrElse(d, 0L)).sum.toDouble
+      val v = dot / (math.sqrt(a.values.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.values.map(x => x * x).sum.toDouble))
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got.foreach { case (p, top) =>
+      val ref = ud.keys.filter(_ != p).map(c => (c, cos(ud(p), ud(c)))).toList
+        .sortBy { case (c, s) => (-s, c) }.take(3)
+      assert(top == ref, s"probe $p: $top vs brute $ref")
+      top.foreach { case (_, s) => assert(s >= 0.0 && s <= 1.0 + 1e-9) }
+    }
+    assert(got.nonEmpty)
+  }
+
   test("mm_resize_exec: box respected, identity resize reproduces mm_meta's checksum") {
     val rs = multimodal.Multimodal.mmResizeExec(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
