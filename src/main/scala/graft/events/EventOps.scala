@@ -1945,11 +1945,15 @@ object EventOps {
     * bucket join exactly like ann_lsh_topk; the series CONSTRUCTION and
     * scoring stages are what this row pins), one probe-keyed top-3 window
     * (WindowGroupLimit). */
-  def seriesSim(spark: SparkSession, sfDir: String): DataFrame = {
-    val ud = Tables(spark, sfDir).events
+  def seriesSim(spark: SparkSession, sfDir: String): DataFrame =
+    seriesSimOver(Tables(spark, sfDir).events
       .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
-      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("c"))
-      .persist()
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("c")))
+
+  /** The search over a (user_id, day, c) count matrix — shared with the
+    * streaming twin (st_series_sim drains the SAME matrix from state). */
+  def seriesSimOver(ud0: DataFrame): DataFrame = {
+    val ud = ud0.persist()
     val nrm = ud.groupBy(col("user_id")).agg(sum(col("c") * col("c")).as("n2"))
     val probe = ud.filter(col("user_id") % seriesSimProbeMod === 0)
       .select(col("user_id").as("pu"), col("day"), col("c").as("pc"))

@@ -911,6 +911,27 @@ object StreamOps {
   /** Batch oracle reused verbatim — the drift-proof twin contract. */
   def stHwForecastSql: String = graft.events.EventOps.hwForecastSql
 
+  /** Behavioral time-series similarity search under the STREAMING state
+    * store — ev_series_sim's live twin (the "who ELSE is behaving like
+    * this account" triage a moderation console runs on live data): state
+    * = the (user, day) BIGINT count matrix (mergeable order/partition/
+    * micro-batch-invariant SUMS, calendar-bounded per user), the sparse
+    * cosine search as the READ-TIME VIEW
+    * ([[graft.events.EventOps.seriesSimOver]] — literally the batch
+    * code), so live rankings EQUAL batch rankings and the batch oracle is
+    * reused verbatim. */
+  def seriesSimLive(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = runToTable(spark, sfDir, OutputMode.Complete()) { src =>
+      src.select(col("user_id"), expr("ts_us DIV 86400000000").as("day"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("c"))
+    }
+    graft.events.EventOps.seriesSimOver(counts)
+  }
+
+  /** Batch oracle reused verbatim — the drift-proof twin contract. */
+  def stSeriesSimSql: String = graft.events.EventOps.seriesSimSql
+
   /** Growth accounting under the STREAMING state store — ev_growth's live
     * twin (the DAU decomposition dashboards poll all day): new/retained/
     * resurrected/churned need each user's day-activity SET, which cannot
@@ -1545,6 +1566,7 @@ object StreamOps {
     "st_forecast" -> (forecastLive _),
     "st_growth" -> (growthLive _),
     "st_hw_forecast" -> (hwForecastLive _),
+    "st_series_sim" -> (seriesSimLive _),
     "st_seasonality" -> (seasonalityLive _),
     "st_anomaly_mad" -> (anomalyMadLive _),
     "st_error_budget" -> (errorBudgetLive _),
@@ -1584,6 +1606,7 @@ object StreamOps {
     "st_forecast" -> stForecastSql,
     "st_growth" -> stGrowthSql,
     "st_hw_forecast" -> stHwForecastSql,
+    "st_series_sim" -> stSeriesSimSql,
     "st_seasonality" -> stSeasonalitySql,
     "st_anomaly_mad" -> stAnomalyMadSql,
     "st_error_budget" -> stErrorBudgetSql,
