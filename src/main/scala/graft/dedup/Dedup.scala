@@ -936,15 +936,20 @@ object Dedup {
     val clu = clusters(spark, sfDir)
     val q = graft.text.TextOps.quality(spark, sfDir)
       .select(col("doc_id"), col("quality"))
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("quality").desc, col("doc_id").asc)
+    // per-cluster argmax as ONE partial-aggregable max_by (ties (quality
+    // desc, doc_id asc) via struct order) + the member count in the SAME
+    // aggregation — replaces two windows that SORTED each cluster; on the
+    // degenerate corpora this row exists for (one giant duplicate
+    // cluster), the agg combines map-side while a window single-tasks the
+    // hot cluster
     clu.join(q, "doc_id")
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("cluster_id"), col("doc_id").as("keep_id"),
-        col("quality").as("keep_quality"), col("n_members"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(struct(col("doc_id"), col("quality")),
+          struct(col("quality"), (-col("doc_id")).as("nd"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("best.doc_id").as("keep_id"),
+        col("best.quality").as("keep_quality"), col("n_members"))
   }
 
   val keepBestSql: String =
