@@ -269,15 +269,16 @@ object Curate {
       .select(col("doc_id"), col("quality"))
     val members = q.join(clu, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("quality").desc, col("doc_id").asc)
+    // the dd_keep_best move: argmax + count as one partial-aggregable
+    // max_by agg — no cluster ever sorts in a single task
     members
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("cluster_id"), col("doc_id").as("keep_id"),
-        col("quality").as("keep_quality"), col("n_members"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(struct(col("doc_id"), col("quality")),
+          struct(col("quality"), (-col("doc_id")).as("nd"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("best.doc_id").as("keep_id"),
+        col("best.quality").as("keep_quality"), col("n_members"))
   }
 
   val dedupPipeSql: String =
