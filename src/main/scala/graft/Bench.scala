@@ -76,6 +76,12 @@ object Bench {
     // when timed mid-sweep); the full sweep follows.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val ordered = names.filter(headline) ++ names.filterNot(headline)
+    // per-pass headline timings, stamped into the artifact: a contended
+    // run shows its own pass spread (three near-equal inflated passes =
+    // sustained external load, which min-of-3 cannot shed; one spike =
+    // transient, which it does)
+    val headlinePasses = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[Double]]
     val results = ordered.map { name =>
       val fn = SparkEntry.queries(name)
       // the graded queries start from a collected heap so accumulated GC
@@ -98,6 +104,7 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) Some(dt) else None
       }
+      if (headline(name)) headlinePasses(name) = times
       name -> (if (times.size == passes) times.min else -1.0)
     }
     // Outlier re-time: a single-shot sweep timing is exposed to transient
@@ -147,8 +154,11 @@ object Bench {
     // build/Spark shared the cores and the artifact is suspect)
     val retimedJson = outliers.toSeq.sorted.map(n => s""""$n"""")
       .mkString("[", ",", "]")
+    val passesJson = headlinePasses
+      .map { case (n, ts) => s""""$n":[${ts.mkString(",")}]""" }
+      .mkString("{", ",", "}")
     val telemetry =
-      s""""protocol":"headline-min-of-3-warm-cache-sweep-retime","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"other_jvms":$jvms,"cpus":"$cpus","retimed":$retimedJson"""
+      s""""protocol":"headline-min-of-3-warm-cache-sweep-retime","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"other_jvms":$jvms,"cpus":"$cpus","retimed":$retimedJson,"headline_passes":$passesJson"""
     val metricJson =
       s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","queries":$qs,"all_total":$total,"n_queries":${results.size},"errors":$errors,"sf":"$sfDir",$telemetry}"""
     println(metricJson)
