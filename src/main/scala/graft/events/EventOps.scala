@@ -1941,10 +1941,10 @@ object EventOps {
     * IEEE sqrts, rounded 6dp BEFORE ranking so both engines rank identical
     * doubles (ties cand asc). Scale shape: one (user, day) agg, one
     * norm agg, one day-keyed join bounded by probes×active-users-per-day
-    * (the brute baseline — production swaps the probe join for an LSH
-    * bucket join exactly like ann_lsh_topk; the series CONSTRUCTION and
-    * scoring stages are what this row pins), one probe-keyed top-3 window
-    * (WindowGroupLimit). */
+    * (the DECLARED brute baseline — the LSH swap is implemented beside it
+    * as [[seriesLsh]], recall audited by [[seriesRecall]]; the series
+    * CONSTRUCTION and scoring stages are what this row pins), one
+    * probe-keyed top-3 window (WindowGroupLimit). */
   def seriesSim(spark: SparkSession, sfDir: String): DataFrame =
     seriesSimOver(Tables(spark, sfDir).events
       .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
@@ -1996,6 +1996,194 @@ object EventOps {
        |  SELECT *, CAST(row_number() OVER (PARTITION BY pu
        |    ORDER BY cos_sim DESC, cu ASC) AS BIGINT) AS rk
        |  FROM scored) t WHERE rk <= 3""".stripMargin
+
+  /** Anchor-series count for [[seriesLsh]] — 4 sign bits → 16 buckets.
+    * Production scales this ~log(n) (more anchors = finer buckets) and
+    * OR-s several tables for recall, exactly the ann_quant_topk posture;
+    * 4 keeps the sf-fixture buckets non-degenerate for the recall audit. */
+  val seriesLshAnchors = 4
+
+  /** LSH-bucketed behavioral series search — the PRODUCTION twin of
+    * [[seriesSim]] (which is the brute baseline, like ann_brute_topk
+    * beside ann_lsh_topk): instead of probing every user active on a
+    * shared day, each user's series is sign-bucketed against 4 anchor
+    * series and probes join THEIR BUCKET ONLY. The hyperplane family is
+    * centered-cosine sign LSH made EXACT-INTEGER: bit_a(u) =
+    * [D·dot(u,a) > s_u·s_a] — the sign of the COVARIANCE of series u
+    * with anchor a over the D-day calendar (dot of mean-centered series
+    * = dot − D·μ_u·μ_a; multiply through by D² and every term is a
+    * BIGINT, so bucketing is bit-identical across engines with zero
+    * float folds; raw-dot signs would be useless here because counts are
+    * nonnegative, so covariance sign is the natural hyperplane). Anchors
+    * are the 4 highest-volume users (sum(c) desc, user_id asc —
+    * deterministic, portable, and high-coverage so signs split the
+    * corpus). Probes MULTI-PROBE (Lv et al. VLDB'07): each probe also
+    * searches the [[seriesLshAnchors]] buckets at Hamming distance 1
+    * (single-bit flips), since a true neighbor's covariance signs rarely
+    * differ from the probe's in more than one anchor — recall triples at
+    * the fixture for 5× probe-side (not corpus-side) candidate work.
+    * Scoring reuses [[seriesSim]]'s exact stages unchanged:
+    * sparse integer dot, 6dp-rounded cosine, (cos desc, cand asc) top-3.
+    * Scale shape: anchor dots are one broadcast day-join against ≤4
+    * calendar-bounded series (O(nnz·4)); the candidate join's key is
+    * (day, bucket) instead of day — per-task work drops from
+    * Σ_day p_d·a_d to Σ_(day,b) p_db·a_db·(1+A), and anchors grow with
+    * log n to keep buckets balanced. A candidate owns exactly ONE bucket,
+    * so the ≤(1+A) probe copies hit disjoint keys — no pair dedup needed.
+    * Recall is audited by ev_series_recall. */
+  def seriesLsh(spark: SparkSession, sfDir: String): DataFrame =
+    seriesSimLshOver(Tables(spark, sfDir).events
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("c")))
+
+  /** The bucketed search over a (user_id, day, c) count matrix — shared
+    * with the streaming twin (st_series_lsh drains the SAME matrix from
+    * state, the [[seriesSimOver]] contract). */
+  def seriesSimLshOver(ud0: DataFrame): DataFrame = {
+    val ud = ud0.persist()
+    val tot = ud.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("s"), sum(col("c") * col("c")).as("n2"))
+    val cal = ud.agg((max(col("day")) - min(col("day")) + lit(1L)).as("d"))
+    // 4-row frame: the unpartitioned window is bounded by the limit
+    val wA = org.apache.spark.sql.expressions.Window
+      .orderBy(col("s").desc, col("user_id").asc)
+    val anch = tot.orderBy(col("s").desc, col("user_id").asc)
+      .limit(seriesLshAnchors)
+      .withColumn("aid", row_number().over(wA).cast("long") - 1L)
+      .select(col("user_id").as("au"), col("aid"), col("s").as("sa"))
+    val aser = anch.join(ud.withColumnRenamed("user_id", "auu"),
+        col("auu") === col("au"))
+      .select(col("aid"), col("day"), col("c").as("ac"), col("sa"))
+    val adot = ud.join(broadcast(aser), Seq("day"))
+      .groupBy(col("user_id"), col("aid"))
+      .agg(sum(col("c") * col("ac")).as("dot"), max(col("sa")).as("sa"))
+    // covariance sign, exact in BIGINTs; a (user, aid) pair absent from
+    // adot has dot = 0 → sign(−s_u·s_a) < 0 → bit 0, so the inner-join
+    // aggregate loses nothing and bucket 0 backfills via the left join
+    val bits = adot
+      .join(tot.select(col("user_id"), col("s")), "user_id")
+      .crossJoin(broadcast(cal))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("d") * col("dot") > col("s") * col("sa"),
+        pow(lit(2.0), col("aid")).cast("long")).otherwise(0L)).as("bk"))
+    val bucket = tot.select(col("user_id"), col("n2"))
+      .join(bits, Seq("user_id"), "left")
+      .select(col("user_id"), col("n2"),
+        coalesce(col("bk"), lit(0L)).as("bucket"))
+      .persist()
+    val udb = ud.join(bucket.select(col("user_id"), col("bucket")), "user_id")
+    // multi-probe: identity + the A single-bit flips of the probe's bucket
+    val flips = lit(0L) +: (0 until seriesLshAnchors).map(a => lit(1L << a))
+    val probe = udb.filter(col("user_id") % seriesSimProbeMod === 0)
+      .select(col("user_id").as("pu"), col("day").as("pday"),
+        col("c").as("pc"), col("bucket").as("pb0"))
+      .withColumn("pb", explode(array(flips.map(f => col("pb0").bitwiseXOR(f)): _*)))
+    val dots = probe
+      .join(udb.select(col("user_id").as("cu"), col("day"),
+          col("c").as("cc"), col("bucket").as("cb")),
+        col("day") === col("pday") && col("cb") === col("pb") &&
+          col("cu") =!= col("pu"))
+      .groupBy(col("pu"), col("cu")).agg(sum(col("pc") * col("cc")).as("dot"))
+    val scored = dots
+      .join(bucket.select(col("user_id").as("pu"), col("n2").as("np")), "pu")
+      .join(bucket.select(col("user_id").as("cu"), col("n2").as("nc")), "cu")
+      .select(col("pu"), col("cu"),
+        round(col("dot").cast("double") / (sqrt(col("np")) * sqrt(col("nc"))), 6)
+          .as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pu")).orderBy(col("cos_sim").desc, col("cu").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("pu").as("probe_user"), col("cu").as("cand_user"),
+        col("cos_sim"), col("rk"))
+  }
+
+  val seriesLshSql: String =
+    s"""WITH ud AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |tot AS (SELECT user_id, sum(c) AS s, sum(c * c) AS n2 FROM ud GROUP BY 1),
+       |cal AS (SELECT max(day) - min(day) + 1 AS d FROM ud),
+       |anch AS (
+       |  SELECT user_id AS au, s AS sa,
+       |    row_number() OVER (ORDER BY s DESC, user_id ASC) - 1 AS aid
+       |  FROM tot ORDER BY s DESC, user_id ASC LIMIT $seriesLshAnchors),
+       |aser AS (
+       |  SELECT aid, day, c AS ac, sa FROM anch JOIN ud ON ud.user_id = anch.au),
+       |adot AS (
+       |  SELECT ud.user_id, aid, sum(c * ac) AS dot, max(sa) AS sa
+       |  FROM ud JOIN aser ON ud.day = aser.day GROUP BY 1, 2),
+       |bits AS (
+       |  SELECT adot.user_id,
+       |    sum(CASE WHEN (SELECT d FROM cal) * dot > t.s * sa
+       |      THEN CAST(2 ** aid AS BIGINT) ELSE 0 END) AS bk
+       |  FROM adot JOIN tot t ON t.user_id = adot.user_id GROUP BY 1),
+       |bucket AS (
+       |  SELECT t.user_id, t.n2, coalesce(b.bk, 0) AS bucket
+       |  FROM tot t LEFT JOIN bits b ON b.user_id = t.user_id),
+       |udb AS (
+       |  SELECT ud.user_id, day, c, bucket FROM ud
+       |  JOIN bucket ON bucket.user_id = ud.user_id),
+       |probe AS (
+       |  SELECT p.user_id AS pu, day, c AS pc, xor(bucket, f.f) AS pb
+       |  FROM udb p CROSS JOIN (VALUES ${(0L +: (0 until seriesLshAnchors)
+             .map(1L << _).toSeq).map(v => s"($v)").mkString(", ")}) AS f(f)
+       |  WHERE p.user_id % $seriesSimProbeMod = 0),
+       |dots AS (
+       |  SELECT pu, u.user_id AS cu, sum(pc * u.c) AS dot
+       |  FROM probe p JOIN udb u
+       |    ON u.day = p.day AND u.bucket = p.pb AND u.user_id <> p.pu
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT pu, cu,
+       |    round(CAST(dot AS DOUBLE) / (sqrt(np.n2) * sqrt(nc.n2)), 6) AS cos_sim
+       |  FROM dots JOIN bucket np ON np.user_id = dots.pu
+       |    JOIN bucket nc ON nc.user_id = dots.cu)
+       |SELECT pu AS probe_user, cu AS cand_user, cos_sim, rk FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY pu
+       |    ORDER BY cos_sim DESC, cu ASC) AS BIGINT) AS rk
+       |  FROM scored) t WHERE rk <= 3""".stripMargin
+
+  /** Recall@3 audit of the LSH series path against the brute row — the
+    * ann_recall pattern for the behavioral search: truth is [[seriesSim]]
+    * (already probe-sampled, so the brute pass costs O(probes·actives),
+    * not O(n²)), the approximate side is [[seriesLsh]] unchanged, output
+    * is one row per probe. The dial a production run reads before
+    * trusting the bucketed path at scale (anchors up → recall down,
+    * candidate work down). */
+  def seriesRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables(spark, sfDir).events
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("c"))
+      .persist() // one matrix materialization serves truth + graded path
+    val truth = seriesSimOver(ud)
+      .select(col("probe_user"), col("cand_user")).persist()
+    val nTruth = truth.groupBy(col("probe_user")).agg(count(lit(1)).as("n_truth"))
+    val hits = truth
+      .join(seriesSimLshOver(ud).select(col("probe_user"), col("cand_user")),
+        Seq("probe_user", "cand_user"), "left_semi")
+      .groupBy(col("probe_user")).agg(count(lit(1)).as("n_hit"))
+    nTruth.join(hits, Seq("probe_user"), "left")
+      .select(lit("series_lsh").as("method"), col("probe_user"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall", round(col("n_hit") / col("n_truth"), 6))
+  }
+
+  val seriesRecallSql: String =
+    s"""WITH truth AS (
+       |  SELECT probe_user, cand_user FROM ($seriesSimSql) b),
+       |n_truth AS (
+       |  SELECT probe_user, count(*) AS n_truth FROM truth GROUP BY 1),
+       |hits AS (
+       |  SELECT t.probe_user, count(*) AS n_hit
+       |  FROM truth t JOIN ($seriesLshSql) a
+       |    ON t.probe_user = a.probe_user AND t.cand_user = a.cand_user
+       |  GROUP BY 1)
+       |SELECT 'series_lsh' AS method, n.probe_user, n.n_truth,
+       |  coalesce(h.n_hit, 0) AS n_hit,
+       |  round(coalesce(h.n_hit, 0) / n.n_truth, 6) AS recall
+       |FROM n_truth n LEFT JOIN hits h ON h.probe_user = n.probe_user""".stripMargin
 
   final case class HwRow(event_type: String, h: Long, yhat: Double,
       level: Double, trend: Double)
@@ -2966,6 +3154,8 @@ object EventOps {
     "ev_forecast" -> (forecast _),
     "ev_hw_forecast" -> (hwForecast _),
     "ev_series_sim" -> (seriesSim _),
+    "ev_series_lsh" -> (seriesLsh _),
+    "ev_series_recall" -> (seriesRecall _),
     "ev_anomaly_mad" -> (anomalyMad _),
     "ev_quantile_sketch" -> (quantileSketch _),
     "ev_entry_paths" -> (entryPaths _),
@@ -3015,6 +3205,8 @@ object EventOps {
     "ev_forecast" -> forecastSql,
     "ev_hw_forecast" -> hwForecastSql,
     "ev_series_sim" -> seriesSimSql,
+    "ev_series_lsh" -> seriesLshSql,
+    "ev_series_recall" -> seriesRecallSql,
     "ev_anomaly_mad" -> anomalyMadSql,
     "ev_quantile_sketch" -> quantileSketchSql,
     "ev_entry_paths" -> entryPathsSql,

@@ -932,6 +932,26 @@ object StreamOps {
   /** Batch oracle reused verbatim — the drift-proof twin contract. */
   def stSeriesSimSql: String = graft.events.EventOps.seriesSimSql
 
+  /** The PRODUCTION series search under the STREAMING state store —
+    * st_series_sim with the LSH stage swap (ev_series_lsh's live twin):
+    * the state is the IDENTICAL (user, day) count matrix, and the
+    * read-time view swaps the brute day-keyed probe join for the
+    * (day, bucket)-keyed LSH join
+    * ([[graft.events.EventOps.seriesSimLshOver]] — literally the batch
+    * code), so a live console pays bucket-bounded candidate work while
+    * live rankings still EQUAL batch rankings by construction. */
+  def seriesLshLive(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = runToTable(spark, sfDir, OutputMode.Complete()) { src =>
+      src.select(col("user_id"), expr("ts_us DIV 86400000000").as("day"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("c"))
+    }
+    graft.events.EventOps.seriesSimLshOver(counts)
+  }
+
+  /** Batch oracle reused verbatim — the drift-proof twin contract. */
+  def stSeriesLshSql: String = graft.events.EventOps.seriesLshSql
+
   /** Growth accounting under the STREAMING state store — ev_growth's live
     * twin (the DAU decomposition dashboards poll all day): new/retained/
     * resurrected/churned need each user's day-activity SET, which cannot
@@ -1567,6 +1587,7 @@ object StreamOps {
     "st_growth" -> (growthLive _),
     "st_hw_forecast" -> (hwForecastLive _),
     "st_series_sim" -> (seriesSimLive _),
+    "st_series_lsh" -> (seriesLshLive _),
     "st_seasonality" -> (seasonalityLive _),
     "st_anomaly_mad" -> (anomalyMadLive _),
     "st_error_budget" -> (errorBudgetLive _),
@@ -1607,6 +1628,7 @@ object StreamOps {
     "st_growth" -> stGrowthSql,
     "st_hw_forecast" -> stHwForecastSql,
     "st_series_sim" -> stSeriesSimSql,
+    "st_series_lsh" -> stSeriesLshSql,
     "st_seasonality" -> stSeasonalitySql,
     "st_anomaly_mad" -> stAnomalyMadSql,
     "st_error_budget" -> stErrorBudgetSql,

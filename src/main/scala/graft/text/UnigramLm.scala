@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   * trainers work — one corpus-sized counting pass, then local iteration
   * over the bounded vocabulary): the DISTRIBUTED work is the word-frequency
   * aggregation (explode + one hash agg — the only corpus-sized pass, runs
-  * at 100 TB); the collected (word, freq) table is the Zipf-bounded
-  * vocabulary, and the Viterbi-EM loop runs driver-side over it. Words are
+  * at 100 TB); the collected (word, freq) table is capped at [[vocabCap]]
+  * rows by construction (top-N by freq — see the constant's scaladoc; Zipf
+  * alone is NOT a bound on a web corpus), and the Viterbi-EM loop runs
+  * driver-side over it. Words are
   * truncated to [[maxWordLen]] chars before counting (identically in the
   * oracle; the corpus is ASCII so char/byte/codepoint semantics agree
   * across engines).
@@ -43,6 +45,18 @@ object UnigramLm {
   val seedK = 120
   /** EM prune: multi-char pieces surviving into the final vocabulary. */
   val pruneK = 48
+  /** Driver-state cap: the (word, freq) table collected for the EM loop
+    * keeps only the top [[vocabCap]] words by (freq DESC, word ASC) — the
+    * SentencePiece seed-candidate convention (its trainer seeds from a
+    * capped candidate set, not the raw vocabulary). Zipf bounds the
+    * distinct-word count at fixture scale, but a 100 TB web corpus has
+    * 10⁸-10⁹ distinct "words" (typos, URL fragments, code identifiers);
+    * without the cap the collect is a driver OOM. The cap is a
+    * TakeOrderedAndProject (per-partition heads, no global sort) applied
+    * IDENTICALLY in the DuckDB oracle, so capped and uncapped corpora
+    * alike hash-match cross-engine; the dropped tail is the rare-word
+    * mass the trainer's piece scores could not distinguish from noise. */
+  val vocabCap = 1 << 16
 
   /** Viterbi segmentation of one word under a scored vocab: fewest pieces
     * → largest total score → earliest split, each piece either in-vocab or
@@ -138,14 +152,23 @@ object UnigramLm {
     viterbiCounts(wf, trainedVocab(wf)).toSeq.sortBy { case (p, c) => (-c, p) }
 
   /** The distributed word-frequency pass — the one corpus-sized scan;
-    * shared by the trainer and the inference row. */
-  private def wordFreqs(spark: SparkSession, sfDir: String): Seq[(String, Long)] =
-    graft.Tables(spark, sfDir).documents
+    * shared by the trainer and the inference row. Driver state is bounded
+    * BY CONSTRUCTION: the collect happens after a top-[[vocabCap]]
+    * TakeOrderedAndProject, never on the raw distinct-word table.
+    * Exposed over any (text) frame so the cap is spec-testable on an
+    * adversarial many-unique-words corpus (the fixture's vocab is tiny). */
+  private[graft] def wordFreqsOf(docs: DataFrame,
+      cap: Int = vocabCap): Seq[(String, Long)] =
+    docs
       .select(explode(Portable.words(col("text"))).as("w0"))
       .select(substring(col("w0"), 1, maxWordLen).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      .collect() // bounded: the distinct-word vocab, not the corpus
+      .orderBy(col("f").desc, col("w").asc).limit(cap)
+      .collect() // bounded: ≤ cap rows by construction
       .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  private def wordFreqs(spark: SparkSession, sfDir: String): Seq[(String, Long)] =
+    wordFreqsOf(graft.Tables(spark, sfDir).documents)
 
   /** The registered row: distributed word-frequency pass over `documents`,
     * then the driver-side Viterbi-EM over the bounded vocab. */
@@ -236,9 +259,11 @@ object UnigramLm {
     * prune → Viterbi pass 2) — the single source both oracles extend. */
   private val trainerCtes: String =
     s"""wf AS MATERIALIZED (
-       |  SELECT substr(w0, 1, $maxWordLen) AS w, CAST(count(*) AS BIGINT) AS f
-       |  FROM (SELECT unnest(${Portable.wordsSql}) AS w0 FROM documents)
-       |  GROUP BY 1),
+       |  SELECT w, f FROM (
+       |    SELECT substr(w0, 1, $maxWordLen) AS w, CAST(count(*) AS BIGINT) AS f
+       |    FROM (SELECT unnest(${Portable.wordsSql}) AS w0 FROM documents)
+       |    GROUP BY 1)
+       |  ORDER BY f DESC, w ASC LIMIT $vocabCap),
        |subs AS MATERIALIZED (
        |  SELECT substr(w, i, l) AS piece, f
        |  FROM wf,

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-8 additions: the LSH-bucketed behavioral
+  * series search (ev_series_lsh / ev_series_recall / st_series_lsh). */
+class Round8OpsSpec extends AnyFunSuite {
+  import SparkTest._
+
+  /** Driver-side replay of the ENTIRE bucketed search: anchors, exact
+    * integer covariance signs, multi-probe candidate set, cosines, top-3.
+    * Shapes the engine cannot fake: every stage recomputed independently. */
+  private def lshReference(ud: Map[Long, Map[Long, Long]]): Map[Long, List[(Long, Double)]] = {
+    val a = events.EventOps.seriesLshAnchors
+    val totals = ud.map { case (u, m) => u -> m.values.sum }
+    val days = ud.values.flatMap(_.keys)
+    val d = days.max - days.min + 1
+    val anchors = totals.toList.sortBy { case (u, s) => (-s, u) }.take(a).map(_._1)
+    def dot(x: Map[Long, Long], y: Map[Long, Long]): Long =
+      x.keysIterator.map(k => x(k) * y.getOrElse(k, 0L)).sum
+    def bucket(u: Long): Long =
+      anchors.zipWithIndex.map { case (au, i) =>
+        // covariance sign, exact integers: D*dot > s_u * s_a
+        if (d * dot(ud(u), ud(au)) > totals(u) * totals(au)) 1L << i else 0L
+      }.sum
+    val buckets = ud.keys.map(u => u -> bucket(u)).toMap
+    def cos(x: Map[Long, Long], y: Map[Long, Long]): Double = {
+      val v = dot(x, y).toDouble / (math.sqrt(x.values.map(c => c * c).sum.toDouble) *
+        math.sqrt(y.values.map(c => c * c).sum.toDouble))
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val probes = ud.keys.filter(_ % events.EventOps.seriesSimProbeMod == 0)
+    probes.map { p =>
+      val probed = (0L +: (0 until a).map(1L << _).map(_.toLong))
+        .map(buckets(p) ^ _).toSet
+      // a pair appears iff the candidate sits in a probed bucket AND the
+      // series share a day (the join emits no row otherwise)
+      val cands = ud.keys.filter(c => c != p && probed.contains(buckets(c)) &&
+        ud(p).keySet.intersect(ud(c).keySet).nonEmpty)
+      p -> cands.map(c => (c, cos(ud(p), ud(c)))).toList
+        .sortBy { case (c, s) => (-s, c) }.take(3)
+    }.toMap
+  }
+
+  private def countsOf(sfDir: String): Map[Long, Map[Long, Long]] =
+    Tables(spark, sfDir).events
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+
+  test("ev_series_lsh: equals a full driver-side replay (buckets, multi-probe, cosine, top-3)") {
+    val got = events.EventOps.seriesLsh(spark, sf).collect()
+      .groupBy(_.getAs[Long]("probe_user"))
+      .map { case (p, rows) =>
+        p -> rows.sortBy(_.getAs[Long]("rk"))
+          .map(r => (r.getAs[Long]("cand_user"), r.getAs[Double]("cos_sim"))).toList }
+    val ref = lshReference(countsOf(sf)).filter(_._2.nonEmpty)
+    assert(got.keySet == ref.keySet, s"probe sets differ: ${got.keySet} vs ${ref.keySet}")
+    got.foreach { case (p, top) =>
+      assert(top == ref(p), s"probe $p: engine $top vs replay ${ref(p)}")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("ev_series_lsh: candidates are a subset of the brute row's candidate space with identical scores") {
+    // every LSH pair must score EXACTLY what the brute path scores it —
+    // the stage-sharing contract (same sparse dot, same 6dp rounding)
+    val brute = events.EventOps.seriesSim(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_user"), r.getAs[Long]("cand_user")) ->
+        r.getAs[Double]("cos_sim")).toMap
+    val ud = countsOf(sf)
+    def cos(p: Long, c: Long): Double = {
+      val dot = ud(p).keysIterator.map(d => ud(p)(d) * ud(c).getOrElse(d, 0L)).sum
+      val v = dot.toDouble / (math.sqrt(ud(p).values.map(x => x * x).sum.toDouble) *
+        math.sqrt(ud(c).values.map(x => x * x).sum.toDouble))
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    events.EventOps.seriesLsh(spark, sf).collect().foreach { r =>
+      val (p, c, s) = (r.getAs[Long]("probe_user"), r.getAs[Long]("cand_user"),
+        r.getAs[Double]("cos_sim"))
+      assert(s == brute.getOrElse((p, c), cos(p, c)),
+        s"($p,$c): lsh score $s != brute score")
+    }
+  }
+
+  test("seriesSimLshOver: identical series land in one bucket and find each other at cos 1.0") {
+    import spark.implicits._
+    // 2 clusters with OPPOSITE day profiles + 4 heavy anchor users; users
+    // 29 and 58 are probes (29 | both), each identical to a cluster-mate
+    val mk = (u: Long, days: Seq[(Long, Long)]) => days.map { case (d, c) => (u, d, c) }
+    val rows =
+      mk(1L, (0L until 14L).map(d => d -> (40L + d))) ++    // anchors: heavy,
+      mk(2L, (0L until 14L).map(d => d -> (40L - d))) ++    // distinct shapes
+      mk(3L, (0L until 14L).map(d => d -> (20L + (d % 7)))) ++
+      mk(4L, (0L until 14L).map(d => d -> (20L + ((d * 3) % 11)))) ++
+      mk(29L, Seq(0L -> 9L, 1L -> 8L, 2L -> 7L)) ++         // probe, cluster A
+      mk(100L, Seq(0L -> 9L, 1L -> 8L, 2L -> 7L)) ++        // identical twin
+      mk(58L, Seq(11L -> 2L, 12L -> 3L, 13L -> 9L)) ++      // probe, cluster B
+      mk(101L, Seq(11L -> 2L, 12L -> 3L, 13L -> 9L))        // identical twin
+    val ud = rows.toDF("user_id", "day", "c")
+    val got = events.EventOps.seriesSimLshOver(ud).collect()
+      .groupBy(_.getAs[Long]("probe_user"))
+      .map { case (p, rs) => p -> rs.sortBy(_.getAs[Long]("rk"))
+        .map(r => (r.getAs[Long]("cand_user"), r.getAs[Double]("cos_sim"))).toList }
+    // identical series have identical anchor covariances → identical
+    // buckets → the twin is reachable without even needing multi-probe,
+    // and cosine(identical) = 1.0 ranks first
+    assert(got(29L).head == (100L, 1.0), s"probe 29 got ${got(29L)}")
+    assert(got(58L).head == (101L, 1.0), s"probe 58 got ${got(58L)}")
+  }
+
+  test("tx_unigram_train: seed-vocab collect is capped by construction on a many-unique-words corpus") {
+    import spark.implicits._
+    // adversarial shape: every word unique except a small frequent head —
+    // the raw distinct-word table (500) far exceeds the cap (64)
+    val docs = ((1 to 500).map(i => s"uniqword$i") ++
+      Seq.fill(50)("common") ++ Seq.fill(30)("shared"))
+      .map(w => Tuple1(w)).toDF("text")
+    val wf = text.UnigramLm.wordFreqsOf(docs, cap = 64)
+    assert(wf.length == 64, s"driver state must be the cap, got ${wf.length}")
+    // deterministic (freq DESC, word ASC) head: the frequent words survive,
+    // the unique tail is cut at the lexicographic boundary
+    assert(wf.take(2).map(_._1) == Seq("common", "shared"))
+    assert(wf.map(_._2).sliding(2).forall { case Seq(a, b) => a >= b })
+    val tail = wf.drop(2).map(_._1)
+    assert(tail == tail.sorted, "equal-freq tail must cut on word ASC")
+    // the production cap is generous: the fixture vocabulary is far below
+    // it, so the capped plan is hash-identical to the uncapped round-7 row
+    val full = text.UnigramLm.wordFreqsOf(
+      Tables(spark, sf).documents.select(col("text")))
+    assert(full.length < text.UnigramLm.vocabCap / 4,
+      "fixture vocab must not bind the cap (oracle stability)")
+  }
+
+  test("ev_series_recall: per-probe hits are consistent and the audit grades the real rows") {
+    val truth = events.EventOps.seriesSim(spark, sf).collect()
+      .groupBy(_.getAs[Long]("probe_user"))
+      .map { case (p, rs) => p -> rs.map(_.getAs[Long]("cand_user")).toSet }
+    val lsh = events.EventOps.seriesLsh(spark, sf).collect()
+      .groupBy(_.getAs[Long]("probe_user"))
+      .map { case (p, rs) => p -> rs.map(_.getAs[Long]("cand_user")).toSet }
+    val audit = events.EventOps.seriesRecall(spark, sf).collect()
+    assert(audit.map(_.getAs[Long]("probe_user")).toSet == truth.keySet,
+      "one audit row per brute probe")
+    audit.foreach { r =>
+      val p = r.getAs[Long]("probe_user")
+      val expHit = truth(p).intersect(lsh.getOrElse(p, Set.empty)).size.toLong
+      assert(r.getAs[Long]("n_truth") == truth(p).size.toLong)
+      assert(r.getAs[Long]("n_hit") == expHit, s"probe $p hit count")
+      assert(math.abs(r.getAs[Double]("recall") -
+        expHit.toDouble / truth(p).size) < 1e-6)
+      assert(r.getAs[String]("method") == "series_lsh")
+    }
+  }
+}
