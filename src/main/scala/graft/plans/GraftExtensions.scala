@@ -76,25 +76,38 @@ object GraftExtensions {
       ShingleStrings(args.head, k, distinct)
     })
 
+  /** Arity gate for SQL-registered builders (round-7 advice): a wrong
+    * argument count fails at ANALYSIS with the function's name and
+    * expected arity — not an opaque IndexOutOfBounds/NoSuchElement from
+    * a positional `args(i)` inside the builder. */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n)
+        throw new IllegalArgumentException(
+          s"function $name expects exactly $n argument(s), got ${args.length}")
+      build(args)
+    }
+
   val vectorDotFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("vector_dot"),
     new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
-    args => VectorDot(args(0), args(1)))
+    arity("vector_dot", 2)(args => VectorDot(args(0), args(1))))
 
   val int8QuantizeFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("int8_quantize"),
     new ExpressionInfo(classOf[Int8Quantize].getName, "int8_quantize"),
-    args => Int8Quantize(args.head))
+    arity("int8_quantize", 1)(args => Int8Quantize(args.head)))
 
   val isInIpRangeFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("is_in_ip_range"),
     new ExpressionInfo(classOf[IsInIpRange].getName, "is_in_ip_range"),
-    args => IsInIpRange(args(0), args(1), args(2)))
+    arity("is_in_ip_range", 3)(args => IsInIpRange(args(0), args(1), args(2))))
 
   val zorderKeyFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("zorder_key"),
     new ExpressionInfo(classOf[ZorderKey].getName, "zorder_key"),
-    args => ZorderKey(args(0), args(1)))
+    arity("zorder_key", 2)(args => ZorderKey(args(0), args(1))))
 
   /** The web-curation expression family as SQL functions — the full
     * WebOps surface is reachable from `spark.sql` without Scala:
@@ -107,19 +120,19 @@ object GraftExtensions {
   val webFns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("url_canonical"),
       new ExpressionInfo(classOf[graft.web.UrlCanonicalize].getName, "url_canonical"),
-      (args: Seq[Expression]) => graft.web.UrlCanonicalize(args.head)),
+      arity("url_canonical", 1)(args => graft.web.UrlCanonicalize(args.head))),
     (FunctionIdentifier("url_resolve"),
       new ExpressionInfo(classOf[graft.web.UrlResolve].getName, "url_resolve"),
-      (args: Seq[Expression]) => graft.web.UrlResolve(args(0), args(1))),
+      arity("url_resolve", 2)(args => graft.web.UrlResolve(args(0), args(1)))),
     (FunctionIdentifier("html_links"),
       new ExpressionInfo(classOf[graft.web.HtmlLinks].getName, "html_links"),
-      (args: Seq[Expression]) => graft.web.HtmlLinks(args.head)),
+      arity("html_links", 1)(args => graft.web.HtmlLinks(args.head))),
     (FunctionIdentifier("html_anchors"),
       new ExpressionInfo(classOf[graft.web.HtmlAnchors].getName, "html_anchors"),
-      (args: Seq[Expression]) => graft.web.HtmlAnchors(args.head)),
+      arity("html_anchors", 1)(args => graft.web.HtmlAnchors(args.head))),
     (FunctionIdentifier("html_to_text"),
       new ExpressionInfo(classOf[graft.web.HtmlToText].getName, "html_to_text"),
-      (args: Seq[Expression]) => graft.web.HtmlToText(args.head)))
+      arity("html_to_text", 1)(args => graft.web.HtmlToText(args.head))))
 
   /** Register on a live session (the extensions path needs builder-time
     * configuration; this covers driver-provided sessions). */

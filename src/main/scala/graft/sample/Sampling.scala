@@ -562,26 +562,36 @@ object Sampling {
     *                      corpus scale;
     *   - `quality`      — [[graft.text.TextOps.quality]]'s score used as
     *                      a sampling weight (quality-weighted mixing).
-    * Portability: each scheme's per-doc weight (or log-weight) is rounded
-    * to 6dp FIRST, so both engines fold identical values; the folds
-    * differ only in accumulation order (≪ the output rounding grid).
+    * Portability (round-7 advice closed — the folds are now EXACT, not
+    * merely round-guarded): every folded term is quantized to an integer
+    * grid BEFORE summation — per-token log-ratios at 1e-6
+    * (BIGINT sums), per-doc normalized weights at 1e-6 (DECIMAL sums, no
+    * overflow at any corpus size) — so every aggregate is
+    * order/partition-invariant BY CONSTRUCTION and the ESS the audit
+    * reports is the ESS of the quantized weights on both engines
+    * identically (the grid sits 2-3 decades below the output rounding).
     * Scale shape: the dsir token plan + one groupBy(doc_id) per scheme,
     * then a single-row aggregate each — three map-side-combinable
     * exchanges over O(docs) rows, unioned as a 3-row audit dim. */
   def ess(spark: SparkSession, sfDir: String): DataFrame = {
     def essOf(scheme: String, weighted: DataFrame): DataFrame = {
-      // `weighted` has (doc_id, lw) with lw = ln(weight) rounded 6dp; the
-      // max-subtract keeps every exp() in [0, 1] regardless of scale.
+      // `weighted` has (doc_id, lw) with lw = ln(weight) on the 1e-6 grid;
+      // the max-subtract keeps every exp() in [0, 1] regardless of scale.
+      // e is quantized to the 1e-6 grid and summed as DECIMAL — S and Q
+      // are exact integers, ess = (Σe)²/Σe² = S²/Q (grids cancel),
+      // wmax_share = 1/Σe = 1e6/S (the max doc's e quantizes to exactly
+      // 1e6).
       val m = weighted.agg(max(col("lw")).as("m"))
       weighted.crossJoin(broadcast(m))
-        .select(exp(col("lw") - col("m")).as("e"))
+        .select(round(exp(col("lw") - col("m")) * 1e6, 0)
+          .cast("decimal(20,0)").as("ei"))
         .agg(count(lit(1)).as("n_docs"),
-          round(pow(sum(col("e")), 2) / sum(col("e") * col("e")), 3).as("ess"),
-          round(pow(sum(col("e")), 2) / sum(col("e") * col("e")) /
-            count(lit(1)), 6).as("ess_ratio"),
-          round(lit(1.0) / sum(col("e")), 6).as("wmax_share"))
-        .select(lit(scheme).as("scheme"), col("n_docs"), col("ess"),
-          col("ess_ratio"), col("wmax_share"))
+          sum(col("ei")).cast("double").as("s"),
+          sum(col("ei") * col("ei")).cast("double").as("q"))
+        .select(lit(scheme).as("scheme"), col("n_docs"),
+          round(col("s") * col("s") / col("q"), 3).as("ess"),
+          round(col("s") * col("s") / col("q") / col("n_docs"), 6).as("ess_ratio"),
+          round(lit(1e6) / col("s"), 6).as("wmax_share"))
     }
     val words = Tables(spark, sfDir).documents
       .select(col("doc_id"), col("source"),
@@ -591,12 +601,17 @@ object Sampling {
       .groupBy(col("w")).agg(count(lit(1)).as("ct"))
     val totals = corpus.agg(sum(col("cc")).as("nc"), count(lit(1)).as("v"))
       .crossJoin(target.agg(sum(col("ct")).as("nt")))
+    // per-token log-ratio quantized to the 1e-6 grid BEFORE the per-doc
+    // fold: BIGINT sums are partition-order exact (|term| ≤ ~30×1e6,
+    // ≤1e5 tokens/doc — no overflow); lw = sum/1e6, exact at 6dp
     val prodLw = words
       .join(corpus, "w").join(target, Seq("w"), "left")
       .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        round(log(((coalesce(col("ct"), lit(0L)) + 1L) * (col("nc") + col("v"))) /
+          ((col("cc") + 1L) * (col("nt") + col("v")))) * 1e6, 0).cast("long").as("t"))
       .groupBy(col("doc_id"))
-      .agg(round(sum(log(((coalesce(col("ct"), lit(0L)) + 1L) * (col("nc") + col("v"))) /
-        ((col("cc") + 1L) * (col("nt") + col("v"))))), 6).as("lw"))
+      .agg(round(sum(col("t")).cast("double") / 1e6, 6).as("lw"))
     val meanLw = dsir(spark, sfDir)
       .select(col("doc_id"), round(log(col("dsir_weight")), 6).as("lw"))
     val qualLw = graft.text.TextOps.quality(spark, sfDir)
@@ -608,13 +623,15 @@ object Sampling {
 
   val essSql: String = {
     def essOf(scheme: String, lwCte: String): String =
-      s"""SELECT '$scheme' AS scheme, n_docs, ess, ess_ratio, wmax_share
+      s"""SELECT '$scheme' AS scheme, n_docs,
+         |  round(s * s / q, 3) AS ess,
+         |  round(s * s / q / n_docs, 6) AS ess_ratio,
+         |  round(1e6 / s, 6) AS wmax_share
          |FROM (
          |  SELECT count(*) AS n_docs,
-         |    round(pow(sum(e), 2) / sum(e * e), 3) AS ess,
-         |    round(pow(sum(e), 2) / sum(e * e) / count(*), 6) AS ess_ratio,
-         |    round(1.0 / sum(e), 6) AS wmax_share
-         |  FROM (SELECT exp(lw - (SELECT max(lw) FROM $lwCte)) AS e
+         |    CAST(sum(ei) AS DOUBLE) AS s, CAST(sum(ei * ei) AS DOUBLE) AS q
+         |  FROM (SELECT CAST(round(exp(lw - (SELECT max(lw) FROM $lwCte)) * 1e6)
+         |               AS BIGINT) AS ei
          |        FROM $lwCte) x) y""".stripMargin
     val tgt = dsirTargetSources.map(s => s"'$s'").mkString(", ")
     s"""WITH w AS (
@@ -626,9 +643,11 @@ object Sampling {
        |  (SELECT CAST(count(*) AS BIGINT) FROM cc) AS v,
        |  (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS nt),
        |prod_lw AS (
-       |  SELECT doc_id, round(sum(ln(((coalesce(ct, 0) + 1) * (nc + v)) /
-       |    ((cc + 1) * (nt + v)))), 6) AS lw
-       |  FROM w JOIN cc USING (w) LEFT JOIN ct USING (w) CROSS JOIN tot
+       |  SELECT doc_id, round(CAST(sum(t) AS DOUBLE) / 1e6, 6) AS lw
+       |  FROM (SELECT doc_id,
+       |          CAST(round(ln(((coalesce(ct, 0) + 1) * (nc + v)) /
+       |            ((cc + 1) * (nt + v))) * 1e6) AS BIGINT) AS t
+       |        FROM w JOIN cc USING (w) LEFT JOIN ct USING (w) CROSS JOIN tot) z
        |  GROUP BY doc_id),
        |mean_lw AS (
        |  SELECT doc_id, round(ln(dsir_weight), 6) AS lw

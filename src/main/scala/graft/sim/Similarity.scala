@@ -947,16 +947,17 @@ object Similarity {
       .select(col("c"), col("k.s").as("s"), col("k.cw").as("cw"))
       .withColumn("cwn2", graft.plans.VectorDot(col("cw"), col("cw")))
 
-  /** PQ code assignment: (vec_id, subspace, code). Package-visible so specs
-    * can assert the self-assignment invariant (a codeword-source row encodes
-    * to its own codeword — its l2² is exactly 0). */
-  private[graft] def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
-    val cb = pqCodebook(spark, sfDir)
-    val sub = emb(spark, sfDir).select(col("vec_id"),
+  /** The corpus split into per-subspace subvectors: (vec_id, s, sub). */
+  private def subVectors(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir).select(col("vec_id"),
         explode(array((0 until pqSub).map { s =>
           struct(lit(s).as("s"), slice(col("v"), s * pqDimPer + 1, pqDimPer).as("sub"))
         }: _*)).as("k"))
       .select(col("vec_id"), col("k.s").as("s"), col("k.sub").as("sub"))
+
+  /** One PQ assignment pass under any codebook: l2² argmin via the
+    * packed-int arg-min (partial-aggregable, no window). */
+  private def pqAssignWith(sub: DataFrame, cb: DataFrame): DataFrame = {
     val d2i = round((graft.plans.VectorDot(col("sub"), col("sub"))
         - lit(2.0) * graft.plans.VectorDot(col("sub"), col("cw"))
         + col("cwn2")) * 1e6, 0).cast("long")
@@ -964,6 +965,48 @@ object Similarity {
       .groupBy(col("vec_id"), col("s"))
       .agg(min(d2i * pqK + col("c")).as("packed"))
       .select(col("vec_id"), col("s"), (col("packed") % pqK).as("c"))
+  }
+
+  /** PQ code assignment: (vec_id, subspace, code). Package-visible so specs
+    * can assert the self-assignment invariant (a codeword-source row encodes
+    * to its own codeword — its l2² is exactly 0). */
+  private[graft] def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    pqAssignWith(subVectors(spark, sfDir), pqCodebook(spark, sfDir))
+
+  // ---- trained PQ codebooks (per-subspace k-means, the FAISS step) ---------
+
+  val pqTrainIters = 2
+
+  /** K-means-TRAINED PQ codebook — what FAISS's PQ training actually does
+    * (per-subspace Lloyd's over the subvectors) where [[pqCodebook]]
+    * hash-picks corpus slices. Seeds = the hash-picked codebook, so the
+    * trained path is a strict refinement; each Lloyd iteration trains ALL
+    * [[pqSub]] subspaces in the same two passes (the subspace id rides
+    * every key — one O(n·K) broadcast assignment + one per-(s, c, dim)
+    * mean, the ann_kmeans posture applied per subspace). Means rounded
+    * 6dp per dimension (the kmMeans convention — the only non-ordered
+    * fold, 1e-13 sum noise far below the rounding); empty codewords
+    * vanish (drop-empty Lloyd's). Output shape = [[pqCodebook]]'s
+    * (s, c, cw, cwn2), so it drops into [[pqTopKWith]] unchanged —
+    * ann_ivf_trained's "trained quantizer drops in" claim, now proven for
+    * the PQ tier too; ann_recall grades it against the hash-picked
+    * baseline. */
+  private def pqTrainedCodebook(spark: SparkSession, sfDir: String): DataFrame = {
+    val sub = subVectors(spark, sfDir).persist()
+    var cb = pqCodebook(spark, sfDir)
+    for (_ <- 0 until pqTrainIters) {
+      val codes = pqAssignWith(sub, cb)
+      cb = sub.join(codes, Seq("vec_id", "s"))
+        .select(col("s"), col("c"), posexplode(col("sub")))
+        .groupBy(col("s"), col("c"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("m"))
+        .groupBy(col("s"), col("c"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dm"))
+        .select(col("s"), col("c"), transform(col("dm"), x => x.getField("m")).as("cw"))
+        .withColumn("cwn2", graft.plans.VectorDot(col("cw"), col("cw")))
+        .persist() // 32 rows; pin each iteration so plans don't nest
+    }
+    cb
   }
 
   /** Product-quantization ANN — the memory-bound path at 100 TB: each
@@ -983,10 +1026,18 @@ object Similarity {
     * added in WRITTEN order — each conditional sum has exactly one
     * non-null addend, so the float result is aggregation-order
     * independent, not merely round-guarded. */
-  def pqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  def pqTopK(spark: SparkSession, sfDir: String): DataFrame =
+    pqTopKWith(spark, sfDir, pqCodebook(spark, sfDir))
+
+  /** PQ scoring over the hash-picked codebook swapped for a TRAINED one —
+    * identical pipeline, better codewords ([[pqTrainedCodebook]]). */
+  def pqTrainedTopK(spark: SparkSession, sfDir: String): DataFrame =
+    pqTopKWith(spark, sfDir, pqTrainedCodebook(spark, sfDir))
+
+  /** The PQ pipeline over any (s, c, cw, cwn2) codebook. */
+  private def pqTopKWith(spark: SparkSession, sfDir: String, cb: DataFrame): DataFrame = {
     val e = emb(spark, sfDir)
-    val cb = pqCodebook(spark, sfDir)
-    val codes = pqCodes(spark, sfDir)
+    val codes = pqAssignWith(subVectors(spark, sfDir), cb)
       .persist() // feeds reconstruction norms AND ADC scoring
     val recon = pqRecon(codes, cb)
     val lut = pqLut(e, cb)
@@ -1089,27 +1140,48 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
   }
 
-  /** The quantize→code→recon→LUT CTE chain shared by the plain-PQ and
-    * IVF+PQ oracles (expects `e` upstream; ends at `lut`). */
-  private val pqChainCte: String = {
-    val dot = (a: String, b: String) =>
-      s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
+  private val pqDotSql = (a: String, b: String) =>
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
+
+  /** Hash-picked codebook CTEs: cw slices → codebook named `name`. */
+  private def pqSliceCbnSql(name: String): String =
     s"""cw AS (SELECT vec_id // $pqStride AS c, v FROM e
        |       WHERE vec_id % $pqStride = 0 AND vec_id < ${pqK * pqStride}),
-       |cbn AS (
+       |$name AS (
        |  SELECT c, s, list_slice(v, s * $pqDimPer + 1, s * $pqDimPer + $pqDimPer) AS cwv,
        |    list_sum(list_transform(
        |      list_slice(v, s * $pqDimPer + 1, s * $pqDimPer + $pqDimPer), x -> x * x)) AS cwn2
-       |  FROM cw, LATERAL unnest(range(0, $pqSub)) t(s)),
-       |sub AS (
+       |  FROM cw, LATERAL unnest(range(0, $pqSub)) t(s))""".stripMargin
+
+  private val pqSubCte: String =
+    s"""sub AS (
        |  SELECT vec_id, s, list_slice(v, s * $pqDimPer + 1, s * $pqDimPer + $pqDimPer) AS sv
-       |  FROM e, LATERAL unnest(range(0, $pqSub)) t(s)),
-       |d AS (
+       |  FROM e, LATERAL unnest(range(0, $pqSub)) t(s))""".stripMargin
+
+  /** One assignment pass (l2² packed-int argmin) under codebook `cbn`. */
+  private def pqAssignSql(dName: String, codesName: String, cbn: String): String =
+    s"""$dName AS (
        |  SELECT vec_id, sub.s, c,
-       |    CAST(round((${dot("sv", "sv")} - 2 * ${dot("sv", "cwv")} + cwn2) * 1e6) AS BIGINT) AS d2i
-       |  FROM sub JOIN cbn ON sub.s = cbn.s),
-       |codes AS (
-       |  SELECT vec_id, s, min(d2i * $pqK + c) % $pqK AS c FROM d GROUP BY 1, 2),
+       |    CAST(round((${pqDotSql("sv", "sv")} - 2 * ${pqDotSql("sv", "cwv")} + cwn2) * 1e6) AS BIGINT) AS d2i
+       |  FROM sub JOIN $cbn ON sub.s = $cbn.s),
+       |$codesName AS (
+       |  SELECT vec_id, s, min(d2i * $pqK + c) % $pqK AS c FROM $dName GROUP BY 1, 2)""".stripMargin
+
+  /** One Lloyd M-step: per-(s, c, dim) means of `codes`' members →
+    * codebook `outCbn` (6dp-rounded dims, the kmeansCtes convention). */
+  private def pqMeansSql(pm: String, codes: String, outCbn: String): String =
+    s"""$pm AS (
+       |  SELECT s, c, dim, round(avg(x), 6) AS m
+       |  FROM subdims JOIN $codes USING (vec_id, s) GROUP BY 1, 2, 3),
+       |$outCbn AS (
+       |  SELECT s, c, cwv, list_sum(list_transform(cwv, x -> x * x)) AS cwn2
+       |  FROM (SELECT s, c, list(m ORDER BY dim) AS cwv
+       |        FROM $pm GROUP BY 1, 2) t_$outCbn)""".stripMargin
+
+  /** Scoring chain (assign → recon → LUT) over the codebook named `cbn` —
+    * shared by the hash-picked, IVF+PQ, and TRAINED oracles. */
+  private val pqScoreCte: String =
+    s"""${pqAssignSql("d", "codes", "cbn")},
        |recon AS (
        |  SELECT vec_id, sqrt(rn0 + rn1 + rn2 + rn3) AS rnrm FROM (
        |    SELECT codes.vec_id,
@@ -1124,9 +1196,28 @@ object Similarity {
        |  SELECT qid, qnrm, s, list_slice(qv, s * $pqDimPer + 1, s * $pqDimPer + $pqDimPer) AS qsv
        |  FROM q, LATERAL unnest(range(0, $pqSub)) t(s)),
        |lut AS (
-       |  SELECT qid, qnrm, cbn.s, cbn.c, ${dot("qsv", "cwv")} AS part
+       |  SELECT qid, qnrm, cbn.s, cbn.c, ${pqDotSql("qsv", "cwv")} AS part
        |  FROM qsub JOIN cbn ON qsub.s = cbn.s)""".stripMargin
-  }
+
+  /** The quantize→code→recon→LUT CTE chain shared by the plain-PQ and
+    * IVF+PQ oracles (expects `e` upstream; ends at `lut`). */
+  private val pqChainCte: String =
+    Seq(pqSliceCbnSql("cbn"), pqSubCte, pqScoreCte).mkString(",\n")
+
+  /** The TRAINED chain: seeds → 2 Lloyd iterations over the subvectors →
+    * the SAME scoring chain, final codebook bound to the name `cbn`. */
+  private val pqTrainedChainCte: String =
+    Seq(
+      pqSliceCbnSql("cbn0"),
+      pqSubCte,
+      s"""subdims AS (
+         |  SELECT vec_id, s, i - 1 AS dim, sv[i] AS x
+         |  FROM sub, LATERAL unnest(range(1, len(sv) + 1)) t(i))""".stripMargin,
+      pqAssignSql("d0", "codes0", "cbn0"),
+      pqMeansSql("pm1", "codes0", "cbn1"),
+      pqAssignSql("d1", "codes1", "cbn1"),
+      pqMeansSql("pm2", "codes1", "cbn"),
+      pqScoreCte).mkString(",\n")
 
   /** ADC fold + top-3 cut, parameterized over the candidate restriction
     * (`""` = all pairs; the IVF form joins the probed-list candidates). */
@@ -1151,6 +1242,13 @@ object Similarity {
   val pqTopKSql: String =
     s"""WITH $embCte,
        |$pqChainCte,
+       |${pqAdcSelectSql(
+          "JOIN lut ON codes.s = lut.s AND codes.c = lut.c\n" +
+            "    WHERE codes.vec_id <> lut.qid", "lut.qid")}""".stripMargin
+
+  val pqTrainedTopKSql: String =
+    s"""WITH $embCte,
+       |$pqTrainedChainCte,
        |${pqAdcSelectSql(
           "JOIN lut ON codes.s = lut.s AND codes.c = lut.c\n" +
             "    WHERE codes.vec_id <> lut.qid", "lut.qid")}""".stripMargin
@@ -1456,6 +1554,8 @@ object Similarity {
     methodRows(lshTopK(spark, sfDir), "lsh")
       .unionAll(methodRows(ivfTopK(spark, sfDir), "ivf"))
       .unionAll(methodRows(ivfPqTopK(spark, sfDir), "ivfpq"))
+      .unionAll(methodRows(pqTopK(spark, sfDir), "pq"))
+      .unionAll(methodRows(pqTrainedTopK(spark, sfDir), "pq_trained"))
       .withColumn("recall", round(col("n_hit") / col("n_truth"), 6))
   }
 
@@ -1476,7 +1576,11 @@ object Similarity {
        |UNION ALL
        |${methodSql(ivfTopKSql, "ivf")}
        |UNION ALL
-       |${methodSql(ivfPqTopKSql, "ivfpq")}""".stripMargin
+       |${methodSql(ivfPqTopKSql, "ivfpq")}
+       |UNION ALL
+       |${methodSql(pqTopKSql, "pq")}
+       |UNION ALL
+       |${methodSql(pqTrainedTopKSql, "pq_trained")}""".stripMargin
   }
 
   // ---- cluster-balanced sampling (diversity quota over semantic strata) ---
@@ -1874,6 +1978,7 @@ object Similarity {
     "ann_mmr_ivf" -> (mmrIvf _),
     "ann_ivf_pq" -> (ivfPqTopK _),
     "ann_pq_topk" -> (pqTopK _),
+    "ann_pq_trained" -> (pqTrainedTopK _),
     "ann_brute_topk" -> (bruteTopK _),
     "ann_lsh_topk" -> (lshTopK _),
     "ann_ivf_topk" -> (ivfTopK _),
@@ -1900,6 +2005,7 @@ object Similarity {
     "ann_mmr_ivf" -> mmrIvfSql,
     "ann_ivf_pq" -> ivfPqTopKSql,
     "ann_pq_topk" -> pqTopKSql,
+    "ann_pq_trained" -> pqTrainedTopKSql,
     "ann_brute_topk" -> bruteTopKSql,
     "ann_lsh_topk" -> lshTopKSql,
     "ann_ivf_topk" -> ivfTopKSql,

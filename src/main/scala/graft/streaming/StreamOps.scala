@@ -981,6 +981,21 @@ object StreamOps {
           .as("p"))
       .select(col("user_id"),
         (col("first_day") + col("p")).cast("long").as("day_idx"))
+      .persist()
+    // horizon guard (round-7 advice: violations must fail LOUDLY, not
+    // silently diverge from ev_growth): a span < 63 on the observable
+    // calendar PROVES no user's mask overflowed (day − first_day ≤ span,
+    // and every user's first day is always a set bit); a span ≥ 63 means
+    // some user MAY have dropped days — refuse and point at the paging
+    // move rather than emit a flow decomposition that no longer equals
+    // the batch row.
+    val span = ud
+      .agg((max(col("day_idx")) - min(col("day_idx"))).as("s"))
+      .head.getLong(0)
+    require(span < 63,
+      s"st_growth horizon: observable calendar spans $span days (>= 63) — " +
+        "the 63-day ShiftingBitmap mask cannot represent it; page the " +
+        "bitmap (st_bitmap's documented roaring move) before trusting live flows")
     graft.events.EventOps.growthOver(ud)
   }
 

@@ -241,8 +241,16 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out("https://example.com/deep/0")._3, "10-deep chain must cap")
     assert(out("https://example.com/out") ==
       (("https://other.org/landing", 1L, false)))
-    assert(out.size == web.WebOps.redirectEdges.map(_._1).distinct.size,
+    // sources = adversarial srcs + the 4 link-bearing harvested pages
+    // (page 2 of the link corpus yields no links, so it is not a source)
+    assert(out.size == web.WebOps.redirectEdges.map(_._1).distinct.size + 4,
       "one resolution per redirect source")
+    // the corpus-derived leg: each link-bearing page resolves in ONE hop
+    // to its lexicographically-first harvested link
+    assert(out("https://example.com/q") ==
+      (("https://example.com/sp.html", 1L, false)))
+    assert(out("http://example.com/") ==
+      (("http://example.com/bare.html", 1L, false)))
   }
 
   test("ev_hw_forecast: fixed-point exactness, 7 horizons per type, live twin equal") {

@@ -134,6 +134,80 @@ class Round8OpsSpec extends AnyFunSuite {
       "fixture vocab must not bind the cap (oracle stability)")
   }
 
+  test("min_k_strings: random inserts + merges across groups equal a driver-side sort-take") {
+    import spark.implicits._
+    // deterministic pseudo-random strings, several per group, across
+    // partitions so merge() actually runs
+    val rows = (1 to 3000).map { i =>
+      val g = i % 7
+      val s = f"${(i * 2654435761L) % 100000}%05d-${i % 13}"
+      (g, s)
+    }
+    val got = rows.toDF("g", "s").repartition(8)
+      .groupBy(col("g")).agg(plans.MinKAgg.minK(col("s"), 9).as("ks"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1).toList).toMap
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(_._2).distinct.sorted.take(9)
+    }
+    // NB: min_k keeps duplicates — craft above has none per group
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val exp = rs.map(_._2).sorted.take(9)
+      assert(got(g) == exp, s"group $g: ${got(g)} vs $exp")
+    }
+    assert(want.nonEmpty)
+  }
+
+  test("web_politeness: hot host (100x the URLs) schedules in bounded cycles with exact global ranks") {
+    import spark.implicits._
+    val hot = (1 to 300).map(i => ("hot.example", f"https://hot.example/p$i%04d"))
+    val cold = (1 to 3).map(i => ("cold.example", s"https://cold.example/x$i"))
+    val urls = (hot ++ cold).toDF("host", "link").repartition(8)
+    val quota = 8
+    val out = web.WebOps.politenessOver(urls, quota)
+    // no rank window anywhere in the executed plan — the bounded-buffer
+    // aggregate replaced it (the claim the round-7 verdict asked to make
+    // true in code)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "politeness must not contain a window operator")
+    val rows = out.collect()
+    assert(rows.length == 303)
+    val byHost = rows.groupBy(_.getAs[String]("host"))
+    byHost.foreach { case (h, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("fetch_rank"))
+      // global per-host rank = dense 1..n in lexicographic link order,
+      // exactly what the single-window formulation produced
+      assert(ordered.map(_.getAs[Long]("fetch_rank")).toList ==
+        (1L to rs.length).toList, s"$h ranks not dense")
+      assert(ordered.map(_.getAs[String]("link")).toList ==
+        rs.map(_.getAs[String]("link")).sorted.toList, s"$h not in link order")
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("start_s") ==
+          (r.getAs[Long]("fetch_rank") - 1) * r.getAs[Long]("delay_s"))
+      }
+    }
+    assert(byHost("hot.example").length == 300)
+  }
+
+  test("ann_pq_trained: trained scoring keeps the PQ output contract (ranks, no self, all queries)") {
+    val s = sim.Similarity
+    val rows = s.pqTrainedTopK(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("qid")).distinct.length == s.numQueries)
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.toSeq == (1 to ranks.length) && ranks.length <= 3)
+      rs.foreach(r => assert(r.getAs[Long]("cand") != r.getAs[Long]("qid")))
+      rs.foreach(r => assert(r.getAs[Double]("pq_score") <= 1.0 + 1e-6))
+    }
+    // training must actually MOVE the codebook: the trained top-3 differs
+    // from the hash-picked top-3 somewhere (identical outputs would mean
+    // the Lloyd iterations were a no-op and the row proves nothing)
+    val base = s.pqTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand"), r.getAs[Int]("rank"))).toSet
+    val trained = rows
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand"), r.getAs[Int]("rank"))).toSet
+    assert(base != trained, "trained codebook produced identical results to hash-picked")
+  }
+
   test("ev_series_recall: per-probe hits are consistent and the audit grades the real rows") {
     val truth = events.EventOps.seriesSim(spark, sf).collect()
       .groupBy(_.getAs[Long]("probe_user"))

@@ -37,9 +37,11 @@ class SimilarityBucketSpec extends AnyFunSuite {
   test("ann_recall: one row per (method, query), recall in [0,1], and the " +
       "approx paths find a strict subset of brute truth") {
     val rows = sim.Similarity.annRecall(spark, sf).collect()
-    // three graded paths: lsh, ivf, and the ivfpq composite
-    assert(rows.length == 3 * sim.Similarity.numQueries)
-    assert(rows.map(_.getAs[String]("method")).toSet == Set("lsh", "ivf", "ivfpq"))
+    // five graded paths: lsh, ivf, the ivfpq composite, and the
+    // hash-picked vs k-means-trained PQ pair (round 8)
+    assert(rows.length == 5 * sim.Similarity.numQueries)
+    assert(rows.map(_.getAs[String]("method")).toSet ==
+      Set("lsh", "ivf", "ivfpq", "pq", "pq_trained"))
     rows.foreach { r =>
       val (nTruth, nHit) = (r.getAs[Long]("n_truth"), r.getAs[Long]("n_hit"))
       val recall = r.getAs[Double]("recall")

@@ -5,8 +5,21 @@ multithreaded IE_JOIN can livelock on large×tiny LEFT range joins (the
 geo_ip_range hazard documented in the verify skill) and an in-process
 interrupt() does not break it; a subprocess kill does.
 
+The connected-component rows (COMPONENT_ROWS) get a designated ALTERNATE
+oracle when the standard one times out: DuckDB's recursive `reach` CTE is
+the only construct in those oracles that cannot scale past ~10^7 edges
+(label propagation materializes O(nodes x component-size) rows; the
+documented round-6/7 gap at sfsynth1). Everything BEFORE the recursion is
+plain relational SQL, so the fallback strips the recursive CTE, fetches
+the edge list from DuckDB, and takes min-label connected components with
+a union-find (union-by-min keeps the invariant root == min id of the
+component — exactly the label the recursive oracle computes). Same
+independence guarantee: signatures/bands/pairs all come from DuckDB's
+replay, only the transitive closure moves to the checker.
+
 Usage: python3 tools/check_big.py <sfDir> <verifyOutDir> [timeout_s]
        python3 tools/check_big.py --one <name> <threads> <sfDir> <outDir>
+       python3 tools/check_big.py --uf <name> <threads> <sfDir> <outDir>
 """
 import glob
 import json
@@ -17,6 +30,10 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 from check import TABLES, canon_df  # noqa: E402
+
+# rows whose oracle is `<relational CTEs> + recursive reach + min(lbl)`
+COMPONENT_ROWS = {"dd_clusters", "dd_simhash_clusters", "mm_phash_clusters"}
+REACH_MARKER = "reach(node, lbl) AS"
 
 
 def run_one(name, threads, sf_dir, out_dir):
@@ -61,6 +78,61 @@ def run_one(name, threads, sf_dir, out_dir):
     return 0
 
 
+def run_union_find(name, threads, sf_dir, out_dir):
+    """Alternate oracle for COMPONENT_ROWS: DuckDB replays everything up
+    to the edge list, the transitive closure runs as a union-find."""
+    import duckdb
+    con = duckdb.connect()
+    if threads:
+        con.execute(f"PRAGMA threads={threads}")
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
+    if REACH_MARKER not in sql:
+        print(f"FAIL {name}: oracle lost its recursive-reach shape"); return 1
+    prefix = sql[:sql.index(REACH_MARKER)].rstrip().rstrip(",")
+    pairs = con.execute(prefix + "\nSELECT id_a, id_b FROM edges").fetchall()
+    got_df = con.execute(
+        f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+    if sorted(got_df.columns) != ["cluster_id", "doc_id"]:
+        print(f"FAIL {name}: columns {sorted(got_df.columns)}"); return 1
+    got = dict(zip(got_df["doc_id"], got_df["cluster_id"]))
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent.get(r, r)
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union-by-min: roots only ever decrease, so the final root of
+            # every node is the min id of its component — the same label
+            # the recursive oracle's min(lbl) computes
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    want = {n: find(n) for n in parent}
+    if got == want:
+        print(f"OK   {name}: {len(want)} rows union-find-match "
+              f"({len(pairs)} edges, {len(set(want.values()))} clusters)")
+        return 0
+    missing = set(want) ^ set(got)
+    diff = [n for n in set(want) & set(got) if want[n] != got[n]]
+    print(f"FAIL {name}: node-set diff {len(missing)}, label diff "
+          f"{len(diff)} (e.g. {sorted(diff)[:5]})")
+    return 1
+
+
 def main(sf_dir, out_dir, timeout_s):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(set(oracle) |
@@ -68,16 +140,26 @@ def main(sf_dir, out_dir, timeout_s):
     n_ok = 0
     for name in names:
         ok = False
-        for threads, tmo in ((0, timeout_s), (1, timeout_s * 4)):
-            cmd = [sys.executable, os.path.abspath(__file__), "--one", name,
+        # component rows go straight to union-find after the FIRST timeout:
+        # the recursive reach CTE is the scale limit, retrying it slower
+        # single-threaded only burns the budget (round-7 lesson at 11M edges)
+        attempts = [("--one", 0, timeout_s), ("--one", 1, timeout_s * 4)]
+        if name in COMPONENT_ROWS:
+            attempts = [("--one", 0, timeout_s),
+                        ("--uf", 0, timeout_s * 4), ("--uf", 1, timeout_s * 4)]
+        for mode, threads, tmo in attempts:
+            cmd = [sys.executable, os.path.abspath(__file__), mode, name,
                    str(threads), sf_dir, out_dir]
             try:
                 r = subprocess.run(cmd, timeout=tmo)
-                ok = r.returncode == 0
+                if r.returncode == 0:
+                    ok = True
+                    break
+                # a hard oracle ERROR is final; only timeouts escalate
                 break
             except subprocess.TimeoutExpired:
-                print(f"...  {name}: timed out at threads={threads or 'default'}, "
-                      f"{'retrying single-threaded' if threads == 0 else 'giving up'}")
+                print(f"...  {name}: {mode} timed out at "
+                      f"threads={threads or 'default'}, escalating")
         if ok:
             n_ok += 1
         else:
@@ -89,5 +171,7 @@ def main(sf_dir, out_dir, timeout_s):
 if __name__ == "__main__":
     if sys.argv[1] == "--one":
         sys.exit(run_one(sys.argv[2], int(sys.argv[3]), sys.argv[4], sys.argv[5]))
+    if sys.argv[1] == "--uf":
+        sys.exit(run_union_find(sys.argv[2], int(sys.argv[3]), sys.argv[4], sys.argv[5]))
     sys.exit(main(sys.argv[1], sys.argv[2],
                   int(sys.argv[3]) if len(sys.argv) > 3 else 120))
