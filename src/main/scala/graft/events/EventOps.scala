@@ -2041,8 +2041,12 @@ object EventOps {
     * state, the [[seriesSimOver]] contract). */
   def seriesSimLshOver(ud0: DataFrame): DataFrame = {
     val ud = ud0.persist()
+    // persisted: consumed THREE times (anchor TakeOrdered, the bits join,
+    // the bucket-0 backfill) — without the pin each consumer re-aggregates
+    // the corpus matrix
     val tot = ud.groupBy(col("user_id"))
       .agg(sum(col("c")).as("s"), sum(col("c") * col("c")).as("n2"))
+      .persist()
     val cal = ud.agg((max(col("day")) - min(col("day")) + lit(1L)).as("d"))
     // 4-row frame: the unpartitioned window is bounded by the limit
     val wA = org.apache.spark.sql.expressions.Window
