@@ -937,7 +937,7 @@ object Similarity {
     * production deployment swaps in k-means-trained codewords (ann_kmeans)
     * without touching the pipeline. `cwn2` = ‖cw‖² rides along so
     * reconstruction norms are one lookup, not a re-dot. */
-  private def pqCodebook(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def pqCodebook(spark: SparkSession, sfDir: String): DataFrame =
     emb(spark, sfDir)
       .filter(col("vec_id") % pqStride === 0 && col("vec_id") < pqK * pqStride)
       .select(expr(s"vec_id DIV $pqStride").as("c"),
@@ -948,7 +948,7 @@ object Similarity {
       .withColumn("cwn2", graft.plans.VectorDot(col("cw"), col("cw")))
 
   /** The corpus split into per-subspace subvectors: (vec_id, s, sub). */
-  private def subVectors(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def subVectors(spark: SparkSession, sfDir: String): DataFrame =
     emb(spark, sfDir).select(col("vec_id"),
         explode(array((0 until pqSub).map { s =>
           struct(lit(s).as("s"), slice(col("v"), s * pqDimPer + 1, pqDimPer).as("sub"))
@@ -991,7 +991,7 @@ object Similarity {
     * ann_ivf_trained's "trained quantizer drops in" claim, now proven for
     * the PQ tier too; ann_recall grades it against the hash-picked
     * baseline. */
-  private def pqTrainedCodebook(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def pqTrainedCodebook(spark: SparkSession, sfDir: String): DataFrame = {
     val sub = subVectors(spark, sfDir).persist()
     var cb = pqCodebook(spark, sfDir)
     for (_ <- 0 until pqTrainIters) {

@@ -208,6 +208,33 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(base != trained, "trained codebook produced identical results to hash-picked")
   }
 
+  test("ann_pq_trained: Lloyd training strictly reduces total reconstruction error vs the hash-picked seeds") {
+    // the k-means monotonicity property makes the trained row NON-VACUOUS
+    // even where fixture recall is noise-level: each (assign, means)
+    // iteration cannot increase the summed min-l2² quantization error
+    // (up to the 6dp mean rounding), and on arbitrary corpus-slice seeds
+    // it should fall MATERIALLY. Replayed driver-side from the collected
+    // subvectors + both codebooks (tiny at this sf).
+    val s = sim.Similarity
+    val subs = s.subVectors(spark, sf).collect()
+      .map(r => (r.getAs[Int]("s"), r.getAs[Seq[Double]]("sub").toArray))
+    def cbOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("s"),
+        (r.getAs[Seq[Double]]("cw").toArray, r.getAs[Double]("cwn2"))))
+    val seed = cbOf(s.pqCodebook(spark, sf))
+    val trained = cbOf(s.pqTrainedCodebook(spark, sf))
+    def sse(cb: Array[(Int, (Array[Double], Double))]): Double =
+      subs.map { case (sp, v) =>
+        val vn2 = v.map(x => x * x).sum
+        cb.collect { case (cs, (cw, cwn2)) if cs == sp =>
+          vn2 - 2.0 * v.zip(cw).map { case (a, b) => a * b }.sum + cwn2
+        }.min
+      }.sum
+    val (e0, e1) = (sse(seed), sse(trained))
+    assert(e1 <= e0 + 1e-4, s"training increased reconstruction error: $e0 -> $e1")
+    assert(e1 < e0 * 0.95, s"training must materially improve on slice seeds: $e0 -> $e1")
+  }
+
   test("ev_series_recall: per-probe hits are consistent and the audit grades the real rows") {
     val truth = events.EventOps.seriesSim(spark, sf).collect()
       .groupBy(_.getAs[Long]("probe_user"))
