@@ -45,6 +45,32 @@ class MergePropertySpec extends AnyFunSuite {
     })
   }
 
+  test("MinKStrings: any partitioning + merge order + serde = one sequential sort-take") {
+    val gen = for {
+      xs <- Gen.listOf(Gen.oneOf("alpha", "beta", "beta", "gamma", "delta",
+        "https://a/x", "https://a/y", "https://b/z", "", "zz", "a", "b1", "b2"))
+      cuts <- Gen.listOf(Gen.chooseNum(0, math.max(xs.size, 1)))
+      k <- Gen.chooseNum(1, 6)
+      seed <- Gen.chooseNum(0L, 1000L)
+    } yield (xs, cuts, k, seed)
+    check(Prop.forAll(gen) { case (xs, cuts, k, seed) =>
+      val a = graft.plans.MinKStrings(
+        BoundReference(0, StringType, nullable = true), k)
+      def row(s: String) = new GenericInternalRow(
+        Array[Any](UTF8String.fromString(s)))
+      val ref = xs.sorted.take(k) // duplicates KEPT — min-k of the multiset
+      val points = (cuts.map(c => math.min(c, xs.size)) :+ 0 :+ xs.size).distinct.sorted
+      val parts = points.zip(points.tail).map { case (from, to) =>
+        val b = a.createAggregationBuffer()
+        xs.slice(from, to).foreach(s => a.update(b, row(s)))
+        a.deserialize(a.serialize(b)) // serde round-trip on every partial
+      }
+      val shuffled = new scala.util.Random(seed).shuffle(parts)
+      val merged = shuffled.foldLeft(a.createAggregationBuffer())((acc, b) => a.merge(acc, b))
+      merged.values.take(merged.size).map(_.toString).toSeq == ref
+    })
+  }
+
   test("MinHashSigs: the fused loop equals the explode-and-min reference") {
     val words = Gen.listOf(Gen.oneOf("spark", "join", "scan", "merge", "row",
       "key", "batch", "agg", "the", "a"))
