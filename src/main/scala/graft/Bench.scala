@@ -187,10 +187,24 @@ object Bench {
     val inflatedMins = headlinePasses.count { case (n, ts) =>
       ts.nonEmpty && headlineCleanRef.get(n).exists(ref => ts.min >= 2.0 * ref)
     }
+    // the clean refs were measured at sf0.1 — at any other scale the 2×
+    // comparison is meaningless in BOTH directions (sf1 trips it on honest
+    // timings, sf0.01 masks real whole-box inflation), so the majority-vote
+    // only participates on the sf0.1 fixture; elsewhere the loadavg test
+    // stands alone
+    val refsApply = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
     val contended = loadStart > cpusN / 4.0 ||
-      inflatedMins * 2 > headlineCleanRef.size
+      (refsApply && inflatedMins * 2 > headlineCleanRef.size)
+    // sweep self-verdict (the headline has `contended`; this gives the
+    // SWEEP total the same property): the outlier re-time only ever
+    // shrinks the total, so raw-minus-retimed IS the shed noise — when it
+    // exceeds 10% of the retimed total the sweep ran on a non-idle box
+    // and all_total should be read with that label attached (r8
+    // forensics: 139 s of shed noise needed a side-channel idle re-run
+    // to diagnose; this stamps the verdict into the artifact itself)
+    val sweepNoisy = total > 0 && (totalRaw - total) > 0.10 * total
     val telemetry =
-      s""""protocol":"headline-min-of-3-warm-cache-sweep-retime","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"other_jvms":$jvms,"cpus":"$cpus","contended":$contended,"retimed":$retimedJson,"headline_passes":$passesJson"""
+      s""""protocol":"headline-min-of-3-warm-cache-sweep-retime","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"other_jvms":$jvms,"cpus":"$cpus","contended":$contended,"sweep_noisy":$sweepNoisy,"retimed":$retimedJson,"headline_passes":$passesJson"""
     val metricJson =
       s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","queries":$qs,"all_total":$total,"all_total_raw":$totalRaw,"n_queries":${results.size},"errors":$errors,"sf":"$sfDir",$telemetry}"""
     println(metricJson)

@@ -2166,21 +2166,31 @@ object EventOps {
     val ud = Tables(spark, sfDir).events
       .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
       .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("c"))
-      .persist() // one matrix materialization serves truth + graded path
+      .persist() // one matrix materialization serves truth + graded paths
     val truth = seriesSimOver(ud)
       .select(col("probe_user"), col("cand_user")).persist()
     val nTruth = truth.groupBy(col("probe_user")).agg(count(lit(1)).as("n_truth"))
-    val hits = truth
-      .join(seriesSimLshOver(ud).select(col("probe_user"), col("cand_user")),
-        Seq("probe_user", "cand_user"), "left_semi")
-      .groupBy(col("probe_user")).agg(count(lit(1)).as("n_hit"))
-    nTruth.join(hits, Seq("probe_user"), "left")
-      .select(lit("series_lsh").as("method"), col("probe_user"), col("n_truth"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
-      .withColumn("recall", round(col("n_hit") / col("n_truth"), 6))
+    // both approximate paths graded against the ONE truth, at the same
+    // per-probe candidate budget (multi-probe (1+A)/2^A vs OR-ed T/2^A
+    // with T = A+1) — the dial a production run reads before choosing
+    // between more flips and more tables
+    def gradeOf(method: String, approx: DataFrame): DataFrame = {
+      val hits = truth
+        .join(approx.select(col("probe_user"), col("cand_user")),
+          Seq("probe_user", "cand_user"), "left_semi")
+        .groupBy(col("probe_user")).agg(count(lit(1)).as("n_hit"))
+      nTruth.join(hits, Seq("probe_user"), "left")
+        .select(lit(method).as("method"), col("probe_user"), col("n_truth"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall", round(col("n_hit") / col("n_truth"), 6))
+    }
+    gradeOf("series_lsh", seriesSimLshOver(ud))
+      .unionByName(gradeOf("series_lsh_mt", seriesSimLshMtOver(ud)))
   }
 
-  val seriesRecallSql: String =
+  // lazy: references seriesLshMtSql, declared further down the object —
+  // a strict val would interpolate null at object-init time
+  lazy val seriesRecallSql: String =
     s"""WITH truth AS (
        |  SELECT probe_user, cand_user FROM ($seriesSimSql) b),
        |n_truth AS (
@@ -2189,11 +2199,170 @@ object EventOps {
        |  SELECT t.probe_user, count(*) AS n_hit
        |  FROM truth t JOIN ($seriesLshSql) a
        |    ON t.probe_user = a.probe_user AND t.cand_user = a.cand_user
+       |  GROUP BY 1),
+       |hitsmt AS (
+       |  SELECT t.probe_user, count(*) AS n_hit
+       |  FROM truth t JOIN ($seriesLshMtSql) a2
+       |    ON t.probe_user = a2.probe_user AND t.cand_user = a2.cand_user
        |  GROUP BY 1)
        |SELECT 'series_lsh' AS method, n.probe_user, n.n_truth,
        |  coalesce(h.n_hit, 0) AS n_hit,
        |  round(coalesce(h.n_hit, 0) / n.n_truth, 6) AS recall
-       |FROM n_truth n LEFT JOIN hits h ON h.probe_user = n.probe_user""".stripMargin
+       |FROM n_truth n LEFT JOIN hits h ON h.probe_user = n.probe_user
+       |UNION ALL
+       |SELECT 'series_lsh_mt' AS method, n.probe_user, n.n_truth,
+       |  coalesce(h2.n_hit, 0) AS n_hit,
+       |  round(coalesce(h2.n_hit, 0) / n.n_truth, 6) AS recall
+       |FROM n_truth n LEFT JOIN hitsmt h2 ON h2.probe_user = n.probe_user""".stripMargin
+
+  /** Table count for [[seriesLshMt]] — [[seriesLshAnchors]] + 1 tables with
+    * NO multi-probe, so the per-probe expected candidate budget (T buckets
+    * out of 2^A) EQUALS the single-table row's multi-probe budget (1 + A
+    * buckets out of 2^A): the Lv et al. VLDB'07 trade made measurable —
+    * OR-ed tables buy recall with MORE independent anchor sets, multi-probe
+    * with MORE flips of ONE set, at the same candidate spend. */
+  val seriesLshTables: Int = seriesLshAnchors + 1
+
+  /** Multi-table OR-ed series LSH — the PRODUCTION recall story the
+    * single-table row's docstring only promised ("production ORs several
+    * tables"): [[seriesLshTables]] independent hash tables, table t's
+    * hyperplane family = the volume-ranked anchors [t·A, (t+1)·A) (disjoint
+    * sets, so the tables' bucketings are as independent as deterministic
+    * anchor choice allows), a user owns ONE bucket PER TABLE, and a probe's
+    * candidates are the users co-bucketed with it in ANY table (the OR).
+    * Candidate pairs are made DISTINCT before scoring — a pair co-bucketed
+    * in several tables must contribute each shared day once, not once per
+    * table. Scoring reuses the exact stages unchanged (sparse integer dot
+    * over the distinct pairs, 6dp cosine, (cos desc, cand asc) top-3).
+    * Scale shape: anchor dots stay one broadcast day-join against ≤ T·A
+    * calendar-bounded series; pair GENERATION moves off the day-level join
+    * entirely onto the (tbl, bucket)-keyed bucket table (n·T rows), and the
+    * scoring join is bounded by the distinct candidate pairs — expected
+    * T/2^A of the corpus per probe, the same spend as the single-table
+    * row's (1+A)/2^A. ev_series_recall grades both side by side. */
+  def seriesLshMt(spark: SparkSession, sfDir: String): DataFrame =
+    seriesSimLshMtOver(Tables(spark, sfDir).events
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("c")))
+
+  /** The OR-ed multi-table search over a (user_id, day, c) count matrix. */
+  def seriesSimLshMtOver(ud0: DataFrame, anchors: Int = seriesLshAnchors,
+      tables: Int = seriesLshTables): DataFrame = {
+    val ud = ud0.persist()
+    val tot = ud.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("s"), sum(col("c") * col("c")).as("n2"))
+      .persist()
+    val cal = ud.agg((max(col("day")) - min(col("day")) + lit(1L)).as("d"))
+    val nA = anchors * tables
+    // T·A-row frame: the unpartitioned window is bounded by the limit;
+    // rank r serves table r DIV A as its anchor aid = r % A
+    val wA = org.apache.spark.sql.expressions.Window
+      .orderBy(col("s").desc, col("user_id").asc)
+    val anch = tot.orderBy(col("s").desc, col("user_id").asc)
+      .limit(nA)
+      .withColumn("r", row_number().over(wA).cast("long") - 1L)
+      .select(col("user_id").as("au"), expr(s"r DIV $anchors").as("tbl"),
+        (col("r") % anchors).as("aid"), col("s").as("sa"))
+    val aser = anch.join(ud.withColumnRenamed("user_id", "auu"),
+        col("auu") === col("au"))
+      .select(col("tbl"), col("aid"), col("day"), col("c").as("ac"), col("sa"))
+    val adot = ud.join(broadcast(aser), Seq("day"))
+      .groupBy(col("user_id"), col("tbl"), col("aid"))
+      .agg(sum(col("c") * col("ac")).as("dot"), max(col("sa")).as("sa"))
+    // covariance sign per (user, table): same exact-BIGINT hyperplane as
+    // the single-table row, keyed by table; a user off ALL of a table's
+    // anchor days backfills to that table's bucket 0 via the left join
+    val bits = adot
+      .join(tot.select(col("user_id"), col("s")), "user_id")
+      .crossJoin(broadcast(cal))
+      .groupBy(col("user_id"), col("tbl"))
+      .agg(sum(when(col("d") * col("dot") > col("s") * col("sa"),
+        pow(lit(2.0), col("aid")).cast("long")).otherwise(0L)).as("bk"))
+    val tbls = ud.sparkSession.range(tables).select(col("id").as("tbl"))
+    val bucket = tot.select(col("user_id"))
+      .crossJoin(broadcast(tbls))
+      .join(bits, Seq("user_id", "tbl"), "left")
+      .select(col("user_id"), col("tbl"), coalesce(col("bk"), lit(0L)).as("bucket"))
+      .persist()
+    // the OR: distinct co-bucketed pairs across all tables — pair
+    // generation runs on the n·T bucket table, never on day-level rows
+    val pairs = bucket.filter(col("user_id") % seriesSimProbeMod === 0)
+      .select(col("user_id").as("pu"), col("tbl"), col("bucket"))
+      .join(bucket.select(col("user_id").as("cu"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("cu") =!= col("pu"))
+      .select(col("pu"), col("cu")).distinct()
+    val dots = pairs
+      .join(ud.select(col("user_id").as("pu"), col("day"), col("c").as("pc")), "pu")
+      .join(ud.select(col("user_id").as("cu"), col("day"), col("c").as("cc")),
+        Seq("cu", "day"))
+      .groupBy(col("pu"), col("cu")).agg(sum(col("pc") * col("cc")).as("dot"))
+    val scored = dots
+      .join(tot.select(col("user_id").as("pu"), col("n2").as("np")), "pu")
+      .join(tot.select(col("user_id").as("cu"), col("n2").as("nc")), "cu")
+      .select(col("pu"), col("cu"),
+        round(col("dot").cast("double") / (sqrt(col("np")) * sqrt(col("nc"))), 6)
+          .as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pu")).orderBy(col("cos_sim").desc, col("cu").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("pu").as("probe_user"), col("cu").as("cand_user"),
+        col("cos_sim"), col("rk"))
+  }
+
+  /** The shared CTE prefix (ud/tot/cal) + the mt candidate/score chain, so
+    * the standalone oracle and the recall oracle stay one text. */
+  private def seriesLshMtBodySql(anchors: Int, tables: Int): String =
+    s"""anchmt AS (
+       |  SELECT user_id AS au, s AS sa,
+       |    row_number() OVER (ORDER BY s DESC, user_id ASC) - 1 AS r
+       |  FROM tot ORDER BY s DESC, user_id ASC LIMIT ${anchors * tables}),
+       |anchmt2 AS (SELECT au, sa, r // $anchors AS tbl, r % $anchors AS aid FROM anchmt),
+       |asermt AS (
+       |  SELECT tbl, aid, day, c AS ac, sa
+       |  FROM anchmt2 JOIN ud ON ud.user_id = anchmt2.au),
+       |adotmt AS (
+       |  SELECT ud.user_id, tbl, aid, sum(c * ac) AS dot, max(sa) AS sa
+       |  FROM ud JOIN asermt ON ud.day = asermt.day GROUP BY 1, 2, 3),
+       |bitsmt AS (
+       |  SELECT adotmt.user_id, tbl,
+       |    sum(CASE WHEN (SELECT d FROM cal) * dot > t.s * sa
+       |      THEN CAST(2 ** aid AS BIGINT) ELSE 0 END) AS bk
+       |  FROM adotmt JOIN tot t ON t.user_id = adotmt.user_id GROUP BY 1, 2),
+       |tblsmt AS (SELECT range AS tbl FROM range(0, $tables)),
+       |bucketmt AS (
+       |  SELECT t.user_id, tb.tbl, coalesce(b.bk, 0) AS bucket
+       |  FROM tot t CROSS JOIN tblsmt tb
+       |  LEFT JOIN bitsmt b ON b.user_id = t.user_id AND b.tbl = tb.tbl),
+       |pairsmt AS (
+       |  SELECT DISTINCT p.user_id AS pu, c2.user_id AS cu
+       |  FROM bucketmt p JOIN bucketmt c2
+       |    ON c2.tbl = p.tbl AND c2.bucket = p.bucket AND c2.user_id <> p.user_id
+       |  WHERE p.user_id % $seriesSimProbeMod = 0),
+       |dotsmt AS (
+       |  SELECT pu, cu, sum(pud.c * cud.c) AS dot
+       |  FROM pairsmt JOIN ud pud ON pud.user_id = pairsmt.pu
+       |    JOIN ud cud ON cud.user_id = pairsmt.cu AND cud.day = pud.day
+       |  GROUP BY 1, 2),
+       |scoredmt AS (
+       |  SELECT pu, cu,
+       |    round(CAST(dot AS DOUBLE) / (sqrt(np.n2) * sqrt(nc.n2)), 6) AS cos_sim
+       |  FROM dotsmt JOIN tot np ON np.user_id = dotsmt.pu
+       |    JOIN tot nc ON nc.user_id = dotsmt.cu)""".stripMargin
+
+  val seriesLshMtSql: String =
+    s"""WITH ud AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |tot AS (SELECT user_id, sum(c) AS s, sum(c * c) AS n2 FROM ud GROUP BY 1),
+       |cal AS (SELECT max(day) - min(day) + 1 AS d FROM ud),
+       |${seriesLshMtBodySql(seriesLshAnchors, seriesLshTables)}
+       |SELECT pu AS probe_user, cu AS cand_user, cos_sim, rk FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY pu
+       |    ORDER BY cos_sim DESC, cu ASC) AS BIGINT) AS rk
+       |  FROM scoredmt) t WHERE rk <= 3""".stripMargin
 
   final case class HwRow(event_type: String, h: Long, yhat: Double,
       level: Double, trend: Double)
@@ -3165,6 +3334,7 @@ object EventOps {
     "ev_hw_forecast" -> (hwForecast _),
     "ev_series_sim" -> (seriesSim _),
     "ev_series_lsh" -> (seriesLsh _),
+    "ev_series_lsh_mt" -> (seriesLshMt _),
     "ev_series_recall" -> (seriesRecall _),
     "ev_anomaly_mad" -> (anomalyMad _),
     "ev_quantile_sketch" -> (quantileSketch _),
@@ -3216,6 +3386,7 @@ object EventOps {
     "ev_hw_forecast" -> hwForecastSql,
     "ev_series_sim" -> seriesSimSql,
     "ev_series_lsh" -> seriesLshSql,
+    "ev_series_lsh_mt" -> seriesLshMtSql,
     "ev_series_recall" -> seriesRecallSql,
     "ev_anomaly_mad" -> anomalyMadSql,
     "ev_quantile_sketch" -> quantileSketchSql,

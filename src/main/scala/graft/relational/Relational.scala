@@ -353,6 +353,48 @@ object Relational {
       |  round(round(sum(value), 2) / count(*), 6) AS avg_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---- salted (replicated) join --------------------------------------------
+
+  val saltedJoinFactor = 8
+
+  /** Skew-safe JOIN: q_salted_agg's shape applied to the shuffle join — the
+    * 100 TB killer AQE doesn't always catch (AQE's skew-join split only
+    * fires on sort-merge joins it plans itself; a pre-partitioned layout,
+    * a bucketed sink, or a disabled-AQE pipeline still serializes a hot
+    * key's rows through ONE reducer). The fact side salts its join key
+    * (salt = hash of the row id mod [[saltedJoinFactor]]); the dim side
+    * REPLICATES each row once per salt value (explode over the salt range);
+    * the join key becomes (key, salt), so a hot key's rows spread across
+    * [[saltedJoinFactor]] reducers and each meets exactly the one dim
+    * replica carrying its salt — result identical to the plain join, which
+    * IS the oracle. The join is pinned to sort-merge (`hint("merge")`):
+    * broadcasting the dim would make salting pointless, and the row exists
+    * to pin the two-big-sides plan. Production refinement: split hot/cold
+    * with q_skew_probe and replicate only hot keys — the all-keys form here
+    * is the shape with the dim-side cost ceiling (dim × S, still dim-sized
+    * work, never fact-sized). SaltedJoinSpec asserts the plan: SortMergeJoin
+    * on (key, salt), Generate (explode) feeding the dim side, no broadcast
+    * of the fact. */
+  def qSaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val fact = t.events
+      .select(col("user_id"), col("value"),
+        pmod(col("event_id"), lit(saltedJoinFactor)).as("salt"))
+    val dim = t.customer
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("salt",
+        explode(expr(s"sequence(CAST(0 AS BIGINT), ${saltedJoinFactor - 1})")))
+    fact.join(dim.hint("merge"),
+        fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  val qSaltedJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1""".stripMargin
+
   // ---- join-key skew probe ------------------------------------------------
 
   val skewTopK = 10
@@ -2019,6 +2061,7 @@ object Relational {
     "q_running" -> (qRunning _),
     "q_cube" -> (qCube _),
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_salted_join" -> (qSaltedJoin _),
     "q_skew_probe" -> (qSkewProbe _),
     "q_pivot" -> (qPivot _),
     "q_asof" -> (qAsof _),
@@ -2062,6 +2105,7 @@ object Relational {
     "q_running" -> qRunningSql,
     "q_cube" -> qCubeSql,
     "q_salted_agg" -> qSaltedAggSql,
+    "q_salted_join" -> qSaltedJoinSql,
     "q_skew_probe" -> qSkewProbeSql,
     "q_pivot" -> qPivotSql,
     "q_asof" -> qAsofSql,

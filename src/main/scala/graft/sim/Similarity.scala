@@ -645,7 +645,15 @@ object Similarity {
     var cents = seeds
     var assigned: DataFrame = null
     for (_ <- 0 until kmIters) {
+      val prev = assigned
       assigned = kmAssign(e, cents).persist()
+      // materialize THIS iterate, then drop the previous one: without the
+      // eager cut every iteration's n-row assignment stays pinned for the
+      // whole query (kmIters × n rows of dead cache — the round-8 advice);
+      // with it live cache is bounded at 2 iterates and total compute is
+      // unchanged (each assignment was computed exactly once either way)
+      assigned.count()
+      if (prev != null) prev.unpersist()
       cents = kmMeans(e, assigned)
     }
     val counts = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
@@ -994,6 +1002,7 @@ object Similarity {
   private[graft] def pqTrainedCodebook(spark: SparkSession, sfDir: String): DataFrame = {
     val sub = subVectors(spark, sfDir).persist()
     var cb = pqCodebook(spark, sfDir)
+    var prevPinned: DataFrame = null
     for (_ <- 0 until pqTrainIters) {
       val codes = pqAssignWith(sub, cb)
       cb = sub.join(codes, Seq("vec_id", "s"))
@@ -1005,7 +1014,15 @@ object Similarity {
         .select(col("s"), col("c"), transform(col("dm"), x => x.getField("m")).as("cw"))
         .withColumn("cwn2", graft.plans.VectorDot(col("cw"), col("cw")))
         .persist() // 32 rows; pin each iteration so plans don't nest
+      // eager cut (round-8 advice): materialize this iterate, drop the
+      // previous — live cache is bounded at the final codebook + sub
+      cb.count()
+      if (prevPinned != null) prevPinned.unpersist()
+      prevPinned = cb
     }
+    // training is done and the final codebook is materialized — the n-row
+    // subvector frame has no remaining consumer in the returned plan
+    sub.unpersist()
     cb
   }
 
@@ -1204,20 +1221,27 @@ object Similarity {
   private val pqChainCte: String =
     Seq(pqSliceCbnSql("cbn"), pqSubCte, pqScoreCte).mkString(",\n")
 
-  /** The TRAINED chain: seeds → 2 Lloyd iterations over the subvectors →
-    * the SAME scoring chain, final codebook bound to the name `cbn`. */
-  private val pqTrainedChainCte: String =
-    Seq(
+  /** The TRAINED chain: seeds → [[pqTrainIters]] Lloyd iterations over the
+    * subvectors → the SAME scoring chain, final codebook bound to the name
+    * `cbn`. The assign/means CTE pairs are GENERATED from [[pqTrainIters]]
+    * (round-8 advice: a hardcoded 2-iteration chain would silently
+    * desynchronize from the Scala trainer's `0 until pqTrainIters` loop the
+    * day the constant moves, surfacing only as a cross-engine hash
+    * mismatch — both sides now share the one constant). */
+  private val pqTrainedChainCte: String = {
+    val lloyd = (0 until pqTrainIters).flatMap { i =>
+      val next = if (i == pqTrainIters - 1) "cbn" else s"cbn${i + 1}"
+      Seq(pqAssignSql(s"d$i", s"codes$i", s"cbn$i"),
+        pqMeansSql(s"pm${i + 1}", s"codes$i", next))
+    }
+    (Seq(
       pqSliceCbnSql("cbn0"),
       pqSubCte,
       s"""subdims AS (
          |  SELECT vec_id, s, i - 1 AS dim, sv[i] AS x
-         |  FROM sub, LATERAL unnest(range(1, len(sv) + 1)) t(i))""".stripMargin,
-      pqAssignSql("d0", "codes0", "cbn0"),
-      pqMeansSql("pm1", "codes0", "cbn1"),
-      pqAssignSql("d1", "codes1", "cbn1"),
-      pqMeansSql("pm2", "codes1", "cbn"),
-      pqScoreCte).mkString(",\n")
+         |  FROM sub, LATERAL unnest(range(1, len(sv) + 1)) t(i))""".stripMargin) ++
+      lloyd :+ pqScoreCte).mkString(",\n")
+  }
 
   /** ADC fold + top-3 cut, parameterized over the candidate restriction
     * (`""` = all pairs; the IVF form joins the probed-list candidates). */

@@ -970,10 +970,29 @@ object StreamOps {
     val users = runToTable(spark, sfDir, OutputMode.Complete()) { src =>
       src.select(col("user_id"), expr("ts_us DIV 86400000000").as("day"))
         .groupBy(col("user_id"))
-        .agg(graft.plans.ShiftingBitmap.of(col("day")).as("s"))
+        .agg(graft.plans.ShiftingBitmap.of(col("day")).as("s"),
+          max(col("day")).as("last_day"))
         .select(col("user_id"), col("s.first_day").as("first_day"),
-          col("s.bitmap").as("bitmap"))
+          col("s.bitmap").as("bitmap"), col("last_day"))
     }
+    // horizon guard, EXACT form (round-8 advice): the round-7 global-span
+    // heuristic measured the DECODED calendar, which saturation itself
+    // clips — a user first seen on the globally earliest day and active
+    // again 100 days later decodes to {0, 62}, so the observable span
+    // stayed < 63 and the guard passed while live flows silently diverged
+    // from batch ev_growth. The state now carries the TRUE max(day) as a
+    // plain mergeable MAX beside the bitmap (st_bitmap's own layout), so
+    // `last_day − first_day ≤ 62` is checked PER USER against
+    // pre-saturation truth: it trips on exactly the users whose masks
+    // dropped days, independent of what saturation left visible.
+    val overflowed = users
+      .filter(col("last_day") - col("first_day") > 62)
+      .limit(1).count()
+    require(overflowed == 0L,
+      "st_growth horizon: some user's true activity span exceeds the " +
+        "63-day ShiftingBitmap mask (last_day - first_day > 62) — the " +
+        "mask cannot represent it; page the bitmap (st_bitmap's " +
+        "documented roaring move) before trusting live flows")
     val ud = users
       .select(col("user_id"), col("first_day"),
         explode(expr(
@@ -981,21 +1000,6 @@ object StreamOps {
           .as("p"))
       .select(col("user_id"),
         (col("first_day") + col("p")).cast("long").as("day_idx"))
-      .persist()
-    // horizon guard (round-7 advice: violations must fail LOUDLY, not
-    // silently diverge from ev_growth): a span < 63 on the observable
-    // calendar PROVES no user's mask overflowed (day − first_day ≤ span,
-    // and every user's first day is always a set bit); a span ≥ 63 means
-    // some user MAY have dropped days — refuse and point at the paging
-    // move rather than emit a flow decomposition that no longer equals
-    // the batch row.
-    val span = ud
-      .agg((max(col("day_idx")) - min(col("day_idx"))).as("s"))
-      .head.getLong(0)
-    require(span < 63,
-      s"st_growth horizon: observable calendar spans $span days (>= 63) — " +
-        "the 63-day ShiftingBitmap mask cannot represent it; page the " +
-        "bitmap (st_bitmap's documented roaring move) before trusting live flows")
     graft.events.EventOps.growthOver(ud)
   }
 

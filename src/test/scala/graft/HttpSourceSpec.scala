@@ -119,11 +119,113 @@ class HttpSourceSpec extends AnyFunSuite {
       // the previous process — it must come back empty so the query can
       // commit past it, not fail the require and crash-loop
       assert(s.planInputPartitions(sources.HttpLineOffset(3), sources.HttpLineOffset(5)).isEmpty)
-      // a window STRADDLING the base is a bookkeeping bug, still loud
-      intercept[IllegalArgumentException] {
+      // a window STRADDLING the base with no journal to stitch from is a
+      // bookkeeping bug (trimmed lines a batch still addresses), still loud
+      intercept[IllegalStateException] {
         s.planInputPartitions(sources.HttpLineOffset(3), sources.HttpLineOffset(6))
       }
     } finally s.stop()
+  }
+
+  test("checkpoint journal: a killed process's uncommitted batch replays byte-identical") {
+    // The exactly-once-without-Kafka contract: process A plans two batches,
+    // commits only the first, dies. Process B restores the SAME checkpoint
+    // while the feed is gone — Spark re-runs the uncommitted window, and the
+    // journal must serve back the identical (value, recv_ts) rows that died
+    // with A's buffer (the pre-journal behavior was a loud empty delivery).
+    val lines = (1 to 5).map(i => s"""{"n":$i}""")
+    val (server, url) = serve("/journal") { (hit, ex) =>
+      if (hit == 1) chunked(ex, lines) else chunked(ex, Nil)
+    }
+    val replay = java.nio.file.Files.createTempDirectory("http_journal")
+      .toString + "/graft-replay"
+    def values(ps: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+      ps.flatMap(_.asInstanceOf[sources.HttpLinesPartition].rows).toSeq
+    val a = new sources.HttpNdjsonMicroBatchStream(url, sse = false,
+      reconnectDelayMs = 100, readTimeoutMs = 0, numPartitions = 2,
+      maxLinesPerTrigger = Long.MaxValue, replayDir = Some(replay))
+    var batch2 = Seq.empty[(String, Long)]
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var end = 0L
+      while (end < 5 && System.currentTimeMillis() < deadline) {
+        end = a.latestOffset().asInstanceOf[sources.HttpLineOffset].n
+        if (end < 5) Thread.sleep(50)
+      }
+      assert(end == 5, s"tap must buffer all 5 lines, saw $end")
+      val batch1 = values(a.planInputPartitions(
+        sources.HttpLineOffset(0), sources.HttpLineOffset(3)))
+      batch2 = values(a.planInputPartitions(
+        sources.HttpLineOffset(3), sources.HttpLineOffset(5)))
+      assert(batch1.map(_._1) == lines.take(3))
+      assert(batch2.map(_._1) == lines.drop(3))
+      a.commit(sources.HttpLineOffset(3))
+      // committed journal entry pruned; the uncommitted one survives
+      // (window files only — _committed/.crc are watermark bookkeeping)
+      val left = new java.io.File(replay).list().filter(_.matches("\\d+-\\d+")).toSet
+      assert(left == Set("3-5"), s"journal after commit(3): $left")
+    } finally { a.stop(); server.stop(0) }
+
+    // "fresh process": new instance, same journal, feed unreachable
+    val b = new sources.HttpNdjsonMicroBatchStream("http://localhost:1/none",
+      sse = false, reconnectDelayMs = 60000, readTimeoutMs = 0,
+      numPartitions = 2, maxLinesPerTrigger = Long.MaxValue,
+      replayDir = Some(replay))
+    try {
+      b.deserializeOffset("3")
+      b.deserializeOffset("5")
+      val replayed = values(b.planInputPartitions(
+        sources.HttpLineOffset(3), sources.HttpLineOffset(5)))
+      assert(replayed == batch2,
+        s"replayed window must be byte-identical incl. recv_ts: $replayed vs $batch2")
+      // once the engine commits the replayed batch, its journal entry goes
+      b.commit(sources.HttpLineOffset(5))
+      assert(new java.io.File(replay).list().filter(_.matches("\\d+-\\d+")).isEmpty)
+    } finally b.stop()
+  }
+
+  test("query-level stop/restart on one checkpoint: no loss, no duplication") {
+    val first = (1 to 4).map(i => s"""{"a":$i}""")
+    val second = (5 to 7).map(i => s"""{"a":$i}""")
+    // phase-gated feed: the tap reconnects as soon as a chunked response
+    // ends, so "serve second on the next hit" would leak the second batch
+    // into run 1 — the gate only opens it after run 1 has fully stopped
+    val phase2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val served = new java.util.concurrent.atomic.AtomicInteger(0)
+    val (server, url) = serve("/restart") { (hit, ex) =>
+      if (hit == 1) chunked(ex, first)
+      else if (phase2.get && served.compareAndSet(0, 1)) chunked(ex, second)
+      else chunked(ex, Nil)
+    }
+    // memory sink refuses checkpoint recovery; foreachBatch supports it —
+    // the production sink shape for this source anyway
+    val ckpt = java.nio.file.Files.createTempDirectory("http_ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def run(n: Int): Seq[String] = {
+      val q = spark.readStream.format("http-ndjson")
+        .option("url", url).option("reconnectDelayMs", 100).load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("value").collect().foreach(r => got.add(r.getString(0)))
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      try {
+        val deadline = System.currentTimeMillis() + 30000
+        while (got.size < n && System.currentTimeMillis() < deadline) {
+          q.processAllAvailable(); Thread.sleep(100)
+        }
+      } finally q.stop()
+      got.toArray(Array.empty[String]).toSeq
+    }
+    val got1 = run(first.size)
+    assert(got1.sorted == first.sorted, s"run 1 must see exactly the first batch: $got1")
+    phase2.set(true)
+    val all =
+      try run(first.size + second.size)
+      finally server.stop(0)
+    assert(all.sorted == (first ++ second).sorted,
+      s"restart must lose nothing and duplicate nothing: $all")
   }
 
   test("silent-stream watchdog: a stalled connection times out and reconnects") {

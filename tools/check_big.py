@@ -98,7 +98,14 @@ def run_union_find(name, threads, sf_dir, out_dir):
         f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
     if sorted(got_df.columns) != ["cluster_id", "doc_id"]:
         print(f"FAIL {name}: columns {sorted(got_df.columns)}"); return 1
+    # dict(zip(...)) silently collapses duplicate doc_id rows — an output
+    # with duplicated (or conflicting) cluster rows must fail here exactly
+    # as the primary full-frame compare would fail it
     got = dict(zip(got_df["doc_id"], got_df["cluster_id"]))
+    if len(got_df) != len(got):
+        print(f"FAIL {name}: {len(got_df) - len(got)} duplicate doc_id rows "
+              f"in engine output ({len(got_df)} rows, {len(got)} distinct)")
+        return 1
     parent = {}
 
     def find(x):
