@@ -58,6 +58,56 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Materialized-view rewrite (the lakehouse MV capability): the q1-shaped
+    * report — filter on ship date, group by (returnflag, linestatus), money
+    * sums + count — answered from a standing DAILY ROLLUP by
+    * [[graft.plans.MvRewrite]], a Catalyst `Rule[LogicalPlan]` that unifies
+    * the aggregate with the rollup (groupings ⊆ MV dims, filter over dims,
+    * Sum/Count re-aggregated from partial states). The row materializes the
+    * rollup from the current fact (the MV freshness contract), builds the
+    * NAIVE plan over lineitem, applies the rule to its analyzed plan, and
+    * fails LOUDLY if the rewrite did not fire — so the oracle compares a
+    * genuinely rewritten plan against the naive SQL, never a silent
+    * fallback. Scale: the rollup is |rf × ls × days| rows regardless of
+    * fact size; the rewritten query scans THAT, the one partial-agg write
+    * over the fact is the standing cost every MV deployment amortizes
+    * across its readers. Partial sums stay in exact decimal, so
+    * re-aggregation is bit-identical to the direct aggregate. */
+  def mvRewriteQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir)
+    val mvPath = spark.conf.get("spark.sql.warehouse.dir") +
+      "/mv_lineitem_daily_" + java.lang.Integer.toHexString(sfDir.hashCode)
+    t.lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).as("sum_price"))
+      .write.mode("overwrite").parquet(mvPath)
+    val naive = t.lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_base_price"),
+        count(lit(1)).as("count_order"))
+    val rule = graft.plans.MvRewrite(spark, mvPath)
+    val rewritten = rule(naive.queryExecution.analyzed)
+    require(rule.fired(rewritten),
+      s"MV rewrite did not fire for q_mv_rewrite (plan still scans the fact)")
+    org.apache.spark.sql.GraftBridge.ofRows(spark, rewritten)
+  }
+
+  /** The naive report over the fact — exactly what the rewrite must equal. */
+  val mvRewriteSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
   /** TPC-H Q3 shape: selective dim (customer) joined into the
     * orders⨝lineitem shuffle join; top-10 with deterministic tie-break.
     * NO forced broadcast on customer — it grows linearly with scale factor,
@@ -2067,6 +2117,7 @@ object Relational {
     "q_asof" -> (qAsof _),
     "q_corr_subq" -> (qCorrSubq _),
     "q1_agg" -> (q1Agg _),
+    "q_mv_rewrite" -> (mvRewriteQ _),
     "q3_join" -> (q3Join _),
     "q5_join" -> (q5Join _),
     "q_window" -> (qWindow _),
@@ -2111,6 +2162,7 @@ object Relational {
     "q_asof" -> qAsofSql,
     "q_corr_subq" -> qCorrSubqSql,
     "q1_agg" -> q1AggSql,
+    "q_mv_rewrite" -> mvRewriteSql,
     "q3_join" -> q3JoinSql,
     "q5_join" -> q5JoinSql,
     "q_window" -> qWindowSql,

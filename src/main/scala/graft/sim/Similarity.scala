@@ -1607,6 +1607,81 @@ object Similarity {
        |${methodSql(pqTrainedTopKSql, "pq_trained")}""".stripMargin
   }
 
+  // ---- ANN nDCG audit (rank quality, not just set recall) -----------------
+
+  /** Position discounts 1/log2(i+1) as INTEGER ppm, computed once here and
+    * injected verbatim into both engines (the pqTrainIters shared-constant
+    * discipline) — DCG sums stay in exact integer arithmetic, the only
+    * float op is the final ndcg division, rounded at 6dp. */
+  private val ndcgDiscPpm: Seq[(Int, Long)] =
+    (1 to 3).map(i => i -> math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** Ideal DCG_ppm: every truth member found, in truth order (graded
+    * relevance rel = topK+1-rank from the brute top-[[topK]]). A constant —
+    * each query has ≥ topK corpus candidates, so truth is never short. */
+  private val ndcgIdealPpm: Long =
+    ndcgDiscPpm.map { case (r, d) => (topK + 1L - r) * d }.sum
+
+  /** nDCG@3 of every approximate path against brute-force graded truth —
+    * [[annRecall]]'s rank-quality sibling: recall says whether the right
+    * SET came back, nDCG says whether it came back in the right ORDER
+    * (a reranker consuming the top slot cares about exactly this). Same
+    * audit economics: truth is the probe-sampled brute pass, the graded
+    * sides are the production pipelines unchanged, output is
+    * methods × queries rows. */
+  def annNdcg(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir).embeddings.persist()
+    val truth = bruteTopK(spark, sfDir)
+      .select(col("qid"), col("cand"), (lit(topK + 1L) - col("rank")).as("rel"))
+      .persist()
+    val qids = truth.select(col("qid")).distinct()
+    val disc = ndcgDiscPpm.foldLeft(lit(0L)) { case (acc, (r, d)) =>
+      when(col("rank") === r, lit(d)).otherwise(acc)
+    }
+    def methodRows(approx: DataFrame, method: String): DataFrame = {
+      val dcg = approx.select(col("qid"), col("cand"), col("rank"))
+        .join(truth, Seq("qid", "cand"), "left")
+        .select(col("qid"), (coalesce(col("rel"), lit(0L)) * disc).as("g"))
+        .groupBy(col("qid")).agg(sum(col("g")).as("dcg_ppm"))
+      qids.join(dcg, Seq("qid"), "left")
+        .select(lit(method).as("method"), col("qid"),
+          coalesce(col("dcg_ppm"), lit(0L)).as("dcg_ppm"))
+    }
+    methodRows(lshTopK(spark, sfDir), "lsh")
+      .unionAll(methodRows(ivfTopK(spark, sfDir), "ivf"))
+      .unionAll(methodRows(ivfPqTopK(spark, sfDir), "ivfpq"))
+      .unionAll(methodRows(pqTopK(spark, sfDir), "pq"))
+      .unionAll(methodRows(pqTrainedTopK(spark, sfDir), "pq_trained"))
+      .withColumn("ndcg", round(col("dcg_ppm") / lit(ndcgIdealPpm.toDouble), 6))
+  }
+
+  val annNdcgSql: String = {
+    val discSql = "CASE a.rank " +
+      ndcgDiscPpm.map { case (r, d) => s"WHEN $r THEN $d" }.mkString(" ") +
+      " ELSE 0 END"
+    def methodSql(approxSql: String, method: String) =
+      s"""SELECT '$method' AS method, q.qid,
+         |  CAST(coalesce(s.dcg_ppm, 0) AS BIGINT) AS dcg_ppm,
+         |  round(coalesce(s.dcg_ppm, 0) / $ndcgIdealPpm.0, 6) AS ndcg
+         |FROM qids q LEFT JOIN (
+         |  SELECT a.qid, sum(coalesce(t.rel, 0) * $discSql) AS dcg_ppm
+         |  FROM ($approxSql) a
+         |  LEFT JOIN truth t ON t.qid = a.qid AND t.cand = a.cand
+         |  GROUP BY 1) s ON s.qid = q.qid""".stripMargin
+    s"""WITH truth AS (
+       |  SELECT qid, cand, ${topK} + 1 - rank AS rel FROM ($bruteTopKSql) b),
+       |qids AS (SELECT DISTINCT qid FROM truth)
+       |${methodSql(lshTopKSql, "lsh")}
+       |UNION ALL
+       |${methodSql(ivfTopKSql, "ivf")}
+       |UNION ALL
+       |${methodSql(ivfPqTopKSql, "ivfpq")}
+       |UNION ALL
+       |${methodSql(pqTopKSql, "pq")}
+       |UNION ALL
+       |${methodSql(pqTrainedTopKSql, "pq_trained")}""".stripMargin
+  }
+
   // ---- cluster-balanced sampling (diversity quota over semantic strata) ---
 
   val clusterSampleK = 8
@@ -1994,6 +2069,7 @@ object Similarity {
     "ann_filtered" -> (filteredTopK _),
     "ann_mips" -> (mipsTopK _),
     "ann_recall" -> (annRecall _),
+    "ann_ndcg" -> (annNdcg _),
     "samp_cluster" -> (clusterSample _),
     "samp_kcenter" -> (kcenter _),
     "ann_quant_topk" -> (quantTopK _),
@@ -2021,6 +2097,7 @@ object Similarity {
     "ann_filtered" -> filteredTopKSql,
     "ann_mips" -> mipsTopKSql,
     "ann_recall" -> annRecallSql,
+    "ann_ndcg" -> annNdcgSql,
     "samp_cluster" -> clusterSampleSql,
     "samp_kcenter" -> kcenterSql,
     "ann_quant_topk" -> quantTopKSql,

@@ -1807,7 +1807,125 @@ object WebOps {
        |FROM (SELECT unnest(ARRAY[x, y, z]) AS doc_id FROM tri) m
        |GROUP BY 1""".stripMargin
 
+  // ---- label-propagation community detection --------------------------------
+
+  /** Synchronous LPA rounds — PART OF THE QUERY CONTRACT (both engines stop
+    * at the same round, so a slow-mixing graph cannot diverge them). Raghavan
+    * et al. 2007 report near-convergence in ~5 sync rounds on real graphs. */
+  val lpaIters = 4
+
+  /** Community block size for the deterministic modular fixture graph. */
+  val lpaBlock = 32
+
+  /** Label-propagation community detection (Raghavan et al. 2007) over a
+    * deterministic block-modular doc graph — the community readout between
+    * [[components]] (too coarse: one label per connected piece) and
+    * [[triangles]] (local density only): mirror farms, link rings, and topic
+    * clusters show up as LPA communities long before they are separate
+    * components.
+    *
+    * Fixture graph, built replication-safely (nothing assumes contiguous
+    * doc_ids — positions are ranks WITHIN a block, and the cross-block
+    * bridges are dangling-dropped by the join itself, the web_components
+    * lesson): docs share a block by `doc_id div 32`; within a block, rank r
+    * links to rank (r+1) mod bs (ring) and rank (5r+3) mod bs (chord); each
+    * block's head (min doc) links to the head of block blk+32 when that
+    * block exists — so blocks are dense communities joined by single weak
+    * bridges, and the 4-round LPA labeling is a genuinely different answer
+    * from connected components.
+    *
+    * Scale shape: the block dim is a partial-aggregable groupBy (count +
+    * min); in-block ranks come from a window PARTITIONED BY block (groups
+    * are ≤ 32 rows — never a global sort); each LPA round is ONE equi-join
+    * of the once-partitioned adjacency against the labels plus a
+    * partial-aggregable max_by argmax ((count DESC, label ASC) tie-break —
+    * the exchange carries one row per (node, label), never a sorted
+    * neighborhood); lineage cut per round with localCheckpoint (the
+    * iterative-Catalyst hazard). Oracle: the same 4 rounds unrolled as CTE
+    * pairs, window row_number for the argmax. */
+  def labelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables(spark, sfDir).documents.select(col("doc_id")).persist()
+    val blk = (col("doc_id") - (col("doc_id") % lpaBlock)).as("blk")
+    val pos = docs.select(col("doc_id"), blk)
+      .withColumn("pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("blk")).orderBy(col("doc_id"))) - 1)
+      .persist()
+    val blkdim = pos.groupBy(col("blk"))
+      .agg(count(lit(1)).as("bs"), min(col("doc_id")).as("head"))
+      .persist()
+    val a = pos.join(blkdim, "blk")
+      .select(col("blk"), col("doc_id").as("src"), col("pos"), col("bs"))
+    val byRank = pos.select(col("blk").as("b2"), col("doc_id").as("dst"), col("pos").as("p2"))
+    def inBlock(target: Column): DataFrame = a
+      .join(byRank, col("blk") === col("b2") && col("p2") === target)
+      .select(col("src"), col("dst"))
+    val ring = inBlock((col("pos") + 1) % col("bs"))
+    val chord = inBlock((col("pos") * 5 + 3) % col("bs"))
+    val bridge = blkdim.select(col("blk"), col("head").as("src"))
+      .join(blkdim.select((col("blk") - lpaBlock).as("blk"), col("head").as("dst")), "blk")
+      .select(col("src"), col("dst"))
+    val raw = ring.unionAll(chord).unionAll(bridge).filter(col("src") =!= col("dst"))
+    val adj = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src")).persist() // one partitioning, reused per round
+    var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to lpaIters) {
+      val cand = adj.join(labels, col("dst") === col("node"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+      val pick = cand.groupBy(col("src"))
+        .agg(max_by(col("lbl"), struct(col("c"), -col("lbl"))).as("nlbl"))
+      labels = labels.join(pick, col("node") === col("src"), "left")
+        .select(col("node"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
+    labels.join(sizes, "lbl")
+      .select(col("node").as("doc_id"), col("lbl").as("community"), col("comm_size"))
+  }
+
+  /** The same graph and the same 4 sync rounds, unrolled relationally. */
+  val labelPropSql: String = {
+    def step(prev: String, i: Int): String =
+      s"""c$i AS (SELECT a.src, p.lbl, count(*) AS c
+         |  FROM adj a JOIN $prev p ON p.node = a.dst GROUP BY 1, 2),
+         |p$i AS (SELECT src, lbl FROM (
+         |  SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl ASC) AS rn
+         |  FROM c$i) WHERE rn = 1),
+         |l$i AS (SELECT d.node, coalesce(p.lbl, d.lbl) AS lbl
+         |  FROM $prev d LEFT JOIN p$i p ON p.src = d.node)""".stripMargin
+    s"""WITH docs AS (SELECT doc_id FROM documents),
+       |pos AS (SELECT doc_id, doc_id - (doc_id % $lpaBlock) AS blk,
+       |          row_number() OVER (PARTITION BY doc_id - (doc_id % $lpaBlock)
+       |                             ORDER BY doc_id) - 1 AS pos
+       |        FROM docs),
+       |blkdim AS (SELECT blk, count(*) AS bs, min(doc_id) AS head FROM pos GROUP BY 1),
+       |ring AS (SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM pos a JOIN blkdim d ON d.blk = a.blk
+       |  JOIN pos b ON b.blk = a.blk AND b.pos = (a.pos + 1) % d.bs),
+       |chord AS (SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM pos a JOIN blkdim d ON d.blk = a.blk
+       |  JOIN pos b ON b.blk = a.blk AND b.pos = (a.pos * 5 + 3) % d.bs),
+       |bridge AS (SELECT a.head AS src, b.head AS dst
+       |  FROM blkdim a JOIN blkdim b ON b.blk = a.blk + $lpaBlock),
+       |raw AS (SELECT src, dst FROM ring UNION ALL SELECT src, dst FROM chord
+       |        UNION ALL SELECT src, dst FROM bridge),
+       |adj AS (SELECT src, dst FROM raw WHERE src <> dst
+       |        UNION SELECT dst, src FROM raw WHERE src <> dst),
+       |l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM docs),
+       |${step("l0", 1)},
+       |${step("l1", 2)},
+       |${step("l2", 3)},
+       |${step("l3", 4)},
+       |sz AS (SELECT lbl, count(*) AS comm_size FROM l4 GROUP BY 1)
+       |SELECT CAST(l.node AS BIGINT) AS doc_id, CAST(l.lbl AS BIGINT) AS community,
+       |  s.comm_size
+       |FROM l4 l JOIN sz s ON s.lbl = l.lbl""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "web_labelprop" -> (labelProp _),
     "web_urlnorm" -> (urlNorm _),
     "web_html" -> (htmlExtract _),
     "web_wet" -> (wetExtract _),
@@ -1831,6 +1949,7 @@ object WebOps {
     "web_hits" -> (hits _))
 
   def oracleSql: Map[String, String] = Map(
+    "web_labelprop" -> labelPropSql,
     "web_urlnorm" -> urlNormSql,
     "web_html" -> htmlExtractSql,
     "web_wet" -> wetExtractSql,

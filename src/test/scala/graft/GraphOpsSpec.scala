@@ -30,6 +30,45 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(sizes.size > 1, "fixture graph must have multiple components")
   }
 
+  test("web_labelprop matches a local synchronous-LPA replay and is finer than components") {
+    val rows = web.WebOps.labelProp(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("community"), r.getAs[Long]("comm_size")))
+    val n = Tables(spark, sf).documents.count()
+    val B = web.WebOps.lpaBlock
+    // local replay of the SAME graph rule (rank ring + chord + head bridges)
+    val blocks = (0L until n).groupBy(d => d - (d % B)).view.mapValues(_.toVector.sorted).toMap
+    val raw = scala.collection.mutable.Set.empty[(Long, Long)]
+    blocks.foreach { case (blk, ms) =>
+      val bs = ms.size
+      ms.zipWithIndex.foreach { case (d, r) =>
+        raw += ((d, ms((r + 1) % bs)))
+        raw += ((d, ms((r * 5 + 3) % bs)))
+      }
+      blocks.get(blk + B).foreach(ns => raw += ((ms.min, ns.min)))
+    }
+    val und = raw.filter(e => e._1 != e._2).flatMap(e => Seq(e, e.swap)).toSet
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toVector).toMap
+      .withDefaultValue(Vector.empty[Long])
+    var lbl = (0L until n).map(d => d -> d).toMap
+    for (_ <- 1 to web.WebOps.lpaIters) {
+      lbl = (0L until n).map { d =>
+        val nbrs = adj(d)
+        if (nbrs.isEmpty) d -> lbl(d)
+        else d -> nbrs.map(lbl).groupBy(identity).view.mapValues(_.size).toSeq
+          .minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val sizes = lbl.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.length == n)
+    rows.foreach { case (d, c, s) =>
+      assert(c == lbl(d), s"doc $d: engine $c vs replay ${lbl(d)}")
+      assert(s == sizes(lbl(d)))
+    }
+    // the bridges chain every block into few COMPONENTS, but 4 LPA rounds keep
+    // block-scale labels — communities must be strictly finer than components
+    assert(sizes.size >= (n / B) / 2, s"expected block-scale communities, got ${sizes.size}")
+  }
+
   test("web_triangles: total participation divisible by 3 and matches a local count") {
     val rows = web.WebOps.triangles(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tri"))).toMap

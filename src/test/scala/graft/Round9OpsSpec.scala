@@ -32,6 +32,62 @@ class Round9OpsSpec extends AnyFunSuite {
     dir.toString
   }
 
+  test("q_mv_rewrite answers from the rollup, not the fact, and matches the naive aggregate") {
+    val sf = SparkTest.sf
+    val df = relational.Relational.mvRewriteQ(spark, sf)
+    val scans = df.queryExecution.optimizedPlan.collectLeaves().collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString).mkString(",")
+          case _ => ""
+        }
+    }
+    assert(scans.exists(_.contains("mv_lineitem_daily")),
+      s"rewritten plan must scan the rollup:\n${scans.mkString("\n")}")
+    assert(!scans.exists(_.contains("lineitem.parquet")),
+      s"rewritten plan still scans the fact:\n${scans.mkString("\n")}")
+    // value identity vs the naive plan over the fact (exact decimal partials
+    // make re-aggregation bit-identical, so == on doubles is the right bar)
+    val naive = Tables(spark, sf).lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_base_price"),
+        count(lit(1)).as("count_order"))
+    def key(r: Row) = (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus"))
+    val got = df.collect().map(r => key(r) -> r.toSeq).toMap
+    val want = naive.collect().map(r => key(r) -> r.toSeq).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("MvRewrite declines shapes the rollup cannot answer") {
+    val sf = SparkTest.sf
+    val t = Tables(spark, sf)
+    val mvPath = spark.conf.get("spark.sql.warehouse.dir") +
+      "/mv_lineitem_daily_" + java.lang.Integer.toHexString(sf.hashCode)
+    relational.Relational.mvRewriteQ(spark, sf) // materialize the rollup
+    val rule = graft.plans.MvRewrite(spark, mvPath)
+    // grouping outside the MV dims
+    val byPart = t.lineitem.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("s"))
+    assert(!rule.fired(rule(byPart.queryExecution.analyzed)))
+    // filter on a non-dim column
+    val nonDimFilter = t.lineitem.filter(col("l_discount") > 0.05)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("s"))
+    assert(!rule.fired(rule(nonDimFilter.queryExecution.analyzed)))
+    // an aggregate the MV has no partial state for
+    val maxAgg = t.lineitem.groupBy(col("l_returnflag")).agg(max(col("l_tax")).as("m"))
+    assert(!rule.fired(rule(maxAgg.queryExecution.analyzed)))
+    // distinct aggregation must never re-aggregate partial counts
+    val distinctAgg = t.lineitem.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("d"))
+    assert(!rule.fired(rule(distinctAgg.queryExecution.analyzed)))
+  }
+
   test("st_growth horizon guard trips on TRUE span overflow, not decoded span") {
     // The round-8 advice scenario: user 0 is first seen on the globally
     // earliest day and active again 100 days later. ShiftingBitmap

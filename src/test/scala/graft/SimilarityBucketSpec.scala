@@ -56,6 +56,34 @@ class SimilarityBucketSpec extends AnyFunSuite {
     assert(recalls.exists(_ < 1.0), "audit is vacuous: every recall is 1.0")
   }
 
+  test("ann_ndcg matches a local DCG recount from the engine's own lists") {
+    val rows = sim.Similarity.annNdcg(spark, sf).collect()
+    assert(rows.length == 5 * sim.Similarity.numQueries)
+    // graded truth: brute rank r -> relevance topK+1-r; discounts as the
+    // engine's ppm constants recomputed here from first principles
+    val disc = (1 to 3).map(i => i -> math.round(1e6 / (math.log(i + 1.0) / math.log(2.0)))).toMap
+    val idcg = (1 to 3).map(r => (sim.Similarity.topK + 1L - r) * disc(r)).sum
+    val rel = sim.Similarity.bruteTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand")) ->
+        (sim.Similarity.topK + 1L - r.getAs[Int]("rank"))).toMap
+    val lsh = sim.Similarity.lshTopK(spark, sf).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(r =>
+        rel.getOrElse((r.getAs[Long]("qid"), r.getAs[Long]("cand")), 0L) *
+          disc(r.getAs[Int]("rank"))).sum).toMap
+    rows.filter(_.getAs[String]("method") == "lsh").foreach { r =>
+      val expect = lsh.getOrElse(r.getAs[Long]("qid"), 0L)
+      assert(r.getAs[Long]("dcg_ppm") == expect, s"qid ${r.getAs[Long]("qid")}")
+      assert(math.abs(r.getAs[Double]("ndcg") - expect.toDouble / idcg) < 1e-6)
+    }
+    rows.foreach { r =>
+      val ndcg = r.getAs[Double]("ndcg")
+      assert(ndcg >= 0.0 && ndcg <= 1.0, s"ndcg out of range: $r")
+    }
+    val all = rows.map(_.getAs[Double]("ndcg"))
+    assert(all.exists(_ > 0.0) && all.exists(_ < 1.0), "nDCG audit is vacuous")
+  }
+
   test("knn join ranks are contiguous and capped at 3 per vector") {
     val rows = sim.Similarity.knnJoin(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("id")).values.foreach { rs =>

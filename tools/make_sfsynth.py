@@ -14,7 +14,12 @@ per-user/per-doc structure replicates rather than interleaves:
   - events.ts column type is preserved verbatim (the loaders' two-flavor
     contract is part of what the synthetic sweep must exercise)
 
-Usage: python3 tools/make_sfsynth.py [src_sf_dir] [dst_dir]
+Usage: python3 tools/make_sfsynth.py [src_sf_dir] [dst_dir] [reps]
+
+reps defaults to 10 (one decade). reps=100 from sf0.1 gives the 100x
+fixture (sfsynth10): the existing key shifts hold because every shifted
+base key is below its shift (orderkey < 1M, event/user id < 1M,
+doc/vec id < 100k at sf0.1), so 100 replicas stay disjoint.
 Then:  sbt "runMain graft.Verify <dst_dir> /tmp/verify_sf1"
        python3 tools/check.py <dst_dir> /tmp/verify_sf1
 
@@ -29,6 +34,7 @@ import duckdb
 
 src = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.1'
 dst = sys.argv[2] if len(sys.argv) > 2 else '/tmp/sfsynth1'
+nreps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
 
@@ -52,8 +58,8 @@ def replicate(table, shifts, reps=10):
     print(table, n)
 
 
-replicate('orders', {'o_orderkey': 1000000})
-replicate('lineitem', {'l_orderkey': 1000000})
-replicate('events', {'event_id': 1000000, 'user_id': 1000000})
-replicate('documents', {'doc_id': 100000})
-replicate('embeddings', {'vec_id': 100000})
+replicate('orders', {'o_orderkey': 1000000}, reps=nreps)
+replicate('lineitem', {'l_orderkey': 1000000}, reps=nreps)
+replicate('events', {'event_id': 1000000, 'user_id': 1000000}, reps=nreps)
+replicate('documents', {'doc_id': 100000}, reps=nreps)
+replicate('embeddings', {'vec_id': 100000}, reps=nreps)
