@@ -259,23 +259,34 @@ class Round8OpsSpec extends AnyFunSuite {
   }
 
   test("ev_series_recall: per-probe hits are consistent and the audit grades the real rows") {
+    // round 9 widened the audit: one row per (method, probe) for BOTH the
+    // single-table multi-probe path and the OR-ed multi-table path, graded
+    // against the one brute truth — replay each method from its own row
     val truth = events.EventOps.seriesSim(spark, sf).collect()
       .groupBy(_.getAs[Long]("probe_user"))
       .map { case (p, rs) => p -> rs.map(_.getAs[Long]("cand_user")).toSet }
-    val lsh = events.EventOps.seriesLsh(spark, sf).collect()
-      .groupBy(_.getAs[Long]("probe_user"))
-      .map { case (p, rs) => p -> rs.map(_.getAs[Long]("cand_user")).toSet }
+    def candsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect()
+        .groupBy(_.getAs[Long]("probe_user"))
+        .map { case (p, rs) => p -> rs.map(_.getAs[Long]("cand_user")).toSet }
+    val approx = Map(
+      "series_lsh" -> candsOf(events.EventOps.seriesLsh(spark, sf)),
+      "series_lsh_mt" -> candsOf(events.EventOps.seriesLshMt(spark, sf)))
     val audit = events.EventOps.seriesRecall(spark, sf).collect()
-    assert(audit.map(_.getAs[Long]("probe_user")).toSet == truth.keySet,
-      "one audit row per brute probe")
+    approx.keys.foreach { m =>
+      assert(audit.filter(_.getAs[String]("method") == m)
+        .map(_.getAs[Long]("probe_user")).toSet == truth.keySet,
+        s"one $m audit row per brute probe")
+    }
     audit.foreach { r =>
       val p = r.getAs[Long]("probe_user")
-      val expHit = truth(p).intersect(lsh.getOrElse(p, Set.empty)).size.toLong
+      val m = r.getAs[String]("method")
+      assert(approx.contains(m), s"unexpected method $m")
+      val expHit = truth(p).intersect(approx(m).getOrElse(p, Set.empty)).size.toLong
       assert(r.getAs[Long]("n_truth") == truth(p).size.toLong)
-      assert(r.getAs[Long]("n_hit") == expHit, s"probe $p hit count")
+      assert(r.getAs[Long]("n_hit") == expHit, s"$m probe $p hit count")
       assert(math.abs(r.getAs[Double]("recall") -
         expHit.toDouble / truth(p).size) < 1e-6)
-      assert(r.getAs[String]("method") == "series_lsh")
     }
   }
 }
