@@ -21,6 +21,8 @@ object StreamProf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    sys.env.get("GRAFT_STATE_PARTS").foreach(v =>
+      spark.conf.set("graft.streaming.statePartitions", v))
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit =

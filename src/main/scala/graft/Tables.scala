@@ -22,10 +22,7 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, Timesta
   * owns the wire format; the consumer adapts.
   */
 final class Tables(spark: SparkSession, sfDir: String) {
-  private def load(name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
-  }
+  private def load(name: String): DataFrame = Tables.cachedLoad(spark, sfDir, name)
 
   def region: DataFrame = load("region")
   def nation: DataFrame = load("nation")
@@ -62,6 +59,34 @@ final class Tables(spark: SparkSession, sfDir: String) {
 
 object Tables {
   def apply(spark: SparkSession, sfDir: String): Tables = new Tables(spark, sfDir)
+
+  /** r9 OPT (guide §1/§6): every `spark.read.parquet(path)` lists the
+    * directory and reads a footer to infer the schema — pure driver-side
+    * overhead repeated by EVERY query build (hundreds of times across a
+    * bench sweep, several times per query). The unresolved READ PLAN is
+    * immutable, so it is built once per (session, path) and reused; no DATA
+    * is cached — every action still scans the parquet (re-verified: bench
+    * passes re-execute the full scan). Keyed weakly by session so stopped
+    * test sessions do not accumulate. */
+  private val planCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]
+
+  private[graft] def cachedLoad(spark: SparkSession, sfDir: String,
+      name: String): DataFrame = {
+    val perSession = planCache.synchronized {
+      var m = planCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        planCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(s"$sfDir/$name.parquet", {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    })
+  }
 
   /** Schema-adaptive `ts` normalization — see class doc. Both branches yield
     * identical (`ts`, `ts_ns`) for the same instant, which the both-flavor

@@ -533,10 +533,19 @@ object Dedup {
         graft.plans.MinHashSigs(col("hs_arr"), hashAB, mersenneP).as("mh"))
       .persist()
     val perConfig = lshConfigs.map { case (b, r) =>
+      // r9 OPT (guide §2.3): band key = array of the r band minima packed
+      // pairwise into longs (minima < 2^31, so the pack is injective —
+      // identical bucket equality), replacing the "_"-joined STRING key:
+      // fixed-width long-array keys hash and compare far cheaper through
+      // the cap window and the candidate self-join than per-row strings
+      // (the same swap bandRows made for dd_minhash). Outputs unchanged.
       val rows = sigs.select(col("doc_id"), explode(array((0 until b).map { i =>
         struct(lit(i).as("band"),
-          concat_ws("_", (0 until r).map(j => col("mh").getItem(i * r + j)): _*)
-            .as("key"))
+          array((0 until r by 2).map { j =>
+            if (j + 1 < r)
+              col("mh").getItem(i * r + j) * 2147483648L + col("mh").getItem(i * r + j + 1)
+            else col("mh").getItem(i * r + j)
+          }: _*).as("key"))
       }: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
       // the sweep measures the PRODUCTION join, which is bucket-capped

@@ -434,15 +434,27 @@ object EventOps {
     * re-scan the whole pair set per day). The trailing day dim prunes
     * window anchors with no activity of their own. */
   def wau(spark: SparkSession, sfDir: String): DataFrame = {
-    val du = Tables(spark, sfDir).events
-      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
-    val days = du.select(col("d").as("day")).distinct()
-    val dau = du.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
-    val wauDf = du
-      .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("day"),
-        col("user_id"))
-      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
-    days.join(dau, "day").join(wauDf, "day")
+    // r9 OPT (guide §2.4/§2.3): the previous form built the distinct
+    // (day, user) frame and consumed it THREE times un-persisted (days dim,
+    // dau agg, wau agg) then stitched with two joins — 3 corpus scans,
+    // 3 distinct shuffles, 2 join exchanges. Fused: explode each activity
+    // row into its ≤7 trailing window anchors FIRST (map-side, no shuffle),
+    // then ONE (day, user) aggregation dedupes pairs while carrying an
+    // own-day flag (max(d = day)), and ONE (day) aggregation reads both
+    // counts off it: wau = pair count, dau = Σ own-flag. dau > 0 filters to
+    // exactly the days with own activity (the old days-dim inner join).
+    // 1 scan + 2 exchanges, both with map-side partial aggregation; at
+    // 100 TB the first exchange carries the same ≤7×|distinct pairs| rows
+    // the old wau agg shuffled, and the other 5 passes disappear.
+    val ev = Tables(spark, sfDir).events
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    ev.select(col("d"), col("user_id"),
+        explode(sequence(col("d"), date_add(col("d"), 6))).as("day"))
+      .groupBy(col("day"), col("user_id"))
+      .agg(max(when(col("d") === col("day"), 1L).otherwise(0L)).as("own"))
+      .groupBy(col("day"))
+      .agg(sum(col("own")).as("dau"), count(lit(1)).as("wau"))
+      .filter(col("dau") > 0)
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("dau"), col("wau"))
   }
@@ -2080,23 +2092,31 @@ object EventOps {
       .join(bits, Seq("user_id"), "left")
       .select(col("user_id"), col("n2"),
         coalesce(col("bk"), lit(0L)).as("bucket"))
+    // r9 OPT (guide §2.4): carry n2 through the candidate join instead of
+    // re-joining `bucket` on pu and again on cu AFTER scoring — those two
+    // joins cost four exchanges (dots re-shuffled twice + both bucket
+    // probes); riding n2 on the join rows costs 8 bytes per shuffled row
+    // and the norms fall out of the (pu, cu) aggregate as max() of a
+    // per-key-constant. Output unchanged (np/nc are functions of pu/cu).
+    // The persist moved from `bucket` (single consumer now) onto `udb`,
+    // which both sides of the candidate join read.
+    val udb = ud.join(
+        bucket.select(col("user_id"), col("bucket"), col("n2")), "user_id")
       .persist()
-    val udb = ud.join(bucket.select(col("user_id"), col("bucket")), "user_id")
     // multi-probe: identity + the A single-bit flips of the probe's bucket
     val flips = lit(0L) +: (0 until anchors).map(a => lit(1L << a))
     val probe = udb.filter(col("user_id") % seriesSimProbeMod === 0)
       .select(col("user_id").as("pu"), col("day").as("pday"),
-        col("c").as("pc"), col("bucket").as("pb0"))
+        col("c").as("pc"), col("bucket").as("pb0"), col("n2").as("np"))
       .withColumn("pb", explode(array(flips.map(f => col("pb0").bitwiseXOR(f)): _*)))
     val dots = probe
       .join(udb.select(col("user_id").as("cu"), col("day"),
-          col("c").as("cc"), col("bucket").as("cb")),
+          col("c").as("cc"), col("bucket").as("cb"), col("n2").as("nc")),
         col("day") === col("pday") && col("cb") === col("pb") &&
           col("cu") =!= col("pu"))
-      .groupBy(col("pu"), col("cu")).agg(sum(col("pc") * col("cc")).as("dot"))
+      .groupBy(col("pu"), col("cu")).agg(sum(col("pc") * col("cc")).as("dot"),
+        max(col("np")).as("np"), max(col("nc")).as("nc"))
     val scored = dots
-      .join(bucket.select(col("user_id").as("pu"), col("n2").as("np")), "pu")
-      .join(bucket.select(col("user_id").as("cu"), col("n2").as("nc")), "cu")
       .select(col("pu"), col("cu"),
         round(col("dot").cast("double") / (sqrt(col("np")) * sqrt(col("nc"))), 6)
           .as("cos_sim"))
@@ -2285,7 +2305,12 @@ object EventOps {
       .select(col("user_id"), col("tbl"), coalesce(col("bk"), lit(0L)).as("bucket"))
       .persist()
     // the OR: distinct co-bucketed pairs across all tables — pair
-    // generation runs on the n·T bucket table, never on day-level rows
+    // generation runs on the n·T bucket table, never on day-level rows.
+    // NB (r9, measured): carrying n2 on the pair rows through the dots
+    // joins — the single-table row's §2.4 trick — REGRESSED here (5.0 →
+    // 9.4 s): the widened rows ride the pair×days intermediate through two
+    // shuffles, while the tot joins this would remove run over the SMALL
+    // dots output. Norm attachment stays post-aggregation.
     val pairs = bucket.filter(col("user_id") % seriesSimProbeMod === 0)
       .select(col("user_id").as("pu"), col("tbl"), col("bucket"))
       .join(bucket.select(col("user_id").as("cu"), col("tbl"), col("bucket")),

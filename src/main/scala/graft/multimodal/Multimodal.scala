@@ -124,10 +124,26 @@ object Multimodal {
     } finally iis.close()
   }
 
+  /** r9 OPT (guide §2.6/§6): the payload source for every decode pass.
+    * This corpus packs into ONE parquet split (well under
+    * maxPartitionBytes), so each decode `mapPartitions` — the most
+    * CPU-bound work in the suite (per-window MD5s, codec loops) — ran as a
+    * single task. Spread the scan over the session parallelism ONLY when
+    * it is narrower (hash on doc_id: deterministic, no round-robin
+    * pre-sort); at 100 TB the scan already has thousands of splits and
+    * this is a no-op — no payload shuffle is ever added at scale. */
+  private def payloadFrame(spark: SparkSession, sfDir: String): DataFrame =
+    spreadPayloads(Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload")))
+
+  private[graft] def spreadPayloads(p: DataFrame): DataFrame = {
+    val cores = p.sparkSession.sparkContext.defaultParallelism
+    if (p.rdd.getNumPartitions < cores) p.repartition(cores, col("doc_id")) else p
+  }
+
   def mmMeta(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, sfDir).documents
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    payloadFrame(spark, sfDir)
       .as[Payload]
       .mapPartitions { it =>
         // batched decode loop — the Arrow-batch shape a real codec needs
@@ -240,8 +256,7 @@ object Multimodal {
     * integer-exact so the oracle replays them from the generation rule. */
   def mmAudio(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, sfDir).documents
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    payloadFrame(spark, sfDir)
       .as[Payload]
       .mapPartitions { it =>
         it.grouped(64).flatMap(_.map { p =>
@@ -302,8 +317,7 @@ object Multimodal {
     * generation rule — integer-exact. */
   def mmResizeExec(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, sfDir).documents
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    payloadFrame(spark, sfDir)
       .as[Payload]
       .mapPartitions { it =>
         it.grouped(64).flatMap(_.map { p =>
@@ -383,8 +397,7 @@ object Multimodal {
     * integer-exact end to end. */
   def mmAudioFp(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val fps = Tables(spark, sfDir).documents
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val fps = payloadFrame(spark, sfDir)
       .as[Payload]
       .mapPartitions { it =>
         it.grouped(64).flatMap(_.map { p =>
@@ -451,8 +464,7 @@ object Multimodal {
     * before a filter). */
   def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, sfDir).documents
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    payloadFrame(spark, sfDir)
       .as[Payload]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -505,8 +517,7 @@ object Multimodal {
     * shots emitted as (start_frame, n_frames) segments. */
   def mmVideoShots(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, sfDir).documents
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    payloadFrame(spark, sfDir)
       .as[Payload]
       .mapPartitions { it =>
         it.grouped(64).flatMap(_.flatMap { p =>
@@ -565,8 +576,7 @@ object Multimodal {
     * query drops it (stable output schema). */
   private def resized(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, sfDir).documents
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    payloadFrame(spark, sfDir)
       .as[Payload]
       .mapPartitions { it =>
         it.grouped(64).flatMap(_.map { p =>
@@ -630,8 +640,7 @@ object Multimodal {
   /** Library API: histogram kept array-typed. */
   def mmFeaturesVec(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, sfDir).documents
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    payloadFrame(spark, sfDir)
       .as[Payload]
       .mapPartitions { it =>
         it.grouped(64).flatMap(_.map { p =>
@@ -677,8 +686,7 @@ object Multimodal {
     * mixture planning downstream sees pass rates, not just survivors. */
   def mmPair(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val txt = Tables(spark, sfDir).documents
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val txt = payloadFrame(spark, sfDir)
       .as[Payload]
       .mapPartitions { it =>
         it.grouped(64).flatMap(_.map { p =>
@@ -777,6 +785,8 @@ object Multimodal {
     phashSigsFrom(
       Tables(spark, sfDir).documents
         .select(col("doc_id"), col("text").cast("binary").as("payload")))
+    // (spread applied inside phashSigsFrom — shared with pipe_mm's
+    // restricted-survivor call path)
 
   /** The signature pass over an arbitrary payload frame — a typed
     * `mapPartitions` is a boundary Catalyst cannot push a join below, so a
@@ -787,8 +797,7 @@ object Multimodal {
     val spark = payloads.sparkSession
     import spark.implicits._
     val saltBytes = phashSalt.getBytes("UTF-8")
-    payloads
-      .filter(length(col("payload")) > 0)
+    spreadPayloads(payloads.filter(length(col("payload")) > 0))
       .as[Payload]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")

@@ -35,7 +35,18 @@ object Staging {
       warehouse + "/" + table.toLowerCase(java.util.Locale.ROOT))
     val fs = org.apache.hadoop.fs.FileSystem.get(loc, spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(loc), true)
-    df.write.mode("overwrite")
+    // r9 OPT (guide §6/§2.4): repartition by the bucket key into exactly
+    // `buckets` partitions before the bucketed write. Spark's bucket id is
+    // pmod(murmur3(key), buckets) — the same function HashPartitioning
+    // applies — so each write task holds exactly one bucket: the per-bucket
+    // sort+write runs `buckets`-way parallel (it was single-task when the
+    // scan collapsed to one split) and the table lands as ONE file per
+    // bucket at any input partitioning (an M-partition input otherwise
+    // writes up to M×buckets files — the small-file problem — and multi-file
+    // buckets additionally forfeit the sorted-bucket read that lets the
+    // merge join skip its sort). Table contents are identical.
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)

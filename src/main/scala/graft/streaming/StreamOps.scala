@@ -32,10 +32,10 @@ object StreamOps {
   /** Peek the events parquet footer via a batch read to learn the physical
     * `ts` type (LongType when TIMESTAMP(NANOS) under nanosAsLong; TIMESTAMP
     * or TIMESTAMP_NTZ when µs). One footer read, no data scan. */
-  private def eventsTsType(spark: SparkSession, sfDir: String): org.apache.spark.sql.types.DataType = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
-  }
+  private def eventsTsType(spark: SparkSession, sfDir: String): org.apache.spark.sql.types.DataType =
+    // rides the session-scoped read-plan cache (one footer read per session,
+    // not one per streaming row — 39 rows re-peeked it every sweep)
+    graft.Tables.cachedLoad(spark, sfDir, "events").schema("ts").dataType
 
   /** File-source → transform → memory-sink, run to completion.
     *

@@ -1866,9 +1866,19 @@ object WebOps {
       .join(blkdim.select((col("blk") - lpaBlock).as("blk"), col("head").as("dst")), "blk")
       .select(col("src"), col("dst"))
     val raw = ring.unionAll(chord).unionAll(bridge).filter(col("src") =!= col("dst"))
+    // r9 OPT (guide §2.4/§3): the per-round join key is DST (adj.dst =
+    // labels.node), but the adjacency was partitioned by SRC — every round
+    // re-shuffled the full edge list. Repartition by dst BEFORE the
+    // distinct (HashPartitioning(dst) already satisfies the distinct's
+    // clustering requirement on (src,dst), so the old two-exchange
+    // distinct+repartition collapses to one exchange), sort within
+    // partitions so the merge join needs neither exchange nor sort on the
+    // edge side, and persist THAT: each round now moves only the n-row
+    // labels frame — the optimal LPA shape at any scale (edges ≫ nodes).
     val adj = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .distinct()
-      .repartition(col("src")).persist() // one partitioning, reused per round
+      .sortWithinPartitions(col("dst")).persist()
     var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
       .localCheckpoint(true)
     for (_ <- 1 to lpaIters) {
