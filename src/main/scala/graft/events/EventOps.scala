@@ -1777,18 +1777,26 @@ object EventOps {
     val lags = counts.sparkSession.range(-xcorrMaxLag, xcorrMaxLag + 1)
       .select(col("id").as("lag"))
     val types = c.select(col("event_type")).distinct()
-    val amom = c.crossJoin(lags).crossJoin(broadcast(bounds))
-      .filter(col("h") >= col("mn") + greatest(lit(0L), -col("lag")) &&
-        col("h") <= col("mx") - greatest(lit(0L), col("lag")))
+    // r9 OPT (guide §2.3): the a-side and b-side moment folds differ only
+    // in their overlap-window predicate — ONE pass over c×lags computes
+    // both as conditional sums (the second full aggregation + exchange is
+    // gone); the grid reads each side off the same frame under a rename.
+    val inA = col("h") >= col("mn") + greatest(lit(0L), -col("lag")) &&
+      col("h") <= col("mx") - greatest(lit(0L), col("lag"))
+    val inB = col("h") >= col("mn") + greatest(lit(0L), col("lag")) &&
+      col("h") <= col("mx") + least(lit(0L), col("lag"))
+    val moms = c.crossJoin(lags).crossJoin(broadcast(bounds))
+      .filter(inA || inB)
       .groupBy(col("event_type"), col("lag"))
-      .agg(sum(col("c")).as("sa"), sum(col("c") * col("c")).as("saa"))
-      .withColumnRenamed("event_type", "type_a")
-    val bmom = c.crossJoin(lags).crossJoin(broadcast(bounds))
-      .filter(col("h") >= col("mn") + greatest(lit(0L), col("lag")) &&
-        col("h") <= col("mx") + least(lit(0L), col("lag")))
-      .groupBy(col("event_type"), col("lag"))
-      .agg(sum(col("c")).as("sb"), sum(col("c") * col("c")).as("sbb"))
-      .withColumnRenamed("event_type", "type_b")
+      .agg(sum(when(inA, col("c"))).as("sa"),
+        sum(when(inA, col("c") * col("c"))).as("saa"),
+        sum(when(inB, col("c"))).as("sb"),
+        sum(when(inB, col("c") * col("c"))).as("sbb"))
+      .persist() // both grid sides read it; tiny (types × lags)
+    val amom = moms.select(col("event_type").as("type_a"), col("lag"),
+      col("sa"), col("saa"))
+    val bmom = moms.select(col("event_type").as("type_b"), col("lag"),
+      col("sb"), col("sbb"))
     // b.h = a.h + L already confines a.h to the overlap window exactly
     // (both endpoints in [mn, mx] ⇔ a.h in [mn+max(0,−L), mx−max(0,L)])
     val ab = c.select(col("event_type").as("type_a"), col("h").as("ha"), col("c").as("ca"))

@@ -621,15 +621,17 @@ object Similarity {
     * (6dp-rounded per dimension — the mean is the only non-ordered fold in
     * the pipeline, and 1e-13 sum-order noise is far below the rounding).
     * Empty clusters vanish (standard Lloyd's with drop-empty policy). */
-  private def kmMeans(e: DataFrame, assigned: DataFrame): DataFrame = {
-    val dims = e.join(assigned, "vec_id")
-      .select(col("cid"), posexplode(col("v")))
-      .groupBy(col("cid"), col("pos")).agg(round(avg(col("col")), 6).as("m"))
-    dims.groupBy(col("cid"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dm"))
-      .select(col("cid"), transform(col("dm"), x => x.getField("m")).as("cv"))
+  private def kmMeans(e: DataFrame, assigned: DataFrame): DataFrame =
+    // r9 OPT (guide §2.3/§2.4): one vector_mean aggregate replaces
+    // posexplode + per-dim avg + collect_list repack — the 64× row
+    // explosion and one of the two exchanges per Lloyd iteration are gone;
+    // the 6dp per-dim rounding is applied to the same
+    // (partial-aggregation-ordered) float mean as before.
+    e.join(assigned, "vec_id")
+      .groupBy(col("cid"))
+      .agg(graft.plans.VectorMean.vectorMean(col("v")).as("mraw"))
+      .select(col("cid"), transform(col("mraw"), x => round(x, 6)).as("cv"))
       .withColumn("cnrm", sqrt(graft.plans.VectorDot(col("cv"), col("cv"))))
-  }
 
   /** K-means centroid training (Lloyd's): the step the IVF and SemDeDup
     * docs defer to ("trained centroids drop in identically"). Each
@@ -638,7 +640,11 @@ object Similarity {
     * so the whole training pass is a fixed number of linear scans at any
     * corpus size. Output: the iteration-`kmIters` centroid means (one row
     * per cluster × dimension) with final membership counts. */
-  def kmeans(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The Lloyd loop itself: (final centroids (cid, cv, cnrm), final
+    * assignment) — shared by the declared long-format row below and the
+    * IVF-over-trained-centroids probe (which previously re-collected the
+    * arrays back OUT of the exploded row format). */
+  private def kmeansFit(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val e = emb(spark, sfDir).select(col("vec_id"), col("v"), col("nrm")).persist()
     val seeds = e.filter(col("vec_id") < kmK)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
@@ -656,6 +662,11 @@ object Similarity {
       if (prev != null) prev.unpersist()
       cents = kmMeans(e, assigned)
     }
+    (cents, assigned)
+  }
+
+  def kmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cents, assigned) = kmeansFit(spark, sfDir)
     val counts = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
     cents.select(col("cid"), posexplode(col("cv")))
       .select(col("cid"), col("pos").cast("long").as("dim"), col("col").as("m"))
@@ -700,18 +711,19 @@ object Similarity {
 
   // ---- IVF over TRAINED centroids -----------------------------------------
 
-  /** [[kmeans]] output repacked into the `(cid, cv, cnrm)` coarse-quantizer
-    * shape the IVF probe consumes — consuming the ann_kmeans frame itself,
-    * so the row proves the "trained centroids drop in identically" claim
-    * end-to-end rather than asserting it in a comment. Persisted: three
-    * probe-path references must not re-run the Lloyd iterations. */
+  /** The k-means centroids in the `(cid, cv, cnrm)` coarse-quantizer shape
+    * the IVF probe consumes — the SAME [[kmeansFit]] arrays the declared
+    * ann_kmeans row explodes (identical values by construction; the r9
+    * optimization dropped the explode→collect_list representation
+    * round-trip this used to pay to re-derive them from the row format).
+    * Persisted: three probe-path references must not re-run the Lloyd
+    * iterations. */
   private def trainedCentroids(spark: SparkSession, sfDir: String): DataFrame =
-    kmeans(spark, sfDir)
-      .groupBy(col("cid"))
-      .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
-      .select(col("cid"), transform(col("dm"), x => x.getField("m")).as("cv"))
-      .withColumn("cnrm", sqrt(graft.plans.VectorDot(col("cv"), col("cv"))))
-      .persist()
+    // r9 OPT: consume the Lloyd loop's centroid arrays directly — the
+    // previous form ran the declared row's posexplode + membership join and
+    // then collect_list'd the arrays straight back (two aggregates and a
+    // join for a representation round-trip). Same values by construction.
+    kmeansFit(spark, sfDir)._1.persist()
 
   /** IVF with the training step: identical probe plan to [[ivfTopK]], coarse
     * quantizer swapped for the k-means-trained centroids. */
@@ -1005,13 +1017,11 @@ object Similarity {
     var prevPinned: DataFrame = null
     for (_ <- 0 until pqTrainIters) {
       val codes = pqAssignWith(sub, cb)
+      // r9 OPT: one vector_mean aggregate per (s, c) — see kmMeans
       cb = sub.join(codes, Seq("vec_id", "s"))
-        .select(col("s"), col("c"), posexplode(col("sub")))
-        .groupBy(col("s"), col("c"), col("pos"))
-        .agg(round(avg(col("col")), 6).as("m"))
         .groupBy(col("s"), col("c"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dm"))
-        .select(col("s"), col("c"), transform(col("dm"), x => x.getField("m")).as("cw"))
+        .agg(graft.plans.VectorMean.vectorMean(col("sub")).as("mraw"))
+        .select(col("s"), col("c"), transform(col("mraw"), x => round(x, 6)).as("cw"))
         .withColumn("cwn2", graft.plans.VectorDot(col("cw"), col("cw")))
         .persist() // 32 rows; pin each iteration so plans don't nest
       // eager cut (round-8 advice): materialize this iterate, drop the
