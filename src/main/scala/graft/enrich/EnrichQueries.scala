@@ -185,6 +185,9 @@ object EnrichQueries {
         (expr("ip_int DIV 7") % 360001L - 180000L).as("lon_mdeg"))
       .withColumn("cx", expr(s"(lon_mdeg + 180000) DIV $geoCellMdeg"))
       .withColumn("cy", expr(s"(lat_mdeg + 85000) DIV $geoCellMdeg"))
+      // r9 OPT: both join sides read this frame — un-persisted, the signup
+      // extraction (per-event JSON prop parsing) ran twice
+      .persist()
     val left = s.select(col("event_id").as("ea"), col("lat_mdeg").as("la"),
         col("lon_mdeg").as("oa"), col("cx"), col("cy"))
       .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))

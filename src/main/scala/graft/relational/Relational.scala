@@ -2043,6 +2043,9 @@ object Relational {
   def qBasket(spark: SparkSession, sfDir: String): DataFrame = {
     // four consumers (both self-join sides, the marginal counts, N) —
     // persist or the distinct recomputes per consumer (4 scans)
+    // (r9 note: repartition(ok)-before-distinct to make the self-join
+    // exchange-free MEASURED slower — it shuffles raw rows where the
+    // distinct's map-side partial dedup shuffled collapsed ones.)
     val op = Tables(spark, sfDir).lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct().persist()

@@ -581,6 +581,9 @@ object Sampling {
       // are exact integers, ess = (Σe)²/Σe² = S²/Q (grids cancel),
       // wmax_share = 1/Σe = 1e6/S (the max doc's e quantizes to exactly
       // 1e6).
+      // (r9 note: persisting `weighted` for the max-subtract's second read
+      // MEASURED 3× slower — materialization beats the recompute that
+      // exchange reuse already dedups; left un-persisted deliberately.)
       val m = weighted.agg(max(col("lw")).as("m"))
       weighted.crossJoin(broadcast(m))
         .select(round(exp(col("lw") - col("m")) * 1e6, 0)
