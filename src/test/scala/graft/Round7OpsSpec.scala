@@ -283,12 +283,21 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(!comp.contains("text"), "compaction planner must not scan text:\n" +
       comp.take(600))
     // mm_audio_fp: decode+fingerprint are per-partition math; ownership is
-    // ONE hash exchange on fp (plus AQE reuse nodes, never a second hash)
+    // ONE hash exchange on fp. Since r9 a conditional payload-spread
+    // repartition precedes the decode when the scan is narrower than the
+    // session parallelism (no-op at scale) — pin that the fp-ownership
+    // exchange is exactly one and the only other hash exchange (if any)
+    // is the doc_id spread.
     val afp = multimodal.Multimodal.mmAudioFp(spark, sf)
       .queryExecution.executedPlan.toString
-    val hashEx = "Exchange hashpartitioning".r.findAllIn(afp).length
-    assert(hashEx == 1, s"audio_fp must shuffle exactly once, saw $hashEx:\n" +
+    val fpEx = "Exchange hashpartitioning\\(fp".r.findAllIn(afp).length
+    val allEx = "Exchange hashpartitioning".r.findAllIn(afp).length
+    assert(fpEx == 1, s"audio_fp must shuffle on fp exactly once, saw $fpEx:\n" +
       afp.take(600))
+    assert(allEx - fpEx <= 1 &&
+      (allEx == fpEx || "Exchange hashpartitioning\\(doc_id".r.findAllIn(afp).length == allEx - fpEx),
+      s"audio_fp: only the conditional doc_id spread may add an exchange:\n" +
+        afp.take(600))
     // degenerate-plan guards on the new aggregation chains
     Seq(
       "samp_ess" -> sample.Sampling.ess(spark, sf),
