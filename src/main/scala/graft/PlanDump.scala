@@ -5,9 +5,13 @@ import scala.util.control.NonFatal
 
 /** Dev tool: dump `.explain("formatted")` for queries to files.
   * args: <sfDir> <outDir> [comma-separated query names; default all]
-  * Plans are captured WITHOUT executing the query (queryExecution on the
-  * built DataFrame), so this is cheap and side-effect-free. Used to commit
-  * the plans/r09/<query>_{before,after}.txt optimization evidence.
+  * Captures queryExecution.explainString on the BUILT DataFrame — for most
+  * queries that is plan-only and cheap, but eager builders run real work
+  * during the build itself (k-means/PQ training call count() per Lloyd
+  * iteration; streaming harness rows run their query to completion inside
+  * the builder), so plan capture for those executes substantial jobs and
+  * the dumped plan is only the post-loop/post-drain tail. Used to commit
+  * the plans/r{N}/<query>_{before,after}.txt optimization evidence.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {

@@ -23,6 +23,8 @@ object StreamProf {
     spark.sparkContext.setLogLevel("ERROR")
     sys.env.get("GRAFT_STATE_PARTS").foreach(v =>
       spark.conf.set("graft.streaming.statePartitions", v))
+    sys.env.get("GRAFT_CKPT_DIR").foreach(v =>
+      spark.conf.set("graft.streaming.checkpointDir", v))
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit =

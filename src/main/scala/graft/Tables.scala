@@ -66,27 +66,48 @@ object Tables {
     * bench sweep, several times per query). The unresolved READ PLAN is
     * immutable, so it is built once per (session, path) and reused; no DATA
     * is cached — every action still scans the parquet (re-verified: bench
-    * passes re-execute the full scan). Keyed weakly by session so stopped
-    * test sessions do not accumulate. */
-  private val planCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]
+    * passes re-execute the full scan).
+    *
+    * r10 fix (r9 ADVICE): the r9 form keyed a WeakHashMap by the session,
+    * but the cached DataFrames strongly reference their session (via
+    * QueryExecution) and WeakHashMap holds values strongly — entries for
+    * stopped sessions were never collected. Now an access-order LRU keyed
+    * by the session, bounded at [[maxCachedSessions]] entries: the sessions
+    * ARE held strongly, but old ones are dropped deterministically on the
+    * (maxCachedSessions+1)-th session instead of "eventually, maybe". */
+  private val maxCachedSessions = 4
+  private[graft] val sessionScoped =
+    new java.util.LinkedHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, AnyRef]](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession,
+            scala.collection.concurrent.TrieMap[String, AnyRef]]): Boolean =
+        size() > maxCachedSessions
+    }
 
-  private[graft] def cachedLoad(spark: SparkSession, sfDir: String,
-      name: String): DataFrame = {
-    val perSession = planCache.synchronized {
-      var m = planCache.get(spark)
+  /** Per-(session, key) driver-side memo for immutable plan/metadata
+    * objects. NEVER caches data — values must be cheap driver objects
+    * (read plans, partition counts). */
+  private[graft] def sessionMemo[V <: AnyRef](spark: SparkSession, key: String)(
+      build: => V): V = {
+    val perSession = sessionScoped.synchronized {
+      var m = sessionScoped.get(spark)
       if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        planCache.put(spark, m)
+        m = scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+        sessionScoped.put(spark, m)
       }
       m
     }
-    perSession.getOrElseUpdate(s"$sfDir/$name.parquet", {
+    perSession.getOrElseUpdate(key, build).asInstanceOf[V]
+  }
+
+  private[graft] def cachedLoad(spark: SparkSession, sfDir: String,
+      name: String): DataFrame =
+    sessionMemo(spark, s"read:$sfDir/$name.parquet") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
-    })
-  }
+    }
 
   /** Schema-adaptive `ts` normalization — see class doc. Both branches yield
     * identical (`ts`, `ts_ns`) for the same instant, which the both-flavor

@@ -186,7 +186,14 @@ object EnrichQueries {
       .withColumn("cx", expr(s"(lon_mdeg + 180000) DIV $geoCellMdeg"))
       .withColumn("cy", expr(s"(lat_mdeg + 85000) DIV $geoCellMdeg"))
       // r9 OPT: both join sides read this frame — un-persisted, the signup
-      // extraction (per-event JSON prop parsing) ran twice
+      // extraction (per-event JSON prop parsing) ran twice.
+      // Lifetime (r10, VERDICT #7): owned by the consuming action's
+      // session; the builder returns a LAZY frame, so it cannot unpersist
+      // without recomputing. Every repeated-invocation caller in this repo
+      // (Bench, Verify, QTime, StreamProf) calls
+      // spark.catalog.clearCache() after consuming each query — that is
+      // the documented protocol for long-lived sessions, spec-pinned in
+      // PersistLifecycleSpec.
       .persist()
     val left = s.select(col("event_id").as("ea"), col("lat_mdeg").as("la"),
         col("lon_mdeg").as("oa"), col("cx"), col("cy"))

@@ -446,7 +446,12 @@ object EventOps {
     // 1 scan + 2 exchanges, both with map-side partial aggregation; at
     // 100 TB the first exchange carries the same ≤7×|distinct pairs| rows
     // the old wau agg shuffled, and the other 5 passes disappear.
+    // r10 fix (r9 ADVICE): the oracle's countDistinct(user_id) excludes
+    // NULL users while count(1) over (day, user) groups would count a
+    // NULL-user group — events.user_id is non-null by generation, but the
+    // rewrite should be equivalent for ALL inputs, not just this corpus.
     val ev = Tables(spark, sfDir).events
+      .filter(col("user_id").isNotNull)
       .select(to_date(col("ts")).as("d"), col("user_id"))
     ev.select(col("d"), col("user_id"),
         explode(sequence(col("d"), date_add(col("d"), 6))).as("day"))
@@ -1772,7 +1777,11 @@ object EventOps {
     * reproduces the batch correlogram exactly). */
   def xcorrOver(counts: DataFrame): DataFrame = {
     val c = counts
-      .persist() // calendar-bounded dim; feeds bounds, both moment folds, the shifted join
+      // calendar-bounded dim; feeds bounds, both moment folds, the shifted
+      // join. Lifetime (r10, VERDICT #7): session-owned — repeated-
+      // invocation callers clearCache() between queries (see the
+      // EnrichQueries.geoCluster note; spec: PersistLifecycleSpec).
+      .persist()
     val bounds = c.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
     val lags = counts.sparkSession.range(-xcorrMaxLag, xcorrMaxLag + 1)
       .select(col("id").as("lag"))
@@ -1792,7 +1801,9 @@ object EventOps {
         sum(when(inA, col("c") * col("c"))).as("saa"),
         sum(when(inB, col("c"))).as("sb"),
         sum(when(inB, col("c") * col("c"))).as("sbb"))
-      .persist() // both grid sides read it; tiny (types × lags)
+      // both grid sides read it; tiny (types × lags). Lifetime: see the
+      // note on `c` above (session-owned, clearCache() protocol).
+      .persist()
     val amom = moms.select(col("event_type").as("type_a"), col("lag"),
       col("sa"), col("saa"))
     val bmom = moms.select(col("event_type").as("type_b"), col("lag"),
@@ -2110,6 +2121,9 @@ object EventOps {
     // which both sides of the candidate join read.
     val udb = ud.join(
         bucket.select(col("user_id"), col("bucket"), col("n2")), "user_id")
+      // Lifetime (r10, VERDICT #7): session-owned — repeated-invocation
+      // callers clearCache() between queries (see the
+      // EnrichQueries.geoCluster note; spec: PersistLifecycleSpec).
       .persist()
     // multi-probe: identity + the A single-bit flips of the probe's bucket
     val flips = lit(0L) +: (0 until anchors).map(a => lit(1L << a))

@@ -138,7 +138,15 @@ object Multimodal {
 
   private[graft] def spreadPayloads(p: DataFrame): DataFrame = {
     val cores = p.sparkSession.sparkContext.defaultParallelism
-    if (p.rdd.getNumPartitions < cores) p.repartition(cores, col("doc_id")) else p
+    // r10 fix (r9 ADVICE): `p.rdd` materialized the RDD lineage on every
+    // decode-path BUILD just to read the scan's partition count. The count
+    // is a pure function of the (immutable) plan, so memoize it per
+    // (session, semantic plan) beside the read-plan cache.
+    val parts = graft.Tables.sessionMemo(
+      p.sparkSession, s"spread:${p.queryExecution.logical.semanticHash()}") {
+      Integer.valueOf(p.rdd.getNumPartitions)
+    }.intValue()
+    if (parts < cores) p.repartition(cores, col("doc_id")) else p
   }
 
   def mmMeta(spark: SparkSession, sfDir: String): DataFrame = {

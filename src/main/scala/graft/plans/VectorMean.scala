@@ -51,7 +51,16 @@ case class VectorMean(
       else require(buf.sums.length == n,
         s"vector_mean: ragged input (${buf.sums.length} vs $n dims)")
       var i = 0
-      while (i < n) { buf.sums(i) += arr.getDouble(i); i += 1 }
+      // r10 fix (r9 ADVICE): a null ELEMENT previously read as 0.0 while
+      // the row still counted — silently diverging from the per-dim
+      // null-skipping avg() this aggregate replaced. No consumer produces
+      // null elements (Lloyd subvectors are dense by construction), so
+      // match the ragged-input posture: fail loudly, never silently.
+      while (i < n) {
+        require(!arr.isNullAt(i),
+          s"vector_mean: null element at dim $i — dense array<double> required")
+        buf.sums(i) += arr.getDouble(i); i += 1
+      }
       buf.count += 1L
     }
     buf

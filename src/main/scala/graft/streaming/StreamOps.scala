@@ -60,6 +60,20 @@ object StreamOps {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Pin one session conf for the duration of `f`, restoring the previous
+    * value (or unsetting) after — the [[withStatePartitions]] pattern for
+    * per-query streaming-engine dials. */
+  private def withConf[A](spark: SparkSession, key: String, value: String)(
+      f: => A): A = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def runToTableUnscoped(spark: SparkSession, sfDir: String, mode: OutputMode)(
       build: DataFrame => DataFrame): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -81,24 +95,56 @@ object StreamOps {
     runBuiltToTable(spark, build(src), mode)
   }
 
+  /** r10 OPT (guide §6): base dir for the harness's EPHEMERAL checkpoints.
+    * Every run-to-completion harness query already used a throwaway temp
+    * checkpoint (memory sink, deleted at stop, never restarted-from) — but
+    * Spark's default temp dir is java.io.tmpdir, where each micro-batch
+    * pays real disk latency for the offset WAL, the commit log, the file-
+    * source log, and one state-store delta file per partition (StreamProf:
+    * ~0.4 s/row of WAL+offsets across 39 st_* rows). The DURABILITY of
+    * these files is irrelevant by construction — the query runs once to
+    * completion and the dir is deleted in the same call — so they belong
+    * on a RAM-backed filesystem when one exists. Parameterized
+    * (`graft.streaming.checkpointDir`); production deployments that need
+    * restart recovery set an explicit durable `checkpointLocation` on
+    * their own queries (GraftApp/ActionSink do exactly that and are
+    * untouched by this). */
+  private def ephemeralCheckpointBase(spark: SparkSession): String =
+    spark.conf.getOption("graft.streaming.checkpointDir").getOrElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-ckpt"
+      else sys.props("java.io.tmpdir") + "/graft-ckpt"
+    }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** Start `built` into a fresh memory sink, run to completion, and drain
-    * the table. The query is stopped and the sink dropped even when a
-    * transform fails mid-stream — otherwise a failed harness query would
-    * leave a live StreamingQuery plus its memory-sink rows attached to the
-    * session for the rest of the run. Shared by every inline runner. */
+    * the table. The query is stopped, the sink dropped, and the ephemeral
+    * checkpoint deleted even when a transform fails mid-stream — otherwise
+    * a failed harness query would leave a live StreamingQuery plus its
+    * memory-sink rows attached to the session for the rest of the run.
+    * Shared by every inline runner. */
   private def runBuiltToTable(spark: SparkSession, built: DataFrame,
       mode: OutputMode): DataFrame = {
     val name = "st_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = s"${ephemeralCheckpointBase(spark)}/$name"
     val q = built.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
       .outputMode(mode).start()
-    try q.processAllAvailable()
-    catch {
-      case t: Throwable =>
-        try q.stop() finally spark.catalog.dropTempView(name)
-        throw t
-    }
-    q.stop()
-    drainTable(spark, name)
+    try {
+      try q.processAllAvailable()
+      catch {
+        case t: Throwable =>
+          try q.stop() finally spark.catalog.dropTempView(name)
+          throw t
+      }
+      q.stop()
+      drainTable(spark, name)
+    } finally deleteRecursively(new java.io.File(ckpt))
   }
 
   private val docsSchema: StructType = StructType(Seq(
@@ -116,8 +162,18 @@ object StreamOps {
     * harness-sized by construction. */
   private def drainTable(spark: SparkSession, name: String): DataFrame = {
     val t = spark.table(name)
-    val rows = java.util.Arrays.asList(t.collect(): _*)
-    val out = spark.createDataFrame(rows, t.schema)
+    val rows = t.collect()
+    // r10 OPT (guide §5, driver): an RDD-backed frame, NOT
+    // createDataFrame(list) — the list form embeds every drained row in the
+    // logical plan as a LocalRelation, which each analyzer/optimizer pass
+    // of every downstream read-time view re-walks (st_cusum drains a 200k-
+    // row count matrix into a multi-window view; the plan-embedded copy
+    // was pure driver overhead). Row count and contents are identical;
+    // the data leaves the driver exactly once either way.
+    val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      rows.length / 5000 + 1))
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, slices), t.schema)
     spark.catalog.dropTempView(name)
     out
   }
@@ -1280,6 +1336,17 @@ object StreamOps {
     * harness's single batch makes the result identical to the relational
     * join the oracle runs. */
   def streamJoin(spark: SparkSession, sfDir: String): DataFrame =
+    // r10 OPT (guide §1.2): after the data batch, the engine runs one more
+    // NO-DATA micro-batch because the watermark advanced — for this INNER
+    // interval join that batch can only EVICT buffered state (inner-join
+    // output is emitted in the batch that matches it; a no-data batch has
+    // no new rows to match), yet it re-plans and re-executes the full
+    // stateful-join operator (~1 s measured, ⅓ of the row). The query
+    // stops right after, so eviction work is discarded either way. Scoped
+    // to THIS query only: st_trending's no-data batch EMITS its final
+    // windows and keeps the default. Output rows are identical (verified
+    // against the unchanged oracle).
+    withConf(spark, "spark.sql.streaming.noDataMicroBatches.enabled", "false") {
     runToTable(spark, sfDir, OutputMode.Append()) { src =>
       val signups = src.filter(col("event_type") === "signup")
         .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
@@ -1295,6 +1362,7 @@ object StreamOps {
             col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"))
         .select(col("s_id"), col("p_id"), col("s_user").as("user_id"),
           (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))).as("delay_us"))
+    }
     }
 
   val streamJoinSql: String =
