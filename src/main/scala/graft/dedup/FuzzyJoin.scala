@@ -33,16 +33,24 @@ object FuzzyJoin {
       .select(col("ck").as("dk"),
         concat(expr("substring(cname, 1, p - 1)"),
           expr("substring(cname, p + 1, length(cname))")).as("dname"))
-    // deletion-neighborhood index: all distinct 1-deletion variants
+    // deletion-neighborhood index: all distinct 1-deletion variants.
+    // r10 OPT (guide §2.4, project-before-exchange): the r9 form carried
+    // the full `cname` through the distinct's exchange and the join just
+    // to re-check `levenshtein(dname, cname) = 1` — a belt that is
+    // PROVABLY always true on this join's rows: dname = v is cname with
+    // exactly one char deleted, so length(dname) = length(cname) − 1
+    // (distance ≥ 1, never 0) and one insertion reconstructs cname
+    // (distance ≤ 1). Dropping cname narrows the distinct's shuffle rows
+    // by the name width and removes a per-row levenshtein; output is
+    // value-identical (the aggregate never reads cname).
     val variants = canon
       .select(col("ck"), col("cname"),
         explode(sequence(lit(1), length(col("cname")))).as("pos"))
-      .select(col("ck"), col("cname"),
+      .select(col("ck"),
         concat(expr("substring(cname, 1, pos - 1)"),
           expr("substring(cname, pos + 1, length(cname))")).as("v"))
       .distinct()
     dirty.join(variants, col("dname") === col("v"))
-      .filter(expr("levenshtein(dname, cname) = 1")) // belt: documents the semantic
       .groupBy(col("dk"), col("dname"))
       .agg(count(lit(1)).as("n_matches"), min(col("ck")).as("best_ck"))
   }

@@ -2046,6 +2046,13 @@ object Relational {
     // (r9 note: repartition(ok)-before-distinct to make the self-join
     // exchange-free MEASURED slower — it shuffles raw rows where the
     // distinct's map-side partial dedup shuffled collapsed ones.)
+    // (r10 note: collect_set(pk)-per-order + map-side pair explode — one
+    // ok-keyed exchange instead of distinct + self-join — ALSO measured
+    // ~10-15% slower in interleaved A/B (1.96→2.13 s min-of-3): the HOF
+    // pair generator is a Generate outside codegen and collect_set is an
+    // ObjectHashAggregate, which together cost more than the second
+    // exchange saves at this items-per-order (≤7). Reverted; re-test if
+    // basket width ever grows.)
     val op = Tables(spark, sfDir).lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct().persist()

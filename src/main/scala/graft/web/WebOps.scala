@@ -1881,13 +1881,29 @@ object WebOps {
       .sortWithinPartitions(col("dst")).persist()
     var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
       .localCheckpoint(true)
+    // r10 OPT (guide §2.4): the old round closed with
+    //   labels LEFT JOIN pick → coalesce(nlbl, lbl)
+    // — an extra labels-wide exchange + join EVERY round, whose only job
+    // was to carry nodes with no adjacency (they keep their own label
+    // forever: an isolated node never appears in cand, so its lbl can
+    // never change from the doc_id it started with). The symmetrized
+    // graph gives every node of every ≥2-node block an edge (ring/bridge),
+    // so that set is computed ONCE up front — usually empty, non-empty
+    // only on degenerate sub-block corpora — and each round becomes
+    // pick ∪ iso: per-round exchanges drop from 3 to 2. Same labels for
+    // every input (spec: Round10OpsSpec pins the unionAll-form equality on
+    // a crafted isolated-node graph).
+    val iso = docs.select(col("doc_id").as("node"))
+      .join(adj.select(col("src")), col("node") === col("src"), "left_anti")
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
     for (_ <- 1 to lpaIters) {
       val cand = adj.join(labels, col("dst") === col("node"))
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
       val pick = cand.groupBy(col("src"))
         .agg(max_by(col("lbl"), struct(col("c"), -col("lbl"))).as("nlbl"))
-      labels = labels.join(pick, col("node") === col("src"), "left")
-        .select(col("node"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
+      labels = pick.select(col("src").as("node"), col("nlbl").as("lbl"))
+        .unionAll(iso)
         .localCheckpoint(true)
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
