@@ -54,9 +54,15 @@ object TextRank {
       val contrib = ewd.join(pr, col("a") === col("word"))
         .select(col("b"), expr("(pr * 850 * wt) DIV (1000 * ow)").as("c"))
         .groupBy(col("b")).agg(sum(col("c")).as("inflow"))
-      pr = nodes.join(contrib, col("word") === col("b"), "left")
-        .select(col("word"),
-          (lit(teleport) + coalesce(col("inflow"), lit(0L))).as("pr"))
+      // r10 OPT (guide §2.4): the old round closed with a nodes-wide LEFT
+      // JOIN + coalesce(inflow, 0) — but the edge table is MIRRORED, so
+      // contrib's b-side key set IS the node set (every node has an
+      // in-edge): the join re-keyed the vocab frame every round for
+      // nothing. contrib alone is the next rank frame — one fewer
+      // exchange+join per iteration, identical ranks for any corpus
+      // (Round10OpsSpec pins old-vs-new equality on a crafted graph).
+      pr = contrib.select(col("b").as("word"),
+        (lit(teleport) + col("inflow")).as("pr"))
     }
     pr.orderBy(col("pr").desc, col("word").asc).limit(trTop)
       .select(col("word"), col("pr"))

@@ -46,6 +46,37 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(n.contains((99L, 99L)), "the isolated node must survive with its own label")
   }
 
+  test("textrank: contrib-only rank step equals the nodes-left-join form on mirrored edges") {
+    import spark.implicits._
+    // crafted word graph incl. a node ("e") reachable only via one mirror
+    // direction and a heavy zipf-ish hub ("a") — the shapes where a missing
+    // in-edge would make the two forms diverge if mirroring were broken
+    val dirPairs = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L), ("d", "a", 5L), ("e", "a", 1L))
+    val dir = dirPairs.toDF("a", "b", "wt")
+    val edges = dir.union(dir.select(col("b").as("a"), col("a").as("b"), col("wt")))
+      .groupBy(col("a"), col("b")).agg(sum(col("wt")).as("wt"))
+    val outw = edges.groupBy(col("a")).agg(sum(col("wt")).as("ow"))
+    val ewd = edges.join(outw, "a")
+    val nodes = edges.select(col("a").as("word")).distinct()
+    val n = nodes.count()
+    val teleport = 150000000L / n
+    var prOld = nodes.select(col("word"), lit(1000000000L / n).as("pr"))
+    var prNew = prOld
+    (1 to 2).foreach { _ =>
+      def contrib(pr: org.apache.spark.sql.DataFrame) =
+        ewd.join(pr, col("a") === col("word"))
+          .select(col("b"), expr("(pr * 850 * wt) DIV (1000 * ow)").as("c"))
+          .groupBy(col("b")).agg(sum(col("c")).as("inflow"))
+      prOld = nodes.join(contrib(prOld), col("word") === col("b"), "left")
+        .select(col("word"), (lit(teleport) + coalesce(col("inflow"), lit(0L))).as("pr"))
+      prNew = contrib(prNew).select(col("b").as("word"), (lit(teleport) + col("inflow")).as("pr"))
+    }
+    val o = prOld.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val nw = prNew.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(nw == o, "mirrored edges mean contrib covers every node — forms must agree")
+    assert(o.map(_._1) == Set("a", "b", "c", "d", "e"))
+  }
+
   test("fuzzy join: a 1-deletion variant match always has levenshtein exactly 1") {
     // the r10 narrowing dropped cname (and the levenshtein belt) from the
     // variant index on the argument that dname = v ⇒ distance(dname, cname)
